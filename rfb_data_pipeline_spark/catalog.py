@@ -1,0 +1,51 @@
+"""Table catalog over the driver's parquet corpus.
+
+Loads the TPC-H-ish star schema + documents/embeddings/events tables
+(TESTDATA.md) as DataFrames and registers temp views so both the
+DataFrame and ``spark.sql`` surfaces work. Parquet scans keep column
+pruning and predicate pushdown (verify with .explain → ReadSchema /
+PushedFilters).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should always end up on the broadcast side of a
+# join. region/nation are O(10^1-10^2) rows at any scale factor; the RFB
+# analogue is the 6 code tables (reference src/main.py:168-171).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TABLES,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load each parquet table under ``sf_dir`` and register temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out

@@ -1,0 +1,802 @@
+"""Core relational operator surface (SURVEY.md §2.2).
+
+Every public query here is declared with the DataFrame API so Catalyst
+performs predicate pushdown, column pruning, join selection and AQE
+re-planning. Each query has a matching DuckDB oracle in ``ORACLE``;
+column aliases are identical on both sides (driver hashes values after
+sorting columns by name).
+
+Scale notes per query are inline — the guiding rules:
+- dimension joins (region/nation/supplier) are broadcast; fact×fact
+  joins shuffle on their equi-keys and rely on AQE skew handling;
+- aggregates are hash-based with map-side partial aggregation (Catalyst
+  default) — no driver-side loops anywhere;
+- doubles are rounded at the output edge only, to stabilize the
+  cross-engine value hash, never mid-computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rfb_data_pipeline_spark.catalog import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, tables=tuple(names), register_views=False)
+
+
+# --------------------------------------------------------------------------
+# q01 — full-scan filter + hash aggregate (TPC-H Q1 shape).
+# Scale: single shuffle on the 2-value group key; partial aggregation
+# collapses each input partition to ≤|groups| rows before the exchange.
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q03 — selective fact×fact×dim join + top-k (TPC-H Q3 shape).
+# Scale: customer filter prunes before the join (pushdown); orders and
+# lineitem shuffle on their keys; final top-10 is a TakeOrdered (no full
+# sort materialization).
+
+
+def q03_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q03_SQL = """
+SELECT l_orderkey,
+       CAST(o_orderdate AS DATE)                              AS o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q05 — snowflake join through two broadcast dimensions (TPC-H Q5 shape).
+# Scale: region/nation broadcast (they are tiny at every SF); the
+# fact-side joins shuffle on orderkey/custkey/suppkey. The
+# c_nationkey = s_nationkey condition closes the snowflake.
+
+
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_Q05_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q04 — flagship: revenue by nation across the star schema. Chosen as
+# the entry() smoke query because it returns one row per nation at
+# every scale factor (no selective predicates that vanish at sf0.001).
+# Scale: nation broadcast; orders×customer and lineitem×orders shuffle
+# on their keys with AQE-coalesced partitions.
+
+
+def q04_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+_Q04_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# q06 — pure scan-filter-aggregate (TPC-H Q6 shape); the whole query is
+# one WholeStageCodegen span with all predicates pushed to the parquet
+# scan. The canonical "is pushdown working" probe.
+
+
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_Q06_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# q07 — left semi join (EXISTS). Scale: semi joins ship only the join
+# key of the probe side and stop at first match — cheaper than inner
+# join + distinct.
+
+
+def q07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    big_items = t["lineitem"].filter(F.col("l_quantity") >= 49).select("l_orderkey")
+    return (
+        t["orders"]
+        .join(big_items, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+_Q07_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q08 — left anti join (NOT EXISTS): the referential-integrity idiom
+# (SURVEY.md §2.2 — estabelecimentos without empresas). Customers that
+# never placed an urgent order, tallied by segment.
+
+
+def q08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(
+            urgent.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+_Q08_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# q09 — top-k per group via ranked window (the dedup/topk idiom,
+# SURVEY.md §2.2 windows). Deterministic tie-break on orderkey.
+# Scale: one shuffle on the partition key; no global sort.
+
+
+def q09_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    joined = t["orders"].join(
+        t["customer"], F.col("o_custkey") == F.col("c_custkey")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "c_mktsegment",
+            "rk",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+_Q09_SQL = """
+SELECT c_mktsegment, rk, o_orderkey, totalprice
+FROM (
+  SELECT c_mktsegment,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk,
+         o_orderkey,
+         round(o_totalprice, 2) AS totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q10 — time-series lag window: month-over-month revenue delta across
+# the monthly axis (the reference's only temporal notion,
+# src/main.py:257-258, generalized). Scale: aggregate first (tiny
+# result), window over the aggregate — never window over the fact table.
+
+
+def q10_monthly_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue", 1).over(w), 2).alias("mom_delta"),
+    )
+
+
+_Q10_SQL = """
+SELECT month, revenue,
+       round(revenue - lag(revenue, 1) OVER (ORDER BY month), 2) AS mom_delta
+FROM (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# q11 — ROLLUP hierarchy totals (region → nation → grand total); the
+# generalized form of the reference's status tally report
+# (src/main.py:222-237). NULL group markers normalized via coalesce so
+# both engines hash identically.
+
+
+def q11_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "nation", "region")
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "sum_acctbal",
+        )
+    )
+
+
+_Q11_SQL = """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# --------------------------------------------------------------------------
+# q12 — set operations: customers active in 1995 but not 1996
+# (EXCEPT), the old-month vs new-month diff idiom (SURVEY.md §2.2 set
+# ops). Scale: except distinct = shuffle on the full row; keep the
+# projected key narrow.
+
+
+def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    churned = y95.exceptAll(y96)
+    return churned.agg(F.count(F.lit(1)).alias("n_churned"))
+
+
+_Q12_SQL = """
+SELECT count(*) AS n_churned FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1995
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1996
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# q13 — scalar string-function layer (SURVEY.md §2.2 scalar functions;
+# the lpad/upper/split/regexp surface the RFB normalize layer needs —
+# reference src/main.py:186-190 routing & CNPJ leading zeros).
+
+
+def q13_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")["part"]
+    return part.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_first_word"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.trim(F.lower("p_name")).alias("name_norm"),
+    )
+
+
+_Q13_SQL = """
+SELECT p_partkey,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+       upper(p_brand)                            AS brand_upper,
+       regexp_extract(p_type, '^(\\w+)', 1)      AS type_first_word,
+       length(p_name)                            AS name_len,
+       concat_ws('|', p_brand, p_type)           AS brand_type,
+       substring(p_name, 1, 5)                   AS name_prefix,
+       trim(lower(p_name))                       AS name_norm
+FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# q14 — date/time scalar layer (reference src/main.py:247-255 date
+# handling, Spark-native): extraction, trunc, formatting, arithmetic.
+
+
+def q14_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mo"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("yr", "qtr", "mo", "ym")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT extract(year FROM o_orderdate)     AS yr,
+       extract(quarter FROM o_orderdate)  AS qtr,
+       extract(month FROM o_orderdate)    AS mo,
+       strftime(o_orderdate, '%Y-%m')     AS ym,
+       count(*)                           AS n_orders,
+       round(avg(o_totalprice), 2)        AS avg_price
+FROM orders
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# --------------------------------------------------------------------------
+# q15 — conditional aggregation (the null-rate / format-check shape of
+# the README validation suite, READme.md:29): sum(CASE WHEN), plus
+# empty→NULL normalization via nullif.
+
+
+def q15_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias(
+            "n_high_discount"
+        ),
+        F.round(
+            F.avg(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 2
+        ).alias("avg_price_bulk"),
+        F.sum(
+            F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0)
+        ).alias("qty_finished"),
+    )
+
+
+_Q15_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_high_discount,
+       round(avg(CASE WHEN l_quantity >= 25 THEN l_extendedprice END), 2) AS avg_price_bulk,
+       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS qty_finished
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# q16 — GROUP BY + HAVING; supplier count per nation with a floor.
+
+
+def q16_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "supplier", "nation")
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 2).alias("avg_acctbal"),
+        )
+        .filter(F.col("n_suppliers") >= 2)
+    )
+
+
+_Q16_SQL = """
+SELECT n_name, count(*) AS n_suppliers, round(avg(s_acctbal), 2) AS avg_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+HAVING count(*) >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q17 — distinct aggregation: exact COUNT(DISTINCT) per group. (The
+# 100 TB path uses approx_count_distinct/HLL — see q26 in bench, which
+# has no exact oracle by design.)
+
+
+def q17_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+_Q17_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# q18 — theta/range join against a derived band table. The band side is
+# tiny → broadcast nested-loop, which is the right physical plan; at
+# scale the alternative is a bucketed range join on a binned key.
+
+
+def q18_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")["part"]
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 930.0), ("mid", 930.0, 970.0), ("premium", 970.0, 1e9)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+_Q18_SQL = """
+SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+FROM part
+JOIN (VALUES ('budget', 0.0, 930.0),
+             ('mid', 930.0, 970.0),
+             ('premium', 970.0, 1e9)) AS bands(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
+# --------------------------------------------------------------------------
+# q19 — CUBE over two independent dimensions (order status × priority).
+
+
+def q19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+_Q19_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# q20 — running total (frame spec rowsBetween): cumulative daily
+# revenue within one month. Aggregate-first, then window the small
+# result (same scale rule as q10).
+
+
+def q20_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "revenue", F.round(F.sum("revenue").over(w), 2).alias("cum_revenue")
+    )
+
+
+_Q20_SQL = """
+SELECT day, revenue,
+       round(sum(revenue) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+FROM (
+  SELECT CAST(o_orderdate AS DATE) AS day, round(sum(o_totalprice), 2) AS revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+  GROUP BY 1
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# q21 — rank / dense_rank: suppliers ranked by balance within nation.
+
+
+def q21_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "supplier", "nation")
+    joined = t["supplier"].join(
+        F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return joined.select(
+        "n_name",
+        "s_suppkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    ).filter(F.col("rnk") <= 5)
+
+
+_Q21_SQL = """
+SELECT * FROM (
+  SELECT n_name, s_suppkey, round(s_acctbal, 2) AS acctbal,
+         rank()       OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk,
+         dense_rank() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey ASC) AS drnk
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+) WHERE rnk <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# q22 — union of part-files (the RFB multi-part zip idiom,
+# src/main.py:62-71): two disjoint slices unioned by name then
+# aggregated; exercises unionByName.
+
+
+def q22_union_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    part1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    part2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        *reversed(orders.columns)
+    )
+    return (
+        part1.unionByName(part2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers
+FROM (
+  SELECT * FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderkey % 2 = 1
+)
+GROUP BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_topk_revenue": q03_topk_revenue,
+    "q04_revenue_by_nation": q04_revenue_by_nation,
+    "q05_region_revenue": q05_region_revenue,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "q07_semi_join": q07_semi_join,
+    "q08_anti_join": q08_anti_join,
+    "q09_topk_per_group": q09_topk_per_group,
+    "q10_monthly_lag": q10_monthly_lag,
+    "q11_rollup_report": q11_rollup_report,
+    "q12_set_ops": q12_set_ops,
+    "q13_string_functions": q13_string_functions,
+    "q14_date_functions": q14_date_functions,
+    "q15_conditional_agg": q15_conditional_agg,
+    "q16_having": q16_having,
+    "q17_distinct_agg": q17_distinct_agg,
+    "q18_range_join": q18_range_join,
+    "q19_cube": q19_cube,
+    "q20_running_total": q20_running_total,
+    "q21_rank_suppliers": q21_rank_suppliers,
+    "q22_union_parts": q22_union_parts,
+}
+
+ORACLE = {
+    "q01_pricing_summary": _Q01_SQL,
+    "q03_topk_revenue": _Q03_SQL,
+    "q04_revenue_by_nation": _Q04_SQL,
+    "q05_region_revenue": _Q05_SQL,
+    "q06_forecast_revenue": _Q06_SQL,
+    "q07_semi_join": _Q07_SQL,
+    "q08_anti_join": _Q08_SQL,
+    "q09_topk_per_group": _Q09_SQL,
+    "q10_monthly_lag": _Q10_SQL,
+    "q11_rollup_report": _Q11_SQL,
+    "q12_set_ops": _Q12_SQL,
+    "q13_string_functions": _Q13_SQL,
+    "q14_date_functions": _Q14_SQL,
+    "q15_conditional_agg": _Q15_SQL,
+    "q16_having": _Q16_SQL,
+    "q17_distinct_agg": _Q17_SQL,
+    "q18_range_join": _Q18_SQL,
+    "q19_cube": _Q19_SQL,
+    "q20_running_total": _Q20_SQL,
+    "q21_rank_suppliers": _Q21_SQL,
+    "q22_union_parts": _Q22_SQL,
+}

@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference pipeline is single-threaded and chunk-oriented
+(reference src/main.py:204 — pandas chunksize=50000); here the unit of
+parallelism is the Spark partition and the knobs below are the ones
+that matter at cluster scale: AQE (runtime coalescing + skew-join
+splitting), broadcast threshold for the small dimension tables, and
+Arrow for any pandas interchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the local[CPUS] harness; on a real cluster these come from
+# spark-submit conf. Shuffle partitions are deliberately low locally —
+# AQE coalesces further — while at 100 TB the same code runs with
+# shuffle.partitions sized to ~2-3x total cores (AQE still right-sizes).
+_DEFAULTS = {
+    # Adaptive execution: post-shuffle coalescing, skew-join splitting,
+    # runtime sort-merge->broadcast demotion. Essential at scale where
+    # static planning can't know per-key cardinalities (e.g. skewed
+    # cnpj_basico keys — SURVEY.md §4).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/supplier, RFB code tables) are
+    # tiny; make sure they broadcast rather than shuffle.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Arrow for pandas_udf / mapInPandas / toPandas round-trips.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamps: align with the DuckDB oracle (UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Partition pruning across joins (month-partitioned RFB layout).
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "rfb-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or local[*]).
+    ``shuffle_partitions`` defaults to the local core count — at real
+    cluster scale pass a value sized to the executor fleet instead.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else os.cpu_count() or 8
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
