@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -39,12 +41,18 @@ def load_tables(
     register_views: bool = True,
 ) -> dict[str, DataFrame]:
     """Load each parquet table under ``sf_dir`` and register temp views."""
+    # The events table carries TIMESTAMP(NANOS) which the vectorized
+    # parquet reader rejects; read nanos as long and rebuild the
+    # microsecond timestamp (lossless for our data: truncation only).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
         df = spark.read.parquet(path)
+        if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         out[name] = df
         if register_views:
             df.createOrReplaceTempView(name)

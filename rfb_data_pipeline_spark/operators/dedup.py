@@ -1,2 +1,367 @@
-QUERIES = {}
-ORACLE = {}
+"""Document deduplication operators (north-star surface, BASELINE.json).
+
+Four tiers, from cheap/exact to fuzzy/scalable:
+
+- d01 exact: hash-groupBy on a normalized fingerprint — one shuffle.
+- d02 n-gram Jaccard: exact pairwise similarity via the exploded-
+  shingle join (the standard inverted-index pattern). Exact but
+  quadratic in docs sharing a shingle — the verifier of record at
+  small scale and for LSH candidates at large scale.
+- d03 MinHash + LSH: signatures from k md5 hashes, banded into
+  buckets; candidate pairs share a band, then exact-Jaccard verified.
+  This is the 100 TB path: cost ~ O(docs × k + candidates), never
+  all-pairs. md5 (not Spark's hash()) keeps the oracle engine-portable.
+- d04/d05 SimHash: 16-bit weighted fingerprint + Hamming-distance
+  pairing; at scale the pairing is banded on fingerprint prefix rather
+  than the all-pairs join used here for verification.
+
+Everything is built-in expressions (split / transform / array_min /
+md5 / bit ops) — no Python UDFs, so whole-stage codegen applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rfb_data_pipeline_spark.catalog import load_tables
+
+MINHASH_K = 12  # signature length
+MINHASH_BAND_ROWS = 3  # rows per band → 4 bands, LSH threshold ≈ 0.63
+JACCARD_THRESHOLD = 0.8
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, tables=("documents",), register_views=False)[
+        "documents"
+    ]
+
+
+def shingles_col(tok_col: str = "toks") -> Column:
+    """Distinct 3-token shingles from a token-array column (1-based)."""
+    return F.expr(
+        f"""
+        CASE WHEN size({tok_col}) < 3 THEN array()
+             ELSE array_distinct(transform(
+                    sequence(1, size({tok_col}) - 2),
+                    i -> concat_ws(' ', element_at({tok_col}, i),
+                                        element_at({tok_col}, i + 1),
+                                        element_at({tok_col}, i + 2))))
+        END
+        """
+    )
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).select("doc_id", shingles_col().alias("shingles"))
+
+
+_SHINGLES_SQL = """
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------
+# d01 — exact dedup summary over normalized-text fingerprints.
+
+
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    groups = docs.groupBy(fp.alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_distinct_docs"),
+        F.sum("n_copies").alias("n_total_docs"),
+        F.sum(F.when(F.col("n_copies") > 1, F.col("n_copies") - 1).otherwise(0)).alias(
+            "n_redundant"
+        ),
+    )
+
+
+_D01_SQL = """
+SELECT count(*) AS n_distinct_docs,
+       sum(n_copies) AS n_total_docs,
+       sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS n_redundant
+FROM (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         count(*) AS n_copies, min(doc_id) AS keep_doc_id
+  FROM documents GROUP BY 1
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# d02 — exact n-gram Jaccard near-dup pairs via exploded-shingle join.
+
+
+def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _with_shingles(_docs(spark, sf_dir))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+_D02_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common::DOUBLE / (sa.sz + sb.sz - common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE common::DOUBLE / (sa.sz + sb.sz - common) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# d03 — MinHash + LSH banding, then exact verification of candidates.
+
+
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _with_shingles(_docs(spark, sf_dir)).filter(F.size("shingles") > 0)
+    # signature: MINHASH_K independent hash orderings approximated by
+    # md5 with a seed prefix; the min hex digest is the min-hash.
+    minhash_cols = [
+        F.array_min(
+            F.transform(
+                "shingles", lambda x, j=j: F.md5(F.concat(F.lit(f"{j}|"), x))
+            )
+        ).alias(f"h{j}")
+        for j in range(MINHASH_K)
+    ]
+    sig = sh.select("doc_id", "shingles", *minhash_cols)
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    f"h{b * MINHASH_BAND_ROWS + r}"
+                    for r in range(MINHASH_BAND_ROWS)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = sig.select("doc_id", "shingles", *band_cols)
+    buckets = banded.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(F.array(*[f"band{b}" for b in range(n_bands)])).alias(
+            "band_idx", "bucket"
+        ),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return cand.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def _minhash_sql() -> str:
+    hs = ",\n         ".join(
+        f"list_min(list_transform(shingles, x -> md5('{j}|' || x))) AS h{j}"
+        for j in range(MINHASH_K)
+    )
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    bands = ",\n         ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"h{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)
+        )
+        + f") AS band{b}"
+        for b in range(n_bands)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS bucket FROM banded"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id, shingles,
+         {hs}
+  FROM sh WHERE len(shingles) > 0
+),
+banded AS (
+  SELECT doc_id,
+         {bands}
+  FROM sig
+),
+buckets AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+FROM cand
+JOIN sh sa ON doc_a = sa.doc_id
+JOIN sh sb ON doc_b = sb.doc_id
+WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+      / (len(sa.shingles) + len(sb.shingles)
+         - len(list_intersect(sa.shingles, sb.shingles))) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# d04 — SimHash fingerprint (32-bit, token-frequency weighted): bit i
+# of md5(token) votes ±1; fingerprint bit set where the vote is
+# positive. Near-identical docs land within small Hamming distance.
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).withColumn("h", F.md5("w"))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", i + 1, 1).isin(*list("89abcdef")), 1
+            ).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(32)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    fingerprint = None
+    for i in range(32):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_df(spark, sf_dir)
+
+
+_SIMHASH_CTE = """
+  SELECT doc_id,
+         {fp} AS simhash
+  FROM (
+    SELECT doc_id,
+           {votes}
+    FROM (SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS h
+          FROM documents)
+    GROUP BY doc_id
+  )
+""".format(
+    votes=",\n           ".join(
+        "sum(CASE WHEN substring(h, {p}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{i}".format(
+            p=i + 1, i=i
+        )
+        for i in range(32)
+    ),
+    fp=" + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    ),
+)
+
+_D04_SQL = f"SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM ({_SIMHASH_CTE})"
+
+
+# --------------------------------------------------------------------------
+# d05 — SimHash near-dup pairs (Hamming ≤ 2). All-pairs here for
+# verification; the scale path bands on fingerprint bytes (pigeonhole:
+# hamming ≤ 2 over 32 bits ⇒ at least one identical byte) before the
+# distance check.
+
+
+def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = _simhash_df(spark, sf_dir)
+    a = sim.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+    )
+    b = sim.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+_D05_SQL = f"""
+WITH sim AS ({_SIMHASH_CTE})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 2
+"""
+
+
+QUERIES = {
+    "d01_exact_dedup": d01_exact_dedup,
+    "d02_ngram_jaccard": d02_ngram_jaccard,
+    "d03_minhash_lsh": d03_minhash_lsh,
+    "d04_simhash": d04_simhash,
+    "d05_simhash_pairs": d05_simhash_pairs,
+}
+
+ORACLE = {
+    "d01_exact_dedup": _D01_SQL,
+    "d02_ngram_jaccard": _D02_SQL,
+    "d03_minhash_lsh": _minhash_sql(),
+    "d04_simhash": _D04_SQL,
+    "d05_simhash_pairs": _D05_SQL,
+}

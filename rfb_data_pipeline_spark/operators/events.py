@@ -1,2 +1,258 @@
-QUERIES = {}
-ORACLE = {}
+"""Event/time-series operators over the ``events`` table.
+
+Batch expressions of the streaming semantics in SURVEY.md §2.2
+(tumbling/sliding/session windows, stateful dedup); the streaming
+variants live in ``rfb_data_pipeline_spark.streaming`` and share these
+shapes. All are oracle-checked against DuckDB.
+
+Scale notes: windowed aggregation shuffles once on (window, key) with
+map-side partial agg; session windows shuffle on the user key and sort
+within partitions — the same physical shape Structured Streaming's
+state store uses. None of these touch Python row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rfb_data_pipeline_spark.catalog import load_tables
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, tables=("events",), register_views=False)[
+        "events"
+    ]
+
+
+# --------------------------------------------------------------------------
+# e01 — tumbling 1-hour window aggregation (F.window), the batch twin of
+# the streaming windowed count.
+
+
+def e01_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_E01_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# e02 — sliding window (1 hour long, 30 min slide): every event lands in
+# two windows. The oracle expands the membership explicitly (UNION ALL
+# of the two bucket starts) — same semantics, spelled relationally.
+
+
+def e02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+_E02_SQL = """
+SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+  FROM events
+)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# e03 — session windows (5-minute gap) per user via the native
+# session_window operator; the oracle derives the same sessions with
+# the gaps-and-islands idiom (lag + cumulative sum). A new session
+# starts when the gap from the previous event is >= 5 minutes.
+
+
+def e03_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "last_ts",
+        )
+    )
+
+
+_E03_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '5 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events, max(ts) AS last_ts
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# e04 — deterministic dedup: first event per (user_id, event_type) by
+# (ts, event_id). The batch twin of streaming dropDuplicates-with-
+# watermark, but with a total order so results are reproducible (plain
+# dropDuplicates keeps an arbitrary row).
+
+
+def e04_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+_E04_SQL = """
+SELECT user_id, event_type, first_event_id, first_ts FROM (
+  SELECT user_id, event_type,
+         event_id AS first_event_id, ts AS first_ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# e05 — funnel: users whose first view precedes their first click which
+# precedes their first purchase. Conditional aggregation + filter —
+# one shuffle on user_id.
+
+
+def e05_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(
+                (F.col("first_view") < F.col("first_click"))
+                & (F.col("first_click") < F.col("first_purchase")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
+_E05_SQL = """
+SELECT count(*) AS n_users,
+       sum(CASE WHEN first_view < first_click AND first_click < first_purchase
+                THEN 1 ELSE 0 END) AS n_converted
+FROM (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# e06 — inter-event gap statistics per user (lag over event time).
+
+
+def e06_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = ev.withColumn(
+        "gap_sec",
+        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"), 1).over(w),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("gap_sec"), 2).alias("avg_gap_sec"),
+        F.round(F.max("gap_sec"), 2).alias("max_gap_sec"),
+    )
+
+
+_E06_SQL = """
+SELECT user_id, count(*) AS n_events,
+       round(avg(gap_sec), 2) AS avg_gap_sec,
+       round(max(gap_sec), 2) AS max_gap_sec
+FROM (
+  SELECT user_id,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_sec
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "e01_tumbling_hourly": e01_tumbling_hourly,
+    "e02_sliding_window": e02_sliding_window,
+    "e03_sessionize": e03_sessionize,
+    "e04_dedup_first": e04_dedup_first,
+    "e05_funnel": e05_funnel,
+    "e06_event_gaps": e06_event_gaps,
+}
+
+ORACLE = {
+    "e01_tumbling_hourly": _E01_SQL,
+    "e02_sliding_window": _E02_SQL,
+    "e03_sessionize": _E03_SQL,
+    "e04_dedup_first": _E04_SQL,
+    "e05_funnel": _E05_SQL,
+    "e06_event_gaps": _E06_SQL,
+}

@@ -1,2 +1,183 @@
-QUERIES = {}
-ORACLE = {}
+"""Similarity search over the ``embeddings`` table (north star).
+
+- s01: brute-force cosine top-k — the exactness baseline. One pass
+  over the table against a broadcast query vector; dot products are
+  computed JVM-side with ``zip_with``/``aggregate`` (no Python).
+- s02: sign-LSH (axis-aligned random-hyperplane) bucketed ANN — the
+  scale path: bucket on the sign pattern of the leading dimensions,
+  probe only the query's bucket. Recall < 1 by construction; the
+  bucketing is deterministic so the oracle reproduces it exactly.
+- s03: all-pairs near-neighbor join above a cosine threshold; at scale
+  the same join runs per-bucket instead of all-pairs (s02's bucketing
+  composes directly).
+
+Floats: both engines widen float32 → float64 and accumulate
+sequentially, which makes dot products bit-identical (verified);
+cosine outputs are rounded at the edge anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rfb_data_pipeline_spark.catalog import load_tables
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+SIGN_BITS = 6  # leading dims used for the LSH bucket → 2^6 buckets
+NEAR_DUP_COS = 0.45
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, tables=("embeddings",), register_views=False)[
+        "embeddings"
+    ]
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _sign_bucket(col: str) -> Column:
+    """Sign pattern of the first SIGN_BITS dims as an integer bucket."""
+    bucket = F.lit(0)
+    for i in range(SIGN_BITS):
+        bucket = bucket + F.when(
+            F.element_at(F.col(col), i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(0)
+    return bucket
+
+
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _sql_bucket(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SIGN_BITS)
+    )
+
+
+# --------------------------------------------------------------------------
+# s01 — brute-force cosine top-k against one query vector.
+
+
+def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q")
+    )
+    cos = _dot("embedding", "q") / (_norm("embedding") * _norm("q"))
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", "label", F.round(cos, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+_S01_SQL = f"""
+WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       round({_SQL_DOT.format(a="embedding", b="q")}
+             / (sqrt({_SQL_DOT.format(a="embedding", b="embedding")})
+                * sqrt({_SQL_DOT.format(a="q", b="q")})), 4) AS cosine
+FROM embeddings, q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# s02 — ANN via sign-LSH bucket probe: only vectors in the query's
+# bucket are scored. At 100 TB the table is written bucketed/partitioned
+# by this key so the probe is a partition-pruned scan, not a shuffle.
+
+
+def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket("embedding"))
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q"), F.col("bucket").alias("qbucket")
+    )
+    cos = _dot("embedding", "q") / (_norm("embedding") * _norm("q"))
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(query), F.col("bucket") == F.col("qbucket"))
+        .select("vec_id", "label", F.round(cos, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+_S02_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding,
+                  {_sql_bucket("embedding")} AS bucket
+           FROM embeddings),
+q AS (SELECT embedding AS q, bucket AS qbucket FROM e WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       round({_SQL_DOT.format(a="embedding", b="q")}
+             / (sqrt({_SQL_DOT.format(a="embedding", b="embedding")})
+                * sqrt({_SQL_DOT.format(a="q", b="q")})), 4) AS cosine
+FROM e, q
+WHERE vec_id != {QUERY_VEC_ID} AND bucket = qbucket
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# s03 — near-neighbor pair join above a cosine threshold (embedding
+# near-dup detection). All-pairs for verification; compose with s02's
+# bucket key for the banded variant at scale.
+
+
+def s03_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+    )
+
+
+_S03_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+             / (sqrt({_SQL_DOT.format(a="a.embedding", b="a.embedding")})
+                * sqrt({_SQL_DOT.format(a="b.embedding", b="b.embedding")})), 4)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+      / (sqrt({_SQL_DOT.format(a="a.embedding", b="a.embedding")})
+         * sqrt({_SQL_DOT.format(a="b.embedding", b="b.embedding")})) >= {NEAR_DUP_COS}
+"""
+
+
+QUERIES = {
+    "s01_knn_bruteforce": s01_knn_bruteforce,
+    "s02_ann_lsh": s02_ann_lsh,
+    "s03_near_dup_pairs": s03_near_dup_pairs,
+}
+
+ORACLE = {
+    "s01_knn_bruteforce": _S01_SQL,
+    "s02_ann_lsh": _S02_SQL,
+    "s03_near_dup_pairs": _S03_SQL,
+}

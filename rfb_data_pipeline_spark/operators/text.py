@@ -1,2 +1,252 @@
-QUERIES = {}
-ORACLE = {}
+"""Text-analysis operators over the ``documents`` table.
+
+The north-star training-data-pipeline surface (BASELINE.json): token
+counting, quality scoring, language-ID heuristic, fingerprinting, and
+corpus term statistics. Everything stays JVM-side — tokenization is
+``split``/higher-order array functions, never a Python UDF — so the
+whole module is WholeStageCodegen-friendly and scales linearly with
+input splits.
+
+Oracle parity notes: DuckDB ``regexp_replace`` needs the ``'g'`` flag
+to match Spark's replace-all default; token lists use
+``string_split_regex`` vs Spark ``split`` (same regex dialect for the
+patterns used here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rfb_data_pipeline_spark.catalog import load_tables
+
+# Tiny embedded stopword list for quality scoring / language ID.
+STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, tables=("documents",), register_views=False)[
+        "documents"
+    ]
+
+
+def tokens_col(col: str = "text"):
+    """Whitespace tokenization of trimmed text as an array column."""
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+# --------------------------------------------------------------------------
+# t01 — token statistics per document.
+
+
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col()
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+_T01_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks)    AS n_tokens,
+       len(list_distinct(toks)) AS n_unique_tokens,
+       round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks), 4)
+         AS avg_token_len
+FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------
+# t02 — quality scoring: stopword ratio, punctuation/digit density,
+# mean token length. The formula mirrors published heuristic filters
+# (Gopher/C4-style rules) in a deterministic, engine-portable form.
+
+
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = punct.cast("double") / F.length("text")
+    digit_ratio = digits.cast("double") / F.length("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        ((n_tokens >= 10) & (stop_ratio >= 0.01) & (digit_ratio <= 0.3))
+        .cast("int")
+        .alias("passes_quality"),
+    )
+
+
+_T02_SQL = """
+SELECT doc_id, lang,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','it')))
+         AS n_stopwords,
+       round(len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','it')))::DOUBLE
+             / len(toks), 4) AS stop_ratio,
+       round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+             / length(text), 4) AS punct_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+             / length(text), 4) AS digit_ratio,
+       CASE WHEN len(toks) >= 10
+             AND len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','it')))::DOUBLE
+                 / len(toks) >= 0.01
+             AND length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                 / length(text) <= 0.3
+            THEN 1 ELSE 0 END AS passes_quality
+FROM (SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------
+# t03 — language-ID n-gram/stopword heuristic: score each language by
+# marker-token hits, argmax with a fixed tie order. Accuracy is
+# reported against the labeled ``lang`` column.
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist"),
+    "es": ("el", "la", "los", "es"),
+    "fr": ("le", "la", "les", "est"),
+}
+
+
+def t03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col()
+    def _score(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: _score(markers) for lang, markers in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    detected = (
+        F.when(best == 0, F.lit("unknown"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["es"] == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    scored = docs.select("doc_id", "lang", detected.alias("detected"))
+    return scored.groupBy("lang", "detected").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _markers_sql(lang: str) -> str:
+    vals = ",".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+    return f"len(list_filter(toks, t -> t IN ({vals})))"
+
+
+_T03_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_markers_sql('en')} AS s_en,
+         {_markers_sql('de')} AS s_de,
+         {_markers_sql('es')} AS s_es,
+         {_markers_sql('fr')} AS s_fr
+  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents)
+)
+SELECT lang,
+       CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+            WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+            WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS detected,
+       count(*) AS n_docs
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# t04 — document fingerprinting: md5 over whitespace-normalized
+# lowercase text (the exact-dedup key), plus a coarse length bucket.
+
+
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        (F.floor(F.length("text") / 100) * 100).cast("long").alias("len_bucket"),
+    )
+
+
+_T04_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       (length(text) // 100) * 100 AS len_bucket
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# t05 — corpus term frequency: explode tokens → global top-20 terms.
+# The classic wordcount; partial aggregation collapses each partition
+# before the single shuffle, and the top-k is a TakeOrdered.
+
+
+def t05_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(tokens_col()).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(20)
+    )
+
+
+_T05_SQL = """
+SELECT term, count(*) AS n_occurrences
+FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents)
+WHERE length(term) > 0
+GROUP BY term
+ORDER BY n_occurrences DESC, term ASC
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "t01_token_stats": t01_token_stats,
+    "t02_quality_score": t02_quality_score,
+    "t03_langid": t03_langid,
+    "t04_fingerprint": t04_fingerprint,
+    "t05_top_terms": t05_top_terms,
+}
+
+ORACLE = {
+    "t01_token_stats": _T01_SQL,
+    "t02_quality_score": _T02_SQL,
+    "t03_langid": _T03_SQL,
+    "t04_fingerprint": _T04_SQL,
+    "t05_top_terms": _T05_SQL,
+}
