@@ -1,0 +1,78 @@
+"""Headline benchmark: runs representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The set covers every operator family: scan/agg (q01, q06), joins
+(q03, q04, q05), windows (q09, q10), events (e01, e03), dedup
+(d01, d02, d03), text (t02, t05), similarity (s01, s02).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_topk_revenue",
+    "q04_revenue_by_nation",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q09_topk_per_group",
+    "q10_monthly_lag",
+    "e01_tumbling_hourly",
+    "e03_sessionize",
+    "d01_exact_dedup",
+    "d02_ngram_jaccard",
+    "d03_minhash_lsh",
+    "t02_quality_score",
+    "t05_top_terms",
+    "s01_knn_bruteforce",
+    "s02_ann_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from rfb_data_pipeline_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("rfb-bench")
+    qs = entry_mod.queries()
+
+    # Warm the JVM/IO path once so per-query times measure the engine,
+    # not session startup.
+    qs["q01_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rfb_data_pipeline_spark.catalog import load_tables
 
@@ -56,6 +57,34 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     ).select("doc_id", shingles_col().alias("shingles"))
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs via explode + window lead.
+
+    Deliberately NOT the array-expression form: projection collapse
+    would inline the token-split into every element_at call, turning
+    one regex split per document into hundreds (measured 10x slowdown).
+    Exploding once and composing shingles with lead() keeps the split
+    single-execution and every shuffled row narrow.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+            ).alias("shingle"),
+            F.lead("w", 2).over(win).alias("_w2"),
+        )
+        .filter(F.col("_w2").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
 
 
 _SHINGLES_SQL = """
@@ -104,9 +133,8 @@ FROM (
 
 
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _with_shingles(_docs(spark, sf_dir))
-    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+    exploded = _doc_shingles(_docs(spark, sf_dir))
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     common = (
@@ -155,18 +183,16 @@ WHERE common::DOUBLE / (sa.sz + sb.sz - common) >= {JACCARD_THRESHOLD}
 
 
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _with_shingles(_docs(spark, sf_dir)).filter(F.size("shingles") > 0)
+    exploded = _doc_shingles(_docs(spark, sf_dir))
     # signature: MINHASH_K independent hash orderings approximated by
-    # md5 with a seed prefix; the min hex digest is the min-hash.
-    minhash_cols = [
-        F.array_min(
-            F.transform(
-                "shingles", lambda x, j=j: F.md5(F.concat(F.lit(f"{j}|"), x))
-            )
-        ).alias(f"h{j}")
-        for j in range(MINHASH_K)
-    ]
-    sig = sh.select("doc_id", "shingles", *minhash_cols)
+    # md5 with a seed prefix; the min hex digest per doc is the
+    # min-hash. One narrow shuffle on doc_id aggregates the signature.
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
+            for j in range(MINHASH_K)
+        ]
+    )
     n_bands = MINHASH_K // MINHASH_BAND_ROWS
     band_cols = [
         F.md5(
@@ -180,10 +206,8 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
-    banded = sig.select("doc_id", "shingles", *band_cols)
-    buckets = banded.select(
+    buckets = sig.select("doc_id", *band_cols).select(
         "doc_id",
-        "shingles",
         F.posexplode(F.array(*[f"band{b}" for b in range(n_bands)])).alias(
             "band_idx", "bucket"
         ),
@@ -200,15 +224,32 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .distinct()
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
-    return cand.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
+    # exact-Jaccard verification of candidates via the inverted index —
+    # rows stay narrow (no shingle arrays cross a shuffle).
+    sh_a = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingle").alias("shingle")
+    )
+    sh_b = exploded.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle")
+    )
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 
