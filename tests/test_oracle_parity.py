@@ -1,0 +1,43 @@
+"""Differential tests: every declared query vs its DuckDB oracle at
+sf0.001 (fast); the driver runs the same comparison at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_SMALL
+from tools.check_oracle import value_hash
+
+_QUERIES = entry_mod.queries()
+_ORACLES = entry_mod.oracle_sql()
+
+
+def test_registry_shape():
+    assert _QUERIES, "queries() must not be empty"
+    # every oracle key must have a query implementation
+    assert set(_ORACLES) <= set(_QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = _QUERIES[name](spark, SF_SMALL)
+    srows = [r.asDict() for r in sdf.collect()]
+    scols = sdf.columns
+    if name not in _ORACLES:
+        pytest.skip("rows-only query (no SQL oracle)")
+    rel = duck.execute(_ORACLES[name])
+    ocols = [d[0] for d in rel.description]
+    orows = [dict(zip(ocols, r)) for r in rel.fetchall()]
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows)
+    cols = sorted(scols)
+    assert value_hash(srows, cols) == value_hash(orows, cols)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["n_name", "revenue", "n_orders"]
