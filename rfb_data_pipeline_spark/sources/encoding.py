@@ -1,0 +1,86 @@
+"""Encoding detection & transcode utilities (reference A4/A5).
+
+The reference sniffs charsets with chardet over the first 100 KB
+(src/main.py:134-135) and transcodes line-by-line to utf-8-sig with
+errors='replace' (src/main.py:140-148). chardet isn't available here,
+so detection is a deterministic heuristic with the same contract:
+BOM check → strict-UTF-8 probe → latin-1 fallback (latin-1 decodes any
+byte string, mirroring chardet's common answer for RFB files).
+
+These are driver-side, per-file probes — a pre-scan step, not a
+distributed operator (SURVEY.md §4: "a pre-scan probe, NOT a Catalyst
+rule"). The transcode itself can run distributed via
+``transcode_df`` when files are large.
+"""
+
+from __future__ import annotations
+
+import codecs
+import os
+
+SAMPLE_BYTES = 100_000  # same probe size as the reference
+
+# Python codec name → charset name Spark's CSV reader accepts.
+_SPARK_CHARSETS = {
+    "latin-1": "iso-8859-1",
+    "utf-8-sig": "utf-8",  # Spark strips no BOM; callers trim
+    "utf-8": "utf-8",
+    "utf-16": "utf-16",
+}
+
+
+def to_spark_charset(encoding: str) -> str:
+    return _SPARK_CHARSETS.get(encoding.lower(), encoding)
+
+
+def sniff_encoding(path: str, sample_bytes: int = SAMPLE_BYTES) -> str:
+    """Detect a file's encoding from its first ``sample_bytes``."""
+    with open(path, "rb") as f:
+        head = f.read(sample_bytes)
+    if head.startswith(codecs.BOM_UTF8):
+        return "utf-8-sig"
+    if head.startswith(codecs.BOM_UTF16_LE) or head.startswith(codecs.BOM_UTF16_BE):
+        return "utf-16"
+    try:
+        head.decode("utf-8", errors="strict")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"
+
+
+def transcode_file(
+    src: str, dst: str, src_encoding: str | None = None, errors: str = "replace"
+) -> tuple[int, int]:
+    """Line-by-line transcode to UTF-8 (reference errors='replace'
+    semantics, src/main.py:145-148). Returns (lines_in, lines_out);
+    the caller asserts equality (validation A7).
+    """
+    enc = src_encoding or sniff_encoding(src)
+    lines_in = lines_out = 0
+    with open(src, "r", encoding=enc, errors=errors) as fin, open(
+        dst, "w", encoding="utf-8"
+    ) as fout:
+        for line in fin:
+            lines_in += 1
+            fout.write(line)
+            lines_out += 1
+    return lines_in, lines_out
+
+
+def count_lines(path: str, encoding: str = "utf-8") -> int:
+    """Full-scan line count (reference A6, src/main.py:39-45)."""
+    n = 0
+    with open(path, "r", encoding=encoding, errors="replace") as f:
+        for _ in f:
+            n += 1
+    return n
+
+
+def detect_all(directory: str, suffix: str = ".csv") -> dict[str, str]:
+    """Sniff every matching file in a directory → {path: encoding}."""
+    out: dict[str, str] = {}
+    for name in sorted(os.listdir(directory)):
+        if name.lower().endswith(suffix):
+            p = os.path.join(directory, name)
+            out[p] = sniff_encoding(p)
+    return out
