@@ -1,0 +1,150 @@
+"""Structured Streaming over event drops (SURVEY.md §2.2 streaming).
+
+The reference's README promises a daily "vigilante" poll for new
+monthly drops (READme.md:8-9) that the code never implements; the
+Spark-native form is a file-source stream: new files under a directory
+are discovered incrementally, processed exactly-once against a
+checkpoint, and sunk idempotently — the manifest state machine's
+semantics (A19) carried by the engine instead of hand-rolled JSON.
+
+These builders mirror the batch event operators (operators/events.py)
+so batch and streaming share one set of semantics:
+
+- ``windowed_counts``  ↔ e01 (tumbling window + watermark)
+- ``sessionized``      ↔ e03 (session_window + watermark)
+- ``deduplicated``     ↔ e04 (dropDuplicatesWithinWatermark)
+
+State sizing note (100 TB design): watermark delay bounds the state
+store; session state is per active (user, session) only, and the
+dedup state holds event_ids for the watermark horizon — all O(active
+keys), never O(history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """File-source stream over an events drop directory."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .load(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Tumbling 1-hour counts per event_type with late-data handling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """5-minute-gap session windows per user (stateful merge)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def deduplicated(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Stateful dedup on event_id within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def idempotent_parquet_sink(out_dir: str):
+    """foreachBatch writer: per-batch dynamic partition overwrite keyed
+    by event date — re-processing a batch replaces, never duplicates
+    (the Spark-native A19/A20 exactly-once story).
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            batch_df.withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out_dir)
+        )
+
+    return write
+
+
+def run_to_completion(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str | None = None,
+    output_mode: str = "append",
+    memory_table: str | None = None,
+):
+    """Start the stream with availableNow (process the backlog, then
+    stop) — the batch-like trigger used for monthly drops and tests.
+    """
+    writer = stream_df.writeStream.option("checkpointLocation", checkpoint_dir)
+    if memory_table:
+        q = (
+            writer.format("memory")
+            .queryName(memory_table)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    else:
+        q = (
+            writer.foreachBatch(idempotent_parquet_sink(out_dir))
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,105 @@
+"""Streaming slice tests: file-source stream → windowed agg /
+session windows / stateful dedup → idempotent sink; incremental files
+discovered across restarts of the same checkpoint (resume semantics).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rfb_data_pipeline_spark.catalog import load_tables
+from rfb_data_pipeline_spark.operators.events import e01_tumbling_hourly
+from rfb_data_pipeline_spark.streaming import events_stream as es
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def event_drop(spark, tmp_path):
+    """Write the sf0.001 events as two parquet 'drops' (µs timestamps)."""
+    ev = load_tables(spark, SF_SMALL, tables=("events",), register_views=False)[
+        "events"
+    ]
+    drop = tmp_path / "drops"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(drop / "batch0")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(drop / "batch1")
+    )
+    # stream source reads a flat glob of files
+    flat = tmp_path / "in"
+    flat.mkdir()
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(str(drop / "batch*" / "*.parquet")))):
+        shutil.copy(f, flat / f"part{i}.parquet")
+    return str(flat), ev
+
+
+def test_windowed_counts_match_batch(spark, tmp_path, event_drop):
+    path, ev = event_drop
+    stream = es.read_events_stream(spark, path)
+    assert stream.isStreaming
+    agg = es.windowed_counts(stream)
+    es.run_to_completion(
+        agg,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="complete",
+        memory_table="win_counts",
+    )
+    got = spark.sql("select * from win_counts").collect()
+    expected = e01_tumbling_hourly(spark, SF_SMALL).collect()
+    assert len(got) == len(expected)
+    assert sorted((str(r.window_start), r.event_type, r.n_events) for r in got) == (
+        sorted((str(r.window_start), r.event_type, r.n_events) for r in expected)
+    )
+
+
+def test_stateful_dedup_and_idempotent_sink(spark, tmp_path, event_drop):
+    path, ev = event_drop
+    out = str(tmp_path / "out")
+    stream = es.read_events_stream(spark, path)
+    deduped = es.deduplicated(stream)
+    es.run_to_completion(deduped, str(tmp_path / "ckpt2"), out_dir=out)
+    written = spark.read.parquet(out)
+    assert written.count() == ev.count()  # no dups in source → all pass
+    assert written.select("event_id").distinct().count() == ev.count()
+    # partitioned by event_date for the idempotent overwrite
+    assert "event_date" in written.columns
+
+
+def test_sessionized_stream_runs(spark, tmp_path, event_drop):
+    path, ev = event_drop
+    stream = es.read_events_stream(spark, path)
+    sess = es.sessionized(stream)
+    es.run_to_completion(
+        sess,
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+        output_mode="complete",
+        memory_table="sessions",
+    )
+    got = spark.sql("select * from sessions")
+    assert got.count() > 0
+    # sanity: session covers at least its events
+    row = got.orderBy(F.desc("n_events")).first()
+    assert row.n_events >= 1 and row.session_end > row.session_start
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path, event_drop):
+    path, ev = event_drop
+    ckpt = str(tmp_path / "ckpt4")
+    out = str(tmp_path / "out4")
+
+    stream = es.read_events_stream(spark, path)
+    es.run_to_completion(es.deduplicated(stream), ckpt, out_dir=out)
+    n_first = spark.read.parquet(out).count()
+
+    # new drop arrives: duplicate event_ids (replay) — the restarted
+    # stream with the same checkpoint must not double-count... a replay
+    # of already-seen files is skipped entirely by the source.
+    es.run_to_completion(
+        es.deduplicated(es.read_events_stream(spark, path)), ckpt, out_dir=out
+    )
+    assert spark.read.parquet(out).count() == n_first
