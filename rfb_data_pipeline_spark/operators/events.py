@@ -239,6 +239,66 @@ GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# e07 — semi-structured JSON extraction (the manifest/props idiom,
+# SURVEY.md §2.2 to_json/from_json): parse the props JSON column with
+# an explicit schema, aggregate the extracted field. get_json_object
+# would also work; from_json keeps the typed-struct shape.
+
+
+def e07_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    parsed = ev.withColumn(
+        "k", F.from_json("props", "struct<k:int>").getField("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+_E07_SQL = """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# e08 — pivot: per-user event-type counts as columns. Spark's pivot
+# with explicit values compiles to conditional aggregation (same plan
+# as the SQL oracle) — one shuffle, no extra pass for value discovery.
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def e08_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+_E08_SQL = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_window": e02_sliding_window,
@@ -246,6 +306,8 @@ QUERIES = {
     "e04_dedup_first": e04_dedup_first,
     "e05_funnel": e05_funnel,
     "e06_event_gaps": e06_event_gaps,
+    "e07_json_extract": e07_json_extract,
+    "e08_pivot_event_types": e08_pivot_event_types,
 }
 
 ORACLE = {
@@ -255,4 +317,6 @@ ORACLE = {
     "e04_dedup_first": _E04_SQL,
     "e05_funnel": _E05_SQL,
     "e06_event_gaps": _E06_SQL,
+    "e07_json_extract": _E07_SQL,
+    "e08_pivot_event_types": _E08_SQL,
 }

@@ -753,6 +753,49 @@ GROUP BY o_orderstatus
 """
 
 
+# --------------------------------------------------------------------------
+# q23 — exact median / percentile statistics per group. Spark's
+# median() and DuckDB's median() both interpolate for even counts.
+
+
+def q23_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 2).alias("median_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_Q23_SQL = """
+SELECT o_orderstatus,
+       round(median(o_totalprice), 2) AS median_price,
+       round(min(o_totalprice), 2)    AS min_price,
+       round(max(o_totalprice), 2)    AS max_price,
+       count(*)                       AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q24 — approximate distinct counting (HyperLogLog++). The 100 TB
+# cardinality path (SURVEY.md §2.2: approx_count_distinct for CNPJ
+# cardinality): sketches merge associatively, so the count runs with
+# map-side partials and constant memory per group. No SQL oracle —
+# HLL estimates are engine-specific; the driver records a rows-only
+# check, and the pytest asserts the estimate is within 5% of exact.
+
+
+def q24_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_topk_revenue": q03_topk_revenue,
@@ -775,6 +818,8 @@ QUERIES = {
     "q20_running_total": q20_running_total,
     "q21_rank_suppliers": q21_rank_suppliers,
     "q22_union_parts": q22_union_parts,
+    "q23_median_stats": q23_median_stats,
+    "q24_approx_distinct": q24_approx_distinct,
 }
 
 ORACLE = {
@@ -799,4 +844,6 @@ ORACLE = {
     "q20_running_total": _Q20_SQL,
     "q21_rank_suppliers": _Q21_SQL,
     "q22_union_parts": _Q22_SQL,
+    "q23_median_stats": _Q23_SQL,
+    # q24_approx_distinct: rows-only (HLL estimates are engine-specific)
 }

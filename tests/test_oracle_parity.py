@@ -36,6 +36,24 @@ def test_query_matches_oracle(spark, duck, name):
     assert value_hash(srows, cols) == value_hash(orows, cols)
 
 
+def test_approx_distinct_accuracy(spark, duck):
+    """q24 has no SQL oracle (HLL is engine-specific); assert the
+    estimate lands within 5% of DuckDB's exact distinct count."""
+    got = {
+        r.l_returnflag: r.approx_orders
+        for r in _QUERIES["q24_approx_distinct"](spark, SF_SMALL).collect()
+    }
+    exact = dict(
+        duck.execute(
+            "SELECT l_returnflag, count(DISTINCT l_orderkey) "
+            "FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(got) == set(exact)
+    for flag, est in got.items():
+        assert abs(est - exact[flag]) / exact[flag] < 0.05
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
