@@ -299,6 +299,67 @@ GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# e09 — as-of join (an operator Spark lacks natively, SURVEY.md §2.2
+# "custom operators ... (a) composition of existing DataFrame ops"):
+# for each purchase, the user's most recent click at-or-before it.
+# Implemented with the union + last(ignorenulls) window merge — one
+# shuffle on user_id, linear in events, no range-join blowup. The
+# oracle uses DuckDB's native ASOF JOIN, so the two independent
+# formulations must agree exactly.
+
+
+def e09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("is_left")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("is_left")
+    )
+    merged = purchases.unionByName(clicks)
+    # clicks sort before purchases at identical ts (is_left asc) so an
+    # equal-timestamp click is visible to the purchase (ASOF >=).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("is_left"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    annotated = merged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_left",
+        F.last(
+            F.when(F.col("is_left") == 0, F.col("ts")), ignorenulls=True
+        ).over(w).alias("click_ts"),
+    )
+    return (
+        annotated.filter(F.col("is_left") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_ts",
+            F.round(
+                F.col("ts").cast("double") - F.col("click_ts").cast("double"), 2
+            ).alias("gap_sec"),
+        )
+    )
+
+
+_E09_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       c.ts AS click_ts,
+       round(epoch(p.ts) - epoch(c.ts), 2) AS gap_sec
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_window": e02_sliding_window,
@@ -308,6 +369,7 @@ QUERIES = {
     "e06_event_gaps": e06_event_gaps,
     "e07_json_extract": e07_json_extract,
     "e08_pivot_event_types": e08_pivot_event_types,
+    "e09_asof_join": e09_asof_join,
 }
 
 ORACLE = {
@@ -319,4 +381,5 @@ ORACLE = {
     "e06_event_gaps": _E06_SQL,
     "e07_json_extract": _E07_SQL,
     "e08_pivot_event_types": _E08_SQL,
+    "e09_asof_join": _E09_SQL,
 }

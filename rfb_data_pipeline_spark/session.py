@@ -36,6 +36,8 @@ _DEFAULTS = {
     # Partition pruning across joins (month-partitioned RFB layout).
     "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
     "spark.ui.enabled": "false",
+    # Managed-table location for bucketed tables (kept out of the repo).
+    "spark.sql.warehouse.dir": "/tmp/rfb-spark-warehouse",
 }
 
 
