@@ -235,12 +235,78 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# t06 — TF-IDF: top-3 terms per document by tf·idf with smoothed idf
+# ln((N+1)/(df+1)). Three aggregates + one window over (doc, term) —
+# every shuffle is on keys, nothing collects. ln() on identical
+# doubles is bit-stable across engines; scores still rounded at the
+# edge.
+
+
+def t06_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    terms = docs.select(
+        "doc_id", F.explode(tokens_col()).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.log((F.col("n") + 1) / (F.col("df") + 1))
+            ).alias("score_raw"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_raw"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", "term", F.round("score_raw", 4).alias("tfidf"))
+    )
+
+
+_T06_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms
+  WHERE length(term) > 0 GROUP BY 1, 2
+), dfc AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         tf * ln((n + 1)::DOUBLE / (df + 1)) AS score_raw
+  FROM tf JOIN dfc USING (term) CROSS JOIN n
+)
+SELECT doc_id, rk, term, round(score_raw, 4) AS tfidf
+FROM (
+  SELECT doc_id, term, score_raw,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_raw DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
     "t03_langid": t03_langid,
     "t04_fingerprint": t04_fingerprint,
     "t05_top_terms": t05_top_terms,
+    "t06_tfidf_top_terms": t06_tfidf_top_terms,
 }
 
 ORACLE = {
@@ -249,4 +315,5 @@ ORACLE = {
     "t03_langid": _T03_SQL,
     "t04_fingerprint": _T04_SQL,
     "t05_top_terms": _T05_SQL,
+    "t06_tfidf_top_terms": _T06_SQL,
 }

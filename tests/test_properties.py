@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the normalize / CNPJ /
+encoding layers: engine expressions must agree with an independent
+pure-Python model on arbitrary inputs, not just fixtures.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rfb_data_pipeline_spark.functions.cnpj import (
+    cnpj_is_valid,
+    compute_check_digits,
+)
+from rfb_data_pipeline_spark.normalize import decimal_comma, empty_to_null, yyyymmdd
+from rfb_data_pipeline_spark.sources.encoding import sniff_encoding, transcode_file
+
+_SETTINGS = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_check_digits(first12: str) -> str:
+    """Independent model of the public CNPJ DV algorithm."""
+    w1 = (5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2)
+    w2 = (6, 5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2)
+
+    def dv(digits: str, weights) -> int:
+        total = sum(int(d) * w for d, w in zip(digits, weights))
+        rem = total % 11
+        return 0 if rem < 2 else 11 - rem
+
+    d1 = dv(first12, w1)
+    d2 = dv(first12 + str(d1), w2)
+    return f"{d1}{d2}"
+
+
+@_SETTINGS
+@given(st.text(alphabet="0123456789", min_size=12, max_size=12))
+def test_cnpj_check_digits_match_model(spark, first12):
+    full = first12 + _py_check_digits(first12)
+    row = (
+        spark.createDataFrame([(first12, full)], ["p", "full"])
+        .select(
+            compute_check_digits("p").alias("dv"),
+            cnpj_is_valid("full").alias("ok"),
+        )
+        .collect()[0]
+    )
+    assert row.dv == _py_check_digits(first12)
+    assert row.ok is True
+
+
+@_SETTINGS
+@given(
+    st.integers(min_value=0, max_value=10**12),
+    st.integers(min_value=0, max_value=99),
+)
+def test_decimal_comma_matches_decimal(spark, whole, cents):
+    s = f"{whole},{cents:02d}"
+    got = (
+        spark.createDataFrame([(s,)], ["v"])
+        .select(decimal_comma("v").alias("d"))
+        .collect()[0]
+        .d
+    )
+    assert got == Decimal(f"{whole}.{cents:02d}")
+
+
+@_SETTINGS
+@given(
+    st.dates(
+        min_value=__import__("datetime").date(1900, 1, 1),
+        max_value=__import__("datetime").date(2099, 12, 31),
+    )
+)
+def test_yyyymmdd_roundtrip(spark, d):
+    s = d.strftime("%Y%m%d")
+    got = (
+        spark.createDataFrame([(s,)], ["v"])
+        .select(yyyymmdd("v").alias("d"))
+        .collect()[0]
+        .d
+    )
+    assert got == d
+
+
+def test_yyyymmdd_null_codes(spark):
+    df = spark.createDataFrame([("0",), ("00000000",), ("",), ("  ",)], ["v"])
+    got = df.select(yyyymmdd("v").alias("d")).collect()
+    assert all(r.d is None for r in got)
+
+
+@_SETTINGS
+@given(st.text(alphabet=st.characters(codec="latin-1"), max_size=200))
+def test_transcode_preserves_latin1_text(tmp_path_factory, text):
+    # normalize newlines: the transcoder is line-oriented
+    text = text.replace("\r", " ")
+    d = tmp_path_factory.mktemp("enc")
+    src, dst = d / "in.csv", d / "out.csv"
+    src.write_bytes(text.encode("latin-1"))
+    enc = sniff_encoding(str(src))
+    lines_in, lines_out = transcode_file(str(src), str(dst), src_encoding=enc)
+    assert lines_in == lines_out
+    # latin-1 → utf-8 must be lossless for encodable text
+    assert dst.read_text(encoding="utf-8") == text
+
+
+def test_empty_to_null_trims(spark):
+    df = spark.createDataFrame([("  x  ",), ("   ",), ("",)], ["v"])
+    got = [r.o for r in df.select(empty_to_null("v").alias("o")).collect()]
+    assert got == ["x", None, None]
