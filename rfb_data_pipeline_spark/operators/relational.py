@@ -796,6 +796,50 @@ def q24_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q25 — array aggregation (the sócios-per-empresa idiom, SURVEY.md
+# §2.2 collect_list/collect_set): distinct order priorities per
+# customer as a sorted array (sorted → deterministic across engines).
+
+
+def q25_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_Q25_SQL = """
+SELECT o_custkey,
+       list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q26 — INTERSECT: customers active in both 1995 and 1996 (the
+# companion of q12's EXCEPT diff).
+
+
+def q26_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96).agg(F.count(F.lit(1)).alias("n_retained"))
+
+
+_Q26_SQL = """
+SELECT count(*) AS n_retained FROM (
+  SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1995
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1996
+)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_topk_revenue": q03_topk_revenue,
@@ -820,6 +864,8 @@ QUERIES = {
     "q22_union_parts": q22_union_parts,
     "q23_median_stats": q23_median_stats,
     "q24_approx_distinct": q24_approx_distinct,
+    "q25_collect_set": q25_collect_set,
+    "q26_intersect": q26_intersect,
 }
 
 ORACLE = {
@@ -846,4 +892,6 @@ ORACLE = {
     "q22_union_parts": _Q22_SQL,
     "q23_median_stats": _Q23_SQL,
     # q24_approx_distinct: rows-only (HLL estimates are engine-specific)
+    "q25_collect_set": _Q25_SQL,
+    "q26_intersect": _Q26_SQL,
 }

@@ -1,0 +1,186 @@
+"""Monthly-run orchestrator: the reference's full lifecycle
+(§3.1 plan → download → extract → correct → load → report) with the
+§3.2 resume semantics, on Spark.
+
+Stage-by-stage, each selecting its work from the manifest with the
+reference's status lattice (src/main.py:82,108,125,183), completing
+with a manifest update, persisted once per stage (the reference saves
+after every single mutation — src/main.py:103,120,162,220 — which at
+37 files/month is pure overhead; per-stage persistence gives the same
+crash-resume granularity the status lattice can actually express).
+
+Self-heal: a corrupt archive at the extract stage resets its
+status_download to 'pendente' (reference src/main.py:116-119), so the
+next run re-downloads it.
+
+The correct+load stages collapse into one distributed pass
+(read CSV with the sniffed encoding → silver → partitioned parquet):
+the reference's intermediate '__corrigido' file copy exists only to
+feed pandas a clean UTF-8 file, which the Spark reader does not need.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rfb_data_pipeline_spark.pipeline import manifest as mf
+from rfb_data_pipeline_spark.pipeline.discovery import default_fetch, discover_files
+from rfb_data_pipeline_spark.pipeline.download import (
+    default_stream,
+    download_pending,
+)
+from rfb_data_pipeline_spark.pipeline.ingest import LoadResult, load_table
+from rfb_data_pipeline_spark.sources.encoding import sniff_encoding
+from rfb_data_pipeline_spark.sources.rfb_csv import route_table
+
+
+@dataclass
+class RunConfig:
+    base_url: str
+    work_dir: str
+    out_dir: str
+    ref_ym: str
+    fetch: Callable[[str], str] = default_fetch
+    stream: Callable[[str, str], int] = default_stream
+    backoff_sec: float = 0.0  # reference uses 5 s; tests want 0
+
+
+@dataclass
+class RunReport:
+    loads: list[LoadResult] = field(default_factory=list)
+    manifest_path: str = ""
+
+    @property
+    def passed(self) -> bool:
+        return all(lr.passed for lr in self.loads)
+
+
+def _route_one(spark: SparkSession, filename: str) -> str | None:
+    df = spark.createDataFrame([(filename,)], ["filename"])
+    return df.select(route_table().alias("t")).collect()[0].t
+
+
+def run_month(spark: SparkSession, cfg: RunConfig) -> RunReport:
+    os.makedirs(cfg.work_dir, exist_ok=True)
+    zips_dir = os.path.join(cfg.work_dir, "zips")
+    extract_dir = os.path.join(cfg.work_dir, "extracted")
+    os.makedirs(zips_dir, exist_ok=True)
+    os.makedirs(extract_dir, exist_ok=True)
+    manifest_path = os.path.join(cfg.work_dir, f"manifesto_{cfg.ref_ym}.json")
+
+    # ---- plan (A1; resume short-circuits like src/main.py:51-53)
+    if os.path.exists(manifest_path):
+        manifest = mf.load_manifest(spark, manifest_path)
+    else:
+        manifest = mf.new_manifest(spark, discover_files(cfg.base_url, cfg.fetch))
+
+    # ---- download (A2/A21)
+    todo = [
+        (r.arquivo, r.url, os.path.join(zips_dir, r.arquivo))
+        for r in mf.pending_for_stage(manifest, "download").collect()
+    ]
+    if todo:
+        results = download_pending(todo, stream=cfg.stream, backoff_sec=cfg.backoff_sec)
+        updates = spark.createDataFrame(
+            [
+                (
+                    r["arquivo"],
+                    mf.SUCCESS if r["ok"] else mf.FAILED,
+                    r["attempts"],
+                    r["caminho_zip"],
+                )
+                for r in results
+            ],
+            "arquivo string, new_status_download string, "
+            "new_tentativas_download int, new_caminho_zip string",
+        )
+        manifest = mf.apply_updates(manifest, updates)
+        mf.save_manifest(manifest, manifest_path)
+
+    # ---- extract (A3, with BadZipFile self-heal)
+    updates_rows = []
+    for r in mf.pending_for_stage(manifest, "extracao").collect():
+        try:
+            with zipfile.ZipFile(r.caminho_zip) as zf:
+                members = [m for m in zf.namelist() if not m.endswith("/")]
+                zf.extractall(extract_dir)
+            updates_rows.append((r.arquivo, mf.SUCCESS, mf.PENDING, members))
+        except zipfile.BadZipFile:
+            # self-heal: reopen the download stage (src/main.py:116-119)
+            os.remove(r.caminho_zip)
+            updates_rows.append((r.arquivo, mf.PENDING, mf.PENDING, None))
+    if updates_rows:
+        updates = spark.createDataFrame(
+            [
+                (a, None if st == mf.PENDING else st, st2, m, st)
+                for a, st, st2, m in updates_rows
+            ],
+            "arquivo string, new_status_extracao string, "
+            "new_status_correcao string, new_arquivos_extraidos array<string>, "
+            "new_status_download string",
+        )
+        # note: new_status_download only set for the self-heal rows
+        heal = updates.filter("new_status_extracao is null").selectExpr(
+            "arquivo", "'pendente' as new_status_download",
+            "'pendente' as new_status_extracao",
+        )
+        ok = updates.filter("new_status_extracao is not null").drop(
+            "new_status_download"
+        )
+        manifest = mf.apply_updates(manifest, ok)
+        if heal.count() > 0:
+            # a fresh download must re-run; FAILED would stop the lattice
+            manifest = mf.apply_updates(manifest, heal)
+        mf.save_manifest(manifest, manifest_path)
+
+    # ---- correct + load (A4-A13, A15) — one distributed pass per file
+    report = RunReport(manifest_path=manifest_path)
+    for r in mf.pending_for_stage(manifest, "correcao").collect():
+        statuses: list[tuple[str, str, str]] = []
+        for member in r.arquivos_extraidos or []:
+            path = os.path.join(extract_dir, member)
+            table = _route_one(spark, member)
+            if table is None:
+                statuses.append((r.arquivo, mf.SUCCESS, mf.IGNORED))
+                continue
+            enc = sniff_encoding(path)
+            lr = load_table(
+                spark,
+                table,
+                path,
+                cfg.out_dir,
+                ref_ym=cfg.ref_ym,
+                encoding=enc,
+            )
+            report.loads.append(lr)
+            statuses.append(
+                (r.arquivo, mf.SUCCESS, mf.SUCCESS if lr.passed else mf.FAILED)
+            )
+        final = (
+            mf.FAILED
+            if any(s[2] == mf.FAILED for s in statuses)
+            else (
+                mf.IGNORED
+                if statuses and all(s[2] == mf.IGNORED for s in statuses)
+                else mf.SUCCESS
+            )
+        )
+        updates = spark.createDataFrame(
+            [(r.arquivo, mf.SUCCESS, final)],
+            "arquivo string, new_status_correcao string, new_status_carga string",
+        )
+        manifest = mf.apply_updates(manifest, updates)
+        mf.save_manifest(manifest, manifest_path)
+
+    return report
+
+
+def final_report(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """The A16 tally as a DataFrame (print-side effects belong to the
+    caller, not the engine — READme.md:33-34's e-mail hook)."""
+    return mf.status_report(mf.load_manifest(spark, manifest_path))
