@@ -45,6 +45,11 @@ def load_tables(
     # parquet reader rejects; read nanos as long and rebuild the
     # microsecond timestamp (lossless for our data: truncation only).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp_micros() yields LTZ, whose collected value depends on
+    # the client OS timezone; cast to NTZ under a UTC session so the
+    # wall-clock value equals the raw data (and the oracle's naive
+    # timestamps) on any machine.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -52,7 +57,10 @@ def load_tables(
             continue
         df = spark.read.parquet(path)
         if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
         out[name] = df
         if register_views:
             df.createOrReplaceTempView(name)

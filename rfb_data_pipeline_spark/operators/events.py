@@ -215,10 +215,11 @@ FROM (
 def e06_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts")
-    gaps = ev.withColumn(
-        "gap_sec",
-        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"), 1).over(w),
-    )
+    # ts is TIMESTAMP_NTZ (catalog rebuild) which has no direct double
+    # cast; go via timestamp. A gap is a difference, so the timezone
+    # interpretation cancels.
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gaps = ev.withColumn("gap_sec", epoch - F.lag(epoch, 1).over(w))
     return gaps.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg("gap_sec"), 2).alias("avg_gap_sec"),
@@ -342,7 +343,9 @@ def e09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("purchase_ts"),
             "click_ts",
             F.round(
-                F.col("ts").cast("double") - F.col("click_ts").cast("double"), 2
+                F.col("ts").cast("timestamp").cast("double")
+                - F.col("click_ts").cast("timestamp").cast("double"),
+                2,
             ).alias("gap_sec"),
         )
     )
