@@ -847,6 +847,39 @@ SELECT count(*) AS n_retained FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q27 — correlated scalar subquery shape: customers whose balance
+# exceeds their nation's average. Spark expresses it as a window (one
+# shuffle, no rescan); the oracle keeps the correlated-subquery
+# spelling — two independent formulations, same rows.
+
+
+def q27_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "nation")
+    joined = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    w = Window.partitionBy("c_nationkey")
+    return (
+        joined.withColumn("nation_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_above_avg"),
+            F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        )
+    )
+
+
+_Q27_SQL = """
+SELECT n_name, count(*) AS n_above_avg, round(max(c_acctbal), 2) AS max_acctbal
+FROM customer c JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_topk_revenue": q03_topk_revenue,
@@ -873,6 +906,7 @@ QUERIES = {
     "q24_approx_distinct": q24_approx_distinct,
     "q25_collect_set": q25_collect_set,
     "q26_intersect": q26_intersect,
+    "q27_above_nation_avg": q27_above_nation_avg,
 }
 
 ORACLE = {
@@ -901,4 +935,5 @@ ORACLE = {
     # q24_approx_distinct: rows-only (HLL estimates are engine-specific)
     "q25_collect_set": _Q25_SQL,
     "q26_intersect": _Q26_SQL,
+    "q27_above_nation_avg": _Q27_SQL,
 }

@@ -170,14 +170,62 @@ WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
 """
 
 
+# --------------------------------------------------------------------------
+# s04 — per-label centroids via elementwise array aggregation: explode
+# to (label, dim, value), average per (label, dim), re-assemble the
+# vector ordered by dim. The one-iteration core of distributed k-means
+# (the full loop is driver-controlled re-invocation of this shape).
+
+
+def s04_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.avg(F.col("v").cast("double")).alias("avg_v")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", F.round("avg_v", 4).alias("r")))
+                ),
+                lambda s: s.getField("r"),
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_dims"),
+        )
+    )
+
+
+_S04_SQL = """
+WITH dims AS (
+  SELECT label, u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, 65)) AS u(i)
+), per_dim AS (
+  SELECT label, dim, avg(v) AS avg_v FROM dims GROUP BY 1, 2
+)
+SELECT label,
+       list_transform(
+         list_sort(list(struct_pack(dim := dim, r := round(avg_v, 4)))),
+         s -> s.r) AS centroid,
+       count(*) AS n_dims
+FROM per_dim
+GROUP BY label
+"""
+
+
 QUERIES = {
     "s01_knn_bruteforce": s01_knn_bruteforce,
     "s02_ann_lsh": s02_ann_lsh,
     "s03_near_dup_pairs": s03_near_dup_pairs,
+    "s04_label_centroids": s04_label_centroids,
 }
 
 ORACLE = {
     "s01_knn_bruteforce": _S01_SQL,
     "s02_ann_lsh": _S02_SQL,
     "s03_near_dup_pairs": _S03_SQL,
+    "s04_label_centroids": _S04_SQL,
 }
