@@ -368,13 +368,15 @@ def q10_monthly_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.select(
         "month",
         "revenue",
-        F.round(F.col("revenue") - F.lag("revenue", 1).over(w), 2).alias("mom_delta"),
+        (F.round(F.col("revenue") - F.lag("revenue", 1).over(w), 2) + F.lit(0.0)).alias(
+            "mom_delta"
+        ),
     )
 
 
 _Q10_SQL = """
 SELECT month, revenue,
-       round(revenue - lag(revenue, 1) OVER (ORDER BY month), 2) AS mom_delta
+       round(revenue - lag(revenue, 1) OVER (ORDER BY month), 2) + 0.0 AS mom_delta
 FROM (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
          round(sum(o_totalprice), 2) AS revenue

@@ -83,7 +83,7 @@ def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(query))
-        .select("vec_id", "label", F.round(cos, 4).alias("cosine"))
+        .select("vec_id", "label", (F.round(cos, 4) + F.lit(0.0)).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
     )
@@ -94,7 +94,7 @@ WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
 SELECT vec_id, label,
        round({_SQL_DOT.format(a="embedding", b="q")}
              / (sqrt({_SQL_DOT.format(a="embedding", b="embedding")})
-                * sqrt({_SQL_DOT.format(a="q", b="q")})), 4) AS cosine
+                * sqrt({_SQL_DOT.format(a="q", b="q")})), 4) + 0.0 AS cosine
 FROM embeddings, q
 WHERE vec_id != {QUERY_VEC_ID}
 ORDER BY cosine DESC, vec_id ASC
@@ -117,7 +117,7 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
         .join(F.broadcast(query), F.col("bucket") == F.col("qbucket"))
-        .select("vec_id", "label", F.round(cos, 4).alias("cosine"))
+        .select("vec_id", "label", (F.round(cos, 4) + F.lit(0.0)).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
     )
@@ -131,7 +131,7 @@ q AS (SELECT embedding AS q, bucket AS qbucket FROM e WHERE vec_id = {QUERY_VEC_
 SELECT vec_id, label,
        round({_SQL_DOT.format(a="embedding", b="q")}
              / (sqrt({_SQL_DOT.format(a="embedding", b="embedding")})
-                * sqrt({_SQL_DOT.format(a="q", b="q")})), 4) AS cosine
+                * sqrt({_SQL_DOT.format(a="q", b="q")})), 4) + 0.0 AS cosine
 FROM e, q
 WHERE vec_id != {QUERY_VEC_ID} AND bucket = qbucket
 ORDER BY cosine DESC, vec_id ASC
@@ -152,7 +152,7 @@ def s03_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        .select("vec_a", "vec_b", (F.round(cos, 4) + F.lit(0.0)).alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)
     )
 
@@ -190,7 +190,13 @@ def s04_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("dim", F.round("avg_v", 4).alias("r")))
+                    F.collect_list(
+                        # + 0.0 folds IEEE negative zero to +0.0 (round
+                        # can emit -0.0, and engines disagree on it)
+                        F.struct(
+                            "dim", (F.round("avg_v", 4) + F.lit(0.0)).alias("r")
+                        )
+                    )
                 ),
                 lambda s: s.getField("r"),
             ).alias("centroid"),
@@ -208,7 +214,7 @@ WITH dims AS (
 )
 SELECT label,
        list_transform(
-         list_sort(list(struct_pack(dim := dim, r := round(avg_v, 4)))),
+         list_sort(list(struct_pack(dim := dim, r := round(avg_v, 4) + 0.0))),
          s -> s.r) AS centroid,
        count(*) AS n_dims
 FROM per_dim
