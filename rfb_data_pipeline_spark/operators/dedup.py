@@ -21,7 +21,7 @@ md5 / bit ops) — no Python UDFs, so whole-stage codegen applies.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -36,27 +36,6 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, tables=("documents",), register_views=False)[
         "documents"
     ]
-
-
-def shingles_col(tok_col: str = "toks") -> Column:
-    """Distinct 3-token shingles from a token-array column (1-based)."""
-    return F.expr(
-        f"""
-        CASE WHEN size({tok_col}) < 3 THEN array()
-             ELSE array_distinct(transform(
-                    sequence(1, size({tok_col}) - 2),
-                    i -> concat_ws(' ', element_at({tok_col}, i),
-                                        element_at({tok_col}, i + 1),
-                                        element_at({tok_col}, i + 2))))
-        END
-        """
-    )
-
-
-def _with_shingles(docs: DataFrame) -> DataFrame:
-    return docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
-    ).select("doc_id", shingles_col().alias("shingles"))
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:

@@ -62,11 +62,15 @@ def load_table(
     ref_ym: str,
     encoding: str = "UTF-8",
     keys: list[str] | None = None,
+    quarantine: bool = True,
 ) -> LoadResult:
-    """Ingest one RFB table for one month, atomically."""
+    """Ingest one RFB table for one month, atomically. Corrupt rows
+    land in ``<out_dir>/_quarantine/<table>`` (same month-partitioned
+    layout) so the README's column-shift class of corruption stays
+    inspectable instead of vanishing (READme.md:29)."""
     schema = TABLE_SCHEMAS[table]
     raw = read_rfb_csv(spark, csv_paths, schema, encoding=encoding)
-    clean, _corrupt = split_corrupt(raw)
+    clean, corrupt = split_corrupt(raw)
 
     silver = to_silver(table, clean).withColumn("ref_ym", F.lit(ref_ym))
 
@@ -86,6 +90,16 @@ def load_table(
 
     n_raw, n_corrupt = scan_counts(raw)
     n_clean = n_raw - n_corrupt
+
+    if quarantine and n_corrupt > 0:
+        (
+            # full row width: a projection of only the corrupt column
+            # is rejected on raw CSV scans (see sources.rfb_csv)
+            corrupt.withColumn("ref_ym", F.lit(ref_ym))
+            .write.mode("overwrite")
+            .partitionBy("ref_ym")
+            .parquet(f"{out_dir}/_quarantine/{table}")
+        )
 
     written = spark.read.parquet(f"{out_dir}/{table}").filter(
         F.col("ref_ym") == ref_ym

@@ -159,6 +159,10 @@ def test_corrupt_rows_quarantined(spark, tmp_path):
     )
     assert res.n_corrupt == 1 and res.n_written == 1
     assert res.passed
+    # corrupt rows are quarantined for inspection, not dropped
+    q = spark.read.parquet(str(tmp_path / "s2" / "_quarantine" / "rfb_empresas"))
+    assert q.count() == 1
+    assert "shifted;row" in q.first()._corrupt_record
 
 
 def test_validations_catch_orphans_and_dups(spark):
