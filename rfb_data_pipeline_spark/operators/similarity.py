@@ -222,11 +222,90 @@ GROUP BY label
 """
 
 
+# --------------------------------------------------------------------------
+# s05 — IVF (inverted-file) ANN: coarse-quantize the corpus into
+# partitions (here the label clusters stand in for k-means cells —
+# their centroids come from the s04 shape), score the query against
+# the centroids, probe only the top-NPROBE cells, then exact top-k
+# within them. At 100 TB the table is partitioned by cell id, so the
+# probe is a partition-pruned scan of nprobe/ncells of the data.
+
+NPROBE = 2
+
+
+def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    dims = emb.select("vec_id", "label", F.posexplode("embedding").alias("dim", "v"))
+    cdim = dims.groupBy("label", "dim").agg(
+        F.avg(F.col("v").cast("double")).alias("cv")
+    )
+    qdim = dims.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "dim", F.col("v").cast("double").alias("qv")
+    )
+    # cosine(query, centroid) via the exploded-dim join — no array
+    # rebuild, one narrow shuffle on dim.
+    scores = (
+        cdim.join(F.broadcast(qdim), "dim")
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("cv") * F.col("qv"))
+                / (
+                    F.sqrt(F.sum(F.col("cv") * F.col("cv")))
+                    * F.sqrt(F.sum(F.col("qv") * F.col("qv")))
+                )
+            ).alias("centroid_cos")
+        )
+    )
+    probe = scores.orderBy(F.desc("centroid_cos"), F.asc("label")).limit(NPROBE)
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q")
+    )
+    cos = _dot("embedding", "q") / (_norm("embedding") * _norm("q"))
+    return (
+        emb.join(F.broadcast(probe.select("label")), "label")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", "label", (F.round(cos, 4) + F.lit(0.0)).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+_S05_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, label, u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, 65)) AS u(i)
+), cdim AS (
+  SELECT label, dim, avg(v) AS cv FROM dims GROUP BY 1, 2
+), qdim AS (
+  SELECT dim, v AS qv FROM dims WHERE vec_id = {QUERY_VEC_ID}
+), scores AS (
+  SELECT label,
+         sum(cv * qv) / (sqrt(sum(cv * cv)) * sqrt(sum(qv * qv))) AS centroid_cos
+  FROM cdim JOIN qdim USING (dim)
+  GROUP BY label
+), probe AS (
+  SELECT label FROM scores ORDER BY centroid_cos DESC, label ASC LIMIT {NPROBE}
+),
+q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       round({_SQL_DOT.format(a="embedding", b="q")}
+             / (sqrt({_SQL_DOT.format(a="embedding", b="embedding")})
+                * sqrt({_SQL_DOT.format(a="q", b="q")})), 4) + 0.0 AS cosine
+FROM embeddings JOIN probe USING (label), q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "s01_knn_bruteforce": s01_knn_bruteforce,
     "s02_ann_lsh": s02_ann_lsh,
     "s03_near_dup_pairs": s03_near_dup_pairs,
     "s04_label_centroids": s04_label_centroids,
+    "s05_ann_ivf": s05_ann_ivf,
 }
 
 ORACLE = {
@@ -234,4 +313,5 @@ ORACLE = {
     "s02_ann_lsh": _S02_SQL,
     "s03_near_dup_pairs": _S03_SQL,
     "s04_label_centroids": _S04_SQL,
+    "s05_ann_ivf": _S05_SQL,
 }
