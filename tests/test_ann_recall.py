@@ -1,0 +1,40 @@
+"""ANN quality: recall@10 of the approximate paths (s02 sign-LSH,
+s05 IVF) against the exact brute-force baseline (s01). Approximation
+is the point — but its quality must be measured, not assumed.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_ORACLE
+
+_QUERIES = entry_mod.queries()
+
+
+def _top_ids(spark, name):
+    return [r.vec_id for r in _QUERIES[name](spark, SF_ORACLE).collect()]
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    exact = set(_top_ids(spark, "s01_knn_bruteforce"))
+    lsh = set(_top_ids(spark, "s02_ann_lsh"))
+    ivf = set(_top_ids(spark, "s05_ann_ivf"))
+    assert len(exact) == 10
+    # embeddings are near-uniform (max pairwise cos ≈ 0.51), the
+    # hardest regime for ANN; require meaningful but not perfect recall
+    assert len(lsh & exact) / 10 >= 0.1
+    assert len(ivf & exact) / 10 >= 0.2
+    # an approximate method can never *beat* the exact best — any
+    # cosine above the true maximum would mean a scoring bug
+    best = max(
+        r.cosine
+        for r in _QUERIES["s01_knn_bruteforce"](spark, SF_ORACLE).collect()
+    )
+    for name in ("s02_ann_lsh", "s05_ann_ivf"):
+        rows = _QUERIES[name](spark, SF_ORACLE).collect()
+        assert rows, name
+        assert all(r.cosine <= best + 1e-9 for r in rows), name
+        # results arrive ranked
+        assert [r.cosine for r in rows] == sorted(
+            (r.cosine for r in rows), reverse=True
+        ), name

@@ -87,6 +87,36 @@ def test_sessionized_stream_runs(spark, tmp_path, event_drop):
     assert row.n_events >= 1 and row.session_end > row.session_start
 
 
+def test_stream_static_enrichment_join(spark, tmp_path, event_drop):
+    """Stream-static join: enrich the event stream with a static
+    dimension (user → tier); the static side is re-read per
+    micro-batch, no state required."""
+    path, ev = event_drop
+    users = spark.range(0, 1000).selectExpr(
+        "id as user_id", "case when id % 2 = 0 then 'pro' else 'free' end as tier"
+    )
+    stream = es.read_events_stream(spark, path)
+    enriched = stream.join(users, "user_id").groupBy("tier").count()
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("by_tier")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.tier: r["count"] for r in spark.sql("select * from by_tier").collect()}
+    expected = {
+        r.tier: r.n
+        for r in ev.join(users, "user_id")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_checkpoint_resume_processes_only_new_files(spark, tmp_path, event_drop):
     path, ev = event_drop
     ckpt = str(tmp_path / "ckpt4")
