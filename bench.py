@@ -31,10 +31,13 @@ HEADLINE = [
     "d01_exact_dedup",
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
+    "e09_asof_join",
     "t02_quality_score",
     "t05_top_terms",
+    "t06_tfidf_top_terms",
     "s01_knn_bruteforce",
     "s02_ann_lsh",
+    "s05_ann_ivf",
 ]
 
 

@@ -110,13 +110,24 @@ LIMIT {TOP_K}
 
 def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket("embedding"))
+    # multi-probe: the query's bucket plus every bucket at Hamming
+    # distance 1 (a vector near a hyperplane lands on either side —
+    # probing the flipped-bit buckets recovers those misses at
+    # (SIGN_BITS+1)/2^SIGN_BITS of the corpus scanned).
+    probe_buckets = F.array(
+        F.col("qbucket"),
+        *[
+            F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(SIGN_BITS)
+        ],
+    )
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("q"), F.col("bucket").alias("qbucket")
-    )
+    ).select("q", F.explode(probe_buckets).alias("probe"))
     cos = _dot("embedding", "q") / (_norm("embedding") * _norm("q"))
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(query), F.col("bucket") == F.col("qbucket"))
+        .join(F.broadcast(query), F.col("bucket") == F.col("probe"))
         .select("vec_id", "label", (F.round(cos, 4) + F.lit(0.0)).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
@@ -127,13 +138,19 @@ _S02_SQL = f"""
 WITH e AS (SELECT vec_id, label, embedding,
                   {_sql_bucket("embedding")} AS bucket
            FROM embeddings),
-q AS (SELECT embedding AS q, bucket AS qbucket FROM e WHERE vec_id = {QUERY_VEC_ID})
+q AS (SELECT embedding AS q, bucket AS qbucket FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probes AS (
+  SELECT q, unnest([qbucket,
+                    {", ".join(f"xor(qbucket, {1 << i})" for i in range(SIGN_BITS))}])
+           AS probe
+  FROM q
+)
 SELECT vec_id, label,
        round({_SQL_DOT.format(a="embedding", b="q")}
              / (sqrt({_SQL_DOT.format(a="embedding", b="embedding")})
                 * sqrt({_SQL_DOT.format(a="q", b="q")})), 4) + 0.0 AS cosine
-FROM e, q
-WHERE vec_id != {QUERY_VEC_ID} AND bucket = qbucket
+FROM e JOIN probes ON bucket = probe
+WHERE vec_id != {QUERY_VEC_ID}
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {TOP_K}
 """

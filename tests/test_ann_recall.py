@@ -22,8 +22,8 @@ def test_ann_recall_vs_bruteforce(spark):
     assert len(exact) == 10
     # embeddings are near-uniform (max pairwise cos ≈ 0.51), the
     # hardest regime for ANN; require meaningful but not perfect recall
-    assert len(lsh & exact) / 10 >= 0.1
-    assert len(ivf & exact) / 10 >= 0.2
+    assert len(lsh & exact) / 10 >= 0.3  # multi-probe: measured 0.5
+    assert len(ivf & exact) / 10 >= 0.2  # measured 0.3
     # an approximate method can never *beat* the exact best — any
     # cosine above the true maximum would mean a scoring bug
     best = max(
