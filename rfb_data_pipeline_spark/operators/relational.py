@@ -78,6 +78,36 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # --------------------------------------------------------------------------
+# q02 — argmin/argmax per group (TPC-H Q2's min-cost-supplier shape,
+# adapted to our schema): the richest/poorest supplier per nation via
+# min_by/max_by — a single hash aggregate, no self-join or window.
+
+
+def q02_argmin_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "supplier", "nation")
+    joined = t["supplier"].join(
+        F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return joined.groupBy("n_name").agg(
+        F.min_by("s_name", "s_acctbal").alias("poorest_supplier"),
+        F.round(F.min("s_acctbal"), 2).alias("min_acctbal"),
+        F.max_by("s_name", "s_acctbal").alias("richest_supplier"),
+        F.round(F.max("s_acctbal"), 2).alias("max_acctbal"),
+    )
+
+
+_Q02_SQL = """
+SELECT n_name,
+       min_by(s_name, s_acctbal)   AS poorest_supplier,
+       round(min(s_acctbal), 2)    AS min_acctbal,
+       max_by(s_name, s_acctbal)   AS richest_supplier,
+       round(max(s_acctbal), 2)    AS max_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
 # q03 — selective fact×fact×dim join + top-k (TPC-H Q3 shape).
 # Scale: customer filter prunes before the join (pushdown); orders and
 # lineitem shuffle on their keys; final top-10 is a TakeOrdered (no full
@@ -884,6 +914,7 @@ GROUP BY n_name
 
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q02_argmin_supplier": q02_argmin_supplier,
     "q03_topk_revenue": q03_topk_revenue,
     "q04_revenue_by_nation": q04_revenue_by_nation,
     "q05_region_revenue": q05_region_revenue,
@@ -913,6 +944,7 @@ QUERIES = {
 
 ORACLE = {
     "q01_pricing_summary": _Q01_SQL,
+    "q02_argmin_supplier": _Q02_SQL,
     "q03_topk_revenue": _Q03_SQL,
     "q04_revenue_by_nation": _Q04_SQL,
     "q05_region_revenue": _Q05_SQL,

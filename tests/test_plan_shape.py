@@ -68,6 +68,34 @@ def test_q09_single_shuffle_window(spark):
     assert pi.n_exchanges(df) <= 3
 
 
+def test_partition_pruning_on_month_layout(spark, tmp_path):
+    """The RFB month-partitioned layout must prune at the scan: a
+    filter on the partition column reads only that partition's files
+    (the 100 TB reason the month is a partition VALUE, not a schema
+    name — SURVEY §1.3)."""
+    from pyspark.sql import functions as F
+
+    from rfb_data_pipeline_spark.catalog import load_tables
+
+    orders = load_tables(spark, SF_SMALL, tables=("orders",), register_views=False)[
+        "orders"
+    ]
+    out = str(tmp_path / "orders_by_year")
+    (
+        orders.withColumn("yr", F.year("o_orderdate"))
+        .write.partitionBy("yr")
+        .parquet(out)
+    )
+    pruned = spark.read.parquet(out).filter(F.col("yr") == 1995)
+    plan = pi.explain_string(pruned)
+    assert "PartitionFilters: [isnotnull(yr" in plan or "yr#" in (
+        plan.split("PartitionFilters:")[1].split("]")[0]
+    )
+    # only the yr=1995 directory is scanned
+    n_95 = pruned.count()
+    assert n_95 == orders.filter(F.year("o_orderdate") == 1995).count()
+
+
 def test_s01_query_vector_broadcast(spark):
     df = _q(spark, "s01_knn_bruteforce")
     assert pi.uses_broadcast_join(df) or "BroadcastNestedLoopJoin" in (
