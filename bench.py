@@ -57,28 +57,33 @@ def main() -> None:
     # not session startup.
     qs["q01_pricing_summary"](spark, sf_dir).collect()
 
-    # min of 2 runs: steady-state engine time, not JIT/page-cache noise
+    # min of 2 runs: steady-state engine time, not JIT/page-cache
+    # noise. A single query failure must not cost the whole bench
+    # line — it is recorded and skipped.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).collect()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
