@@ -97,8 +97,8 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _D01_SQL = """
 SELECT count(*) AS n_distinct_docs,
-       sum(n_copies) AS n_total_docs,
-       sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS n_redundant
+       CAST(sum(n_copies) AS BIGINT) AS n_total_docs,
+       CAST(sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS n_redundant
 FROM (
   SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
          count(*) AS n_copies, min(doc_id) AS keep_doc_id
@@ -153,12 +153,14 @@ common AS (
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b,
-       round(common::DOUBLE / (sa.sz + sb.sz - common), 4) AS jaccard
-FROM common
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE common::DOUBLE / (sa.sz + sb.sz - common) >= {JACCARD_THRESHOLD}
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+         round(common::DOUBLE / (sa.sz + sb.sz - common), 4) AS jaccard
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+)
+WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
@@ -275,16 +277,16 @@ cand AS (
   FROM buckets a JOIN buckets b
     ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b,
-       round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-             / (len(sa.shingles) + len(sb.shingles)
-                - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
-FROM cand
-JOIN sh sa ON doc_a = sa.doc_id
-JOIN sh sb ON doc_b = sb.doc_id
-WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-      / (len(sa.shingles) + len(sb.shingles)
-         - len(list_intersect(sa.shingles, sb.shingles))) >= {JACCARD_THRESHOLD}
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+  FROM cand
+  JOIN sh sa ON doc_a = sa.doc_id
+  JOIN sh sb ON doc_b = sb.doc_id
+)
+WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
@@ -346,24 +348,55 @@ _D04_SQL = f"SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM ({_SIMHASH_C
 
 
 # --------------------------------------------------------------------------
-# d05 — SimHash near-dup pairs (Hamming ≤ 2). All-pairs here for
-# verification; the scale path bands on fingerprint bytes (pigeonhole:
-# hamming ≤ 2 over 32 bits ⇒ at least one identical byte) before the
-# distance check.
+# d05 — SimHash near-dup pairs (Hamming ≤ 2) via byte-pigeonhole
+# banding. Hamming ≤ 2 over a 32-bit fingerprint means at most 2 of
+# the 4 bytes can differ, so every qualifying pair shares at least one
+# identical (byte_idx, byte_val) — candidates come from an EQUI-join
+# on that key (bucketed shuffle, no cartesian), then the exact
+# bit_count(xor) check verifies. Cost ~ O(docs x 4 + candidates); at
+# 100 TB the banded table is written bucketed by (byte_idx, byte_val)
+# so the candidate join is co-located. The all-pairs formulation
+# survives only as the DuckDB oracle / pytest cross-check.
 
 
 def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sim = _simhash_df(spark, sf_dir)
-    a = sim.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+    # Checkpoint: the fingerprint agg feeds both join sides; without it
+    # the doc scan + simhash aggregation run twice.
+    sim = _simhash_df(spark, sf_dir).localCheckpoint(eager=True)
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 8 * i)
+                    .bitwiseAND(F.lit(255))
+                    for i in range(4)
+                ]
+            )
+        ).alias("byte_idx", "byte_val"),
     )
-    b = sim.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "byte_idx",
+        "byte_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "byte_idx",
+        "byte_val",
+    )
+    cand = (
+        a.join(b, ["byte_idx", "byte_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", ham.alias("hamming"))
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= 2)
     )
 

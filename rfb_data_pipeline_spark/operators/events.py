@@ -196,8 +196,8 @@ def e05_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E05_SQL = """
 SELECT count(*) AS n_users,
-       sum(CASE WHEN first_view < first_click AND first_click < first_purchase
-                THEN 1 ELSE 0 END) AS n_converted
+       CAST(sum(CASE WHEN first_view < first_click AND first_click < first_purchase
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
 FROM (
   SELECT user_id,
          min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
@@ -262,7 +262,7 @@ def e07_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E07_SQL = """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
 FROM events
@@ -290,11 +290,11 @@ def e08_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E08_SQL = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
 FROM events
 GROUP BY user_id
 """

@@ -573,7 +573,7 @@ def q15_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_SQL = """
 SELECT l_returnflag,
        count(*) AS n_rows,
-       sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_high_discount,
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_discount,
        round(avg(CASE WHEN l_quantity >= 25 THEN l_extendedprice END), 2) AS avg_price_bulk,
        sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS qty_finished
 FROM lineitem
@@ -842,16 +842,21 @@ def q24_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q25_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Output is a ','-joined sorted string, not a raw array: the driver's
+    # pandas canonicalizer cannot sort/hash list cells (round-1 q25 crash,
+    # CORRECTNESS_r01.json), and a scalar string is hash-stable anyway.
     orders = _t(spark, sf_dir, "orders")["orders"]
     return orders.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
 
 _Q25_SQL = """
 SELECT o_custkey,
-       list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+       list_aggregate(list_sort(list_distinct(list(o_orderpriority))), 'string_agg', ',') AS priorities,
        count(*) AS n_orders
 FROM orders
 GROUP BY o_custkey

@@ -174,16 +174,19 @@ def s03_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Threshold is applied to the ROUNDED cosine in both engines (a raw
+# value like 0.44996 must fall on the same side of the cut everywhere —
+# ADVICE round 1).
 _S03_SQL = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
-             / (sqrt({_SQL_DOT.format(a="a.embedding", b="a.embedding")})
-                * sqrt({_SQL_DOT.format(a="b.embedding", b="b.embedding")})), 4)
-         AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
-      / (sqrt({_SQL_DOT.format(a="a.embedding", b="a.embedding")})
-         * sqrt({_SQL_DOT.format(a="b.embedding", b="b.embedding")})) >= {NEAR_DUP_COS}
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+               / (sqrt({_SQL_DOT.format(a="a.embedding", b="a.embedding")})
+                  * sqrt({_SQL_DOT.format(a="b.embedding", b="b.embedding")})), 4) + 0.0
+           AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+WHERE cosine >= {NEAR_DUP_COS}
 """
 
 
@@ -202,20 +205,27 @@ def s04_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_dim = dims.groupBy("label", "dim").agg(
         F.avg(F.col("v").cast("double")).alias("avg_v")
     )
+    # The centroid ships as a ','-joined fixed-format string, not a raw
+    # array: the driver's pandas canonicalizer cannot sort/hash list
+    # cells (round-1 q25 crash). %.4f on both engines is bit-stable
+    # because the rounded doubles are identical (see module docstring).
     return (
         per_dim.groupBy("label")
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        # + 0.0 folds IEEE negative zero to +0.0 (round
-                        # can emit -0.0, and engines disagree on it)
-                        F.struct(
-                            "dim", (F.round("avg_v", 4) + F.lit(0.0)).alias("r")
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            # + 0.0 folds IEEE negative zero to +0.0 (round
+                            # can emit -0.0, and engines disagree on it)
+                            F.struct(
+                                "dim", (F.round("avg_v", 4) + F.lit(0.0)).alias("r")
+                            )
                         )
-                    )
+                    ),
+                    lambda s: F.format_string("%.4f", s.getField("r")),
                 ),
-                lambda s: s.getField("r"),
+                ",",
             ).alias("centroid"),
             F.count(F.lit(1)).alias("n_dims"),
         )
@@ -230,9 +240,11 @@ WITH dims AS (
   SELECT label, dim, avg(v) AS avg_v FROM dims GROUP BY 1, 2
 )
 SELECT label,
-       list_transform(
-         list_sort(list(struct_pack(dim := dim, r := round(avg_v, 4) + 0.0))),
-         s -> s.r) AS centroid,
+       list_aggregate(
+         list_transform(
+           list_sort(list(struct_pack(dim := dim, r := round(avg_v, 4) + 0.0))),
+           s -> printf('%.4f', s.r)),
+         'string_agg', ',') AS centroid,
        count(*) AS n_dims
 FROM per_dim
 GROUP BY label

@@ -60,16 +60,36 @@ def load_table(
     csv_paths: str | list[str],
     out_dir: str,
     ref_ym: str,
-    encoding: str = "UTF-8",
+    encoding: str | dict[str, str] = "UTF-8",
     keys: list[str] | None = None,
     quarantine: bool = True,
 ) -> LoadResult:
     """Ingest one RFB table for one month, atomically. Corrupt rows
     land in ``<out_dir>/_quarantine/<table>`` (same month-partitioned
     layout) so the README's column-shift class of corruption stays
-    inspectable instead of vanishing (READme.md:29)."""
+    inspectable instead of vanishing (READme.md:29).
+
+    ``csv_paths`` MUST carry every part of a multi-part table for the
+    month (Empresas0..9 all route here): the write below replaces the
+    whole (table, ref_ym) partition, so per-part calls would clobber
+    each other (round-2 ADVICE, high). ``encoding`` may be a
+    {path: encoding} map when the parts were sniffed individually.
+    """
     schema = TABLE_SCHEMAS[table]
-    raw = read_rfb_csv(spark, csv_paths, schema, encoding=encoding)
+    paths = [csv_paths] if isinstance(csv_paths, str) else list(csv_paths)
+    if isinstance(encoding, dict):
+        by_enc: dict[str, list[str]] = {}
+        for p in paths:
+            by_enc.setdefault(encoding.get(p, "UTF-8"), []).append(p)
+        parts = [
+            read_rfb_csv(spark, ps, schema, encoding=e)
+            for e, ps in sorted(by_enc.items())
+        ]
+        raw = parts[0]
+        for part in parts[1:]:
+            raw = raw.unionByName(part)
+    else:
+        raw = read_rfb_csv(spark, paths, schema, encoding=encoding)
     clean, corrupt = split_corrupt(raw)
 
     silver = to_silver(table, clean).withColumn("ref_ym", F.lit(ref_ym))

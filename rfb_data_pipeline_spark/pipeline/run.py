@@ -138,40 +138,56 @@ def run_month(spark: SparkSession, cfg: RunConfig) -> RunReport:
             manifest = mf.apply_updates(manifest, heal)
         mf.save_manifest(manifest, manifest_path)
 
-    # ---- correct + load (A4-A13, A15) — one distributed pass per file
+    # ---- correct + load (A4-A13, A15) — grouped by ROUTED TABLE, not
+    # by file: real months ship multi-part tables (Empresas0..9 all
+    # route to rfb_empresas) and load_table's atomic partition
+    # overwrite replaces the whole (table, ref_ym) partition, so each
+    # table must load exactly once per month with every part in one
+    # csv_paths list (round-2 ADVICE, high — the reference has the
+    # same TRUNCATE-per-file quirk at src/main.py:200; we fix it).
     report = RunReport(manifest_path=manifest_path)
-    for r in mf.pending_for_stage(manifest, "correcao").collect():
-        statuses: list[tuple[str, str, str]] = []
+    pending = mf.pending_for_stage(manifest, "correcao").collect()
+    zip_tables: dict[str, set[str | None]] = {}
+    table_inputs: dict[str, list[str]] = {}
+    table_encodings: dict[str, dict[str, str]] = {}
+    for r in pending:
+        zip_tables[r.arquivo] = set()
         for member in r.arquivos_extraidos or []:
             path = os.path.join(extract_dir, member)
             table = _route_one(spark, member)
+            zip_tables[r.arquivo].add(table)
             if table is None:
-                statuses.append((r.arquivo, mf.SUCCESS, mf.IGNORED))
                 continue
-            enc = sniff_encoding(path)
-            lr = load_table(
-                spark,
-                table,
-                path,
-                cfg.out_dir,
-                ref_ym=cfg.ref_ym,
-                encoding=enc,
-            )
-            report.loads.append(lr)
-            statuses.append(
-                (r.arquivo, mf.SUCCESS, mf.SUCCESS if lr.passed else mf.FAILED)
-            )
-        final = (
-            mf.FAILED
-            if any(s[2] == mf.FAILED for s in statuses)
-            else (
-                mf.IGNORED
-                if statuses and all(s[2] == mf.IGNORED for s in statuses)
-                else mf.SUCCESS
-            )
+            table_inputs.setdefault(table, []).append(path)
+            table_encodings.setdefault(table, {})[path] = sniff_encoding(path)
+
+    table_passed: dict[str, bool] = {}
+    for table in sorted(table_inputs):
+        lr = load_table(
+            spark,
+            table,
+            table_inputs[table],
+            cfg.out_dir,
+            ref_ym=cfg.ref_ym,
+            encoding=table_encodings[table],
         )
+        report.loads.append(lr)
+        table_passed[table] = lr.passed
+
+    if pending:
+        rows = []
+        for r in pending:
+            tables = zip_tables[r.arquivo]
+            routed = {t for t in tables if t is not None}
+            if routed and any(not table_passed[t] for t in routed):
+                final = mf.FAILED
+            elif not routed and tables:
+                final = mf.IGNORED
+            else:
+                final = mf.SUCCESS
+            rows.append((r.arquivo, mf.SUCCESS, final))
         updates = spark.createDataFrame(
-            [(r.arquivo, mf.SUCCESS, final)],
+            rows,
             "arquivo string, new_status_correcao string, new_status_carga string",
         )
         manifest = mf.apply_updates(manifest, updates)

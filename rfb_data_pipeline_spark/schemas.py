@@ -96,11 +96,20 @@ SUFFIX_TO_TABLE: dict[str, tuple[str, StructType]] = {
     "SOCIOCSV": ("rfb_socios", SOCIOS),
     "SIMPLES": ("rfb_simples", SIMPLES),
     "CNAECSV": ("rfb_cnaes", _DIMENSION),
+    # The reference's mapa_tabelas (src/main.py:168-171) spells the
+    # dimension suffixes MOTIV/MUNIC/NATJU/PAIS/QUALS; real drops have
+    # shipped both spellings, so the router accepts either (round-2
+    # ADVICE: spec-named files must not fall to 'ignorada').
     "MOTICSV": ("rfb_motivos", _DIMENSION),
+    "MOTIV": ("rfb_motivos", _DIMENSION),
     "MUNICCSV": ("rfb_municipios", _DIMENSION),
+    "MUNIC": ("rfb_municipios", _DIMENSION),
     "NATJUCSV": ("rfb_naturezas", _DIMENSION),
+    "NATJU": ("rfb_naturezas", _DIMENSION),
     "PAISCSV": ("rfb_paises", _DIMENSION),
+    "PAIS": ("rfb_paises", _DIMENSION),
     "QUALSCSV": ("rfb_qualificacoes", _DIMENSION),
+    "QUALS": ("rfb_qualificacoes", _DIMENSION),
 }
 
 TABLE_SCHEMAS: dict[str, StructType] = {

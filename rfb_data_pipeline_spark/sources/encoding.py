@@ -23,10 +23,16 @@ SAMPLE_BYTES = 100_000  # same probe size as the reference
 # Python codec name → charset name Spark's CSV reader accepts.
 _SPARK_CHARSETS = {
     "latin-1": "iso-8859-1",
-    "utf-8-sig": "utf-8",  # Spark strips no BOM; callers trim
+    "utf-8-sig": "utf-8",  # read_rfb_csv strips the surviving BOM
     "utf-8": "utf-8",
     "utf-16": "utf-16",
+    "cp1252": "windows-1252",
 }
+
+# 0x80–0x9F: C1 control characters in latin-1 (never intentional in
+# text) but printable punctuation/symbols in windows-1252 — except the
+# five codepoints cp1252 leaves undefined.
+_CP1252_UNDEFINED = {0x81, 0x8D, 0x8F, 0x90, 0x9D}
 
 
 def to_spark_charset(encoding: str) -> str:
@@ -34,7 +40,14 @@ def to_spark_charset(encoding: str) -> str:
 
 
 def sniff_encoding(path: str, sample_bytes: int = SAMPLE_BYTES) -> str:
-    """Detect a file's encoding from its first ``sample_bytes``."""
+    """Detect a file's encoding from its first ``sample_bytes``.
+
+    BOM check → strict-UTF-8 probe → windows-1252 vs latin-1
+    discrimination over the 0x80–0x9F range (the byte-frequency pass
+    chardet does, reference src/main.py:134-135): smart quotes, the
+    euro sign, en/em dashes etc. live there in cp1252 while latin-1
+    maps them to C1 controls no real text contains.
+    """
     with open(path, "rb") as f:
         head = f.read(sample_bytes)
     if head.startswith(codecs.BOM_UTF8):
@@ -45,7 +58,11 @@ def sniff_encoding(path: str, sample_bytes: int = SAMPLE_BYTES) -> str:
         head.decode("utf-8", errors="strict")
         return "utf-8"
     except UnicodeDecodeError:
-        return "latin-1"
+        pass
+    c1 = [b for b in head if 0x80 <= b <= 0x9F]
+    if c1 and all(b not in _CP1252_UNDEFINED for b in c1):
+        return "cp1252"
+    return "latin-1"
 
 
 def transcode_file(

@@ -23,6 +23,18 @@ from rfb_data_pipeline_spark.sources.encoding import to_spark_charset
 
 CORRUPT_COL = "_corrupt_record"
 
+# windows-1252 support: Spark's CSV reader only accepts a fixed charset
+# list (iso-8859-1, utf-8, utf-16*, ...) — windows-1252 is not on it.
+# But latin-1 decodes every byte 1:1 onto U+0000–U+00FF, so a cp1252
+# file read as iso-8859-1 differs ONLY on 0x80–0x9F, which land on C1
+# control codepoints. Remapping those 27 codepoints to their cp1252
+# glyphs with translate() finishes the decode — distributed, exact, no
+# driver-side transcode pass.
+_CP1252_SRC = "".join(
+    chr(b) for b in range(0x80, 0xA0) if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+)
+_CP1252_DST = "".join(bytes([ord(c)]).decode("cp1252") for c in _CP1252_SRC)
+
 
 def read_rfb_csv(
     spark: SparkSession,
@@ -42,17 +54,32 @@ def read_rfb_csv(
     full_schema = StructType(
         list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
     )
-    return (
+    is_cp1252 = encoding.lower() in ("cp1252", "windows-1252")
+    charset = "iso-8859-1" if is_cp1252 else to_spark_charset(encoding)
+    df = (
         spark.read.schema(full_schema)
         .option("sep", ";")
         .option("header", "false")
-        .option("encoding", to_spark_charset(encoding))
+        .option("encoding", charset)
         .option("quote", '"')
         .option("escape", '"')
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .csv(path)
     )
+    if is_cp1252:
+        for f_ in full_schema.fields:
+            df = df.withColumn(
+                f_.name, F.translate(F.col(f_.name), _CP1252_SRC, _CP1252_DST)
+            )
+    if encoding.lower() == "utf-8-sig":
+        # Spark's reader does not strip a UTF-8 BOM: U+FEFF survives as
+        # the first character of the first field of row 1 and would be
+        # truncated/corrupted downstream by fixed-width normalizers
+        # (round-2 ADVICE). Strip it here, at the source.
+        first = schema.fields[0].name
+        df = df.withColumn(first, F.regexp_replace(F.col(first), "^\\uFEFF", ""))
+    return df
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -1,5 +1,10 @@
 """Differential tests: every declared query vs its DuckDB oracle at
 sf0.001 (fast); the driver runs the same comparison at sf0.01.
+
+Both sides go through pandas (``toPandas`` / ``fetchdf``) and the
+dtype-sensitive canon from tools.check_oracle — the round-1 lesson is
+that ``fetchall`` returns Python ints where the driver's pandas path
+sees float64 (DuckDB HUGEINT), so anything else masks driver-reds.
 """
 
 from __future__ import annotations
@@ -8,7 +13,7 @@ import pytest
 
 import __spark_entry__ as entry_mod
 from tests.conftest import SF_SMALL
-from tools.check_oracle import value_hash
+from tools.check_oracle import _normalize, value_hash
 
 _QUERIES = entry_mod.queries()
 _ORACLES = entry_mod.oracle_sql()
@@ -23,17 +28,18 @@ def test_registry_shape():
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     sdf = _QUERIES[name](spark, SF_SMALL)
-    srows = [r.asDict() for r in sdf.collect()]
-    scols = sdf.columns
+    spdf = sdf.toPandas()
     if name not in _ORACLES:
+        # still enforce driver-canon hashability (arrays crash it)
+        _normalize(spdf)
         pytest.skip("rows-only query (no SQL oracle)")
-    rel = duck.execute(_ORACLES[name])
-    ocols = [d[0] for d in rel.description]
-    orows = [dict(zip(ocols, r)) for r in rel.fetchall()]
-    assert sorted(scols) == sorted(ocols)
-    assert len(srows) == len(orows)
-    cols = sorted(scols)
-    assert value_hash(srows, cols) == value_hash(orows, cols)
+    opdf = duck.execute(_ORACLES[name]).fetchdf()
+    assert sorted(spdf.columns) == sorted(opdf.columns)
+    assert len(spdf) == len(opdf)
+    sn, on = _normalize(spdf), _normalize(opdf)
+    if value_hash(sn) != value_hash(on):
+        diff = next((a, b) for a, b in zip(sn, on) if a != b)
+        raise AssertionError(f"value mismatch, first diff spark={diff[0]} duckdb={diff[1]}")
 
 
 def test_approx_distinct_accuracy(spark, duck):

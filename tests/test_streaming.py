@@ -133,3 +133,38 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path, event_drop)
         es.deduplicated(es.read_events_stream(spark, path)), ckpt, out_dir=out
     )
     assert spark.read.parquet(out).count() == n_first
+
+
+def test_multibatch_sink_no_cross_batch_loss(spark, tmp_path):
+    """A backlog wider than maxFilesPerTrigger runs as SEVERAL
+    micro-batches whose rows share event_dates. The sink must keep
+    every batch's rows (round-2 ADVICE, high: overwrite keyed on
+    event_date alone let batch N delete batch N-1's rows)."""
+    ev = load_tables(spark, SF_SMALL, tables=("events",), register_views=False)[
+        "events"
+    ]
+    flat = tmp_path / "in_many"
+    flat.mkdir()
+    # 20 files > maxFilesPerTrigger=8 → ≥3 batches, all dates repeated
+    for i in range(20):
+        ev.filter(F.col("event_id") % 20 == i).coalesce(1).write.parquet(
+            str(tmp_path / f"tmp{i}")
+        )
+    import glob
+    import shutil
+
+    n = 0
+    for f in sorted(glob.glob(str(tmp_path / "tmp*" / "*.parquet"))):
+        shutil.copy(f, flat / f"part{n}.parquet")
+        n += 1
+    assert n >= 20
+    out = str(tmp_path / "out_many")
+    stream = es.read_events_stream(spark, str(flat))
+    es.run_to_completion(
+        stream.withWatermark("ts", "10 minutes"),
+        str(tmp_path / "ckpt_many"),
+        out_dir=out,
+    )
+    written = spark.read.parquet(out)
+    assert written.count() == ev.count()
+    assert written.select("event_id").distinct().count() == ev.count()

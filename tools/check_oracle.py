@@ -2,8 +2,21 @@
 
 Runs every ``queries()`` entry on Spark at the given SF and the matching
 ``oracle_sql()`` on DuckDB over the same parquet, then compares
-row-count, column names, and an order-insensitive value hash
-(columns sorted by name, rows sorted by their string form).
+row-count, column names, and an order-insensitive value hash.
+
+MIRRORS THE DRIVER (lesson of round 1, VERDICT.md "What's wrong" #5):
+
+* The oracle side is materialized through **pandas** (``fetchdf``), not
+  ``fetchall``.  DuckDB ``sum(INTEGER)`` returns HUGEINT, which pandas
+  renders as *float64* (``8963.0``) while Spark returns int64
+  (``8963``).  ``fetchall`` hands back Python ints and masked exactly
+  this class of driver-red mismatch in round 1.
+* Integer and float dtypes canonicalize **differently** (int ``8963``
+  vs float ``8963.000000``), so an int-vs-float dtype skew is a FAIL
+  here just as it is in the driver.
+* List/array cells raise — the driver's pandas ``sort_values`` canon
+  dies on them (``unhashable type: 'list'``, CORRECTNESS_r01 q25), so
+  any query emitting arrays must stringify before it ships.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -19,31 +32,58 @@ import traceback
 sys.path.insert(0, "/root/repo")
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 
 
-def _normalize(rows: list[dict], cols: list[str]) -> list[tuple]:
-    def cell(v):
-        if v is None:
+class UnhashableCell(TypeError):
+    """A cell the driver's pandas canonicalizer cannot sort/hash."""
+
+
+def _cell(v) -> str:
+    # NaN/None first (pd.isna on arrays returns arrays — guard below).
+    if v is None:
+        return "NULL"
+    # Date/timestamp: Spark DATE collects as datetime.date while DuckDB
+    # fetchdf yields midnight datetime64 — the driver hashes those equal
+    # (q03/q10/q20 were green in round 1), so canon midnight-naive
+    # timestamps down to the date form.
+    if isinstance(v, (pd.Timestamp, np.datetime64)) or (
+        hasattr(v, "isoformat") and not isinstance(v, str)
+    ):
+        ts = pd.Timestamp(v)
+        if ts is pd.NaT:
             return "NULL"
-        if isinstance(v, float):
-            # mirror a tolerant driver: fixed decimal form
-            if v != v:  # NaN
-                return "NaN"
-            return f"{v:.6f}".rstrip("0").rstrip(".")
-        if isinstance(v, bool):
-            return str(int(v))
-        if isinstance(v, (list, tuple)):
-            return "[" + ",".join(cell(x) for x in v) + "]"
-        return str(v)
+        if ts.tzinfo is None and ts == ts.normalize():
+            return ts.strftime("%Y-%m-%d")
+        return ts.isoformat(sep=" ")
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        raise UnhashableCell(f"unhashable cell type {type(v).__name__}: driver canon would crash")
+    if isinstance(v, (float, np.floating)):
+        if v != v:
+            return "NaN"
+        # fixed form WITH trailing zeros so float64 8963.0 -> "8963.000000"
+        # stays distinct from int64 8963 -> "8963" (the driver distinguishes).
+        return f"{float(v):.6f}"
+    if isinstance(v, (bool, np.bool_)):
+        return str(int(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if pd.isna(v):
+        return "NULL"
+    return str(v)
 
-    out = [tuple(cell(r[c]) for c in cols) for r in rows]
+
+def _normalize(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = [tuple(_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
     out.sort()
     return out
 
 
-def value_hash(rows: list[dict], cols: list[str]) -> str:
+def value_hash(norm: list[tuple]) -> str:
     h = hashlib.sha256()
-    for row in _normalize(rows, cols):
+    for row in norm:
         h.update("\x1f".join(row).encode())
         h.update(b"\x1e")
     return h.hexdigest()[:16]
@@ -75,46 +115,53 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [r.asDict() for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception:
             print(f"FAIL {name}: spark error")
             traceback.print_exc()
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"pass {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            try:
+                _normalize(spdf)  # arrays crash the driver even rows-only? be strict anyway
+            except UnhashableCell as exc:
+                print(f"FAIL {name}: {exc}")
+                n_fail += 1
+                continue
+            print(f"pass {name}: rows-only ({len(spdf)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
             continue
         try:
-            rel = con.execute(oracles[name])
-            ocols = [d[0] for d in rel.description]
-            orows = [dict(zip(ocols, r)) for r in rel.fetchall()]
+            opdf = con.execute(oracles[name]).fetchdf()
         except Exception:
             print(f"FAIL {name}: duckdb error")
             traceback.print_exc()
             n_fail += 1
             continue
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(ocols)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} duckdb={len(opdf)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(
+                f"cols spark={sorted(spdf.columns)} duckdb={sorted(opdf.columns)}"
+            )
         else:
-            cols = sorted(scols)
-            sh, oh = value_hash(srows, cols), value_hash(orows, cols)
-            if sh != oh:
-                problems.append("value-hash mismatch")
-                sn, on = _normalize(srows, cols), _normalize(orows, cols)
-                for a, b in list(zip(sn, on))[:200]:
-                    if a != b:
-                        problems.append(f"  first diff: spark={a} duckdb={b}")
-                        break
+            try:
+                sn, on = _normalize(spdf), _normalize(opdf)
+            except UnhashableCell as exc:
+                problems.append(str(exc))
+            else:
+                if value_hash(sn) != value_hash(on):
+                    problems.append("value-hash mismatch")
+                    for a, b in list(zip(sn, on))[:500]:
+                        if a != b:
+                            problems.append(f"  first diff: spark={a} duckdb={b}")
+                            break
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"pass {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(f"pass {name} ({len(spdf)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     return 1 if n_fail else 0
