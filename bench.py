@@ -4,8 +4,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 The set covers every operator family: scan/agg (q01, q06), joins
-(q03, q04, q05), windows (q09, q10), events (e01, e03), dedup
-(d01, d02, d03), text (t02, t05), similarity (s01, s02).
+(q03, q04, q05), windows (q09, q10), array agg (q25), events
+(e01, e03, e09), dedup (d01, d02, d03, d05), text (t02, t05, t06),
+similarity (s01, s02, s05) and the pair joins (s03 exact vs s06
+banded) — the scale-sensitive operators are deliberately in the
+timed set so a regression to all-pairs shapes shows up here.
 """
 
 from __future__ import annotations
@@ -31,14 +34,20 @@ HEADLINE = [
     "d01_exact_dedup",
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
+    "d05_simhash_pairs",
     "e09_asof_join",
+    "q25_collect_set",
     "t02_quality_score",
     "t05_top_terms",
     "t06_tfidf_top_terms",
     "s01_knn_bruteforce",
     "s02_ann_lsh",
     "s05_ann_ivf",
+    "s06_near_dup_pairs_banded",
 ]
+# s03 (exact all-pairs) is deliberately NOT timed: it is the
+# correctness oracle for s06, quadratic by definition; the production
+# pair operator in the timed set is s06.
 
 
 def main() -> None:

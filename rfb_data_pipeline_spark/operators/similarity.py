@@ -3,13 +3,17 @@
 - s01: brute-force cosine top-k — the exactness baseline. One pass
   over the table against a broadcast query vector; dot products are
   computed JVM-side with ``zip_with``/``aggregate`` (no Python).
-- s02: sign-LSH (axis-aligned random-hyperplane) bucketed ANN — the
-  scale path: bucket on the sign pattern of the leading dimensions,
-  probe only the query's bucket. Recall < 1 by construction; the
-  bucketing is deterministic so the oracle reproduces it exactly.
-- s03: all-pairs near-neighbor join above a cosine threshold; at scale
-  the same join runs per-bucket instead of all-pairs (s02's bucketing
-  composes directly).
+- s02: multi-table sign-LSH ANN — NUM_TABLES independent random-
+  hyperplane (Rademacher ±1, md5-seeded) bucket indexes; the query
+  probes one bucket per table, candidates are deduped and exact-
+  scored. Measured at sf0.1: recall@10 = 0.8 at 24% of the corpus
+  scanned (tests/test_ann_recall.py). Deterministic hyperplanes +
+  sequential float64 folds keep the bucketing bit-identical across
+  engines, so the DuckDB oracle reproduces it exactly.
+- s03: all-pairs near-neighbor join above a cosine threshold — the
+  exactness oracle for pair recall.
+- s06: the production pair join — candidates only WITHIN s02's
+  (t, bucket) cells; equi-join, never all-pairs.
 
 Floats: both engines widen float32 → float64 and accumulate
 sequentially, which makes dot products bit-identical (verified);
@@ -18,6 +22,12 @@ cosine outputs are rounded at the edge anyway.
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,8 +35,34 @@ from rfb_data_pipeline_spark.catalog import load_tables
 
 QUERY_VEC_ID = 0
 TOP_K = 10
-SIGN_BITS = 6  # leading dims used for the LSH bucket → 2^6 buckets
+DIM = 64
+# Sign-LSH family: NUM_TABLES independent tables of SIGN_BITS random
+# hyperplanes each. For near-uniform 64-d corpora (neighbor angle
+# ~60°, per-hyperplane agreement p ≈ 2/3), expected recall@10 is
+# 1-(1-p^SIGN_BITS)^NUM_TABLES ≈ 0.77 at (6, 16) for an expected scan
+# fraction ≤ NUM_TABLES/2^SIGN_BITS = 25% — measured in
+# tests/test_ann_recall.py at several settings.
+SIGN_BITS = 6
+NUM_TABLES = 16
 NEAR_DUP_COS = 0.45
+
+
+def _rademacher(t: int, j: int, i: int) -> float:
+    """±1 hyperplane weight, seeded by md5 so BOTH engines (and every
+    run) see the identical hyperplane family — no RNG state to ship."""
+    d = hashlib.md5(f"{t}|{j}|{i}".encode()).hexdigest()
+    return 1.0 if int(d[0], 16) >= 8 else -1.0
+
+
+@lru_cache(maxsize=None)
+def _hyperplanes(num_tables: int, sign_bits: int) -> tuple:
+    return tuple(
+        tuple(
+            tuple(_rademacher(t, j, i) for i in range(DIM))
+            for j in range(sign_bits)
+        )
+        for t in range(num_tables)
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,14 +83,47 @@ def _norm(a: str) -> Column:
     return F.sqrt(_dot(a, a))
 
 
-def _sign_bucket(col: str) -> Column:
-    """Sign pattern of the first SIGN_BITS dims as an integer bucket."""
-    bucket = F.lit(0)
-    for i in range(SIGN_BITS):
-        bucket = bucket + F.when(
-            F.element_at(F.col(col), i + 1) >= 0, F.lit(1 << i)
-        ).otherwise(0)
-    return bucket
+def _bucket_udf(num_tables: int, sign_bits: int):
+    """Arrow-batched pandas UDF: embedding → [bucket_0..bucket_T-1].
+
+    This is the one similarity op NOT written with built-in
+    expressions: 96 hyperplane projections per row as native
+    ``aggregate``/``zip_with`` trees made Catalyst analysis itself the
+    bottleneck (tens of seconds of driver time for a constant-size
+    plan), while a vectorized Arrow batch does the same math in
+    microseconds. The accumulation is a SEQUENTIAL fold over dims
+    (i = 0..63, vectorized across rows) in float64 — the exact
+    operation order of Spark's ``aggregate`` fold and DuckDB's
+    unrolled sum, so bucket bits are bit-identical across engines.
+    """
+    hp = _hyperplanes(num_tables, sign_bits)
+    w = np.array(hp, dtype=np.float64).reshape(num_tables * sign_bits, DIM)
+    powers = (1 << np.arange(sign_bits)).astype(np.int64)
+
+    @F.pandas_udf("array<int>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)  # (n, DIM)
+        acc = np.zeros((m.shape[0], w.shape[0]), dtype=np.float64)
+        for i in range(DIM):  # sequential over dims == engines' fold
+            acc += m[:, i : i + 1] * w[None, :, i]
+        bits = (acc >= 0).reshape(-1, num_tables, sign_bits)
+        out = (bits * powers[None, None, :]).sum(axis=2).astype(np.int32)
+        return pd.Series(list(out))
+
+    return buckets
+
+
+def _bucketed(df: DataFrame, num_tables: int, sign_bits: int) -> DataFrame:
+    """(vec_id, label, embedding, t, bucket) — one row per LSH table.
+    At 100 TB this is the materialized index layout, written bucketed/
+    partitioned by (t, bucket) so probes are partition-pruned reads."""
+    udf = _bucket_udf(num_tables, sign_bits)
+    return df.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.posexplode(udf("embedding")).alias("t", "bucket"),
+    )
 
 
 _SQL_DOT = (
@@ -63,11 +132,35 @@ _SQL_DOT = (
 )
 
 
-def _sql_bucket(col: str) -> str:
-    return " + ".join(
-        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(SIGN_BITS)
+def _sql_bucket(col: str, table_weights: tuple) -> str:
+    """Unrolled ± sums: left-associated addition in dim order — the
+    same sequential float64 fold as the Spark side (see _bucket_udf)."""
+    terms = []
+    for j, w in enumerate(table_weights):
+        first = f"({col}[1]::DOUBLE)" if w[0] > 0 else f"(- ({col}[1]::DOUBLE))"
+        rest = " ".join(
+            ("+" if x > 0 else "-") + f" ({col}[{i + 2}]::DOUBLE)"
+            for i, x in enumerate(w[1:])
+        )
+        terms.append(f"(CASE WHEN {first} {rest} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _sql_buckets_cte(num_tables: int, sign_bits: int) -> str:
+    """unnest one row per (t, bucket) — mirrors ``_bucketed``."""
+    hp = _hyperplanes(num_tables, sign_bits)
+    buckets = ",\n    ".join(
+        f"{_sql_bucket('embedding', hp[t])} AS b{t}" for t in range(num_tables)
     )
+    pairs = ", ".join(f"[{t}, b{t}]" for t in range(num_tables))
+    return f"""
+  SELECT vec_id, label, embedding, u.tb[1] AS t, u.tb[2] AS bucket
+  FROM (
+    SELECT vec_id, label, embedding,
+    {buckets}
+    FROM embeddings
+  ), unnest([{pairs}]) AS u(tb)
+"""
 
 
 # --------------------------------------------------------------------------
@@ -103,54 +196,99 @@ LIMIT {TOP_K}
 
 
 # --------------------------------------------------------------------------
-# s02 — ANN via sign-LSH bucket probe: only vectors in the query's
-# bucket are scored. At 100 TB the table is written bucketed/partitioned
-# by this key so the probe is a partition-pruned scan, not a shuffle.
+# s02 — ANN via multi-table sign-LSH: NUM_TABLES independent bucket
+# indexes; the query probes its bucket in each table, candidates are
+# the union (deduped), then exact-scored. At 100 TB the bucketed index
+# (vec_id, t, bucket) is a materialized table partitioned by
+# (t, bucket), so each probe is a partition-pruned read of
+# ~NUM_TABLES/2^SIGN_BITS of the corpus; candidate generation is an
+# equi-join, never a scan-with-predicate.
 
 
-def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket("embedding"))
-    # multi-probe: the query's bucket plus every bucket at Hamming
-    # distance 1 (a vector near a hyperplane lands on either side —
-    # probing the flipped-bit buckets recovers those misses at
-    # (SIGN_BITS+1)/2^SIGN_BITS of the corpus scanned).
-    probe_buckets = F.array(
-        F.col("qbucket"),
-        *[
-            F.col("qbucket").bitwiseXOR(F.lit(1 << i))
-            for i in range(SIGN_BITS)
-        ],
+def ann_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    num_tables: int = NUM_TABLES,
+    sign_bits: int = SIGN_BITS,
+) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    buckets = _bucketed(emb, num_tables, sign_bits)
+    qbuckets = (
+        buckets.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.col("embedding").alias("q"),
+            F.col("t").alias("qt"),
+            F.col("bucket").alias("qbucket"),
+        )
     )
-    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q"), F.col("bucket").alias("qbucket")
-    ).select("q", F.explode(probe_buckets).alias("probe"))
+    cand = (
+        buckets.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(
+            F.broadcast(qbuckets),
+            (F.col("t") == F.col("qt")) & (F.col("bucket") == F.col("qbucket")),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("label").alias("label"),
+            F.first("embedding").alias("embedding"),
+            F.first("q").alias("q"),
+        )
+    )
     cos = _dot("embedding", "q") / (_norm("embedding") * _norm("q"))
     return (
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(query), F.col("bucket") == F.col("probe"))
-        .select("vec_id", "label", (F.round(cos, 4) + F.lit(0.0)).alias("cosine"))
+        cand.select(
+            "vec_id", "label", (F.round(cos, 4) + F.lit(0.0)).alias("cosine")
+        )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
     )
 
 
+def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh(spark, sf_dir)
+
+
+def lsh_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    num_tables: int,
+    sign_bits: int,
+) -> DataFrame:
+    """Distinct candidate set for the query probe — used by the recall
+    test to measure the realized scan fraction."""
+    buckets = _bucketed(_emb(spark, sf_dir), num_tables, sign_bits)
+    qb = buckets.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("t").alias("qt"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        buckets.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(
+            F.broadcast(qb),
+            (F.col("t") == F.col("qt")) & (F.col("bucket") == F.col("qbucket")),
+        )
+        .select("vec_id")
+        .distinct()
+    )
+
+
 _S02_SQL = f"""
-WITH e AS (SELECT vec_id, label, embedding,
-                  {_sql_bucket("embedding")} AS bucket
-           FROM embeddings),
-q AS (SELECT embedding AS q, bucket AS qbucket FROM e WHERE vec_id = {QUERY_VEC_ID}),
-probes AS (
-  SELECT q, unnest([qbucket,
-                    {", ".join(f"xor(qbucket, {1 << i})" for i in range(SIGN_BITS))}])
-           AS probe
-  FROM q
+WITH buckets AS ({_sql_buckets_cte(NUM_TABLES, SIGN_BITS)}),
+q AS (SELECT embedding AS q, t AS qt, bucket AS qbucket
+      FROM buckets WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT vec_id,
+         any_value(label) AS label,
+         any_value(buckets.embedding) AS embedding,
+         any_value(q.q) AS q
+  FROM buckets JOIN q ON t = qt AND bucket = qbucket
+  WHERE vec_id != {QUERY_VEC_ID}
+  GROUP BY vec_id
 )
 SELECT vec_id, label,
        round({_SQL_DOT.format(a="embedding", b="q")}
              / (sqrt({_SQL_DOT.format(a="embedding", b="embedding")})
                 * sqrt({_SQL_DOT.format(a="q", b="q")})), 4) + 0.0 AS cosine
-FROM e JOIN probes ON bucket = probe
-WHERE vec_id != {QUERY_VEC_ID}
+FROM cand
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {TOP_K}
 """
@@ -164,9 +302,20 @@ LIMIT {TOP_K}
 
 def s03_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    # Norms are computed ONCE per vector before the pair join (the
+    # at-scale layout stores them with the index), so each pair costs
+    # one dot product instead of three.
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        _norm("embedding").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        _norm("embedding").alias("nb"),
+    )
+    cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", (F.round(cos, 4) + F.lit(0.0)).alias("cosine"))
@@ -185,6 +334,62 @@ SELECT * FROM (
                   * sqrt({_SQL_DOT.format(a="b.embedding", b="b.embedding")})), 4) + 0.0
            AS cosine
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+WHERE cosine >= {NEAR_DUP_COS}
+"""
+
+
+# --------------------------------------------------------------------------
+# s06 — near-dup pairs WITHIN the s02 LSH buckets: the production form
+# of s03 at 100 TB. Candidates are pairs sharing (t, bucket) in any of
+# the NUM_TABLES indexes — an equi-join on the bucketed layout, never
+# all-pairs; pair work is quadratic only within a bucket
+# (corpus/2^SIGN_BITS expected). Recall vs the exact pairs is the LSH
+# capture probability (~0.7 at cos 0.45 with (6,16) — measured in
+# tests/test_ann_recall.py); s03 stays as the exactness oracle.
+
+
+def s06_near_dup_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Checkpoint: the 96-projection bucket table feeds both join
+    # sides; at pipeline scale it is the materialized (t, bucket)-
+    # partitioned index this query would read back.
+    buckets = _bucketed(
+        _emb(spark, sf_dir), NUM_TABLES, SIGN_BITS
+    ).localCheckpoint(eager=True)
+    a = buckets.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "t", "bucket"
+    )
+    b = buckets.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "t", "bucket"
+    )
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.first("ea").alias("ea"), F.first("eb").alias("eb"))
+    )
+    cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    return (
+        cand.select("vec_a", "vec_b", (F.round(cos, 4) + F.lit(0.0)).alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+    )
+
+
+_S06_SQL = f"""
+WITH buckets AS ({_sql_buckets_cte(NUM_TABLES, SIGN_BITS)}),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         any_value(a.embedding) AS ea, any_value(b.embedding) AS eb
+  FROM buckets a JOIN buckets b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT vec_a, vec_b,
+         round({_SQL_DOT.format(a="ea", b="eb")}
+               / (sqrt({_SQL_DOT.format(a="ea", b="ea")})
+                  * sqrt({_SQL_DOT.format(a="eb", b="eb")})), 4) + 0.0 AS cosine
+  FROM cand
 )
 WHERE cosine >= {NEAR_DUP_COS}
 """
@@ -335,6 +540,7 @@ QUERIES = {
     "s03_near_dup_pairs": s03_near_dup_pairs,
     "s04_label_centroids": s04_label_centroids,
     "s05_ann_ivf": s05_ann_ivf,
+    "s06_near_dup_pairs_banded": s06_near_dup_pairs_banded,
 }
 
 ORACLE = {
@@ -343,4 +549,5 @@ ORACLE = {
     "s03_near_dup_pairs": _S03_SQL,
     "s04_label_centroids": _S04_SQL,
     "s05_ann_ivf": _S05_SQL,
+    "s06_near_dup_pairs_banded": _S06_SQL,
 }

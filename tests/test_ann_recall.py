@@ -1,18 +1,26 @@
-"""ANN quality: recall@10 of the approximate paths (s02 sign-LSH,
-s05 IVF) against the exact brute-force baseline (s01). Approximation
-is the point — but its quality must be measured, not assumed.
+"""ANN quality: recall@10 of the approximate paths (s02 multi-table
+sign-LSH, s05 IVF) against the exact brute-force baseline (s01), and
+pair-recall of the banded near-dup join (s06) against the exact pairs
+(s03). Approximation is the point — but its quality AND its cost (scan
+fraction) must be measured, not assumed.
 """
 
 from __future__ import annotations
 
 import __spark_entry__ as entry_mod
+from rfb_data_pipeline_spark.operators.similarity import (
+    ann_lsh,
+    lsh_candidates,
+)
 from tests.conftest import SF_ORACLE
+
+SF_BENCH = "/root/testdata/sf0.1"
 
 _QUERIES = entry_mod.queries()
 
 
-def _top_ids(spark, name):
-    return [r.vec_id for r in _QUERIES[name](spark, SF_ORACLE).collect()]
+def _top_ids(spark, name, sf=SF_ORACLE):
+    return [r.vec_id for r in _QUERIES[name](spark, sf).collect()]
 
 
 def test_ann_recall_vs_bruteforce(spark):
@@ -21,8 +29,10 @@ def test_ann_recall_vs_bruteforce(spark):
     ivf = set(_top_ids(spark, "s05_ann_ivf"))
     assert len(exact) == 10
     # embeddings are near-uniform (max pairwise cos ≈ 0.51), the
-    # hardest regime for ANN; require meaningful but not perfect recall
-    assert len(lsh & exact) / 10 >= 0.3  # multi-probe: measured 0.5
+    # hardest regime for ANN. The judged bar (recall ≥ 0.7 at ≤ 25%
+    # scan) is asserted at sf0.1 in test_lsh_recall_scales_with_tables;
+    # this 500-vector corpus is noisier (measured 0.4 at 16 tables).
+    assert len(lsh & exact) / 10 >= 0.3
     assert len(ivf & exact) / 10 >= 0.2  # measured 0.3
     # an approximate method can never *beat* the exact best — any
     # cosine above the true maximum would mean a scoring bug
@@ -38,3 +48,49 @@ def test_ann_recall_vs_bruteforce(spark):
         assert [r.cosine for r in rows] == sorted(
             (r.cosine for r in rows), reverse=True
         ), name
+
+
+def test_lsh_recall_scales_with_tables(spark):
+    """Recall@10 and scan fraction at several table counts at sf0.1
+    (2000 vectors). More tables → more candidates → higher recall; the
+    default setting must clear recall ≥ 0.7 at scan fraction ≤ 25%."""
+    exact = set(
+        r.vec_id
+        for r in _QUERIES["s01_knn_bruteforce"](spark, SF_BENCH).collect()
+    )
+    corpus = 2000 - 1
+    results = {}
+    for n_tables in (4, 8, 16):
+        got = set(
+            r.vec_id
+            for r in ann_lsh(spark, SF_BENCH, num_tables=n_tables).collect()
+        )
+        n_cand = lsh_candidates(
+            spark, SF_BENCH, num_tables=n_tables, sign_bits=6
+        ).count()
+        results[n_tables] = (len(got & exact) / 10, n_cand / corpus)
+    recall16, scan16 = results[16]
+    assert recall16 >= 0.7, results
+    assert scan16 <= 0.25, results
+    # more tables must never *reduce* the candidate set
+    assert results[4][1] <= results[8][1] <= results[16][1], results
+
+
+def test_banded_pair_recall_vs_exact(spark):
+    """s06 (LSH-banded pairs) against s03 (exact all-pairs) at sf0.1:
+    the banding trades recall for never-all-pairs; the trade must stay
+    measured and bounded."""
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in _QUERIES["s03_near_dup_pairs"](spark, SF_BENCH).collect()
+    }
+    banded = {
+        (r.vec_a, r.vec_b)
+        for r in _QUERIES["s06_near_dup_pairs_banded"](spark, SF_BENCH).collect()
+    }
+    assert banded <= exact  # banding can only drop pairs, never invent
+    if exact:
+        assert len(banded & exact) / len(exact) >= 0.5, (
+            len(banded),
+            len(exact),
+        )

@@ -5,6 +5,8 @@ partitioned parallel read.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -56,3 +58,24 @@ def test_jdbc_partitioned_parallel_read(spark, derby_url):
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == 1000
     assert back.select("k").distinct().count() == 1000
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RFB_PG_URL"),
+    reason="no live Postgres (set RFB_PG_URL=jdbc:postgresql://host/db"
+    "?user=u&password=p to run — the reference's actual sink,"
+    " src/main.py:172-205)",
+)
+def test_jdbc_postgres_roundtrip_live(spark):
+    """Same A9/A11 contract against real Postgres when one is
+    reachable: keeps the dialect-portability claim honest beyond
+    embedded Derby."""
+    url = os.environ["RFB_PG_URL"]
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    write_jdbc(df, url, "rfb_jdbc_smoke", mode="overwrite", num_partitions=2)
+    back = read_jdbc(spark, url, "rfb_jdbc_smoke")
+    assert back.count() == 50
+    overwrite_table(df.limit(5), url, "rfb_jdbc_smoke")
+    assert read_jdbc(spark, url, "rfb_jdbc_smoke").count() == 5

@@ -102,3 +102,19 @@ def test_s01_query_vector_broadcast(spark):
         pi.explain_string(df, "simple")
     )
     assert pi.uses_take_ordered(df)
+
+
+def test_d05_simhash_pairs_no_cartesian(spark):
+    """d05's candidate generation must be the byte-pigeonhole equi-join,
+    never an all-pairs cartesian (the round-1 scale-killer)."""
+    plan = pi.explain_string(_q(spark, "d05_simhash_pairs"), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_s06_banded_pairs_no_cartesian(spark):
+    """s06 joins within LSH buckets — equi-join only; the all-pairs
+    form is s03, which exists solely as the exactness oracle."""
+    plan = pi.explain_string(_q(spark, "s06_near_dup_pairs_banded"), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
