@@ -33,13 +33,14 @@ def _registry() -> tuple[dict, dict]:
         dedup,
         events,
         relational,
+        sampling,
         similarity,
         text,
     )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
-    for mod in (relational, events, dedup, text, similarity):
+    for mod in (relational, events, dedup, text, similarity, sampling):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)
     return queries, oracle

@@ -410,12 +410,57 @@ WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 2
 """
 
 
+# --------------------------------------------------------------------------
+# d06 — incremental (cross-snapshot) dedup: dedup a NEW crawl batch
+# against the EXISTING corpus without re-deduping the corpus itself —
+# the shape every recurring ingestion runs. Here the corpus/batch
+# split is the deterministic x01-style halves of ``documents`` (doc_id
+# parity stands in for snapshot id; the operator's contract is the
+# join shape, not the split rule). One fingerprint map per side + one
+# anti-join shuffle on the fingerprint key — at 100 TB the corpus side
+# reads a pre-materialized fingerprint index, never the full text.
+
+
+def d06_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select(fp.alias("fingerprint"))
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", fp.alias("fingerprint")
+    )
+    fresh = batch.join(
+        corpus.distinct(), "fingerprint", "left_anti"
+    )
+    return fresh.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new_docs"),
+        F.countDistinct("fingerprint").alias("n_new_distinct"),
+        F.min("doc_id").alias("first_new_doc"),
+    )
+
+
+_D06_SQL = """
+WITH fps AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+),
+corpus AS (SELECT DISTINCT fingerprint FROM fps WHERE doc_id % 2 = 0),
+batch AS (SELECT * FROM fps WHERE doc_id % 2 = 1)
+SELECT source, count(*) AS n_new_docs,
+       count(DISTINCT fingerprint) AS n_new_distinct,
+       min(doc_id) AS first_new_doc
+FROM batch ANTI JOIN corpus USING (fingerprint)
+GROUP BY source
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
     "d03_minhash_lsh": d03_minhash_lsh,
     "d04_simhash": d04_simhash,
     "d05_simhash_pairs": d05_simhash_pairs,
+    "d06_incremental_dedup": d06_incremental_dedup,
 }
 
 ORACLE = {
@@ -424,4 +469,5 @@ ORACLE = {
     "d03_minhash_lsh": _minhash_sql(),
     "d04_simhash": _D04_SQL,
     "d05_simhash_pairs": _D05_SQL,
+    "d06_incremental_dedup": _D06_SQL,
 }

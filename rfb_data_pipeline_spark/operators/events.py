@@ -363,6 +363,53 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+# --------------------------------------------------------------------------
+# e10 — weekly retention cohorts: users grouped by first-seen week,
+# counted per subsequent active week. Two keyed aggregates (per-user
+# min, then per-(cohort, offset) distinct count) — the standard
+# retention matrix with no self-join over the event log. Weeks are
+# ISO Monday-truncations, identical in both engines; the output stays
+# DATE (never LTZ timestamps — collection is OS-timezone-dependent).
+
+
+def e10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_ts")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_ts")
+    ).distinct()
+    joined = active.join(first_seen, "user_id")
+    return (
+        joined.select(
+            F.col("cohort_ts").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("active_ts"), F.col("cohort_ts")) / 7
+            ).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+_E10_SQL = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_ts FROM events
+)
+SELECT CAST(cohort_ts AS DATE) AS cohort_week,
+       CAST(date_diff('day', cohort_ts, active_ts) // 7 AS INTEGER) AS week_offset,
+       count(DISTINCT user_id) AS n_active_users
+FROM active JOIN first_seen USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_window": e02_sliding_window,
@@ -373,6 +420,7 @@ QUERIES = {
     "e07_json_extract": e07_json_extract,
     "e08_pivot_event_types": e08_pivot_event_types,
     "e09_asof_join": e09_asof_join,
+    "e10_retention_cohorts": e10_retention_cohorts,
 }
 
 ORACLE = {
@@ -385,4 +433,5 @@ ORACLE = {
     "e07_json_extract": _E07_SQL,
     "e08_pivot_event_types": _E08_SQL,
     "e09_asof_join": _E09_SQL,
+    "e10_retention_cohorts": _E10_SQL,
 }

@@ -534,6 +534,72 @@ LIMIT {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# s07 — int8-quantized kNN: per-vector symmetric quantization
+# (q_i = round_half_up(x_i * 127 / max|x|)) then exact top-k on the
+# quantized vectors. The 100 TB story: 4× less scan I/O and integer
+# dot products; the quantization error is measurable against s01 (the
+# float baseline) instead of assumed. All integer arithmetic is exact,
+# so cross-engine parity is trivial; the only float steps (scale and
+# final cosine) are order-identical. round-half-up is spelled
+# floor(x + 0.5) because the engines' round() disagree on ties.
+
+
+def s07_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    m = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    qvec = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 127 / m + F.lit(0.5)).cast("long"),
+    )
+    q = emb.select("vec_id", "label", qvec.alias("qe"))
+    query = q.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("qe").alias("qq")
+    )
+
+    def idot(a: str, b: str) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    qcos = idot("qe", "qq") / (
+        F.sqrt(idot("qe", "qe")) * F.sqrt(idot("qq", "qq"))
+    )
+    return (
+        q.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", "label", (F.round(qcos, 4) + F.lit(0.0)).alias("qcosine"))
+        .orderBy(F.desc("qcosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+_SQL_IDOT = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+
+_S07_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(x::DOUBLE * 127 / m + 0.5) AS BIGINT)) AS qe
+  FROM (SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
+        FROM embeddings)
+),
+qq AS (SELECT qe AS qq FROM q WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       round({_SQL_IDOT.format(a="qe", b="qq")}::DOUBLE
+             / (sqrt({_SQL_IDOT.format(a="qe", b="qe")}::DOUBLE)
+                * sqrt({_SQL_IDOT.format(a="qq", b="qq")}::DOUBLE)), 4) + 0.0
+         AS qcosine
+FROM q, qq
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY qcosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "s01_knn_bruteforce": s01_knn_bruteforce,
     "s02_ann_lsh": s02_ann_lsh,
@@ -541,6 +607,7 @@ QUERIES = {
     "s04_label_centroids": s04_label_centroids,
     "s05_ann_ivf": s05_ann_ivf,
     "s06_near_dup_pairs_banded": s06_near_dup_pairs_banded,
+    "s07_quantized_knn": s07_quantized_knn,
 }
 
 ORACLE = {
@@ -550,4 +617,5 @@ ORACLE = {
     "s04_label_centroids": _S04_SQL,
     "s05_ann_ivf": _S05_SQL,
     "s06_near_dup_pairs_banded": _S06_SQL,
+    "s07_quantized_knn": _S07_SQL,
 }

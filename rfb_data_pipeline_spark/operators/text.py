@@ -300,6 +300,84 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# t07 — repetition signals (the Gopher-rules repetition family): top
+# token frequency fraction and duplicate-bigram fraction per document.
+# High values flag boilerplate/spam for training-data filtering. Both
+# stats are keyed aggregates over the exploded token stream (shuffles
+# on doc_id / (doc_id, token) only — linear, no arrays cross a
+# shuffle; the bigram stream reuses the lead-window shingle pattern).
+
+
+def t07_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "w")
+    ).filter(F.length("w") > 0)
+    tok_counts = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("max_tok"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", "w", F.lead("w", 1).over(win)).alias("bg"),
+            F.lead("w", 1).over(win).alias("_w1"),
+        )
+        .filter(F.col("_w1").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("bg").alias("n_unique_bigrams"),
+        )
+    )
+    return (
+        per_doc.join(bigrams, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("max_tok") / F.col("n_tokens"), 4).alias(
+                "top_token_frac"
+            ),
+            F.round(
+                1 - F.col("n_unique_bigrams") / F.col("n_bigrams"), 4
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+_T07_SQL = """
+WITH toks AS (
+  SELECT doc_id, u.i AS pos, t[u.i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE length(t[u.i]) > 0
+), per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS max_tok
+  FROM (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2)
+  GROUP BY doc_id
+), bigrams AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         count(DISTINCT bg) AS n_unique_bigrams
+  FROM (
+    SELECT doc_id,
+           w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg,
+           lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+    FROM toks
+  ) WHERE w1 IS NOT NULL
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(max_tok::DOUBLE / n_tokens, 4) AS top_token_frac,
+       round(1 - n_unique_bigrams::DOUBLE / n_bigrams, 4) AS dup_bigram_frac
+FROM per_doc JOIN bigrams USING (doc_id)
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -307,6 +385,7 @@ QUERIES = {
     "t04_fingerprint": t04_fingerprint,
     "t05_top_terms": t05_top_terms,
     "t06_tfidf_top_terms": t06_tfidf_top_terms,
+    "t07_repetition": t07_repetition,
 }
 
 ORACLE = {
@@ -316,4 +395,5 @@ ORACLE = {
     "t04_fingerprint": _T04_SQL,
     "t05_top_terms": _T05_SQL,
     "t06_tfidf_top_terms": _T06_SQL,
+    "t07_repetition": _T07_SQL,
 }
