@@ -917,6 +917,101 @@ GROUP BY n_name
 """
 
 
+# --------------------------------------------------------------------------
+# q28 — explicit GROUPING SETS (the generalization of q11's ROLLUP /
+# q19's CUBE): per-(flag,status), per-flag, and grand-total rows in one
+# aggregate pass. Spark compiles all three sets into a single Expand +
+# hash aggregate — one scan, one shuffle.
+
+
+def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    li.createOrReplaceTempView("q28_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM q28_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+_Q28_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# q29 — distribution ranking: quartile bucket (ntile) and percentile
+# position (percent_rank) of suppliers by balance. One window shuffle;
+# ties broken by key so both engines rank identically.
+
+
+def q29_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")["supplier"]
+    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return sup.select(
+        "s_suppkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+        (F.round(F.percent_rank().over(w), 4) + F.lit(0.0)).alias("pct_rank"),
+    )
+
+
+_Q29_SQL = """
+SELECT s_suppkey,
+       round(s_acctbal, 2) AS acctbal,
+       ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS quartile,
+       round(percent_rank() OVER (ORDER BY s_acctbal DESC, s_suppkey ASC), 4) + 0.0
+         AS pct_rank
+FROM supplier
+"""
+
+
+# --------------------------------------------------------------------------
+# q30 — RANGE-frame moving aggregate: 7-day trailing order revenue per
+# day. The frame is keyed on day-number (days since epoch) so the
+# range bound means calendar days, not row counts — gaps in the date
+# sequence are handled by the frame semantics, not by densification.
+
+
+def q30_moving_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_rev"))
+        .withColumn("day_num", F.datediff(F.col("d"), F.lit("1970-01-01")))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "d",
+        "day_rev",
+        F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
+    )
+
+
+_Q30_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         round(sum(o_totalprice), 2) AS day_rev,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num
+  FROM orders GROUP BY 1
+)
+SELECT d, day_rev,
+       round(sum(day_rev) OVER (ORDER BY day_num
+                                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+         AS rev_7d
+FROM daily
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_argmin_supplier": q02_argmin_supplier,
@@ -945,6 +1040,9 @@ QUERIES = {
     "q25_collect_set": q25_collect_set,
     "q26_intersect": q26_intersect,
     "q27_above_nation_avg": q27_above_nation_avg,
+    "q28_grouping_sets": q28_grouping_sets,
+    "q29_ntile_percentile": q29_ntile_percentile,
+    "q30_moving_range_sum": q30_moving_range_sum,
 }
 
 ORACLE = {
@@ -975,4 +1073,7 @@ ORACLE = {
     "q25_collect_set": _Q25_SQL,
     "q26_intersect": _Q26_SQL,
     "q27_above_nation_avg": _Q27_SQL,
+    "q28_grouping_sets": _Q28_SQL,
+    "q29_ntile_percentile": _Q29_SQL,
+    "q30_moving_range_sum": _Q30_SQL,
 }

@@ -101,6 +101,50 @@ def deduplicated(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataF
     )
 
 
+def click_purchase_join(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding hour. Both sides carry watermarks
+    and the join has an explicit time-range condition, so the state
+    store retains ~1 hour + watermark of each side per user — bounded,
+    the (d) requirement for stream-stream joins at scale. The batch
+    twin is e09's as-of join shape (operators/events.py).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        "amount",
+    )
+
+
 def idempotent_parquet_sink(out_dir: str):
     """foreachBatch writer: dynamic partition overwrite keyed by
     (event_date, batch_id) — re-processing a batch replaces exactly its

@@ -168,3 +168,40 @@ def test_multibatch_sink_no_cross_batch_loss(spark, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() == ev.count()
     assert written.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path, event_drop):
+    """Stream-stream click↔purchase join (watermarked, time-bounded
+    state) must produce exactly the batch join's pairs."""
+    path, ev = event_drop
+    stream = es.read_events_stream(spark, path)
+    joined = es.click_purchase_join(stream)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("select * from ss_join").collect()
+    }
+    clicks = ev.filter(F.col("event_type") == "click").selectExpr(
+        "user_id u", "ts cts", "event_id cid"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id p", "ts pts", "event_id pid"
+    )
+    expected = {
+        (r.pid, r.cid)
+        for r in purchases.join(
+            clicks,
+            (F.col("p") == F.col("u"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
