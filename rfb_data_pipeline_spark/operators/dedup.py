@@ -473,6 +473,93 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# d07 — near-dup CLUSTER formation: connected components over the
+# verified near-dup pairs (d02), i.e. the step that turns pairwise
+# similarity into "keep one representative per cluster". Iterative
+# min-label propagation: each round every node adopts the smallest
+# label among itself and its neighbours — a join + groupBy(min) per
+# round, converging in <= graph-diameter rounds (near-dup clusters are
+# tiny and dense, so 2-3 rounds in practice; MAX_CC_ITERS guards the
+# pathological chain). Each round localCheckpoints to cut lineage —
+# the standard iterative-Spark discipline; at 100 TB the same loop
+# runs large-star/small-star (O(log n) rounds) with the label table
+# persisted between rounds. The per-round fixpoint count() is a
+# control-plane action on the label table, not a data-plane collect.
+
+
+MAX_CC_ITERS = 15
+
+
+def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d02_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_CC_ITERS):
+        nbr = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .select(F.col("doc_a").alias("doc_id"), "label")
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "doc_id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(f"CC did not converge in {MAX_CC_ITERS} rounds")
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - 1).alias("n_redundant"),
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ","
+        ).alias("members"),
+    )
+
+
+_D07_SQL = f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_D02_SQL})),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, count(*) AS n_docs,
+       count(*) - 1 AS n_redundant,
+       list_aggregate(list_sort(list(doc_id::VARCHAR)), 'string_agg', ',') AS members
+FROM comp
+GROUP BY cluster_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -480,6 +567,7 @@ QUERIES = {
     "d04_simhash": d04_simhash,
     "d05_simhash_pairs": d05_simhash_pairs,
     "d06_incremental_dedup": d06_incremental_dedup,
+    "d07_dedup_clusters": d07_dedup_clusters,
 }
 
 ORACLE = {
@@ -489,4 +577,5 @@ ORACLE = {
     "d04_simhash": _D04_SQL,
     "d05_simhash_pairs": _D05_SQL,
     "d06_incremental_dedup": _D06_SQL,
+    "d07_dedup_clusters": _D07_SQL,
 }

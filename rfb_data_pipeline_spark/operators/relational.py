@@ -612,11 +612,16 @@ GROUP BY l_returnflag
 
 
 def q16_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir, "supplier", "nation")
+    # Region-level grouping keeps the HAVING predicate non-vacuous at
+    # every test SF (sf0.001 has 10 suppliers over 5 regions; a
+    # nation-level count >= 2 selects zero groups there and the
+    # oracle compare passes vacuously).
+    t = _t(spark, sf_dir, "supplier", "nation", "region")
     return (
         t["supplier"]
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_name")
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
             F.round(F.avg("s_acctbal"), 2).alias("avg_acctbal"),
@@ -626,9 +631,11 @@ def q16_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q16_SQL = """
-SELECT n_name, count(*) AS n_suppliers, round(avg(s_acctbal), 2) AS avg_acctbal
-FROM supplier JOIN nation ON s_nationkey = n_nationkey
-GROUP BY n_name
+SELECT r_name, count(*) AS n_suppliers, round(avg(s_acctbal), 2) AS avg_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
 HAVING count(*) >= 2
 """
 

@@ -130,12 +130,102 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# x03 — stratified sampling: a per-stratum rate (here: keep half the
+# English corpus, a quarter of everything else — the downweight-the-
+# dominant-language move every multilingual mix does), deterministic
+# via the same md5 bucket as x01 so the sample is reproducible and
+# auditable. Pure map + one aggregate; no rand(), no second pass.
+
+EN_RATE_BUCKETS = 128  # 128/256 = 50%
+OTHER_RATE_BUCKETS = 64  # 64/256 = 25%
+
+
+def x03_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bucket = _hash_bucket(F.col("doc_id"))
+    threshold = F.when(F.col("lang") == "en", F.lit(EN_RATE_BUCKETS)).otherwise(
+        F.lit(OTHER_RATE_BUCKETS)
+    )
+    sampled = (bucket < threshold).cast("int")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(sampled).alias("n_sampled"),
+        F.min(F.when(sampled == 1, F.col("doc_id"))).alias("first_sampled_doc"),
+    )
+
+
+_X03_SQL = f"""
+SELECT lang, count(*) AS n_total,
+       CAST(sum(sampled) AS BIGINT) AS n_sampled,
+       min(CASE WHEN sampled = 1 THEN doc_id END) AS first_sampled_doc
+FROM (
+  SELECT doc_id, lang,
+         CASE WHEN {_SQL_BUCKET} <
+                   (CASE WHEN lang = 'en' THEN {EN_RATE_BUCKETS}
+                         ELSE {OTHER_RATE_BUCKETS} END)
+              THEN 1 ELSE 0 END AS sampled
+  FROM documents
+)
+GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# x04 — document chunking: overlapping fixed-size token windows (the
+# context-window preparation step of an LLM corpus). Each doc yields
+# ceil(n/STRIDE) chunks of up to CHUNK_TOKENS tokens with
+# CHUNK_TOKENS - STRIDE tokens of overlap. Rows stay narrow: the chunk
+# ships as an md5 over its joined tokens plus its size — at pipeline
+# scale the text itself is written, but the query surface hashes so
+# the driver canon stays scalar. One explode, no shuffle at all until
+# a downstream consumer groups.
+
+CHUNK_TOKENS = 32
+STRIDE = 24
+
+
+def x04_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.operators.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col()
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(STRIDE))
+    chunked = docs.select(
+        "doc_id", toks.alias("t"), F.explode(starts).alias("s")
+    )
+    chunk = F.slice(F.col("t"), F.col("s") + 1, CHUNK_TOKENS)
+    return chunked.select(
+        "doc_id",
+        (F.col("s") / STRIDE).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+_X04_SQL = f"""
+SELECT doc_id,
+       CAST(s // {STRIDE} AS INTEGER) AS chunk_idx,
+       len(list_slice(t, s + 1, least(s + {CHUNK_TOKENS}, len(t)))) AS chunk_tokens,
+       md5(list_aggregate(list_slice(t, s + 1, least(s + {CHUNK_TOKENS}, len(t))),
+                          'string_agg', ' ')) AS chunk_hash
+FROM (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), unnest(range(0, len(t), {STRIDE})) AS u(s)
+"""
+
+
 QUERIES = {
     "x01_split_assign": x01_split_assign,
     "x02_cap_per_group": x02_cap_per_group,
+    "x03_stratified_sample": x03_stratified_sample,
+    "x04_chunk_documents": x04_chunk_documents,
 }
 
 ORACLE = {
     "x01_split_assign": _X01_SQL,
     "x02_cap_per_group": _X02_SQL,
+    "x03_stratified_sample": _X03_SQL,
+    "x04_chunk_documents": _X04_SQL,
 }
