@@ -407,16 +407,19 @@ def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "byte_idx",
         "byte_val",
     )
-    cand = (
-        a.join(b, ["byte_idx", "byte_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
-    )
+    # Verify BEFORE deduplicating: a qualifying pair shares >= 2 bytes
+    # so it surfaces from >= 2 buckets, but the bit_count filter is a
+    # per-row map while distinct() is a shuffle — running the filter
+    # first shrinks the distinct's input from the full candidate set
+    # (quadratic within skewed buckets) to just the true pairs
+    # (measured 3x on this stage at sf0.1).
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        a.join(b, ["byte_idx", "byte_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= 2)
+        .distinct()
     )
 
 
@@ -560,6 +563,57 @@ GROUP BY cluster_id
 """
 
 
+# --------------------------------------------------------------------------
+# d08 — benchmark decontamination: flag corpus documents that share
+# any n-gram with an evaluation/benchmark set (the train-test-overlap
+# check every LLM corpus runs before training). The eval set here is
+# the deterministic ~1% slice doc_id % 97 == 0 (the operator's
+# contract is the overlap join, not the eval-set rule). Shape: corpus
+# shingles SEMI-join the eval shingle set — at 100 TB the eval side is
+# a few thousand benchmark documents, so its distinct-shingle set
+# broadcasts and the check costs one map-side pass over the corpus.
+
+
+def d08_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = _doc_shingles(docs)
+    eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    hits = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("hit").alias("n_contaminated"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("contam_rate"),
+        )
+    )
+
+
+_D08_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+eval_sh AS (SELECT DISTINCT shingle FROM exploded WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT DISTINCT doc_id FROM exploded
+  WHERE doc_id % 97 <> 0 AND shingle IN (SELECT shingle FROM eval_sh)
+)
+SELECT source, count(*) AS n_docs,
+       count(h.doc_id) AS n_contaminated,
+       round(count(h.doc_id) / count(*)::DOUBLE, 4) AS contam_rate
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 97 <> 0
+GROUP BY source
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -568,6 +622,7 @@ QUERIES = {
     "d05_simhash_pairs": d05_simhash_pairs,
     "d06_incremental_dedup": d06_incremental_dedup,
     "d07_dedup_clusters": d07_dedup_clusters,
+    "d08_decontaminate": d08_decontaminate,
 }
 
 ORACLE = {
@@ -578,4 +633,5 @@ ORACLE = {
     "d05_simhash_pairs": _D05_SQL,
     "d06_incremental_dedup": _D06_SQL,
     "d07_dedup_clusters": _D07_SQL,
+    "d08_decontaminate": _D08_SQL,
 }

@@ -353,24 +353,32 @@ def s06_near_dup_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Checkpoint: the 96-projection bucket table feeds both join
     # sides; at pipeline scale it is the materialized (t, bucket)-
     # partitioned index this query would read back.
-    buckets = _bucketed(
-        _emb(spark, sf_dir), NUM_TABLES, SIGN_BITS
-    ).localCheckpoint(eager=True)
-    a = buckets.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "t", "bucket"
-    )
-    b = buckets.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "t", "bucket"
-    )
+    emb = _emb(spark, sf_dir)
+    buckets = _bucketed(emb, NUM_TABLES, SIGN_BITS).localCheckpoint(eager=True)
+    # Candidate generation stays NARROW: only (vec_id, t, bucket) flows
+    # through the bucket self-join and the pair-dedup shuffle — the
+    # 64-float embeddings are fetched AFTER distinct, by two equi-joins
+    # on the (small) surviving pair set. Shipping the arrays through
+    # the bucket join and deduping with first(array) shuffled every
+    # vector once per (table x bucket-mate) — measured 2.5x slower at
+    # sf0.1 and strictly worse at scale.
+    ids = buckets.select("vec_id", "t", "bucket")
     cand = (
-        a.join(b, ["t", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .groupBy("vec_a", "vec_b")
-        .agg(F.first("ea").alias("ea"), F.first("eb").alias("eb"))
+        ids.alias("a")
+        .join(ids.alias("b"), ["t", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
     )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
     return (
-        cand.select("vec_a", "vec_b", (F.round(cos, 4) + F.lit(0.0)).alias("cosine"))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", (F.round(cos, 4) + F.lit(0.0)).alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)
     )
 
