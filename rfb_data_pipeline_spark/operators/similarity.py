@@ -352,9 +352,16 @@ WHERE cosine >= {NEAR_DUP_COS}
 def s06_near_dup_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Checkpoint: the 96-projection bucket table feeds both join
     # sides; at pipeline scale it is the materialized (t, bucket)-
-    # partitioned index this query would read back.
+    # partitioned index this query would read back. Only the NARROW
+    # (vec_id, t, bucket) index is checkpointed — materializing the
+    # 64-float embedding once per LSH table (16x data volume) is pure
+    # waste when candidate generation never touches it.
     emb = _emb(spark, sf_dir)
-    buckets = _bucketed(emb, NUM_TABLES, SIGN_BITS).localCheckpoint(eager=True)
+    ids = (
+        _bucketed(emb, NUM_TABLES, SIGN_BITS)
+        .select("vec_id", "t", "bucket")
+        .localCheckpoint(eager=True)
+    )
     # Candidate generation stays NARROW: only (vec_id, t, bucket) flows
     # through the bucket self-join and the pair-dedup shuffle — the
     # 64-float embeddings are fetched AFTER distinct, by two equi-joins
@@ -362,7 +369,6 @@ def s06_near_dup_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bucket join and deduping with first(array) shuffled every
     # vector once per (table x bucket-mate) — measured 2.5x slower at
     # sf0.1 and strictly worse at scale.
-    ids = buckets.select("vec_id", "t", "bucket")
     cand = (
         ids.alias("a")
         .join(ids.alias("b"), ["t", "bucket"])
@@ -370,16 +376,29 @@ def s06_near_dup_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
-        .distinct()
+        # The narrow ids table broadcasts, so the bucket self-join
+        # inherits its handful of input partitions — round-robin the
+        # (two-long-column) pair set across the cluster so the scoring
+        # stage below parallelizes. At scale the self-join shuffles on
+        # (t, bucket) anyway and this becomes a no-op-cost rebalance.
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    # Verify BEFORE deduplicating (same reorder as d05): scoring the
+    # ~16% duplicate candidates is a map-side broadcast join + dot
+    # product, while distinct() is a shuffle — deduping the scored
+    # survivors (~0.02% of candidates) instead of the full candidate
+    # set removes the one large shuffle in the query (measured 1.6x
+    # end-to-end at sf0.1; at scale the distinct input drops from
+    # O(candidates) to O(true pairs)).
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", (F.round(cos, 4) + F.lit(0.0)).alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)
+        .distinct()
     )
 
 
