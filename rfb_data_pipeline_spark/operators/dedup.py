@@ -614,6 +614,64 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# d09 — DIRECTED containment (|shingles(a) ∩ shingles(b)| / |shingles(a)|):
+# catches quote/subset duplication that symmetric Jaccard misses — a
+# short doc fully embedded in a long one has low Jaccard but
+# containment 1.0. Same inverted-index join shape as d02 (quadratic
+# only within shared-shingle groups — the verifier tier; the 100 TB
+# path generates candidates from d03's LSH buckets first).
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def d09_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exploded = _doc_shingles(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    return (
+        common.join(sa, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("common") / F.col("sz_a"), 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
+_D09_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+         round(common::DOUBLE / sa.sz, 4) AS containment
+  FROM common JOIN sizes sa ON doc_a = sa.doc_id
+)
+WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -623,6 +681,7 @@ QUERIES = {
     "d06_incremental_dedup": d06_incremental_dedup,
     "d07_dedup_clusters": d07_dedup_clusters,
     "d08_decontaminate": d08_decontaminate,
+    "d09_containment": d09_containment,
 }
 
 ORACLE = {
@@ -634,4 +693,5 @@ ORACLE = {
     "d06_incremental_dedup": _D06_SQL,
     "d07_dedup_clusters": _D07_SQL,
     "d08_decontaminate": _D08_SQL,
+    "d09_containment": _D09_SQL,
 }

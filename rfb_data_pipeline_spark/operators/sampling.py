@@ -216,11 +216,184 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# x05 — end-to-end corpus curation funnel: the composed pipeline every
+# LLM corpus runs before training — exact dedup, quality gate,
+# benchmark decontamination — reported as a per-source funnel so each
+# stage's cost is auditable. Stages are FLAGS on one pass over the
+# corpus (not three materialized intermediates): dedup survivorship is
+# one window over the text fingerprint, quality is a pure map (t02's
+# rules), contamination is the d08 broadcast semi-join — so the whole
+# funnel costs one wide table scan + one narrow shingle pass
+# regardless of how many stages report.
+
+EVAL_MOD = 97  # doc_id % 97 == 0 → held-out benchmark slice (as d08)
+
+
+def x05_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.operators.dedup import _doc_shingles
+    from rfb_data_pipeline_spark.operators.text import STOPWORDS_EN, tokens_col
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+
+    # Stage 1 — exact dedup: the min-doc_id representative of each
+    # exact-text group survives (one shuffle on the fingerprint).
+    w = Window.partitionBy(F.md5(F.col("text")))
+    keep_dedup = (F.col("doc_id") == F.min("doc_id").over(w)).cast("int")
+
+    # Stage 2 — quality gate (t02's Gopher/C4-style rules, pure map).
+    toks = tokens_col()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / n_tokens
+    )
+    digit_ratio = (
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double")
+        / F.length("text")
+    )
+    quality = (
+        (n_tokens >= 10) & (stop_ratio >= 0.01) & (digit_ratio <= 0.3)
+    ).cast("int")
+
+    # Stage 3 — decontamination: any 3-gram shared with the held-out
+    # slice taints the doc (d08's broadcast-able semi-join shape).
+    sh = _doc_shingles(docs)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("shingle").distinct()
+    )
+    contaminated = (
+        sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(1))
+    )
+
+    flagged = (
+        corpus.withColumn("keep_dedup", keep_dedup)
+        .withColumn("quality", quality)
+        .withColumn("n_tokens", n_tokens)
+        .join(contaminated, "doc_id", "left")
+        .withColumn("clean", F.coalesce(1 - F.col("contam"), F.lit(1)))
+    )
+    kept = F.col("keep_dedup") * F.col("quality") * F.col("clean")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum("keep_dedup").alias("n_after_dedup"),
+        F.sum(F.col("keep_dedup") * F.col("quality")).alias("n_after_quality"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(F.col("n_tokens") * kept).alias("tokens_kept"),
+    )
+
+
+_X05_SQL = f"""
+WITH corpus AS (
+  SELECT *, string_split_regex(trim(text), '\\s+') AS toks,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+              THEN 1 ELSE 0 END AS keep_dedup
+  FROM documents WHERE doc_id % {EVAL_MOD} <> 0
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+contam AS (
+  SELECT DISTINCT doc_id FROM sh
+  WHERE doc_id % {EVAL_MOD} <> 0 AND shingle IN (SELECT shingle FROM eval_sh)
+),
+flagged AS (
+  SELECT c.source, c.keep_dedup, len(c.toks) AS n_tokens,
+         CASE WHEN len(c.toks) >= 10
+               AND len(list_filter(c.toks,
+                     t -> t IN ('the','a','of','to','and','in','is','it')))::DOUBLE
+                   / len(c.toks) >= 0.01
+               AND length(regexp_replace(c.text, '[^0-9]', '', 'g'))::DOUBLE
+                   / length(c.text) <= 0.3
+              THEN 1 ELSE 0 END AS quality,
+         CASE WHEN ct.doc_id IS NULL THEN 1 ELSE 0 END AS clean
+  FROM corpus c LEFT JOIN contam ct ON c.doc_id = ct.doc_id
+)
+SELECT source,
+       count(*) AS n_input,
+       CAST(sum(keep_dedup) AS BIGINT) AS n_after_dedup,
+       CAST(sum(keep_dedup * quality) AS BIGINT) AS n_after_quality,
+       CAST(sum(keep_dedup * quality * clean) AS BIGINT) AS n_kept,
+       CAST(sum(n_tokens * keep_dedup * quality * clean) AS BIGINT)
+         AS tokens_kept
+FROM flagged
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# x06 — deterministic corpus shuffle + shard export: the final step of
+# training-data preparation. A global "sort by random key then round-
+# robin" permutation needs a global total order (single point of
+# coordination); the scalable equivalent used here is hash-bucket
+# shard assignment + md5-ordered placement WITHIN each shard — the
+# composition is still a uniform pseudorandom permutation of the
+# corpus, but every shard is built independently (one shuffle on the
+# shard key, then a per-shard sort that Spark runs partition-local).
+# The order_checksum (sum of rank x doc_id) pins the exact within-
+# shard sequence cross-engine, so the oracle verifies the full
+# permutation, not just membership.
+
+N_SHARDS = 8
+
+
+def x06_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    shard = (_hash_bucket(F.col("doc_id")) % N_SHARDS).alias("shard")
+    skey = F.md5(F.col("doc_id").cast("string"))
+    sharded = docs.select("doc_id", "n_chars", shard, skey.alias("skey"))
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    ranked = sharded.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min_by("doc_id", F.col("skey")).alias("first_doc"),
+        F.sum(F.col("rk").cast("bigint") * F.col("doc_id")).alias(
+            "order_checksum"
+        ),
+    )
+
+
+_X06_SQL = f"""
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min_by(doc_id, skey) AS first_doc,
+       CAST(sum(rk * doc_id) AS BIGINT) AS order_checksum
+FROM (
+  SELECT doc_id, n_chars, shard, skey,
+         row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS rk
+  FROM (
+    SELECT doc_id, n_chars,
+           {_SQL_BUCKET} % {N_SHARDS} AS shard,
+           md5(doc_id::VARCHAR) AS skey
+    FROM documents
+  )
+)
+GROUP BY shard
+"""
+
+
 QUERIES = {
     "x01_split_assign": x01_split_assign,
     "x02_cap_per_group": x02_cap_per_group,
     "x03_stratified_sample": x03_stratified_sample,
     "x04_chunk_documents": x04_chunk_documents,
+    "x05_corpus_curation": x05_corpus_curation,
+    "x06_shuffle_shard": x06_shuffle_shard,
 }
 
 ORACLE = {
@@ -228,4 +401,6 @@ ORACLE = {
     "x02_cap_per_group": _X02_SQL,
     "x03_stratified_sample": _X03_SQL,
     "x04_chunk_documents": _X04_SQL,
+    "x05_corpus_curation": _X05_SQL,
+    "x06_shuffle_shard": _X06_SQL,
 }

@@ -378,6 +378,56 @@ FROM per_doc JOIN bigrams USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# t08 — corpus-level bigram frequencies (vocabulary-building /
+# tokenizer-training statistics): top-20 bigrams by corpus count with
+# a deterministic tie order. Same explode + lead-window stream as t07
+# (array-expression shingling re-executes the split per element — see
+# _doc_shingles' note in dedup.py); the count is a single keyed
+# aggregate with map-side partials, and the top-k is a TakeOrdered —
+# no global sort materializes.
+
+
+def t08_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "w")
+    ).filter(F.length("w") > 0)
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.select(
+            F.concat_ws(" ", "w", F.lead("w", 1).over(win)).alias("bigram"),
+            F.lead("w", 1).over(win).alias("_w1"),
+        )
+        .filter(F.col("_w1").isNotNull())
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+_T08_SQL = """
+WITH toks AS (
+  SELECT doc_id, u.i AS pos, t[u.i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE length(t[u.i]) > 0
+)
+SELECT bigram, count(*) AS n
+FROM (
+  SELECT w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+  FROM toks
+) WHERE w1 IS NOT NULL
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -386,6 +436,7 @@ QUERIES = {
     "t05_top_terms": t05_top_terms,
     "t06_tfidf_top_terms": t06_tfidf_top_terms,
     "t07_repetition": t07_repetition,
+    "t08_top_bigrams": t08_top_bigrams,
 }
 
 ORACLE = {
@@ -396,4 +447,5 @@ ORACLE = {
     "t05_top_terms": _T05_SQL,
     "t06_tfidf_top_terms": _T06_SQL,
     "t07_repetition": _T07_SQL,
+    "t08_top_bigrams": _T08_SQL,
 }
