@@ -38,6 +38,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the scan across the cluster when the source has
+    fewer splits than cores. The per-token map work downstream (md5,
+    bit votes, shingles) parallelizes with INPUT partitions, not
+    shuffle partitions — a single small parquet file would otherwise
+    run the whole hot map single-threaded. At 100 TB the scan has
+    thousands of splits and this is a no-op (guarded on the actual
+    partition count, so no gratuitous full-corpus shuffle at scale)."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """Distinct (doc_id, shingle) pairs via explode + window lead.
 
@@ -305,7 +319,7 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # occurrence-weighted vocab vote). At web scale the vocab broadcast
     # caps out around ~10M tokens; beyond that the same plan runs with
     # a shuffle join on w.
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )

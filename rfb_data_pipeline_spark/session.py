@@ -26,6 +26,13 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalesces by SHUFFLE BYTES, but several operators (minhash,
+    # simhash, shingle joins) do heavy per-row CPU (md5 chains) after a
+    # small-byte shuffle — the default 1 MB floor collapses them to 2-3
+    # tasks and serializes the math. A smaller floor keeps those stages
+    # at full parallelism; large shuffles are unaffected (they coalesce
+    # by the advisory target size long before this floor matters).
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # Dimension tables (region/nation/supplier, RFB code tables) are
     # tiny; make sure they broadcast rather than shuffle.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
