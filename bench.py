@@ -44,6 +44,7 @@ HEADLINE = [
     "s02_ann_lsh",
     "s05_ann_ivf",
     "s06_near_dup_pairs_banded",
+    "x05_corpus_curation",
 ]
 # s03 (exact all-pairs) is deliberately NOT timed: it is the
 # correctness oracle for s06, quadratic by definition; the production
