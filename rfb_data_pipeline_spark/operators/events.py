@@ -410,6 +410,77 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# e11 — volume-spike detection: hourly event counts per type scored
+# against the TRAILING 24-hour window (exclusive of the current hour —
+# a spike must not inflate its own baseline). One windowed aggregate
+# over the pre-aggregated hourly table (8.6k rows here; bounded by
+# hours x types at any corpus size, so the window input is tiny no
+# matter the raw event volume — the heavy lifting is the first
+# hourly groupBy, which shuffles once with map-side partials).
+# The z threshold applies to the ROUNDED z on both engines (ADVICE r1).
+
+SPIKE_Z = 2.0
+SPIKE_TRAILING_HOURS = 24
+SPIKE_MIN_BASELINE = 12  # need at least half a day of history
+
+
+def e11_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-SPIKE_TRAILING_HOURS, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.count(F.lit(1)).over(w).alias("n_baseline"),
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp(F.col("n").cast("double")).over(w).alias("sigma"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter(
+            (F.col("n_baseline") >= SPIKE_MIN_BASELINE) & (F.col("sigma") > 0)
+        )
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            (F.round(z, 4) + F.lit(0.0)).alias("z"),
+        )
+        .filter(F.col("z") >= SPIKE_Z)
+    )
+
+
+_E11_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hour, n,
+         count(*) OVER w AS n_baseline,
+         avg(n) OVER w AS mu,
+         stddev_samp(n::DOUBLE) OVER w AS sigma
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {SPIKE_TRAILING_HOURS} PRECEDING AND 1 PRECEDING)
+)
+SELECT * FROM (
+  SELECT event_type, hour, n, round((n - mu) / sigma, 4) + 0.0 AS z
+  FROM scored
+  WHERE n_baseline >= {SPIKE_MIN_BASELINE} AND sigma > 0
+)
+WHERE z >= {SPIKE_Z}
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_window": e02_sliding_window,
@@ -421,6 +492,7 @@ QUERIES = {
     "e08_pivot_event_types": e08_pivot_event_types,
     "e09_asof_join": e09_asof_join,
     "e10_retention_cohorts": e10_retention_cohorts,
+    "e11_spike_detection": e11_spike_detection,
 }
 
 ORACLE = {
@@ -434,4 +506,5 @@ ORACLE = {
     "e08_pivot_event_types": _E08_SQL,
     "e09_asof_join": _E09_SQL,
     "e10_retention_cohorts": _E10_SQL,
+    "e11_spike_detection": _E11_SQL,
 }

@@ -1045,6 +1045,90 @@ FROM daily
 """
 
 
+# --------------------------------------------------------------------------
+# q31 — statistical aggregates: correlation, covariance, stddev,
+# variance per group. Single hash aggregate; Spark and DuckDB both use
+# streaming co-moment updates, so values agree to float64 precision
+# and the 4 dp output rounding absorbs partial-order differences.
+
+
+def q31_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
+            "corr_qty_price"
+        ),
+        (F.round(F.covar_samp("l_quantity", "l_discount"), 4) + F.lit(0.0)).alias(
+            "covar_qty_disc"
+        ),
+        (F.round(F.stddev_samp("l_extendedprice"), 4) + F.lit(0.0)).alias(
+            "std_price"
+        ),
+        (F.round(F.var_pop("l_discount"), 4) + F.lit(0.0)).alias("var_disc"),
+    )
+
+
+_Q31_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 4) + 0.0 AS covar_qty_disc,
+       round(stddev_samp(l_extendedprice), 4) + 0.0 AS std_price,
+       round(var_pop(l_discount), 4) + 0.0 AS var_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# q32 — window VALUE functions (first/last/nth over an explicit
+# frame): each customer's order history annotated with their first,
+# latest-so-far, and second order price. last_value needs the frame
+# spelled out (the default frame stops at CURRENT ROW); ties broken by
+# o_orderkey so both engines pick identical rows.
+
+
+def q32_window_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    base = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = base.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.round(F.first_value("o_totalprice").over(running), 2).alias(
+            "first_price"
+        ),
+        F.round(F.last_value("o_totalprice").over(running), 2).alias(
+            "latest_price"
+        ),
+        F.round(F.nth_value("o_totalprice", 2).over(full), 2).alias(
+            "second_price"
+        ),
+    )
+
+
+_Q32_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       round(first_value(o_totalprice) OVER w_run, 2) AS first_price,
+       round(last_value(o_totalprice) OVER w_run, 2) AS latest_price,
+       round(nth_value(o_totalprice, 2) OVER w_full, 2) AS second_price
+FROM orders
+WINDOW
+  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_argmin_supplier": q02_argmin_supplier,
@@ -1076,6 +1160,8 @@ QUERIES = {
     "q28_grouping_sets": q28_grouping_sets,
     "q29_ntile_percentile": q29_ntile_percentile,
     "q30_moving_range_sum": q30_moving_range_sum,
+    "q31_stats_agg": q31_stats_agg,
+    "q32_window_values": q32_window_values,
 }
 
 ORACLE = {
@@ -1109,4 +1195,6 @@ ORACLE = {
     "q28_grouping_sets": _Q28_SQL,
     "q29_ntile_percentile": _Q29_SQL,
     "q30_moving_range_sum": _Q30_SQL,
+    "q31_stats_agg": _Q31_SQL,
+    "q32_window_values": _Q32_SQL,
 }
