@@ -118,3 +118,32 @@ def test_s06_banded_pairs_no_cartesian(spark):
     plan = pi.explain_string(_q(spark, "s06_near_dup_pairs_banded"), mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d09_containment_no_cartesian(spark):
+    """d09 pairs come from the inverted shingle index (equi-join on the
+    shingle), never an all-pairs comparison."""
+    plan = pi.explain_string(_q(spark, "d09_containment"), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x05_curation_broadcasts_eval_set(spark):
+    """The decontamination stage must broadcast the (small) benchmark
+    shingle set — a shuffled semi-join here would re-shuffle the whole
+    corpus shingle table at 100 TB."""
+    df = _q(spark, "x05_corpus_curation")
+    plan = pi.explain_string(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert pi.uses_broadcast_join(df)
+
+
+def test_x06_shard_single_wide_shuffle(spark):
+    """Shuffle-shard export: one shuffle for the shard window, one for
+    the final aggregate — no extra exchanges, no global single-
+    partition sort (the reason shard assignment is hash-based)."""
+    df = _q(spark, "x06_shuffle_shard")
+    assert pi.n_exchanges(df) <= 2
+    plan = pi.explain_string(df, mode="simple")
+    # a global ORDER BY would appear as a range-partitioned Sort
+    assert "rangepartitioning" not in plan.lower()
