@@ -2,16 +2,20 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata structs. The Spark-side plumbing — schemas, Arrow-batched
-``mapInPandas`` signatures, partitioning — is real and tested; the
-actual codec work is STUBBED because no media libraries exist in this
-container:
+``mapInPandas`` signatures, partitioning — is real and tested.
 
-- with a decoder available (``PIL`` probed at import), the real path
-  runs;
-- otherwise ``decode_stub=True`` (default) produces a deterministic
-  fake derived from the payload bytes' md5, so the pipeline shape is
-  exercised end-to-end and results are reproducible;
-- ``decode_stub=False`` without a decoder raises NotImplementedError,
+Codec tiers:
+
+- **PPM (P6) images decode for real** — a binary-header raster format
+  parseable with numpy alone (no media library needed): header parse,
+  pixel grid, nearest-neighbor resize, 4x4 grayscale thumbnail
+  features. The synthetic media table carries genuine P6 payloads, so
+  the decode → resize → featurize path runs end-to-end in tests.
+- compressed formats (png/jpeg/audio/video) need a codec library not
+  present in this container: with one available (``PIL`` probed at
+  import) the real path would run; otherwise ``decode_stub=True``
+  (default) produces a deterministic fake derived from the payload
+  bytes' md5, and ``decode_stub=False`` raises NotImplementedError,
   clearly marked.
 
 Scale notes: media rows are large — the batch iterator keeps memory
@@ -25,6 +29,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,20 +85,96 @@ DECODED_SCHEMA = StructType(
 )
 
 
+# -- PPM (P6) codec: numpy-only, real decode -------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 array → P6 PPM bytes."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("PPM is RGB: expected (h, w, 3)")
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 PPM bytes → (h, w, 3) uint8 array. Handles the full header
+    grammar (arbitrary whitespace, ``#`` comments) — a real parser,
+    not a fixture-shaped one."""
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    idx, fields = 2, []
+    while len(fields) < 3:
+        while idx < len(payload) and payload[idx : idx + 1].isspace():
+            idx += 1
+        if payload[idx : idx + 1] == b"#":
+            while idx < len(payload) and payload[idx] != 0x0A:
+                idx += 1
+            continue
+        start = idx
+        while idx < len(payload) and not payload[idx : idx + 1].isspace():
+            idx += 1
+        fields.append(int(payload[start:idx]))
+    idx += 1  # exactly one whitespace byte after maxval, then raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
+    n = w * h * 3
+    if len(payload) - idx < n:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(payload, dtype=np.uint8, count=n, offset=idx).reshape(
+        h, w, 3
+    )
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via integer index maps (pure numpy)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
+def ppm_features(img: np.ndarray, dim: int = FEATURE_DIM) -> list[float]:
+    """4x4 grayscale thumbnail, row-major, in [0, 1] — a real (if
+    tiny) visual descriptor: nearest-neighbor downsample then channel
+    mean. dim must be a square (16 → 4x4)."""
+    side = int(dim**0.5)
+    if side * side != dim:
+        raise ValueError("feature dim must be a perfect square")
+    thumb = resize_nearest(img, side, side).astype(np.float64)
+    gray = thumb.mean(axis=2) / 255.0
+    return [float(x) for x in gray.ravel()]
+
+
+def _synthetic_ppm(i: int, w: int = 8, h: int = 6) -> bytes:
+    """Deterministic small image: pixels from an md5 chain (seedless)."""
+    need, chunks, seed = w * h * 3, [], hashlib.md5(f"img-{i}".encode()).digest()
+    while sum(len(c) for c in chunks) < need:
+        chunks.append(seed)
+        seed = hashlib.md5(seed).digest()
+    pix = np.frombuffer(b"".join(chunks)[:need], dtype=np.uint8).reshape(h, w, 3)
+    return encode_ppm(pix)
+
+
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic fake media table (seedless: content = md5 chain)."""
+    """Deterministic media table. Images are REAL P6 PPMs (decodable);
+    audio/video payloads are opaque md5-chain bytes (stub tier)."""
     rows = []
     kinds = ("image", "audio", "video")
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.md5(f"media-{i}".encode()).digest() * (8 + i % 5)
-        meta = (
-            (64, 48, None, None, "png")
-            if kind == "image"
-            else (None, None, 16000, 1500, "wav")
-            if kind == "audio"
-            else (640, 480, None, 4000, "mp4")
-        )
+        if kind == "image":
+            payload = _synthetic_ppm(i)
+            meta = (8, 6, None, None, "ppm")
+        else:
+            payload = hashlib.md5(f"media-{i}".encode()).digest() * (8 + i % 5)
+            meta = (
+                (None, None, 16000, 1500, "wav")
+                if kind == "audio"
+                else (640, 480, None, 4000, "mp4")
+            )
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -137,6 +218,12 @@ def decode_features(
             + [StructField("batch_rows", LongType(), True)]
         )
 
+    def featurize(b) -> list[float]:
+        raw = bytes(b or b"")
+        if raw.startswith(b"P6"):  # real decode tier (PPM)
+            return ppm_features(decode_ppm(raw))
+        return _fake_features(raw)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             content = pdf["content"]
@@ -147,9 +234,7 @@ def decode_features(
                     "n_bytes": content.map(
                         lambda b: len(b) if b is not None else 0
                     ).astype("int64"),
-                    "features": content.map(
-                        lambda b: _fake_features(bytes(b or b""))
-                    ),
+                    "features": content.map(featurize),
                 }
             )
             if with_batch_rows:
@@ -157,6 +242,61 @@ def decode_features(
             yield out
 
     return media.mapInPandas(run, schema)
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_r", FloatType(), True),
+        StructField("mean_g", FloatType(), True),
+        StructField("mean_b", FloatType(), True),
+    ]
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """REAL image statistics from decoded PPM pixels (not metadata):
+    dimensions and per-channel means via Arrow-batched mapInPandas.
+    Non-PPM rows are dropped (the caller filters kind/format; this
+    guards on the magic bytes so a mislabeled row can't crash the
+    batch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(b or b"")
+                if not raw.startswith(b"P6"):
+                    continue
+                img = decode_ppm(raw)
+                means = img.astype(np.float64).mean(axis=(0, 1))
+                recs.append(
+                    (
+                        int(mid),
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        float(means[0]),
+                        float(means[1]),
+                        float(means[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, IMAGE_STATS_SCHEMA
+    )
 
 
 def frame_sample(

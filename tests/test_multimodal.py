@@ -54,3 +54,68 @@ def test_real_decode_gate():
     media = mm.synthetic_media(spark, n=3)
     with pytest.raises(NotImplementedError):
         mm.decode_features(media, decode_stub=False)
+
+
+# -- PPM real-decode tier ---------------------------------------------------
+
+
+def test_ppm_roundtrip_identity():
+    import numpy as np
+
+    rng = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(rng)), rng)
+
+
+def test_ppm_header_grammar():
+    import numpy as np
+
+    img = np.full((2, 3, 3), 7, dtype=np.uint8)
+    # comments and arbitrary whitespace in the header must parse
+    raw = b"P6 # a comment\n # another\n 3\t2\n255\n" + img.tobytes()
+    assert np.array_equal(mm.decode_ppm(raw), img)
+    with pytest.raises(ValueError):
+        mm.decode_ppm(b"P5\n1 1\n255\n\x00")  # wrong magic
+    with pytest.raises(ValueError):
+        mm.decode_ppm(b"P6\n2 2\n255\n\x00\x00")  # truncated raster
+
+
+def test_resize_nearest_shapes_and_values():
+    import numpy as np
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[2:, :, :] = 255  # bottom half white
+    small = mm.resize_nearest(img, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert small[0].max() == 0 and small[1].min() == 255
+
+
+def test_image_stats_decodes_real_pixels(spark):
+    import numpy as np
+
+    media = mm.synthetic_media(spark, n=12)
+    stats = {r.media_id: r for r in mm.image_stats(media).collect()}
+    metas = {
+        r.media_id: r.meta
+        for r in media.filter(F.col("kind") == "image").collect()
+    }
+    assert set(stats) == set(metas)
+    for mid, r in stats.items():
+        # decoded dimensions agree with the typed metadata
+        assert (r.width, r.height) == (metas[mid].width, metas[mid].height)
+        # channel means recomputed here from the same deterministic pixels
+        img = mm.decode_ppm(mm._synthetic_ppm(mid))
+        means = img.astype(np.float64).mean(axis=(0, 1))
+        assert abs(r.mean_r - means[0]) < 1e-4
+        assert abs(r.mean_g - means[1]) < 1e-4
+        assert abs(r.mean_b - means[2]) < 1e-4
+
+
+def test_decode_features_uses_real_path_for_images(spark):
+    media = mm.synthetic_media(spark, n=6)
+    rows = {r.media_id: r for r in mm.decode_features(media).collect()}
+    # image rows: features are the 4x4 grayscale thumbnail of the
+    # DECODED pixels, not the md5 fake over the raw payload bytes
+    img0 = mm.decode_ppm(mm._synthetic_ppm(0))
+    assert rows[0].features == pytest.approx(mm.ppm_features(img0), abs=1e-6)
+    fake = mm._fake_features(mm._synthetic_ppm(0))
+    assert rows[0].features != pytest.approx(fake, abs=1e-6)
