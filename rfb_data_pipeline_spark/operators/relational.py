@@ -1046,6 +1046,30 @@ FROM daily
 
 
 # --------------------------------------------------------------------------
+# q33 — approximate quantiles (Greenwald-Khanna / relative-error
+# sketch). With q24's HLL this completes the mergeable-sketch family:
+# the sketch merges associatively, so percentiles over 100 TB run with
+# map-side partials and bounded memory where an exact percentile needs
+# a full sort. No SQL oracle — sketch internals are engine-specific;
+# the driver records rows-only and the pytest bounds the estimate
+# against the exact quantiles (tests/test_oracle_parity.py).
+
+
+def q33_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    pcts = F.percentile_approx(
+        "l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10_000
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(pcts[0], 2).alias("p25"),
+        F.round(pcts[1], 2).alias("p50"),
+        F.round(pcts[2], 2).alias("p75"),
+        F.round(pcts[3], 2).alias("p99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q31 — statistical aggregates: correlation, covariance, stddev,
 # variance per group. Single hash aggregate; Spark and DuckDB both use
 # streaming co-moment updates, so values agree to float64 precision
@@ -1162,6 +1186,7 @@ QUERIES = {
     "q30_moving_range_sum": q30_moving_range_sum,
     "q31_stats_agg": q31_stats_agg,
     "q32_window_values": q32_window_values,
+    "q33_approx_quantiles": q33_approx_quantiles,
 }
 
 ORACLE = {

@@ -65,3 +65,28 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["n_name", "revenue", "n_orders"]
+
+
+def test_approx_quantiles_accuracy(spark, duck):
+    """q33 has no SQL oracle (quantile sketches are engine-specific);
+    assert each estimated percentile lands within 1% relative error of
+    DuckDB's exact quantile_cont."""
+    rows = {
+        r.l_returnflag: r
+        for r in _QUERIES["q33_approx_quantiles"](spark, SF_SMALL).collect()
+    }
+    exact = {
+        flag: (p25, p50, p75, p99)
+        for flag, p25, p50, p75, p99 in duck.execute(
+            "SELECT l_returnflag,"
+            " quantile_cont(l_extendedprice, 0.25),"
+            " quantile_cont(l_extendedprice, 0.50),"
+            " quantile_cont(l_extendedprice, 0.75),"
+            " quantile_cont(l_extendedprice, 0.99)"
+            " FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    assert set(rows) == set(exact)
+    for flag, r in rows.items():
+        for est, ex in zip((r.p25, r.p50, r.p75, r.p99), exact[flag]):
+            assert abs(est - ex) / abs(ex) < 0.01, (flag, est, ex)
