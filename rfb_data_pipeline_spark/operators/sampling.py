@@ -44,8 +44,16 @@ def _hash_bucket(key: Column, buckets: int = 256) -> Column:
 
 
 def split_col(key: Column) -> Column:
-    """'train' / 'val' / 'test' from the hash bucket percentile."""
-    pct = (_hash_bucket(key) * 100 / 256).cast("int")
+    """'train' / 'val' / 'test' from the hash bucket percentile.
+
+    The percentile is FLOORED explicitly on both engines: Spark's
+    double→int cast truncates while DuckDB's CAST rounds to nearest,
+    so the boundary buckets (204 → 79.6875, 230 → 89.84) land in
+    different splits under a bare cast — an SF-dependent divergence
+    (no doc hashed into those buckets at sf≤0.01; sf0.1 caught it).
+    x*100/256 is exact in float64 (denominator is a power of two), so
+    floor is deterministic."""
+    pct = F.floor(_hash_bucket(key) * 100 / 256).cast("int")
     return (
         F.when(pct < TRAIN_PCT, F.lit("train"))
         .when(pct < TRAIN_PCT + VAL_PCT, F.lit("val"))
@@ -81,8 +89,8 @@ SELECT split, count(*) AS n_docs,
        count(DISTINCT source) AS n_sources
 FROM (
   SELECT *,
-         CASE WHEN CAST({_SQL_BUCKET} * 100 / 256 AS INTEGER) < {TRAIN_PCT} THEN 'train'
-              WHEN CAST({_SQL_BUCKET} * 100 / 256 AS INTEGER) < {TRAIN_PCT + VAL_PCT} THEN 'val'
+         CASE WHEN CAST(floor({_SQL_BUCKET} * 100.0 / 256) AS INTEGER) < {TRAIN_PCT} THEN 'train'
+              WHEN CAST(floor({_SQL_BUCKET} * 100.0 / 256) AS INTEGER) < {TRAIN_PCT + VAL_PCT} THEN 'val'
               ELSE 'test' END AS split
   FROM documents
 )
