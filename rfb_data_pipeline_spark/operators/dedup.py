@@ -311,36 +311,32 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Bit votes are computed on the VOCABULARY (distinct tokens), not
-    # per occurrence: md5 + 32 nibble tests run |vocab| times, then a
-    # broadcast join tags each occurrence with its ±1 bit vector and
-    # one keyed aggregate sums the votes (2.6x measured at sf0.1; the
-    # result is bit-identical — a vote per occurrence equals the
-    # occurrence-weighted vocab vote). At web scale the vocab broadcast
-    # caps out around ~10M tokens; beyond that the same plan runs with
-    # a shuffle join on w.
+    # Bit votes run PER OCCURRENCE in one codegen'd map (md5 + 32
+    # nibble tests per token) straight into the keyed aggregate's
+    # map-side partials — one shuffle, no join, no distinct. A
+    # vocabulary-level variant (hash distinct tokens once, broadcast-
+    # join the ±1 vectors back) was faster when the post-shuffle
+    # stages ran coalesced (round 1), but with full stage parallelism
+    # the extra vocab shuffle + broadcast costs more than the repeated
+    # md5s (1.5s vs 2.3s at sf0.1, bit-identical results — a vote per
+    # occurrence equals the occurrence-weighted vocab vote). The
+    # per-occurrence form also has no broadcast size cliff at web
+    # scale.
     docs = _spread(_docs(spark, sf_dir))
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )
-    vocab = (
-        tok.select("w")
-        .distinct()
-        .withColumn("h", F.md5("w"))
-        .select(
-            "w",
-            *[
-                F.when(
-                    F.substring("h", i + 1, 1).isin(*list("89abcdef")), 1
-                )
-                .otherwise(-1)
-                .alias(f"b{i}")
-                for i in range(32)
-            ],
-        )
+    h = F.md5("w")
+    bits = tok.select(
+        "doc_id",
+        *[
+            F.when(F.substring(h, i + 1, 1).isin(*list("89abcdef")), 1)
+            .otherwise(-1)
+            .alias(f"b{i}")
+            for i in range(32)
+        ],
     )
-    joined = tok.join(F.broadcast(vocab), "w")
-    agg = joined.groupBy("doc_id").agg(
+    agg = bits.groupBy("doc_id").agg(
         *[F.sum(f"b{i}").alias(f"s{i}") for i in range(32)]
     )
     fingerprint = None
