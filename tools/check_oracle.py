@@ -94,9 +94,24 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as e
-    from rfb_data_pipeline_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("ORACLE_BARE_SESSION") == "1":
+        # The driver's environment: a SparkSession with NO repo confs
+        # (no UTC session TZ, no AQE tuning). Queries must be correct
+        # here too — any session-dependent conf has to be applied at
+        # runtime inside catalog/source code, not in get_spark.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[4]")
+            .appName("oracle-check-bare")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from rfb_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     qs, oracles = e.queries(), e.oracle_sql()
 
     con = duckdb.connect()
