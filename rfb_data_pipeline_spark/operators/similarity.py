@@ -30,6 +30,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rfb_data_pipeline_spark.catalog import load_tables
 
@@ -627,6 +628,116 @@ LIMIT {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# s08 — k-means (two full Lloyd iterations): the iterative-algorithm
+# shape on Spark. Each iteration is assign (broadcast the K centroids,
+# per-vector argmin) → recompute (explode dims, one keyed aggregate) —
+# the loop lives in the DRIVER, each step is a declarative plan, and
+# nothing iterates per-row in Python. Determinism across engines:
+#   * distances are sequential float64 folds over dims (bit-identical
+#     Spark↔DuckDB, the _SQL_DOT precedent);
+#   * argmin ties break on cid via row_number;
+#   * recomputed centroids use DECIMAL(20,10) sums — exact, therefore
+#     ORDER-INDEPENDENT, where a float sum would drift with partial
+#     ordering and could flip a near-equidistant assignment.
+# At 100 TB: centroids are tiny (K x dim) and broadcast; each
+# iteration costs one corpus map + one narrow shuffle on (cid, dim).
+
+K_CLUSTERS = 8
+
+
+def s08_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cents0 = emb.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(
+                "embedding",
+                "c",
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+        return (
+            emb.crossJoin(F.broadcast(cents))
+            .select("vec_id", "embedding", "cid", d2.alias("d2"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+
+    a1 = assign(cents0)
+    dims = a1.select("cid", F.posexplode("embedding").alias("dim", "v"))
+    cd = dims.groupBy("cid", "dim").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(20,10)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("cv")
+    )
+    cents1 = (
+        cd.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("s"))
+        .select("cid", F.transform("s", lambda x: x["cv"]).alias("c"))
+    )
+    a2 = assign(cents1)
+    return a2.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("d2"), 2).alias("sse"),
+    )
+
+
+_SQL_D2 = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> ({e}[i]::DOUBLE - {c}[i]) * ({e}[i]::DOUBLE - {c}[i])))"
+)
+
+_S08_SQL = f"""
+WITH c0 AS (
+  SELECT vec_id::INTEGER AS cid,
+         list_transform(embedding, x -> x::DOUBLE) AS c
+  FROM embeddings WHERE vec_id < {K_CLUSTERS}
+),
+a1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_SQL_D2.format(e="e.embedding", c="c.c")} ASC, c.cid ASC
+           ) AS rk
+    FROM embeddings e CROSS JOIN c0 c
+  ) WHERE rk = 1
+),
+cd AS (
+  SELECT cid, u.i AS dim,
+         (sum(embedding[u.i]::DOUBLE::DECIMAL(20,10)))::DOUBLE / count(*) AS cv
+  FROM a1, unnest(range(1, 65)) AS u(i)
+  GROUP BY cid, u.i
+),
+c1 AS (SELECT cid, list(cv ORDER BY dim) AS c FROM cd GROUP BY cid),
+a2 AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT e.vec_id, c.cid,
+           {_SQL_D2.format(e="e.embedding", c="c.c")} AS d2,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_SQL_D2.format(e="e.embedding", c="c.c")} ASC, c.cid ASC
+           ) AS rk
+    FROM embeddings e CROSS JOIN c1 c
+  ) WHERE rk = 1
+)
+SELECT cid, count(*) AS n_members, round(sum(d2), 2) AS sse
+FROM a2 GROUP BY cid
+"""
+
+
 QUERIES = {
     "s01_knn_bruteforce": s01_knn_bruteforce,
     "s02_ann_lsh": s02_ann_lsh,
@@ -635,6 +746,7 @@ QUERIES = {
     "s05_ann_ivf": s05_ann_ivf,
     "s06_near_dup_pairs_banded": s06_near_dup_pairs_banded,
     "s07_quantized_knn": s07_quantized_knn,
+    "s08_kmeans_lloyd": s08_kmeans_lloyd,
 }
 
 ORACLE = {
@@ -645,4 +757,5 @@ ORACLE = {
     "s05_ann_ivf": _S05_SQL,
     "s06_near_dup_pairs_banded": _S06_SQL,
     "s07_quantized_knn": _S07_SQL,
+    "s08_kmeans_lloyd": _S08_SQL,
 }
