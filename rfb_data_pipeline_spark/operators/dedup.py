@@ -682,6 +682,107 @@ WHERE containment >= {CONTAINMENT_THRESHOLD}
 """
 
 
+# --------------------------------------------------------------------------
+# d10 — fuzzy dedup: bounded-edit-distance pairs on normalized 64-char
+# prefixes (catches typo-level mutations that survive shingle hashing).
+#
+# Exactness guarantee (pigeonhole): lev(a, b) = d <= 4 edits leave the
+# untouched characters of `a` in <= d + 1 contiguous runs totalling
+# >= len(a) - d chars, so the longest preserved run has
+# >= (48 - 4) / 5 = 8.8 > 8 chars, and its start position shifts by at
+# most d between the two strings.  A join on shared 8-grams with
+# |pos_a - pos_b| <= 4 is therefore a SUPERSET of all true pairs.
+#
+# Scale design: the naive join key (gram) alone is skewed — a common
+# char-gram of natural text (" the ") pairs every occurrence with
+# every other, an all-occurrence blowup within the bucket.  Two levers
+# bound it: gram width (8 chars is ~5x more selective than 5 at the
+# same recall, measured on the corpus) and position banding
+# (band = pos div (K + 1), probe bands b-1..b+1), which splits each
+# gram bucket ~PREFIX/(K+1) ways while keeping the superset property:
+# |pos_a - pos_b| <= 4 < 5 implies the bands differ by at most one.
+
+_D10_PREFIX = 64
+_D10_NGRAM = 8
+_D10_MAXLEV = 4
+_D10_MINLEN = 48
+
+
+def d10_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= _D10_MINLEN)
+    pfx = (
+        _spread(docs)
+        .select(
+            "doc_id",
+            F.substring(F.lower(F.col("text")), 1, _D10_PREFIX).alias("pfx"),
+        )
+        .localCheckpoint(eager=True)  # feeds the index and both verify sides
+    )
+    grams = pfx.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(pfx) - {_D10_NGRAM - 1}),"
+                f" i -> substring(pfx, i, {_D10_NGRAM}))"
+            )
+        ).alias("pos", "gram"),
+    )
+    band = _D10_MAXLEV + 1
+    idx = grams.select(
+        "doc_id", "pos", "gram", (F.col("pos") / band).cast("int").alias("b")
+    )
+    probe = grams.select(
+        "doc_id",
+        "pos",
+        "gram",
+        F.explode(
+            F.array(
+                (F.col("pos") / band).cast("int") - 1,
+                (F.col("pos") / band).cast("int"),
+                (F.col("pos") / band).cast("int") + 1,
+            )
+        ).alias("b"),
+    )
+    cand = (
+        idx.alias("a")
+        .join(
+            probe.alias("p"),
+            (F.col("a.gram") == F.col("p.gram"))
+            & (F.col("a.b") == F.col("p.b"))
+            & (F.col("a.doc_id") < F.col("p.doc_id"))
+            & (F.abs(F.col("a.pos") - F.col("p.pos")) <= _D10_MAXLEV),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("p.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pa = pfx.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a"))
+    pb = pfx.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pfx_b"))
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pfx_a", "pfx_b").cast("bigint").alias("lev"),
+        )
+        .filter(F.col("lev") <= _D10_MAXLEV)
+    )
+
+
+_D10_SQL = f"""
+WITH p AS (
+  SELECT doc_id, substr(lower(text), 1, {_D10_PREFIX}) AS pfx
+  FROM documents WHERE length(text) >= {_D10_MINLEN}
+)
+SELECT * FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev
+  FROM p a JOIN p b ON a.doc_id < b.doc_id
+)
+WHERE lev <= {_D10_MAXLEV}
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -692,6 +793,7 @@ QUERIES = {
     "d07_dedup_clusters": d07_dedup_clusters,
     "d08_decontaminate": d08_decontaminate,
     "d09_containment": d09_containment,
+    "d10_fuzzy_pairs": d10_fuzzy_pairs,
 }
 
 ORACLE = {
@@ -704,4 +806,5 @@ ORACLE = {
     "d07_dedup_clusters": _D07_SQL,
     "d08_decontaminate": _D08_SQL,
     "d09_containment": _D09_SQL,
+    "d10_fuzzy_pairs": _D10_SQL,
 }

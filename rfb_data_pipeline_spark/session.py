@@ -43,6 +43,11 @@ _DEFAULTS = {
     # Partition pruning across joins (month-partitioned RFB layout).
     "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
     "spark.ui.enabled": "false",
+    # local[N] runs everything in one JVM whose default heap (1g) is
+    # sized for a thin driver, not for 32 executor threads; candidate-
+    # generation joins (d02/d10 shingle indexes) need real executor
+    # heap. On a cluster this is spark.executor.memory instead.
+    "spark.driver.memory": "16g",
     # Managed-table location for bucketed tables (kept out of the repo).
     "spark.sql.warehouse.dir": "/tmp/rfb-spark-warehouse",
 }
