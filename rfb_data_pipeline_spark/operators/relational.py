@@ -1153,6 +1153,70 @@ WINDOW
 """
 
 
+# --------------------------------------------------------------------------
+# q34 — equi-width histogram (width_bucket shape): global min/max in a
+# first pass, then every order binned into 10 equal-width buckets.
+# Scale: the 1-row (min, max) aggregate broadcasts to the binning
+# scan — two passes over the fact, no shuffle wider than the 10-row
+# result. The bin arithmetic runs the identical IEEE double sequence
+# on both engines (sub, div, mul, floor), so edges are deterministic.
+
+_Q34_BINS = 10
+
+
+def q34_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / _Q34_BINS
+    bin_ = F.least(
+        F.lit(_Q34_BINS - 1),
+        F.floor(
+            (F.col("o_totalprice") - F.col("mn"))
+            / (F.col("mx") - F.col("mn"))
+            * _Q34_BINS
+        ),
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            bin_.cast("bigint").alias("bin"),
+            "o_totalprice",
+            (F.col("mn") + width * bin_).alias("lo"),
+            (F.col("mn") + width * (bin_ + 1)).alias("hi"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.round(F.min("lo"), 2).alias("bin_lo"),
+            F.round(F.min("hi"), 2).alias("bin_hi"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+_Q34_SQL = f"""
+WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+binned AS (
+  SELECT least({_Q34_BINS - 1},
+               floor((o_totalprice - mn) / (mx - mn) * {_Q34_BINS}))::BIGINT AS bin,
+         o_totalprice,
+         mn + (mx - mn) / {_Q34_BINS}
+            * least({_Q34_BINS - 1},
+                    floor((o_totalprice - mn) / (mx - mn) * {_Q34_BINS})) AS lo,
+         mn + (mx - mn) / {_Q34_BINS}
+            * (least({_Q34_BINS - 1},
+                     floor((o_totalprice - mn) / (mx - mn) * {_Q34_BINS})) + 1) AS hi
+  FROM orders, b
+)
+SELECT bin, round(min(lo), 2) AS bin_lo, round(min(hi), 2) AS bin_hi,
+       count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+FROM binned
+GROUP BY bin
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_argmin_supplier": q02_argmin_supplier,
@@ -1187,6 +1251,7 @@ QUERIES = {
     "q31_stats_agg": q31_stats_agg,
     "q32_window_values": q32_window_values,
     "q33_approx_quantiles": q33_approx_quantiles,
+    "q34_histogram": q34_histogram,
 }
 
 ORACLE = {
@@ -1222,4 +1287,5 @@ ORACLE = {
     "q30_moving_range_sum": _Q30_SQL,
     "q31_stats_agg": _Q31_SQL,
     "q32_window_values": _Q32_SQL,
+    "q34_histogram": _Q34_SQL,
 }

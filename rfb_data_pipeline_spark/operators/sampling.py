@@ -395,6 +395,70 @@ GROUP BY shard
 """
 
 
+# --------------------------------------------------------------------------
+# x07 — SCD-1 upsert merge (last-writer-wins MERGE INTO semantics).
+#
+# The reference's load is TRUNCATE-then-reload (src/main.py:200); the
+# incremental path a warehouse actually needs is an upsert: a change
+# batch keyed like the base table replaces matching rows and appends
+# the rest. Expressed Spark-first as union + one row_number window on
+# the merge key — a single shuffle on o_orderkey; at 100 TB the same
+# plan, with the base side pre-bucketed on the key, merges without
+# re-sorting the full table. The change batch is derived
+# deterministically here (every o_orderkey ending in 00..09 flips to
+# status 'U') so both engines construct the identical delta.
+
+
+def x07_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(
+        spark, sf_dir, tables=("orders",), register_views=False
+    )["orders"]
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("version")
+    )
+    delta = (
+        orders.filter(F.col("o_orderkey") % 100 < 10)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+            F.lit(2).alias("version"),
+        )
+    )
+    win = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    merged = (
+        base.unionByName(delta)
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+_X07_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version FROM orders
+),
+delta AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1.0 AS o_totalprice,
+         2 AS version
+  FROM orders WHERE o_orderkey % 100 < 10
+),
+merged AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+  ) WHERE rn = 1
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM merged GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "x01_split_assign": x01_split_assign,
     "x02_cap_per_group": x02_cap_per_group,
@@ -402,6 +466,7 @@ QUERIES = {
     "x04_chunk_documents": x04_chunk_documents,
     "x05_corpus_curation": x05_corpus_curation,
     "x06_shuffle_shard": x06_shuffle_shard,
+    "x07_upsert_merge": x07_upsert_merge,
 }
 
 ORACLE = {
@@ -411,4 +476,5 @@ ORACLE = {
     "x04_chunk_documents": _X04_SQL,
     "x05_corpus_curation": _X05_SQL,
     "x06_shuffle_shard": _X06_SQL,
+    "x07_upsert_merge": _X07_SQL,
 }

@@ -738,6 +738,52 @@ FROM a2 GROUP BY cid
 """
 
 
+# --------------------------------------------------------------------------
+# s09 — per-vector statistics via HIGHER-ORDER array functions.
+#
+# Exercises the lambda-expression layer (transform / filter /
+# aggregate / array_max) that a vector pipeline leans on for cheap
+# per-row feature math: everything runs inside whole-stage codegen —
+# no shuffle, no UDF, scales embarrassingly with input splits.
+# Float parity with the oracle: each component is cast float32 ->
+# float64 BEFORE multiplying (float32 multiply would round the
+# product), and both engines reduce the sum sequentially left-to-
+# right, which is bit-identical for IEEE doubles.
+
+
+def s09_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    sq = "transform(embedding, x -> double(x) * double(x))"
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        (
+            F.round(F.sqrt(F.expr(f"aggregate({sq}, 0D, (a, b) -> a + b)")), 4)
+            + F.lit(0.0)
+        ).alias("norm"),
+        F.expr("size(filter(embedding, x -> x > 0))")
+        .cast("bigint")
+        .alias("n_pos"),
+        (
+            F.round(F.expr("array_max(transform(embedding, x -> abs(double(x))))"), 4)
+            + F.lit(0.0)
+        ).alias("max_abs"),
+    )
+
+
+_S09_SQL = """
+SELECT vec_id,
+       len(embedding)::BIGINT AS dim,
+       round(sqrt(list_aggregate(
+           list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')), 4)
+         + 0.0 AS norm,
+       len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos,
+       round(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 4)
+         + 0.0 AS max_abs
+FROM embeddings
+"""
+
+
 QUERIES = {
     "s01_knn_bruteforce": s01_knn_bruteforce,
     "s02_ann_lsh": s02_ann_lsh,
@@ -747,6 +793,7 @@ QUERIES = {
     "s06_near_dup_pairs_banded": s06_near_dup_pairs_banded,
     "s07_quantized_knn": s07_quantized_knn,
     "s08_kmeans_lloyd": s08_kmeans_lloyd,
+    "s09_vector_stats": s09_vector_stats,
 }
 
 ORACLE = {
@@ -758,4 +805,5 @@ ORACLE = {
     "s06_near_dup_pairs_banded": _S06_SQL,
     "s07_quantized_knn": _S07_SQL,
     "s08_kmeans_lloyd": _S08_SQL,
+    "s09_vector_stats": _S09_SQL,
 }
