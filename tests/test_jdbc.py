@@ -79,3 +79,31 @@ def test_jdbc_postgres_roundtrip_live(spark):
     assert back.count() == 50
     overwrite_table(df.limit(5), url, "rfb_jdbc_smoke")
     assert read_jdbc(spark, url, "rfb_jdbc_smoke").count() == 5
+
+
+# --------------------------------------------------------------------------
+# Live Postgres (the reference's actual sink — src/main.py:172-205).
+# Derby above proves the generic writer; this proves the Postgres
+# dialect end-to-end when a server is available. Skipped (not failed)
+# when RFB_PG_URL is unset so CI without a database stays green.
+# Example: RFB_PG_URL=jdbc:postgresql://localhost:5432/rfb?user=rfb
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RFB_PG_URL"),
+    reason="RFB_PG_URL not set — no live Postgres to test against",
+)
+def test_jdbc_postgres_roundtrip_and_truncate(spark):
+    url = os.environ["RFB_PG_URL"]
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    write_jdbc(df, url, "rfb_jdbc_smoke", mode="overwrite", num_partitions=2)
+    assert read_jdbc(spark, url, "rfb_jdbc_smoke").count() == 50
+
+    # A11 TRUNCATE-then-load: overwrite keeps the table, replaces rows
+    df2 = spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    overwrite_table(df2, url, "rfb_jdbc_smoke")
+    assert read_jdbc(spark, url, "rfb_jdbc_smoke").count() == 5

@@ -147,3 +147,32 @@ def test_x06_shard_single_wide_shuffle(spark):
     plan = pi.explain_string(df, mode="simple")
     # a global ORDER BY would appear as a range-partitioned Sort
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_dynamic_partition_pruning_fact_dim_join(spark, tmp_path):
+    """A selective dim-side filter must prune fact PARTITIONS at
+    runtime (DPP): the fact scan's PartitionFilters carry a
+    dynamicpruning subquery fed by the dim join keys, so at 100 TB a
+    date/tenant-partitioned fact reads only the partitions the dim
+    actually selects — not the whole table."""
+    from pyspark.sql import functions as F
+
+    from rfb_data_pipeline_spark.catalog import load_tables
+
+    t = load_tables(
+        spark, SF_SMALL, tables=("orders", "customer"), register_views=False
+    )
+    out = str(tmp_path / "orders_by_ck")
+    t["orders"].withColumn("ck", F.col("o_custkey") % 64).write.partitionBy(
+        "ck"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        t["customer"]
+        .filter(F.col("c_custkey") < 20)
+        .select((F.col("c_custkey") % 64).alias("ck"))
+        .distinct()
+    )
+    joined = fact.join(dim, "ck").agg(F.sum("o_totalprice").alias("s"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
