@@ -45,10 +45,18 @@ HEADLINE = [
     "s05_ann_ivf",
     "s06_near_dup_pairs_banded",
     "x05_corpus_curation",
+    "q34_histogram",
+    "s09_vector_stats",
+    "t09_bpe_token_count",
+    "x07_upsert_merge",
 ]
 # s03 (exact all-pairs) is deliberately NOT timed: it is the
 # correctness oracle for s06, quadratic by definition; the production
-# pair operator in the timed set is s06.
+# pair operator in the timed set is s06. d10 (edit-distance pairs) is
+# likewise the fuzzy-dedup VERIFIER tier — candidate mass is bounded
+# by design (positional 8-gram banding) but inherently heavier than
+# the production LSH path (d03/s06), so it is correctness-gated, not
+# timed.
 
 
 def main() -> None:

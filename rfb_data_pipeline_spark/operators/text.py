@@ -428,6 +428,44 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# t09 — BPE-style pre-tokenizer counts: the GPT-2 pre-tokenization
+# shape (contraction / leading-space word / number / punctuation-run /
+# whitespace-run alternation), restricted to constructs BOTH regex
+# engines implement identically (no lookahead — DuckDB's RE2 has
+# none; RE2 and Java both use leftmost-FIRST alternation, verified
+# token-count-identical on the corpus). The per-doc BPE-vs-whitespace
+# ratio is the cheap proxy for "how many model tokens does this doc
+# cost" that corpus budgeting runs at 100 TB — a pure map, no shuffle.
+
+_T09_PAT = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def t09_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_T09_PAT), F.lit(0)))
+    n_ws = F.size(tokens_col())
+    return docs.select(
+        "doc_id",
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        n_ws.cast("bigint").alias("n_ws_tokens"),
+        F.round(n_bpe / n_ws, 4).alias("bpe_per_ws"),
+    )
+
+
+_T09_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+'))::BIGINT
+         AS n_bpe_tokens,
+       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_ws_tokens,
+       round(len(regexp_extract_all(text,
+           '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+'))::DOUBLE
+         / len(string_split_regex(trim(text), '\\s+')), 4) AS bpe_per_ws
+FROM documents
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -437,6 +475,7 @@ QUERIES = {
     "t06_tfidf_top_terms": t06_tfidf_top_terms,
     "t07_repetition": t07_repetition,
     "t08_top_bigrams": t08_top_bigrams,
+    "t09_bpe_token_count": t09_bpe_token_count,
 }
 
 ORACLE = {
@@ -448,4 +487,5 @@ ORACLE = {
     "t06_tfidf_top_terms": _T06_SQL,
     "t07_repetition": _T07_SQL,
     "t08_top_bigrams": _T08_SQL,
+    "t09_bpe_token_count": _T09_SQL,
 }
