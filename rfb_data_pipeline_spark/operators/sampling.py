@@ -396,6 +396,72 @@ GROUP BY shard
 
 
 # --------------------------------------------------------------------------
+# x08 — split-leakage audit: near-duplicate pairs that STRADDLE
+# train/val/test. A hash split (x01) is doc-level, so near-dups of a
+# training doc can land in test and leak eval signal — the audit every
+# dedup-aware corpus build runs before shipping a split. Composes the
+# exact near-dup pairs (d02, the verifier tier; at 100 TB the d03 LSH
+# candidates feed the same join) with the split map: two key joins +
+# one small aggregate, no new shuffle shapes.
+
+
+def x08_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.operators.dedup import d02_ngram_jaccard
+
+    pairs = d02_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    splits = _docs(spark, sf_dir).select(
+        "doc_id", split_col(F.col("doc_id")).alias("split")
+    )
+    a = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            (F.col("split_lo") != F.col("split_hi")).cast("int").alias("is_leak"),
+        )
+    )
+
+
+def _x08_sql() -> str:
+    from rfb_data_pipeline_spark.operators.dedup import _D02_SQL
+
+    return f"""
+WITH pairs AS ({_D02_SQL}),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN CAST(floor({_SQL_BUCKET} * 100.0 / 256) AS INTEGER) < {TRAIN_PCT} THEN 'train'
+              WHEN CAST(floor({_SQL_BUCKET} * 100.0 / 256) AS INTEGER) < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split_lo, split_hi, n_pairs,
+       CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS is_leak
+FROM (
+  SELECT least(sa.split, sb.split) AS split_lo,
+         greatest(sa.split, sb.split) AS split_hi,
+         count(*) AS n_pairs
+  FROM pairs
+  JOIN splits sa ON pairs.doc_a = sa.doc_id
+  JOIN splits sb ON pairs.doc_b = sb.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # x07 — SCD-1 upsert merge (last-writer-wins MERGE INTO semantics).
 #
 # The reference's load is TRUNCATE-then-reload (src/main.py:200); the
@@ -467,6 +533,7 @@ QUERIES = {
     "x05_corpus_curation": x05_corpus_curation,
     "x06_shuffle_shard": x06_shuffle_shard,
     "x07_upsert_merge": x07_upsert_merge,
+    "x08_split_leakage": x08_split_leakage,
 }
 
 ORACLE = {
@@ -477,4 +544,5 @@ ORACLE = {
     "x05_corpus_curation": _X05_SQL,
     "x06_shuffle_shard": _X06_SQL,
     "x07_upsert_merge": _X07_SQL,
+    "x08_split_leakage": _x08_sql(),
 }
