@@ -176,3 +176,32 @@ def test_dynamic_partition_pruning_fact_dim_join(spark, tmp_path):
     joined = fact.join(dim, "ck").agg(F.sum("o_totalprice").alias("s"))
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_d10_candidate_join_no_cartesian(spark):
+    """d10's edit-distance candidate generation must stay an EQUI-join
+    on (gram, band) — a regression to an all-pairs/cartesian shape is
+    the 100 TB failure mode the banding exists to prevent."""
+    df = _q(spark, "d10_fuzzy_pairs")
+    plan = pi.explain_string(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not pi.has_python_eval(df)
+
+
+def test_q34_bounds_broadcast_one_row(spark):
+    """q34 joins the fact against a 1-row min/max aggregate: that must
+    be a broadcast (nested-loop against a single-row build side), never
+    a shuffle of the fact table keyed on a constant."""
+    df = _q(spark, "q34_histogram")
+    plan = pi.explain_string(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or pi.uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_s09_vector_stats_zero_shuffle(spark):
+    """s09 is pure per-row lambda math: the plan must contain NO
+    exchange and NO Python eval — it scales with input splits alone."""
+    df = _q(spark, "s09_vector_stats")
+    assert pi.n_exchanges(df) == 0
+    assert not pi.has_python_eval(df)
