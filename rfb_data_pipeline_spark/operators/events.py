@@ -481,6 +481,62 @@ WHERE z >= {SPIKE_Z}
 """
 
 
+# --------------------------------------------------------------------------
+# e12 — ordered sequence matching (the MATCH_RECOGNIZE shape): for
+# EVERY signup instance, did a purchase follow within 24 hours? Unlike
+# e05 (global first-occurrence funnel), this matches per instance via
+# one ordered window over the interleaved event stream — min(purchase
+# ts) over the following frame — so it needs no self-join and shuffles
+# once on user_id. Ties at identical ts break on event_id so both
+# engines see the same ordering.
+
+
+def e12_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    signups = ev.select(
+        "event_type", "ts", next_purchase.alias("next_purchase_ts")
+    ).filter(F.col("event_type") == "signup")
+    converted = (
+        F.col("next_purchase_ts").isNotNull()
+        & (F.col("next_purchase_ts") <= F.col("ts") + F.expr("INTERVAL 24 HOURS"))
+    ).cast("int")
+    return signups.agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.sum(converted).cast("bigint").alias("n_converted_24h"),
+        F.round(F.sum(converted) / F.count(F.lit(1)), 4).alias("conv_rate"),
+    )
+
+
+_E12_SQL = """
+SELECT count(*) AS n_signups,
+       CAST(sum(CASE WHEN next_purchase_ts IS NOT NULL
+                      AND next_purchase_ts <= ts + INTERVAL 24 HOUR
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_24h,
+       round(sum(CASE WHEN next_purchase_ts IS NOT NULL
+                       AND next_purchase_ts <= ts + INTERVAL 24 HOUR
+                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS conv_rate
+FROM (
+  SELECT event_type, ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_purchase_ts
+  FROM events WHERE event_type IN ('signup', 'purchase')
+)
+WHERE event_type = 'signup'
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_window": e02_sliding_window,
@@ -493,6 +549,7 @@ QUERIES = {
     "e09_asof_join": e09_asof_join,
     "e10_retention_cohorts": e10_retention_cohorts,
     "e11_spike_detection": e11_spike_detection,
+    "e12_sequence_match": e12_sequence_match,
 }
 
 ORACLE = {
@@ -507,4 +564,5 @@ ORACLE = {
     "e09_asof_join": _E09_SQL,
     "e10_retention_cohorts": _E10_SQL,
     "e11_spike_detection": _E11_SQL,
+    "e12_sequence_match": _E12_SQL,
 }

@@ -1217,6 +1217,39 @@ GROUP BY bin
 """
 
 
+# --------------------------------------------------------------------------
+# q35 — UNPIVOT (melt): the wide→long inverse of e08's pivot. A wide
+# per-flag aggregate unpivots into (flag, metric, value) rows — the
+# shape every metrics sink / long-format exporter needs. Spark's
+# native ``unpivot`` expands rows without a shuffle (the only exchange
+# is the small upstream aggregate).
+
+
+def q35_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"], "metric", "value"
+    )
+
+
+_Q35_SQL = """
+UNPIVOT (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2)      AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(avg(l_discount), 4)      AS avg_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+ON sum_qty, sum_price, avg_disc
+INTO NAME metric VALUE value
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_argmin_supplier": q02_argmin_supplier,
@@ -1252,6 +1285,7 @@ QUERIES = {
     "q32_window_values": q32_window_values,
     "q33_approx_quantiles": q33_approx_quantiles,
     "q34_histogram": q34_histogram,
+    "q35_unpivot": q35_unpivot,
 }
 
 ORACLE = {
@@ -1288,4 +1322,5 @@ ORACLE = {
     "q31_stats_agg": _Q31_SQL,
     "q32_window_values": _Q32_SQL,
     "q34_histogram": _Q34_SQL,
+    "q35_unpivot": _Q35_SQL,
 }
