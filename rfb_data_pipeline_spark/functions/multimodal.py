@@ -11,7 +11,11 @@ Codec tiers:
   pixel grid, nearest-neighbor resize, 4x4 grayscale thumbnail
   features. The synthetic media table carries genuine P6 payloads, so
   the decode → resize → featurize path runs end-to-end in tests.
-- compressed formats (png/jpeg/audio/video) need a codec library not
+- **WAV (RIFF PCM16) audio decodes for real** — a proper RIFF chunk
+  walk (fmt /data discovery, word alignment, stereo downmix), then
+  numpy signal stats: duration, RMS, peak, zero-crossing rate. The
+  synthetic media table carries genuine WAV payloads.
+- compressed formats (png/jpeg/mp3/video) need a codec library not
   present in this container: with one available (``PIL`` probed at
   import) the real path would run; otherwise ``decode_stub=True``
   (default) produces a deterministic fake derived from the payload
@@ -27,6 +31,7 @@ size or kind so task skew stays bounded.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -37,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -148,6 +154,80 @@ def ppm_features(img: np.ndarray, dim: int = FEATURE_DIM) -> list[float]:
     return [float(x) for x in gray.ravel()]
 
 
+# -- WAV (RIFF PCM16) codec: numpy-only, real decode -----------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """mono int16 samples → RIFF/WAVE PCM16 bytes."""
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM16 bytes → (sample_rate, mono int16 samples).
+
+    A real chunk walk, not a fixed-offset read: real files interleave
+    LIST/fact/cue chunks before ``data`` and pad odd-sized chunks to
+    word boundaries; PCM16 only, stereo downmixed by channel mean."""
+    if (
+        len(payload) < 12
+        or not payload.startswith(b"RIFF")
+        or payload[8:12] != b"WAVE"
+    ):
+        raise ValueError("not a RIFF/WAVE payload")
+    idx, rate, channels, data = 12, None, None, None
+    while idx + 8 <= len(payload):
+        cid = payload[idx : idx + 4]
+        size = int.from_bytes(payload[idx + 4 : idx + 8], "little")
+        body = payload[idx + 8 : idx + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError("only PCM16 WAV supported")
+        elif cid == b"data":
+            data = body
+        idx += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt /data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    if channels and channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels]
+        samples = (
+            samples.reshape(-1, channels).mean(axis=1).astype(np.int16)
+        )
+    return rate, samples
+
+
+def wav_features(rate: int, samples: np.ndarray) -> tuple[float, float, float, float]:
+    """(duration_s, rms, peak, zero_crossing_rate) — normalized to
+    [-1, 1] full scale; deterministic float64 numpy throughout."""
+    x = samples.astype(np.float64) / 32768.0
+    n = len(x)
+    if n == 0:
+        return 0.0, 0.0, 0.0, 0.0
+    duration = n / float(rate)
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.max(np.abs(x)))
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    return duration, rms, peak, zcr
+
+
+def _synthetic_wav(i: int, rate: int = 16000) -> bytes:
+    """Deterministic audio clip: int16 samples from an md5 chain."""
+    n = 800 + (i % 5) * 160  # 50-90 ms at 16 kHz
+    need, chunks, seed = n * 2, [], hashlib.md5(f"wav-{i}".encode()).digest()
+    while sum(len(c) for c in chunks) < need:
+        chunks.append(seed)
+        seed = hashlib.md5(seed).digest()
+    samples = np.frombuffer(b"".join(chunks)[:need], dtype="<i2")
+    return encode_wav(samples, rate)
+
+
 def _synthetic_ppm(i: int, w: int = 8, h: int = 6) -> bytes:
     """Deterministic small image: pixels from an md5 chain (seedless)."""
     need, chunks, seed = w * h * 3, [], hashlib.md5(f"img-{i}".encode()).digest()
@@ -159,8 +239,9 @@ def _synthetic_ppm(i: int, w: int = 8, h: int = 6) -> bytes:
 
 
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic media table. Images are REAL P6 PPMs (decodable);
-    audio/video payloads are opaque md5-chain bytes (stub tier)."""
+    """Deterministic media table. Images are REAL P6 PPMs and audio
+    rows are REAL RIFF PCM16 WAVs (both decodable with numpy alone);
+    video payloads are opaque md5-chain bytes (stub tier)."""
     rows = []
     kinds = ("image", "audio", "video")
     for i in range(n):
@@ -168,13 +249,13 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
         if kind == "image":
             payload = _synthetic_ppm(i)
             meta = (8, 6, None, None, "ppm")
+        elif kind == "audio":
+            payload = _synthetic_wav(i)
+            n_samp = 800 + (i % 5) * 160
+            meta = (None, None, 16000, (n_samp * 1000) // 16000, "wav")
         else:
             payload = hashlib.md5(f"media-{i}".encode()).digest() * (8 + i % 5)
-            meta = (
-                (None, None, 16000, 1500, "wav")
-                if kind == "audio"
-                else (640, 480, None, 4000, "mp4")
-            )
+            meta = (640, 480, None, 4000, "mp4")
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -296,6 +377,55 @@ def image_stats(media: DataFrame) -> DataFrame:
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, IMAGE_STATS_SCHEMA
+    )
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", DoubleType(), True),
+        StructField("zero_cross_rate", DoubleType(), True),
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio statistics from decoded WAV samples (not metadata):
+    duration, RMS, peak, zero-crossing rate via Arrow-batched
+    mapInPandas. Non-RIFF rows are dropped (magic-byte guard, so a
+    mislabeled row can't crash the batch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(b or b"")
+                if not raw.startswith(b"RIFF"):
+                    continue
+                rate, samples = decode_wav(raw)
+                dur, rms, peak, zcr = wav_features(rate, samples)
+                recs.append(
+                    (int(mid), int(rate), len(samples), dur, rms, peak, zcr)
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_s",
+                    "rms",
+                    "peak",
+                    "zero_cross_rate",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, AUDIO_STATS_SCHEMA
     )
 
 

@@ -119,3 +119,68 @@ def test_decode_features_uses_real_path_for_images(spark):
     assert rows[0].features == pytest.approx(mm.ppm_features(img0), abs=1e-6)
     fake = mm._fake_features(mm._synthetic_ppm(0))
     assert rows[0].features != pytest.approx(fake, abs=1e-6)
+
+
+def test_wav_roundtrip_identity():
+    import numpy as np
+
+    samples = np.frombuffer(b"".join(bytes([i, 255 - i]) for i in range(256)), dtype="<i2")
+    rate, back = mm.decode_wav(mm.encode_wav(samples, 8000))
+    assert rate == 8000
+    assert np.array_equal(back, samples)
+
+
+def test_wav_chunk_walk_skips_extra_chunks():
+    """Real WAV files interleave LIST/fact chunks before data and pad
+    odd-sized chunks — the decoder must walk, not assume offsets."""
+    import numpy as np
+    import struct as st
+
+    samples = np.arange(-5, 5, dtype="<i2")
+    base = mm.encode_wav(samples, 16000)
+    fmt_and_data = base[12:]
+    # inject an odd-sized LIST chunk (walks must pad to word boundary)
+    extra = b"LIST" + st.pack("<I", 5) + b"INFOx" + b"\x00"
+    payload = base[:12] + extra + fmt_and_data
+    rate, back = mm.decode_wav(payload)
+    assert rate == 16000
+    assert np.array_equal(back, samples)
+
+
+def test_wav_stereo_downmix_and_rejects():
+    import numpy as np
+    import struct as st
+
+    # hand-build a 2-channel PCM16 file: L=100, R=300 -> mono mean 200
+    data = np.array([100, 300, -100, -300], dtype="<i2").tobytes()
+    fmt = b"fmt " + st.pack("<IHHIIHH", 16, 1, 2, 16000, 64000, 4, 16)
+    payload = (
+        b"RIFF" + st.pack("<I", 36 + len(data)) + b"WAVE"
+        + fmt + b"data" + st.pack("<I", len(data)) + data
+    )
+    rate, mono = mm.decode_wav(payload)
+    assert list(mono) == [200, -200]
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFX" + payload[4:])  # wrong magic
+    with pytest.raises(ValueError):
+        mm.decode_wav(payload.replace(b"data", b"datx"))  # no data chunk
+
+
+def test_audio_stats_decodes_real_samples(spark):
+    """Distributed WAV decode must equal the local numpy reference."""
+    import numpy as np
+
+    media = mm.synthetic_media(spark, 12)
+    rows = {r["media_id"]: r for r in mm.audio_stats(media).collect()}
+    audio_ids = [i for i in range(12) if i % 3 == 1]
+    assert set(rows) == set(audio_ids)
+    for i in audio_ids:
+        rate, samples = mm.decode_wav(mm._synthetic_wav(i))
+        dur, rms, peak, zcr = mm.wav_features(rate, samples)
+        r = rows[i]
+        assert r["sample_rate"] == 16000
+        assert r["n_samples"] == len(samples)
+        assert abs(r["rms"] - rms) < 1e-12
+        assert abs(r["peak"] - peak) < 1e-12
+        assert abs(r["zero_cross_rate"] - zcr) < 1e-12
+        assert abs(r["duration_s"] - dur) < 1e-12
