@@ -48,13 +48,16 @@ DEFAULT_WATERMARK = "10 minutes"
 
 
 def read_events_stream(
-    spark: SparkSession, path: str, fmt: str = "parquet"
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 8,
 ) -> DataFrame:
     """File-source stream over an events drop directory."""
     return (
         spark.readStream.format(fmt)
         .schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)
     )
 

@@ -53,3 +53,70 @@ def user_activity_tracker(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming twin of batch e12 (ordered sequence match): per user,
+# every signup converts iff the NEXT purchase after it (ts, event_id
+# order) arrives within 24 h. Windowed aggregation cannot express
+# "first following event of a specific type" — this is exactly the
+# arbitrary-state shape applyInPandasWithState exists for.
+#
+# State per user: the PENDING signup timestamps (signups not yet
+# followed by any purchase) plus two counters — O(pending) per key,
+# and every purchase clears the pending list, so state stays bounded
+# by burst length, not history. The per-event Python loop runs over
+# one user's micro-batch slice (small by construction); the heavy
+# lifting (grouping, state store, shuffle) stays in the JVM.
+#
+# Cross-batch correctness requires event-time-ordered arrival per key
+# (file drops are replayed in order; the parity test feeds
+# time-ordered files) — the same contract as the batch window's sort.
+
+SEQ_OUTPUT_SCHEMA = "user_id bigint, n_signups bigint, n_converted bigint"
+SEQ_STATE_SCHEMA = "pending array<bigint>, n_signups bigint, n_converted bigint"
+SEQ_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def _match_sequences(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        raw_pending, n_signups, n_converted = state.get
+        pending = list(raw_pending or [])
+    else:
+        pending, n_signups, n_converted = [], 0, 0
+    for pdf in pdfs:
+        ordered = pdf.sort_values(["ts", "event_id"])
+        ts_us = ordered["ts"].astype("int64") // 1000  # ns -> us
+        for t, etype in zip(ts_us, ordered["event_type"]):
+            if etype == "signup":
+                pending.append(int(t))
+                n_signups += 1
+            elif etype == "purchase":
+                n_converted += sum(
+                    1 for s in pending if t <= s + SEQ_WINDOW_US
+                )
+                pending = []  # first following purchase decides ALL pending
+    state.update((pending, n_signups, n_converted))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_signups": [n_signups],
+            "n_converted": [n_converted],
+        }
+    )
+
+
+def sequence_matcher(events: DataFrame) -> DataFrame:
+    """Streaming signup→purchase-within-24h matcher (batch twin: e12)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _match_sequences,
+        outputStructType=SEQ_OUTPUT_SCHEMA,
+        stateStructType=SEQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -54,3 +54,81 @@ def test_stateful_tracker_matches_batch(spark, tmp_path):
         n, mx = expected[r.user_id]
         assert r.n_events == n
         assert round(r.max_value, 6) == mx
+
+
+def test_sequence_matcher_matches_batch_e12(spark, tmp_path):
+    """Streaming sequence match (pending-signup state) must equal the
+    batch window formulation (e12) per user — with the backlog split
+    into TIME-ORDERED files so state genuinely carries across
+    micro-batches (maxFilesPerTrigger=1 → one batch per file)."""
+    from pyspark.sql.window import Window
+
+    from rfb_data_pipeline_spark.streaming.stateful import sequence_matcher
+
+    ev = (
+        load_tables(spark, SF_SMALL, tables=("events",), register_views=False)[
+            "events"
+        ]
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    flat = tmp_path / "in"
+    flat.mkdir()
+    # two time-ordered drops: all of file 0 precedes file 1
+    ev.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(
+        str(flat / "f0")
+    )
+    ev.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(
+        str(flat / "f1")
+    )
+
+    stream = es.read_events_stream(
+        spark, str(flat) + "/*", max_files_per_trigger=1
+    )
+    q = (
+        sequence_matcher(stream)
+        .writeStream.format("memory")
+        .queryName("seqmatch")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_signups, r.n_converted)
+        for r in spark.sql("select * from seqmatch")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_signups").alias("n_signups"),
+            F.max("n_converted").alias("n_converted"),
+        )
+        .collect()
+    }
+
+    # batch reference: e12's window formulation, per user
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w)
+    conv = (
+        nxt.isNotNull() & (nxt <= F.col("ts") + F.expr("INTERVAL 24 HOURS"))
+    ).cast("int")
+    expected = {
+        r.user_id: (r.n_signups, r.n_converted)
+        for r in ev.select("user_id", "ts", "event_type", "event_id")
+        .withColumn("np", nxt)
+        .withColumn("conv", conv)
+        .filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum("conv").alias("n_converted"),
+        )
+        .collect()
+    }
+    assert got == expected
+    assert sum(v[1] for v in got.values()) > 0  # non-vacuous: conversions exist
