@@ -228,6 +228,117 @@ def _synthetic_wav(i: int, rate: int = 16000) -> bytes:
     return encode_wav(samples, rate)
 
 
+# -- MP4 (ISO BMFF) container walk: stdlib-only, real metadata -------------
+# Frame DECODE needs a codec library (stub tier, below); the CONTAINER
+# is just length-prefixed boxes, so brand/timescale/duration parse for
+# real — the metadata a 100 TB video pipeline partitions and prunes on.
+
+
+def encode_minimal_mp4(duration_ms: int, timescale: int = 1000) -> bytes:
+    """Minimal valid ISO BMFF: ftyp + moov(mvhd v0)."""
+    ftyp = b"ftypisom" + struct.pack(">I", 512) + b"isomiso2mp41"
+    ftyp = struct.pack(">I", 4 + len(ftyp)) + ftyp  # size covers itself only
+    dur = (duration_ms * timescale) // 1000
+    mvhd_body = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation / modification time
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2)  # next_track_id
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
+def _walk_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [start, end);
+    handles 64-bit largesize (size == 1) like a real parser."""
+    idx = start
+    while idx + 8 <= end:
+        size = int.from_bytes(payload[idx : idx + 4], "big")
+        btype = payload[idx + 4 : idx + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize follows the type
+            if idx + 16 > end:
+                break
+            size = int.from_bytes(payload[idx + 8 : idx + 16], "big")
+            hdr = 16
+        elif size == 0:  # box extends to end of file
+            size = end - idx
+        if size < hdr:
+            break
+        yield btype, idx + hdr, min(idx + size, end)
+        idx += size
+
+
+def parse_mp4_meta(payload: bytes) -> tuple[str, int, int]:
+    """(major_brand, timescale, duration_ms) from ftyp + moov/mvhd."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload")
+    brand = payload[8:12].decode("ascii", "replace")
+    for btype, s, e in _walk_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _walk_boxes(payload, s, e):
+            if ctype != b"mvhd":
+                continue
+            version = payload[cs]
+            if version == 1:  # 64-bit times
+                timescale = int.from_bytes(payload[cs + 20 : cs + 24], "big")
+                duration = int.from_bytes(payload[cs + 24 : cs + 32], "big")
+            else:
+                timescale = int.from_bytes(payload[cs + 12 : cs + 16], "big")
+                duration = int.from_bytes(payload[cs + 16 : cs + 20], "big")
+            if timescale == 0:
+                raise ValueError("mvhd timescale is zero")
+            return brand, timescale, (duration * 1000) // timescale
+    raise ValueError("missing moov/mvhd box")
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("major_brand", StringType(), True),
+        StructField("timescale", IntegerType(), True),
+        StructField("duration_ms_real", LongType(), True),
+    ]
+)
+
+
+def video_meta(media: DataFrame) -> DataFrame:
+    """REAL container metadata from the MP4 box structure (not the
+    meta struct): brand, timescale, duration via Arrow-batched
+    mapInPandas. Non-BMFF rows are dropped (magic guard)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(b or b"")
+                if len(raw) < 12 or raw[4:8] != b"ftyp":
+                    continue
+                brand, timescale, dur_ms = parse_mp4_meta(raw)
+                recs.append((int(mid), brand, int(timescale), int(dur_ms)))
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id",
+                    "major_brand",
+                    "timescale",
+                    "duration_ms_real",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, VIDEO_META_SCHEMA
+    )
+
+
 def _synthetic_ppm(i: int, w: int = 8, h: int = 6) -> bytes:
     """Deterministic small image: pixels from an md5 chain (seedless)."""
     need, chunks, seed = w * h * 3, [], hashlib.md5(f"img-{i}".encode()).digest()
@@ -254,8 +365,9 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
             n_samp = 800 + (i % 5) * 160
             meta = (None, None, 16000, (n_samp * 1000) // 16000, "wav")
         else:
-            payload = hashlib.md5(f"media-{i}".encode()).digest() * (8 + i % 5)
-            meta = (640, 480, None, 4000, "mp4")
+            dur = 4000 + (i % 4) * 250
+            payload = encode_minimal_mp4(dur)
+            meta = (640, 480, None, dur, "mp4")
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 

@@ -184,3 +184,36 @@ def test_audio_stats_decodes_real_samples(spark):
         assert abs(r["peak"] - peak) < 1e-12
         assert abs(r["zero_cross_rate"] - zcr) < 1e-12
         assert abs(r["duration_s"] - dur) < 1e-12
+
+
+def test_mp4_box_walk_roundtrip_and_largesize():
+    import struct as st
+
+    payload = mm.encode_minimal_mp4(4250, timescale=600)
+    brand, timescale, dur = mm.parse_mp4_meta(payload)
+    assert (brand, timescale, dur) == ("isom", 600, 4250)
+
+    # real files interleave unknown boxes — the walk must skip them
+    free = st.pack(">I", 12) + b"free" + b"\x00" * 4
+    ftyp_end = st.unpack(">I", payload[:4])[0]
+    injected = payload[:ftyp_end] + free + payload[ftyp_end:]
+    assert mm.parse_mp4_meta(injected)[2] == 4250
+
+    # 64-bit largesize moov header (size==1 + 8-byte size)
+    moov = payload[ftyp_end:]
+    body = moov[8:]
+    big = st.pack(">I", 1) + b"moov" + st.pack(">Q", 16 + len(body)) + body
+    assert mm.parse_mp4_meta(payload[:ftyp_end] + big)[2] == 4250
+
+    with pytest.raises(ValueError):
+        mm.parse_mp4_meta(b"\x00\x00\x00\x08junk")
+
+
+def test_video_meta_decodes_real_boxes(spark):
+    media = mm.synthetic_media(spark, 12)
+    rows = {r["media_id"]: r for r in mm.video_meta(media).collect()}
+    video_ids = [i for i in range(12) if i % 3 == 2]
+    assert set(rows) == set(video_ids)
+    for i in video_ids:
+        assert rows[i]["major_brand"] == "isom"
+        assert rows[i]["duration_ms_real"] == 4000 + (i % 4) * 250
