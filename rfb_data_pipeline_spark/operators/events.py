@@ -537,6 +537,41 @@ WHERE event_type = 'signup'
 """
 
 
+# --------------------------------------------------------------------------
+# e13 — VARIANT semi-structured extraction: parse_json → variant_get,
+# the schema-LESS path (vs e07's from_json against a declared schema).
+# Variant keeps the open-schema payload queryable without a schema
+# migration when producers add fields — the 100 TB reason it exists;
+# the binary variant encoding also scans faster than repeated JSON
+# string parsing. Typed extraction + predicate + aggregate here run
+# fully in codegen.
+
+
+def e13_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull() & (F.col("k") % 2 == 0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_even"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_E13_SQL = """
+SELECT event_type, count(*) AS n_even,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       max(k) AS max_k
+FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
+WHERE k IS NOT NULL AND k % 2 = 0
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_window": e02_sliding_window,
@@ -550,6 +585,7 @@ QUERIES = {
     "e10_retention_cohorts": e10_retention_cohorts,
     "e11_spike_detection": e11_spike_detection,
     "e12_sequence_match": e12_sequence_match,
+    "e13_variant_extract": e13_variant_extract,
 }
 
 ORACLE = {
@@ -565,4 +601,5 @@ ORACLE = {
     "e10_retention_cohorts": _E10_SQL,
     "e11_spike_detection": _E11_SQL,
     "e12_sequence_match": _E12_SQL,
+    "e13_variant_extract": _E13_SQL,
 }
