@@ -396,6 +396,66 @@ GROUP BY shard
 
 
 # --------------------------------------------------------------------------
+# x09 — token-budget sequence packing (concatenate-then-chunk): docs
+# are concatenated in the deterministic md5 shuffle order (x06's
+# construction) and each doc belongs to the ~BUDGET-token pack where
+# it STARTS: pack_id = floor(start_offset / BUDGET) with
+# start_offset = running token sum minus own length — the standard
+# pretraining batch-prep step, expressed as ONE running-sum window,
+# no loop (a pack's last doc may overflow the budget; the trainer
+# truncates at the boundary). At 100 TB the same window runs per
+# shard after x06's shuffle-shard partitioning — no global sort.
+
+PACK_BUDGET = 2048
+
+
+def x09_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.operators.text import tokens_col
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens_col()).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("skey"),
+    )
+    w = (
+        Window.orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET
+        ).alias("pack_id"),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_X09_SQL = f"""
+SELECT pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       min(doc_id) AS first_doc
+FROM (
+  SELECT doc_id, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (ORDER BY skey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id
+  FROM (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           md5(doc_id::VARCHAR) AS skey
+    FROM documents
+  )
+)
+GROUP BY pack_id
+"""
+
+
+# --------------------------------------------------------------------------
 # x08 — split-leakage audit: near-duplicate pairs that STRADDLE
 # train/val/test. A hash split (x01) is doc-level, so near-dups of a
 # training doc can land in test and leak eval signal — the audit every
@@ -534,6 +594,7 @@ QUERIES = {
     "x06_shuffle_shard": x06_shuffle_shard,
     "x07_upsert_merge": x07_upsert_merge,
     "x08_split_leakage": x08_split_leakage,
+    "x09_pack_sequences": x09_pack_sequences,
 }
 
 ORACLE = {
@@ -545,4 +606,5 @@ ORACLE = {
     "x06_shuffle_shard": _X06_SQL,
     "x07_upsert_merge": _X07_SQL,
     "x08_split_leakage": _x08_sql(),
+    "x09_pack_sequences": _X09_SQL,
 }
