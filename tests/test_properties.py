@@ -124,3 +124,44 @@ def test_empty_to_null_trims(spark):
     df = spark.createDataFrame([("  x  ",), ("   ",), ("",)], ["v"])
     got = [r.o for r in df.select(empty_to_null("v").alias("o")).collect()]
     assert got == ["x", None, None]
+
+
+# -- media codec roundtrips (WAV, MP4 boxes) --------------------------------
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=200
+    ),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_any_pcm16(samples, rate):
+    import numpy as np
+
+    from rfb_data_pipeline_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    arr = np.array(samples, dtype="<i2")
+    got_rate, got = decode_wav(encode_wav(arr, rate))
+    assert got_rate == rate
+    assert np.array_equal(got, arr)
+
+
+@given(
+    duration_ms=st.integers(min_value=0, max_value=10**7),
+    timescale=st.sampled_from([600, 1000, 90000]),
+)
+@settings(max_examples=40, deadline=None)
+def test_mp4_duration_roundtrip(duration_ms, timescale):
+    from rfb_data_pipeline_spark.functions.multimodal import (
+        encode_minimal_mp4,
+        parse_mp4_meta,
+    )
+
+    brand, ts, dur = parse_mp4_meta(encode_minimal_mp4(duration_ms, timescale))
+    assert brand == "isom" and ts == timescale
+    # encode floors to timescale ticks; the parse is exact on those
+    assert abs(dur - duration_ms) <= (1000 // timescale) + 1
