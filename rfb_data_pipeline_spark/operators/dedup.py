@@ -783,6 +783,70 @@ WHERE lev <= {_D10_MAXLEV}
 """
 
 
+# --------------------------------------------------------------------------
+# d12 — MinHash CALIBRATION: the signature-agreement estimate
+# (matching components / K) against the exact Jaccard, per verified
+# near-dup pair. E[est] = J by the MinHash property; with K = 12 the
+# stderr is ~sqrt(J(1-J)/12) ≈ 0.11 at J = 0.8 — this query is the
+# production check that the sketch is behaving before anyone trusts
+# its candidate buckets at 100 TB (where nobody can afford the exact
+# join this comparison needs — run it on a sampled shard there).
+
+
+def d12_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d02_ngram_jaccard(spark, sf_dir)
+    exploded = _doc_shingles(_docs(spark, sf_dir))
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
+            for j in range(MINHASH_K)
+        ]
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(MINHASH_K)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(MINHASH_K)]
+    )
+    matches = None
+    for j in range(MINHASH_K):
+        m = (F.col(f"a{j}") == F.col(f"b{j}")).cast("int")
+        matches = m if matches is None else matches + m
+    est = F.round(matches / MINHASH_K, 4)
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            est.alias("est"),
+            F.round(F.abs(est - F.col("jaccard")), 4).alias("err"),
+        )
+    )
+
+
+def _d12_sql() -> str:
+    hs = ",\n         ".join(
+        f"list_min(list_transform(shingles, x -> md5('{j}|' || x))) AS h{j}"
+        for j in range(MINHASH_K)
+    )
+    match_sum = " + ".join(
+        f"(sa.h{j} = sb.h{j})::INT" for j in range(MINHASH_K)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (SELECT doc_id, {hs} FROM sh),
+pairs AS ({_D02_SQL})
+SELECT doc_a, doc_b, jaccard,
+       round(({match_sum}) / {MINHASH_K}.0, 4) AS est,
+       round(abs(round(({match_sum}) / {MINHASH_K}.0, 4) - jaccard), 4) AS err
+FROM pairs
+JOIN sig sa ON doc_a = sa.doc_id
+JOIN sig sb ON doc_b = sb.doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -794,6 +858,7 @@ QUERIES = {
     "d08_decontaminate": d08_decontaminate,
     "d09_containment": d09_containment,
     "d10_fuzzy_pairs": d10_fuzzy_pairs,
+    "d12_minhash_calibration": d12_minhash_calibration,
 }
 
 ORACLE = {
@@ -807,4 +872,5 @@ ORACLE = {
     "d08_decontaminate": _D08_SQL,
     "d09_containment": _D09_SQL,
     "d10_fuzzy_pairs": _D10_SQL,
+    "d12_minhash_calibration": _d12_sql(),
 }
