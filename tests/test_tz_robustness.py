@@ -19,23 +19,27 @@ import sys
 
 from tests.conftest import REPO_ROOT, SF_SMALL
 
-# Every query emitting timestamp/date columns (window starts, session
-# bounds, as-of matches, cohort weeks, spike hours, date scalars).
-_TIME_QUERIES = [
-    "e01_tumbling_hourly",
-    "e02_sliding_window",
-    "e03_sessionize",
-    "e06_event_gaps",
-    "e09_asof_join",
-    "e10_retention_cohorts",
-    "e11_spike_detection",
-    "q14_date_functions",
-    "q30_moving_range_sum",
-    "q32_window_values",
-]
+def _time_queries(spark) -> list[str]:
+    """Every query whose OUTPUT schema carries a timestamp/date —
+    discovered from the schemas (analysis only, nothing executed) so
+    new operators are gated automatically instead of by a hand list."""
+    import __spark_entry__ as entry_mod
+
+    names = []
+    for name, fn in sorted(entry_mod.queries().items()):
+        fields = fn(spark, SF_SMALL).schema.fields
+        if any(
+            t in f.dataType.simpleString()
+            for f in fields
+            for t in ("timestamp", "date")
+        ):
+            names.append(name)
+    return names
 
 
-def test_time_queries_under_nonutc_tz_and_bare_session():
+def test_time_queries_under_nonutc_tz_and_bare_session(spark):
+    time_queries = _time_queries(spark)
+    assert len(time_queries) >= 10, time_queries  # e01.., q14, q32...
     env = dict(os.environ)
     env["TZ"] = "America/Sao_Paulo"
     env["ORACLE_BARE_SESSION"] = "1"
@@ -44,7 +48,7 @@ def test_time_queries_under_nonutc_tz_and_bare_session():
             sys.executable,
             os.path.join(REPO_ROOT, "tools", "check_oracle.py"),
             SF_SMALL,
-            *_TIME_QUERIES,
+            *time_queries,
         ],
         env=env,
         capture_output=True,
@@ -54,4 +58,4 @@ def test_time_queries_under_nonutc_tz_and_bare_session():
     )
     tail = "\n".join(proc.stdout.splitlines()[-25:])
     assert proc.returncode == 0, f"oracle gate failed under TZ:\n{tail}"
-    assert f"{len(_TIME_QUERIES)} passed, 0 failed" in proc.stdout, tail
+    assert f"{len(time_queries)} passed, 0 failed" in proc.stdout, tail
