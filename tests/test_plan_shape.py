@@ -205,3 +205,27 @@ def test_s09_vector_stats_zero_shuffle(spark):
     df = _q(spark, "s09_vector_stats")
     assert pi.n_exchanges(df) == 0
     assert not pi.has_python_eval(df)
+
+
+def test_exchange_budgets_headline(spark):
+    """Shuffle-count budget per flagship query: a refactor that adds
+    an exchange (lost broadcast, lost partial-agg, gratuitous
+    repartition) fails HERE even while results stay correct. Budgets
+    are ceilings (AQE may remove exchanges, never add them)."""
+    budgets = {
+        "q01_pricing_summary": 1,  # one agg shuffle
+        "q05_region_revenue": 1,  # dims broadcast; one agg shuffle
+        "e01_tumbling_hourly": 1,  # one (window, type) agg shuffle
+        "d01_exact_dedup": 2,  # fingerprint agg + global summary
+        "t09_bpe_token_count": 0,  # pure map
+        "s09_vector_stats": 0,  # pure map
+        "x09_pack_sequences": 1,  # one running-sum window
+        "q34_histogram": 2,  # 1-row bounds agg + bin agg
+        "q04_revenue_by_nation": 3,  # partial-agg + join + final agg
+    }
+    over = {}
+    for name, budget in budgets.items():
+        n = pi.n_exchanges(_q(spark, name))
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"exchange budget exceeded (got, budget): {over}"
