@@ -49,14 +49,11 @@ HEADLINE = [
     "s09_vector_stats",
     "t09_bpe_token_count",
     "x07_upsert_merge",
+    "d10_fuzzy_pairs",
 ]
 # s03 (exact all-pairs) is deliberately NOT timed: it is the
 # correctness oracle for s06, quadratic by definition; the production
-# pair operator in the timed set is s06. d10 (edit-distance pairs) is
-# likewise the fuzzy-dedup VERIFIER tier — candidate mass is bounded
-# by design (positional 8-gram banding) but inherently heavier than
-# the production LSH path (d03/s06), so it is correctness-gated, not
-# timed.
+# pair operator in the timed set is s06.
 
 
 def main() -> None:

