@@ -466,6 +466,101 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# t10 — Count-Min-Sketch heavy hitters: a distributed CMS built from
+# nothing but DataFrame ops. D=4 hash rows come from seed-prefixed
+# md5 ("0|term".."3|term"); the bucket KEY is the digest's first two
+# hex chars (W=256 buckets) — no hex→int conversion anywhere, so the
+# DuckDB oracle computes the byte-identical sketch and the whole
+# query is deterministic in both engines. Output: the exact top-20
+# terms with exact count next to the CMS estimate, which by the CMS
+# guarantee never underestimates (pinned for every term in
+# tests/test_text_cms.py).
+#
+# Scale design: the sketch is built from the per-term counts (one
+# vocab shuffle, shared with the exact top-k) and is D*W = 1024 rows
+# REGARDLESS of corpus size — at 100 TB it broadcasts to the estimate
+# join for free, which is the whole point of a sketch: the heavy-
+# hitter probe never re-shuffles the corpus. Widening for real scale
+# is one constant: each extra hex char multiplies W by 16.
+
+_CMS_DEPTH = 4  # hash rows
+_CMS_HEX = 2  # bucket key width in hex chars → W = 16**_CMS_HEX
+_CMS_TOPK = 20
+
+
+def _cms_bucket(seed: int, term) -> "F.Column":
+    return F.substring(F.md5(F.concat(F.lit(f"{seed}|"), term)), 1, _CMS_HEX)
+
+
+def t10_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(tokens_col()).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .localCheckpoint(eager=True)  # feeds sketch, top-k, and probe
+    )
+    seeds = list(range(_CMS_DEPTH))
+    sketch = (
+        counts.select(
+            F.posexplode(
+                F.array(*[_cms_bucket(i, F.col("term")) for i in seeds])
+            ).alias("i", "bucket"),
+            "n_exact",
+        )
+        .groupBy("i", "bucket")
+        .agg(F.sum("n_exact").alias("c"))
+    )
+    top = counts.orderBy(F.desc("n_exact"), F.asc("term")).limit(_CMS_TOPK)
+    probes = top.select(
+        "term",
+        "n_exact",
+        F.posexplode(
+            F.array(*[_cms_bucket(i, F.col("term")) for i in seeds])
+        ).alias("i", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("term", "n_exact")
+        .agg(F.min("c").alias("n_est"))
+        .select("term", "n_exact", "n_est")
+    )
+
+
+_CMS_BUCKETS_SQL = ", ".join(
+    f"({i}, substring(md5('{i}|' || term), 1, {_CMS_HEX}))" for i in range(_CMS_DEPTH)
+)
+
+_T10_SQL = f"""
+WITH cnt AS (
+  SELECT term, count(*) AS n_exact
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+  WHERE length(term) > 0
+  GROUP BY term
+),
+hashed AS (
+  SELECT term, n_exact, h.i AS i, h.bucket AS bucket
+  FROM cnt, LATERAL (VALUES {_CMS_BUCKETS_SQL}) AS h(i, bucket)
+),
+sketch AS (
+  SELECT i, bucket, sum(n_exact) AS c FROM hashed GROUP BY i, bucket
+),
+top AS (
+  SELECT term, n_exact FROM cnt ORDER BY n_exact DESC, term LIMIT {_CMS_TOPK}
+)
+SELECT t.term,
+       CAST(t.n_exact AS BIGINT) AS n_exact,
+       CAST(min(s.c) AS BIGINT) AS n_est
+FROM top t
+JOIN hashed h ON h.term = t.term
+JOIN sketch s ON s.i = h.i AND s.bucket = h.bucket
+GROUP BY t.term, t.n_exact
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -476,6 +571,7 @@ QUERIES = {
     "t07_repetition": t07_repetition,
     "t08_top_bigrams": t08_top_bigrams,
     "t09_bpe_token_count": t09_bpe_token_count,
+    "t10_cms_heavy_hitters": t10_cms_heavy_hitters,
 }
 
 ORACLE = {
@@ -488,4 +584,5 @@ ORACLE = {
     "t07_repetition": _T07_SQL,
     "t08_top_bigrams": _T08_SQL,
     "t09_bpe_token_count": _T09_SQL,
+    "t10_cms_heavy_hitters": _T10_SQL,
 }
