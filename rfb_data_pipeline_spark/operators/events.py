@@ -572,6 +572,184 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# e14 — peak concurrency per day (the sweep-line / interval-overlap
+# shape: "how many sessions were open at once?"). Each event opens a
+# 10-minute activity interval [ts, ts+10min); the answer per day is the
+# max running sum over +1/-1 boundary deltas. The naive formulation is
+# one window ordered by time over the WHOLE day — a single sorted
+# partition per day, which at 100 TB is the classic prefix-sum
+# bottleneck. This implementation uses the two-phase parallel prefix
+# sum instead: per-HOUR bands compute local prefixes (fine-grained
+# shuffle), band totals (one tiny row per hour) get day-cumulative
+# offsets, and open_now = band_offset + local_prefix. No day-wide sort
+# ever happens; parallelism is #hours, not #days.
+#
+# Midnight-crossing intervals (≤ one boundary, intervals are 10 min)
+# re-open in the next day with a +1 at midnight, so each day's sweep is
+# self-contained. Ties order by (t, delta): the default RANGE frame
+# sums all peers, so equal-(t,delta) rows see the same prefix in both
+# engines and the max is deterministic. The oracle spells the same
+# sweep as the one-window-per-day SQL formulation.
+
+_CONCURRENCY_TTL = "INTERVAL 10 MINUTES"
+
+
+def e14_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    end = F.col("ts") + F.expr(_CONCURRENCY_TTL)
+    starts = ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(end.alias("t"), F.lit(-1).alias("delta"))
+    # re-open crossing intervals at the next midnight
+    reopen = (
+        ev.select(
+            F.date_trunc("day", end).alias("t"),
+            F.lit(1).alias("delta"),
+            F.to_date("ts").alias("sd"),
+            F.to_date(end).alias("ed"),
+        )
+        .filter(F.col("ed") > F.col("sd"))
+        .select("t", "delta")
+    )
+    deltas = starts.unionByName(ends).unionByName(reopen).withColumn(
+        "band", F.date_trunc("hour", F.col("t"))
+    )
+    wb = Window.partitionBy("band").orderBy("t", "delta")
+    local = deltas.withColumn("local_prefix", F.sum("delta").over(wb))
+    band_offsets = (
+        deltas.groupBy("band")
+        .agg(F.sum("delta").alias("band_total"))
+        .withColumn(
+            "band_offset",
+            F.coalesce(
+                F.sum("band_total").over(
+                    Window.partitionBy(F.to_date("band"))
+                    .orderBy("band")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("band", "band_offset")
+    )
+    return (
+        local.join(F.broadcast(band_offsets), "band")
+        .groupBy(F.to_date("t").alias("event_date"))
+        .agg(
+            F.max(F.col("band_offset") + F.col("local_prefix")).alias(
+                "max_concurrent"
+            )
+        )
+    )
+
+
+_E14_SQL = """
+WITH deltas AS (
+  SELECT ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT ts + INTERVAL 10 MINUTE, -1 FROM events
+  UNION ALL
+  SELECT date_trunc('day', ts + INTERVAL 10 MINUTE), 1 FROM events
+  WHERE CAST(ts + INTERVAL 10 MINUTE AS DATE) > CAST(ts AS DATE)
+),
+running AS (
+  SELECT CAST(t AS DATE) AS event_date,
+         sum(delta) OVER (PARTITION BY CAST(t AS DATE) ORDER BY t, delta)
+           AS open_now
+  FROM deltas
+)
+SELECT event_date, CAST(max(open_now) AS BIGINT) AS max_concurrent
+FROM running GROUP BY event_date
+"""
+
+
+# --------------------------------------------------------------------------
+# e15 — gap-filled hourly resample with last-observation-carried-forward
+# (the hypertable/time-bucket-gapfill + locf shape). The hourly spine is
+# generated per key from its own [min, max] range (sequence + explode —
+# no driver-side loop, no cross join against a calendar table), left-
+# joined to the observed hourly aggregates; missing counts fill as 0 and
+# the carried value comes from last(ignorenulls) over an ordered window.
+# Scale: spine size is bounded by calendar hours × #keys regardless of
+# event volume; one shuffle on (key, hour) for the join, one on key for
+# the LOCF window.
+#
+# The carried average is computed from EXACT integer cents (inputs have
+# two decimals) and rounded with floor(x + 0.5) — identical IEEE ops in
+# both engines. round(avg(double)) is NOT cross-engine stable: Spark
+# rounds the shortest decimal repr HALF_UP while DuckDB rounds the
+# binary value, so an hour averaging to x.xx5 diverges (observed:
+# 7.78 vs 7.77 at sf0.001).
+
+
+def e15_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(cents).alias("sum_cents"),
+        )
+        .withColumn(
+            "avg_value",
+            F.floor(F.col("sum_cents") / F.col("n_obs") + F.lit(0.5)) / 100.0,
+        )
+    )
+    spine = (
+        ev.groupBy("event_type")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("value_locf"),
+            F.col("n_obs").isNull().cast("int").alias("is_gap"),
+        )
+    )
+
+
+_E15_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*) AS n_obs,
+         floor(sum(CAST(round(value * 100) AS BIGINT)) / count(*) + 0.5)
+           / 100.0 AS avg_value
+  FROM events GROUP BY 1, 2
+),
+rng AS (
+  SELECT event_type,
+         date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM rng
+)
+SELECT s.event_type, s.hour,
+       CAST(coalesce(h.n_obs, 0) AS BIGINT) AS n_events,
+       last_value(h.avg_value IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.hour) AS value_locf,
+       CAST(h.n_obs IS NULL AS INT) AS is_gap
+FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_window": e02_sliding_window,
@@ -586,6 +764,8 @@ QUERIES = {
     "e11_spike_detection": e11_spike_detection,
     "e12_sequence_match": e12_sequence_match,
     "e13_variant_extract": e13_variant_extract,
+    "e14_max_concurrency": e14_max_concurrency,
+    "e15_gap_fill_locf": e15_gap_fill_locf,
 }
 
 ORACLE = {
@@ -602,4 +782,6 @@ ORACLE = {
     "e11_spike_detection": _E11_SQL,
     "e12_sequence_match": _E12_SQL,
     "e13_variant_extract": _E13_SQL,
+    "e14_max_concurrency": _E14_SQL,
+    "e15_gap_fill_locf": _E15_SQL,
 }
