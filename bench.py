@@ -96,6 +96,25 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # The headline set has grown since the round-1 baseline was recorded
+    # (19 -> 28 queries); the raw total is therefore not apples-to-apples
+    # against BENCH_r01.json. Emit the sum over exactly the baseline's
+    # query set alongside, so total-vs-baseline comparisons have a
+    # like-for-like number.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+        ) as fh:
+            base_qs = json.load(fh)["parsed"]["queries"]
+        subset = {k: timings[k] for k in base_qs if k in timings}
+        if subset:
+            payload["baseline_subset"] = {
+                "value": round(sum(subset.values()), 3),
+                "n_queries": len(subset),
+                "baseline_value": round(sum(base_qs.values()), 3),
+            }
+    except Exception:  # noqa: BLE001 - comparison aid only, never fatal
+        pass
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
