@@ -40,7 +40,11 @@ def _registry() -> tuple[dict, dict]:
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
-    for mod in (relational, events, dedup, text, similarity, sampling):
+    # Registry ORDER matters: the driver's correctness harness records only the
+    # first 50 entries per round. Rounds 1-2 listed q/e first, which pushed all
+    # 39 d/t/s/x queries out of the window (VERDICT r02 item 1). List the
+    # previously-unverified families first this round; rotate q/e back next.
+    for mod in (dedup, text, similarity, sampling, events, relational):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)
     return queries, oracle

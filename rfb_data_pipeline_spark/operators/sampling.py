@@ -401,10 +401,18 @@ GROUP BY shard
 # construction) and each doc belongs to the ~BUDGET-token pack where
 # it STARTS: pack_id = floor(start_offset / BUDGET) with
 # start_offset = running token sum minus own length — the standard
-# pretraining batch-prep step, expressed as ONE running-sum window,
-# no loop (a pack's last doc may overflow the budget; the trainer
-# truncates at the boundary). At 100 TB the same window runs per
-# shard after x06's shuffle-shard partitioning — no global sort.
+# pretraining batch-prep step (a pack's last doc may overflow the
+# budget; the trainer truncates at the boundary).
+#
+# Scale: the corpus-wide running sum is a two-phase parallel prefix
+# sum (same pattern as e14's concurrency sweep), NOT one global
+# Window.orderBy — that shape sorts the whole corpus through a single
+# task. Band = first 2 hex chars of skey (256 uniform bands, and a
+# prefix of the sort key, so per-band order + band order == global
+# order). Phase 1: per-band local running sums (parallel window).
+# Phase 2: 256-row band-total frame gets cumulative offsets (driver-
+# scale window), broadcast back. global_running = band_offset +
+# local_running. At 100 TB widen the band prefix to 3-4 hex chars.
 
 PACK_BUDGET = 2048
 
@@ -416,16 +424,35 @@ def x09_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(tokens_col()).alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("skey"),
-    )
-    w = (
-        Window.orderBy("skey", "doc_id")
+    ).withColumn("band", F.substring("skey", 1, 2))
+    wb = (
+        Window.partitionBy("band")
+        .orderBy("skey", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    packed = docs.select(
+    local = docs.withColumn("local_running", F.sum("n_tokens").over(wb))
+    band_offsets = (
+        docs.groupBy("band")
+        .agg(F.sum("n_tokens").alias("band_total"))
+        .withColumn(
+            "band_offset",
+            F.coalesce(
+                F.sum("band_total").over(
+                    Window.orderBy("band").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("band", "band_offset")
+    )
+    packed = local.join(F.broadcast(band_offsets), "band").select(
         "doc_id",
         "n_tokens",
         F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET
+            (F.col("band_offset") + F.col("local_running") - F.col("n_tokens"))
+            / PACK_BUDGET
         ).alias("pack_id"),
     )
     return packed.groupBy("pack_id").agg(
