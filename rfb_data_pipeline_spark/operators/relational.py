@@ -983,18 +983,78 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 
 # --------------------------------------------------------------------------
 # q29 — distribution ranking: quartile bucket (ntile) and percentile
-# position (percent_rank) of suppliers by balance. One window shuffle;
-# ties broken by key so both engines rank identically.
+# position (percent_rank) of suppliers by balance. Ties broken by key
+# so both engines rank identically.
+#
+# Scale: a bare ``Window.orderBy`` computes the global rank through ONE
+# task (WindowExec warns and funnels the whole table). Instead this is
+# the banded two-phase global rank (same family as x09/e14's banded
+# prefix sums): rows are bucketed into value-range bands of the sort
+# key (broadcast min/max, linear scale — equal keys always share a
+# band, so per-band order + band order == global order), phase 1 ranks
+# within each band in parallel, phase 2 turns the tiny per-band counts
+# into cumulative offsets and broadcasts them back. ntile/percent_rank
+# are then pure arithmetic on (global_rank, n): because the tie-break
+# makes the order total, rank()==row_number(), percent_rank is
+# (rank-1)/(n-1), and ntile(k)'s first n%k buckets hold ceil(n/k) rows
+# (the SQL-standard sizing both engines implement). At 100 TB widen
+# Q29_BANDS; the single-partition frame stays |bands| rows.
+
+Q29_BANDS = 32
 
 
 def q29_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sup = _t(spark, sf_dir, "supplier")["supplier"]
-    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
-    return sup.select(
-        "s_suppkey",
-        F.round("s_acctbal", 2).alias("acctbal"),
-        F.ntile(4).over(w).alias("quartile"),
-        (F.round(F.percent_rank().over(w), 4) + F.lit(0.0)).alias("pct_rank"),
+    sup = _t(spark, sf_dir, "supplier")["supplier"].select("s_suppkey", "s_acctbal")
+    bounds = sup.agg(
+        F.min("s_acctbal").alias("_lo"),
+        F.max("s_acctbal").alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    span = F.col("_hi") - F.col("_lo")
+    banded = sup.join(F.broadcast(bounds)).withColumn(
+        "_band",
+        F.when(span == 0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(Q29_BANDS - 1),
+                F.floor((F.col("_hi") - F.col("s_acctbal")) * Q29_BANDS / span),
+            )
+        ),
+    )
+    wb = Window.partitionBy("_band").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    local = banded.withColumn("_local_rn", F.row_number().over(wb))
+    offsets = (
+        banded.groupBy("_band")
+        .agg(F.count(F.lit(1)).alias("_band_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_band_n").over(
+                    Window.orderBy("_band").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_band", "_offset")
+    )
+    rank = F.col("_offset") + F.col("_local_rn")
+    k = F.lit(4)
+    q, r = F.floor(F.col("_n") / k), F.col("_n") % k
+    ntile = F.when(rank <= r * (q + 1), F.ceil(rank / (q + 1))).otherwise(
+        r + F.ceil((rank - r * (q + 1)) / F.when(q == 0, 1).otherwise(q))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_band")
+        .select(
+            "s_suppkey",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            ntile.cast("int").alias("quartile"),
+            (
+                F.round((rank - 1) / (F.col("_n") - 1).cast("double"), 4)
+                + F.lit(0.0)
+            ).alias("pct_rank"),
+        )
     )
 
 

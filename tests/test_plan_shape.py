@@ -222,6 +222,74 @@ def test_x09_no_corpus_wide_single_partition_window(spark):
     assert plan.count("Exchange SinglePartition") == 1
 
 
+def test_q29_no_corpus_wide_single_partition_window(spark):
+    """q29's global rank is the banded two-phase form: the table-scale
+    window is PARTITIONED by the value-range band; only constant-size
+    frames (1-row min/max bounds, |bands|-row offsets) may pass through
+    a single partition (r02 VERDICT item 4)."""
+    import re as _re
+
+    df = _q(spark, "q29_ntile_percentile")
+    plan = pi.explain_string(df, "simple")
+    # table-scale window keyed on the band, not bare orderBy
+    assert _re.search(r"windowspecdefinition\(_band#\d+L?, s_acctbal#", plan)
+    # single-partition exchanges limited to the tiny helper frames
+    assert plan.count("Exchange SinglePartition") <= 3
+
+
+# Queries whose plan legitimately funnels through a single partition:
+# every entry is a constant-size or calendar-bounded frame, never a
+# row-count-scaled table. Anything NOT listed here that grows a
+# SinglePartition exchange is a scale regression.
+_SINGLE_PARTITION_OK = {
+    "q06_forecast_revenue",  # 1-row global aggregate
+    "q10_monthly_lag",  # post-agg month frame (calendar-bounded)
+    "q12_set_ops",  # 1-row count over EXCEPT
+    "q20_running_total",  # post-agg day frame (calendar-bounded)
+    "q25_collect_set",  # broadcast-side 1-row frame
+    "q26_intersect",  # 1-row count
+    "q29_ntile_percentile",  # 1-row bounds + 32-row band offsets
+    "q30_moving_range_sum",  # post-agg day frame
+    "q33_approx_quantiles",  # constant-size sketch merge
+    "q34_histogram",  # 1-row bounds frame
+    "e02_sliding_window",  # post-agg minute grid (calendar-bounded)
+    "e05_funnel",  # 1-row funnel summary
+    "e11_spike_detection",  # post-agg minute frame
+    "e12_sequence_match",  # 1-row match count
+    "e14_max_concurrency",  # banded prefix sum's band-offset frame
+    "e15_gap_fill_locf",  # calendar-bounded resample grid
+    "d01_exact_dedup",  # 1-row dedup summary
+    "d12_minhash_calibration",  # 1-row calibration summary
+    "t06_tfidf_top_terms",  # 1-row corpus doc-count frame (IDF side)
+    "t08_top_bigrams",  # top-k limit frame
+    "t10_cms_heavy_hitters",  # constant-size sketch
+    "s08_kmeans_lloyd2",  # k-row centroid frames
+    "s09_vector_stats",  # 1-row stats summary
+    "x03_stratified_sample",  # per-stratum rate frame (|groups| rows)
+    "x09_pack_sequences",  # banded prefix sum's band-offset frame
+}
+
+
+def test_no_cartesian_and_single_partition_whitelist(spark):
+    """Belt-and-braces over the WHOLE query surface: no plan may
+    contain a cartesian product, and a SinglePartition exchange may
+    appear only in whitelisted queries where the funneled frame is
+    constant-size or calendar-bounded (r02 VERDICT item 7)."""
+    offenders_cartesian = []
+    offenders_single = []
+    for name in sorted(_QUERIES):
+        plan = pi.explain_string(_QUERIES[name](spark, SF_SMALL), "simple")
+        if "CartesianProduct" in plan:
+            offenders_cartesian.append(name)
+        if (
+            "Exchange SinglePartition" in plan
+            and name not in _SINGLE_PARTITION_OK
+        ):
+            offenders_single.append(name)
+    assert not offenders_cartesian, offenders_cartesian
+    assert not offenders_single, offenders_single
+
+
 def test_exchange_budgets_headline(spark):
     """Shuffle-count budget per flagship query: a refactor that adds
     an exchange (lost broadcast, lost partial-agg, gratuitous
