@@ -24,8 +24,10 @@ from pyspark.sql import functions as F
 
 from rfb_data_pipeline_spark.normalize import to_silver
 from rfb_data_pipeline_spark.pipeline.validate import (
+    observed_check_metrics,
+    report_from_metrics,
     v1_count_reconciliation,
-    validation_report,
+    v5_duplicate_keys,
 )
 from rfb_data_pipeline_spark.schemas import TABLE_SCHEMAS
 from rfb_data_pipeline_spark.sources.rfb_csv import (
@@ -94,8 +96,15 @@ def load_table(
 
     silver = to_silver(table, clean).withColumn("ref_ym", F.lit(ref_ym))
 
+    # One Observation carries the write count AND the v2/v3 null/format
+    # counters: the write action computes every check in the same pass
+    # (no post-write validation scan, payload O(columns) at any scale).
     obs = Observation(f"write_{table}_{ref_ym}")
-    observed = silver.observe(obs, F.count(F.lit(1)).alias("n_written"))
+    observed = silver.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_written"),
+        *observed_check_metrics(table),
+    )
 
     # Dynamic partition overwrite: only the ref_ym partition is
     # replaced — the Spark-native TRUNCATE-per-month (reference A11)
@@ -121,10 +130,16 @@ def load_table(
             .parquet(f"{out_dir}/_quarantine/{table}")
         )
 
-    written = spark.read.parquet(f"{out_dir}/{table}").filter(
-        F.col("ref_ym") == ref_ym
-    )
-    validations = validation_report(written, table, keys=keys)
+    metrics = dict(obs.get)
+    n_dups = 0
+    if keys:
+        # duplicate-key detection needs a groupBy (not expressible as an
+        # observe metric); read back only the key columns for it.
+        written = spark.read.parquet(f"{out_dir}/{table}").filter(
+            F.col("ref_ym") == ref_ym
+        )
+        n_dups = v5_duplicate_keys(written.select(*keys), keys).count()
+    validations = report_from_metrics(metrics, table, n_duplicate_keys=n_dups)
     validations["count_gate"] = v1_count_reconciliation(
         n_clean, n_written, label=f"{table}@{ref_ym}"
     )

@@ -105,7 +105,12 @@ def v5_duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
 def validation_report(
     df: DataFrame, table: str, keys: list[str] | None = None
 ) -> dict[str, object]:
-    """Run v2/v3 (+v5 when keys given) and summarize pass/fail."""
+    """Run v2/v3 (+v5 when keys given) and summarize pass/fail.
+
+    Standalone (read-path) form: three bounded-output aggregates.
+    Inside the ingest write path use ``observed_check_metrics`` +
+    ``report_from_metrics`` instead — same counters, zero extra scans.
+    """
     nulls = v2_null_essentials(df, table).collect()
     formats = v3_format_checks(df, table).collect()
     dups = v5_duplicate_keys(df, keys).count() if keys else 0
@@ -115,4 +120,48 @@ def validation_report(
         "format_violations": {r["column"]: r["n_bad"] for r in formats},
         "n_duplicate_keys": dups,
         "passed": not nulls and not formats and dups == 0,
+    }
+
+
+def observed_check_metrics(table: str) -> list:
+    """v2/v3 counters as ``observe()`` metric columns: every check is a
+    sum over a row-level predicate, so the write action itself computes
+    them — no post-write validation scan, and the metric payload stays
+    O(columns) however large the table grows (r02 VERDICT item on the
+    driver-side collects)."""
+    cols = ESSENTIAL_COLUMNS.get(table, [])
+    pats = FORMAT_PATTERNS.get(table, {})
+    metrics = [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"null__{c}") for c in cols
+    ]
+    metrics += [
+        F.sum((F.col(c).isNotNull() & ~F.col(c).rlike(p)).cast("long")).alias(
+            f"fmt__{c}"
+        )
+        for c, p in pats.items()
+    ]
+    return metrics
+
+
+def report_from_metrics(
+    metrics: dict, table: str, n_duplicate_keys: int = 0
+) -> dict[str, object]:
+    """Assemble the validation_report dict from observed metric values
+    (the ``null__*`` / ``fmt__*`` counters of ``observed_check_metrics``)."""
+    nulls = {
+        k.removeprefix("null__"): v
+        for k, v in metrics.items()
+        if k.startswith("null__") and v
+    }
+    formats = {
+        k.removeprefix("fmt__"): v
+        for k, v in metrics.items()
+        if k.startswith("fmt__") and v
+    }
+    return {
+        "table": table,
+        "null_violations": nulls,
+        "format_violations": formats,
+        "n_duplicate_keys": n_duplicate_keys,
+        "passed": not nulls and not formats and n_duplicate_keys == 0,
     }
