@@ -784,6 +784,82 @@ FROM embeddings
 """
 
 
+# --------------------------------------------------------------------------
+# s10 — semantic dedup (SemDeDup, Abbas et al. 2023): drop every vector
+# whose cosine to a LOWER-id vector in the SAME cluster exceeds the
+# threshold, keeping one representative per semantic-duplicate group.
+#
+# The candidate join is an EQUI-join on the cluster id (here `label`,
+# standing in for the k-means cell id an s08-style pass assigns at
+# scale) — pair work is quadratic only within a cell, never all-pairs.
+# At 100 TB the corpus is partitioned by cell id, each cell's pairwise
+# pass is a co-located per-partition job, and the number of cells is
+# sized so cells fit in executor memory — exactly the paper's recipe.
+# The keep rule (lowest vec_id survives) is deterministic, so both
+# engines agree row-for-row; threshold compares the ROUNDED cosine on
+# both sides (round-1 ADVICE symmetry rule).
+
+SEMDEDUP_COS = 0.3
+
+
+def s10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    # Norms once per vector before the pair join (stored with the
+    # cell index at scale) — one dot per pair instead of three.
+    v = emb.select("label", "vec_id", "embedding", _norm("embedding").alias("nrm"))
+    a = v.select(
+        "label",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        "label",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 4) + F.lit(0.0)
+    dropped = (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= SEMDEDUP_COS)
+        .select("label", F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    totals = v.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    drops = dropped.groupBy("label").agg(F.count(F.lit(1)).alias("n_dropped"))
+    return (
+        totals.join(drops, "label", "left")
+        .select(
+            "label",
+            "n_vecs",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+        )
+    )
+
+
+_S10_SQL = f"""
+WITH pairs AS (
+  SELECT a.label, b.vec_id
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+              / (sqrt({_SQL_DOT.format(a="a.embedding", b="a.embedding")})
+                 * sqrt({_SQL_DOT.format(a="b.embedding", b="b.embedding")})), 4) + 0.0
+        >= {SEMDEDUP_COS}
+), dropped AS (
+  SELECT label, count(DISTINCT vec_id) AS n_dropped FROM pairs GROUP BY label
+)
+SELECT t.label, t.n_vecs,
+       coalesce(d.n_dropped, 0) AS n_dropped,
+       t.n_vecs - coalesce(d.n_dropped, 0) AS n_kept
+FROM (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label) t
+LEFT JOIN dropped d ON t.label = d.label
+"""
+
+
 QUERIES = {
     "s01_knn_bruteforce": s01_knn_bruteforce,
     "s02_ann_lsh": s02_ann_lsh,
@@ -794,6 +870,7 @@ QUERIES = {
     "s07_quantized_knn": s07_quantized_knn,
     "s08_kmeans_lloyd": s08_kmeans_lloyd,
     "s09_vector_stats": s09_vector_stats,
+    "s10_semantic_dedup": s10_semantic_dedup,
 }
 
 ORACLE = {
@@ -806,4 +883,5 @@ ORACLE = {
     "s07_quantized_knn": _S07_SQL,
     "s08_kmeans_lloyd": _S08_SQL,
     "s09_vector_stats": _S09_SQL,
+    "s10_semantic_dedup": _S10_SQL,
 }
