@@ -68,6 +68,19 @@ def test_q09_single_shuffle_window(spark):
     assert pi.n_exchanges(df) <= 3
 
 
+def test_rank_filters_get_window_group_limit(spark):
+    """rank<=k / row_number<=k filters must push a map-side
+    WindowGroupLimit (Partial) below the shuffle: each task keeps only
+    its local top-k per group, so the per-nation window partition never
+    materializes the full group even when groups grow linearly with the
+    table (the r02 VERDICT q21 concern — at 100 TB a nation's suppliers
+    are millions of rows, but each map task still ships at most k)."""
+    for name in ("q21_rank_suppliers", "q09_topk_per_group"):
+        plan = pi.explain_string(_q(spark, name), "simple")
+        assert "WindowGroupLimit" in plan, name
+        assert "Partial" in plan.split("WindowGroupLimit", 1)[1], name
+
+
 def test_partition_pruning_on_month_layout(spark, tmp_path):
     """The RFB month-partitioned layout must prune at the scan: a
     filter on the partition column reads only that partition's files
