@@ -612,6 +612,117 @@ FROM merged GROUP BY o_orderstatus
 """
 
 
+# --------------------------------------------------------------------------
+# x10 — domain-mixture selection (data mixing): resample the corpus to
+# a TARGET language mixture, exactly and deterministically.
+#
+# Mixture weights are INTEGER parts (en:2, de:1, ... of P=6) so every
+# boundary is integer arithmetic — no float quota can round apart
+# across engines. The achievable total is T = min_s floor(n_s * P /
+# p_s) (the largest corpus where no domain over-draws its supply);
+# each domain's quota is floor(p_s * T / P), and the quota is filled
+# by the p_s*T/P docs with the SMALLEST md5(doc_id) in that domain —
+# a deterministic, auditable selection (the x01 no-rand() rule).
+#
+# Scale: the per-domain rank is the BANDED two-phase form (q29/x09
+# family) — rows band on the first hex char of the sort key, rank
+# locally within (lang, band), and add broadcast per-band offsets;
+# the corpus-scale window is partitioned |langs|x16 ways, never one
+# task per domain. The quota frame is |langs| rows, broadcast.
+
+
+MIX_PARTS = {"en": 2, "de": 1, "es": 1, "fr": 1, "zh": 1}
+MIX_TOTAL = sum(MIX_PARTS.values())
+
+
+def x10_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = F.create_map(
+        *[F.lit(x) for kv in MIX_PARTS.items() for x in kv]
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("skey"),
+    ).withColumn("band", F.substring("skey", 1, 1))
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_available"))
+    total = counts.agg(
+        F.min(
+            F.floor(F.col("n_available") * MIX_TOTAL / parts[F.col("lang")])
+        ).alias("t_max")
+    )
+    quotas = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_available",
+        F.floor(parts[F.col("lang")] * F.col("t_max") / MIX_TOTAL).alias("quota"),
+    )
+    wb = Window.partitionBy("lang", "band").orderBy("skey", "doc_id")
+    local = docs.withColumn("local_rn", F.row_number().over(wb))
+    offsets = (
+        docs.groupBy("lang", "band")
+        .agg(F.count(F.lit(1)).alias("band_n"))
+        .withColumn(
+            "band_offset",
+            F.coalesce(
+                F.sum("band_n").over(
+                    Window.partitionBy("lang")
+                    .orderBy("band")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("lang", "band", "band_offset")
+    )
+    selected = (
+        local.join(F.broadcast(offsets), ["lang", "band"])
+        .join(F.broadcast(quotas), "lang")
+        .filter(F.col("band_offset") + F.col("local_rn") <= F.col("quota"))
+    )
+    return selected.groupBy("lang").agg(
+        F.max("n_available").alias("n_available"),
+        F.max("quota").cast("bigint").alias("quota"),
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("doc_id").alias("sel_checksum"),
+    )
+
+
+def _x10_parts_sql() -> str:
+    return (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_PARTS.items())
+        + " END"
+    )
+
+
+_X10_SQL = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_available FROM documents GROUP BY lang
+),
+total AS (
+  SELECT min(CAST(floor(n_available * {MIX_TOTAL} / ({_x10_parts_sql()})) AS BIGINT))
+           AS t_max
+  FROM counts
+),
+quotas AS (
+  SELECT lang, n_available,
+         CAST(floor(({_x10_parts_sql()}) * t_max / {MIX_TOTAL}) AS BIGINT) AS quota
+  FROM counts, total
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents
+)
+SELECT r.lang, q.n_available, q.quota,
+       count(*) AS n_selected,
+       CAST(sum(r.doc_id) AS BIGINT) AS sel_checksum
+FROM ranked r JOIN quotas q ON r.lang = q.lang
+WHERE r.rn <= q.quota
+GROUP BY r.lang, q.n_available, q.quota
+"""
+
+
 QUERIES = {
     "x01_split_assign": x01_split_assign,
     "x02_cap_per_group": x02_cap_per_group,
@@ -622,6 +733,7 @@ QUERIES = {
     "x07_upsert_merge": x07_upsert_merge,
     "x08_split_leakage": x08_split_leakage,
     "x09_pack_sequences": x09_pack_sequences,
+    "x10_domain_mixture": x10_domain_mixture,
 }
 
 ORACLE = {
@@ -634,4 +746,5 @@ ORACLE = {
     "x07_upsert_merge": _X07_SQL,
     "x08_split_leakage": _x08_sql(),
     "x09_pack_sequences": _X09_SQL,
+    "x10_domain_mixture": _X10_SQL,
 }

@@ -280,6 +280,7 @@ _SINGLE_PARTITION_OK = {
     "s09_vector_stats",  # 1-row stats summary
     "x03_stratified_sample",  # per-stratum rate frame (|groups| rows)
     "x09_pack_sequences",  # banded prefix sum's band-offset frame
+    "x10_domain_mixture",  # 1-row t_max frame + |langs|-row quota frame
 }
 
 
