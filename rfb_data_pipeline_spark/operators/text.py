@@ -561,6 +561,74 @@ GROUP BY t.term, t.n_exact
 """
 
 
+# --------------------------------------------------------------------------
+# t11 — unigram-LM surprisal per document (the CCNet/Gopher
+# "perplexity filter" shape, with the corpus itself as the LM): each
+# token's information content is ln(T / c_w) nats against the corpus
+# unigram distribution; a document's average surprisal separates
+# natural prose (mid-range) from boilerplate (low — dominated by
+# frequent tokens) and gibberish (high — rare tokens throughout). In a
+# production pipeline the frequency table comes from a reference
+# corpus; here it is self-computed so the operator is closed over the
+# test tables.
+#
+# Scale: one exploded-token groupBy per (doc, term) with map-side
+# combine, one vocabulary aggregate, one equi-join tf×vocab on term
+# (Zipf-skewed keys — AQE skew split handles the head; at 100 TB the
+# head of the vocabulary is broadcast instead), one 1-row total frame.
+# Float parity: ln() on identical double inputs, multiplied and summed
+# per doc, rounded at the edge — the t06 precedent.
+
+
+def t11_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    terms = docs.select("doc_id", F.explode(tokens_col()).alias("term")).filter(
+        F.length("term") > 0
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c_w"))
+    total = vocab.agg(F.sum("c_w").alias("t_total"))
+    per_doc = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                F.col("tf") * F.log(F.col("t_total") / F.col("c_w"))
+            ).alias("sum_nats"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        (F.round(F.col("sum_nats") / F.col("n_tokens"), 3) + F.lit(0.0)).alias(
+            "avg_surprisal_nats"
+        ),
+    )
+
+
+_T11_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms
+  WHERE length(term) > 0 GROUP BY 1, 2
+), vocab AS (
+  SELECT term, sum(tf) AS c_w FROM tf GROUP BY 1
+), total AS (
+  SELECT sum(c_w) AS t_total FROM vocab
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(tf * ln(t_total::DOUBLE / c_w)) / sum(tf), 3) + 0.0
+         AS avg_surprisal_nats
+FROM tf JOIN vocab USING (term) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -572,6 +640,7 @@ QUERIES = {
     "t08_top_bigrams": t08_top_bigrams,
     "t09_bpe_token_count": t09_bpe_token_count,
     "t10_cms_heavy_hitters": t10_cms_heavy_hitters,
+    "t11_unigram_surprisal": t11_unigram_surprisal,
 }
 
 ORACLE = {
@@ -585,4 +654,5 @@ ORACLE = {
     "t08_top_bigrams": _T08_SQL,
     "t09_bpe_token_count": _T09_SQL,
     "t10_cms_heavy_hitters": _T10_SQL,
+    "t11_unigram_surprisal": _T11_SQL,
 }
