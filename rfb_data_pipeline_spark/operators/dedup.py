@@ -60,7 +60,13 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     one regex split per document into hundreds (measured 10x slowdown).
     Exploding once and composing shingles with lead() keeps the split
     single-execution and every shuffled row narrow.
+
+    The scan is _spread first: the split+explode is the hottest map in
+    every shingle consumer (d02/d03/d08/d09), and on a single-split
+    source it would run in ONE task before the first shuffle (measured
+    ~2x on d03 at sf0.1). No-op when the source already has splits.
     """
+    docs = _spread(docs)
     toks = docs.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
