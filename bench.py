@@ -5,10 +5,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 The set covers every operator family: scan/agg (q01, q06), joins
 (q03, q04, q05), windows (q09, q10), array agg (q25), events
-(e01, e03, e09), dedup (d01, d02, d03, d05), text (t02, t05, t06),
-similarity (s01, s02, s05) and the pair joins (s03 exact vs s06
-banded) — the scale-sensitive operators are deliberately in the
-timed set so a regression to all-pairs shapes shows up here.
+(e01, e03, e09), dedup (d01, d02, d03, d05, d10), text (t02, t05,
+t06, t09, t11), similarity (s01, s02, s05, s09, s10) and the pair
+joins (s03 exact vs s06 banded), plus the curation/mixing surface
+(x05, x07, x10) — the scale-sensitive operators are deliberately in
+the timed set so a regression to all-pairs shapes shows up here.
 """
 
 from __future__ import annotations
@@ -50,6 +51,9 @@ HEADLINE = [
     "t09_bpe_token_count",
     "x07_upsert_merge",
     "d10_fuzzy_pairs",
+    "s10_semantic_dedup",
+    "x10_domain_mixture",
+    "t11_unigram_surprisal",
 ]
 # s03 (exact all-pairs) is deliberately NOT timed: it is the
 # correctness oracle for s06, quadratic by definition; the production
