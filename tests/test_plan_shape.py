@@ -276,6 +276,7 @@ _SINGLE_PARTITION_OK = {
     "t06_tfidf_top_terms",  # 1-row corpus doc-count frame (IDF side)
     "t08_top_bigrams",  # top-k limit frame
     "t10_cms_heavy_hitters",  # constant-size sketch
+    "t11_unigram_surprisal",  # 1-row corpus token-total frame
     "s08_kmeans_lloyd2",  # k-row centroid frames
     "s09_vector_stats",  # 1-row stats summary
     "x03_stratified_sample",  # per-stratum rate frame (|groups| rows)
