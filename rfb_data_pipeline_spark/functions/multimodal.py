@@ -154,6 +154,95 @@ def ppm_features(img: np.ndarray, dim: int = FEATURE_DIM) -> list[float]:
     return [float(x) for x in gray.ravel()]
 
 
+# -- Image container headers: real, library-free metadata parse ------------
+#
+# PNG (IHDR), JPEG (marker walk to SOF), GIF (logical screen
+# descriptor), BMP (BITMAPINFOHEADER) and P6 PPM all expose
+# dimensions and bit depth in a few header bytes, no codec needed —
+# the metadata-extraction/validation tier a media pipeline runs over
+# every object BEFORE deciding what to decode. This is real parsing
+# of the container formats (not a stub), distinct from the pixel
+# decode tier which still needs a codec library for compressed data.
+
+# SOF markers carry frame dimensions; C4/C8/CC are DHT/JPG/DAC, not SOFs.
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(raw: bytes):
+    """payload → (format, width, height, bit_depth) or all-None.
+
+    Never raises: one mislabeled or truncated row must not kill an
+    Arrow batch — unknown/corrupt payloads classify as (None, ...) and
+    the caller counts them (the A7/A13 gate idiom applied to media).
+    """
+    try:
+        if raw.startswith(b"\x89PNG\r\n\x1a\n") and len(raw) >= 26:
+            w, h = struct.unpack(">II", raw[16:24])
+            return "png", w, h, raw[24]
+        if raw.startswith(b"\xff\xd8"):
+            i = 2
+            while i + 4 <= len(raw):
+                if raw[i] != 0xFF:
+                    break
+                marker = raw[i + 1]
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+                    i += 2
+                    continue
+                seglen = struct.unpack(">H", raw[i + 2 : i + 4])[0]
+                if marker in _JPEG_SOF and i + 9 <= len(raw):
+                    precision = raw[i + 4]
+                    h, w = struct.unpack(">HH", raw[i + 5 : i + 9])
+                    return "jpeg", w, h, precision
+                i += 2 + seglen
+        if raw[:6] in (b"GIF87a", b"GIF89a") and len(raw) >= 11:
+            w, h = struct.unpack("<HH", raw[6:10])
+            depth = (raw[10] & 0x07) + 1
+            return "gif", w, h, depth
+        if raw.startswith(b"BM") and len(raw) >= 30:
+            w, h = struct.unpack("<ii", raw[18:26])
+            bpp = struct.unpack("<H", raw[28:30])[0]
+            return "bmp", w, abs(h), bpp
+        if raw.startswith(b"P6"):
+            img = decode_ppm(raw)
+            return "ppm", img.shape[1], img.shape[0], 8
+    except (ValueError, struct.error, IndexError):
+        pass
+    return None, None, None, None
+
+
+IMAGE_HEADER_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("bit_depth", IntegerType(), True),
+    ]
+)
+
+
+def image_header_meta(media: DataFrame) -> DataFrame:
+    """Container-header metadata for every image row via Arrow-batched
+    mapInPandas. Unknown payloads keep their row with NULL fields so
+    the caller can count and quarantine them (never silently dropped
+    — the PERMISSIVE-scan idiom from the CSV layer)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                fmt, w, h, depth = parse_image_header(bytes(b or b""))
+                recs.append((int(mid), fmt, w, h, depth))
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "format", "width", "height", "bit_depth"],
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, IMAGE_HEADER_SCHEMA
+    )
+
+
 # -- WAV (RIFF PCM16) codec: numpy-only, real decode -----------------------
 
 

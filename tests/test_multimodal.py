@@ -217,3 +217,98 @@ def test_video_meta_decodes_real_boxes(spark):
     for i in video_ids:
         assert rows[i]["major_brand"] == "isom"
         assert rows[i]["duration_ms_real"] == 4000 + (i % 4) * 250
+
+
+# -- container-header parsing (real, library-free) --------------------------
+
+import struct as _struct
+
+import numpy as _np
+
+
+def _png(w, h, depth=8):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\x0dIHDR"
+        + _struct.pack(">II", w, h)
+        + bytes([depth, 2, 0, 0, 0])
+        + b"\x00" * 4
+    )
+
+
+def _jpeg(w, h, precision=8):
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0\x00\x11" + bytes([precision]) + _struct.pack(">HH", h, w)
+    return b"\xff\xd8" + app0 + sof0 + b"\x00" * 12
+
+
+def _gif(w, h):
+    return b"GIF89a" + _struct.pack("<HH", w, h) + bytes([0xF7, 0, 0]) + b"\x00" * 4
+
+
+def _bmp(w, h, bpp=24):
+    return (
+        b"BM"
+        + b"\x00" * 12
+        + _struct.pack("<I", 40)
+        + _struct.pack("<ii", w, h)
+        + _struct.pack("<HH", 1, bpp)
+        + b"\x00" * 8
+    )
+
+
+def test_parse_image_header_formats():
+    assert mm.parse_image_header(_png(640, 480, 16)) == ("png", 640, 480, 16)
+    assert mm.parse_image_header(_jpeg(1024, 768)) == ("jpeg", 1024, 768, 8)
+    assert mm.parse_image_header(_gif(320, 200)) == ("gif", 320, 200, 8)
+    # BMP stores bottom-up rows as positive height, top-down as negative
+    assert mm.parse_image_header(_bmp(800, -600)) == ("bmp", 800, 600, 24)
+    ppm = mm.encode_ppm(_np.zeros((6, 8, 3), dtype=_np.uint8))
+    assert mm.parse_image_header(ppm) == ("ppm", 8, 6, 8)
+
+
+def test_parse_image_header_jpeg_walks_past_segments():
+    # SOF behind several APPn/COM segments and restart-style markers
+    segs = b"".join(
+        b"\xff" + bytes([m]) + _struct.pack(">H", 6) + b"abcd"
+        for m in (0xE1, 0xE2, 0xFE, 0xDB)
+    )
+    sof2 = b"\xff\xc2\x00\x11\x0c" + _struct.pack(">HH", 10, 20)
+    raw = b"\xff\xd8" + segs + sof2
+    assert mm.parse_image_header(raw) == ("jpeg", 20, 10, 12)
+
+
+def test_parse_image_header_rejects_garbage_and_truncated():
+    assert mm.parse_image_header(b"") == (None, None, None, None)
+    assert mm.parse_image_header(b"not an image at all") == (None, None, None, None)
+    assert mm.parse_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") == (
+        None,
+        None,
+        None,
+        None,
+    )
+    # JPEG with no SOF before EOF
+    assert mm.parse_image_header(b"\xff\xd8\xff\xe0\x00\x04ab") == (
+        None,
+        None,
+        None,
+        None,
+    )
+
+
+def test_image_header_meta_keeps_unknown_rows(spark):
+    rows = [
+        (0, "image", bytearray(_png(9, 7)), None),
+        (1, "image", bytearray(_jpeg(33, 44)), None),
+        (2, "image", bytearray(b"corrupt payload"), None),
+        (3, "audio", bytearray(b"RIFF"), None),  # filtered by kind
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in mm.image_header_meta(media).collect()
+    }
+    assert set(got) == {0, 1, 2}  # audio row filtered, corrupt row KEPT
+    assert (got[0]["format"], got[0]["width"], got[0]["height"]) == ("png", 9, 7)
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("jpeg", 33, 44)
+    assert got[2]["format"] is None and got[2]["width"] is None
