@@ -165,3 +165,63 @@ def test_mp4_duration_roundtrip(duration_ms, timescale):
     assert brand == "isom" and ts == timescale
     # encode floors to timescale ticks; the parse is exact on those
     assert abs(dur - duration_ms) <= (1000 // timescale) + 1
+
+
+# -- image container headers: parse is total and exact ----------------------
+
+import struct as _struct
+
+from rfb_data_pipeline_spark.functions.multimodal import parse_image_header
+
+
+@given(
+    w=st.integers(min_value=1, max_value=2**31 - 1),
+    h=st.integers(min_value=1, max_value=2**31 - 1),
+    depth=st.sampled_from([1, 2, 4, 8, 16]),
+)
+def test_png_header_roundtrip(w, h, depth):
+    raw = (
+        b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"
+        + _struct.pack(">II", w, h)
+        + bytes([depth, 2, 0, 0, 0])
+        + b"\x00" * 4
+    )
+    assert parse_image_header(raw) == ("png", w, h, depth)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=65535),
+    h=st.integers(min_value=1, max_value=65535),
+    n_segs=st.integers(min_value=0, max_value=6),
+    seg_payload=st.binary(min_size=0, max_size=32),
+)
+def test_jpeg_sof_found_behind_any_segment_stack(w, h, n_segs, seg_payload):
+    seg = (
+        b"\xff\xe1"
+        + _struct.pack(">H", len(seg_payload) + 2)
+        + seg_payload
+    )
+    raw = (
+        b"\xff\xd8"
+        + seg * n_segs
+        + b"\xff\xc0\x00\x11\x08"
+        + _struct.pack(">HH", h, w)
+    )
+    assert parse_image_header(raw) == ("jpeg", w, h, 8)
+
+
+@given(raw=st.binary(min_size=0, max_size=64))
+def test_parse_image_header_never_raises(raw):
+    fmt, w, h, depth = parse_image_header(raw)
+    assert fmt in (None, "png", "jpeg", "gif", "bmp", "ppm")
+
+
+@given(
+    raw=st.binary(min_size=0, max_size=48),
+    prefix=st.sampled_from(
+        [b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"BM", b"P6"]
+    ),
+)
+def test_parse_image_header_never_raises_on_magic_prefixed(raw, prefix):
+    fmt, w, h, depth = parse_image_header(prefix + raw)
+    assert fmt in (None, "png", "jpeg", "gif", "bmp", "ppm")
