@@ -42,8 +42,10 @@ def _registry() -> tuple[dict, dict]:
     oracle: dict[str, str] = {}
     # Registry ORDER matters: the driver's correctness harness records only the
     # first 50 entries per round. Rounds 1-2 listed q/e first, which pushed all
-    # 39 d/t/s/x queries out of the window (VERDICT r02 item 1). List the
-    # previously-unverified families first this round; rotate q/e back next.
+    # d/t/s/x queries out of the window (VERDICT r02 item 1). Round 3 lists
+    # those families first: 42 d/t/s/x entries (incl. the new s10/x10/t11)
+    # + e01-e08 fill the window. Round 4 should rotate back to
+    # (relational, events, ...) so the q-series and e09-e15 get re-verified.
     for mod in (dedup, text, similarity, sampling, events, relational):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)
