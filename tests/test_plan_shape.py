@@ -272,6 +272,8 @@ _SINGLE_PARTITION_OK = {
     "e14_max_concurrency",  # banded prefix sum's band-offset frame
     "e15_gap_fill_locf",  # calendar-bounded resample grid
     "d01_exact_dedup",  # 1-row dedup summary
+    "m01_image_metadata",  # per-format summary over a 96-row media table
+    "m02_media_stats",  # 2-row per-kind decode summary
     "d12_minhash_calibration",  # 1-row calibration summary
     "t06_tfidf_top_terms",  # 1-row corpus doc-count frame (IDF side)
     "t08_top_bigrams",  # top-k limit frame
