@@ -5,7 +5,7 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 The set covers every operator family: scan/agg (q01, q06), joins
 (q03, q04, q05), windows (q09, q10), array agg (q25), events
-(e01, e03, e09), dedup (d01, d02, d03, d05, d10), text (t02, t05,
+(e01, e03, e09), dedup (d01, d02, d03, d05, d10, d13), text (t02, t05,
 t06, t09, t11), similarity (s01, s02, s05, s09, s10) and the pair
 joins (s03 exact vs s06 banded), plus the curation/mixing surface
 (x05, x07, x10) — the scale-sensitive operators are deliberately in
@@ -54,6 +54,7 @@ HEADLINE = [
     "s10_semantic_dedup",
     "x10_domain_mixture",
     "t11_unigram_surprisal",
+    "d13_duplicate_spans",
 ]
 # s03 (exact all-pairs) is deliberately NOT timed: it is the
 # correctness oracle for s06, quadratic by definition; the production

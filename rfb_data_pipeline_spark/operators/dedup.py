@@ -895,6 +895,91 @@ JOIN sig sb ON doc_b = sb.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# d13 — cross-document duplicated-SPAN detection: the substring-level
+# dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+# Language Models Better"), whose exact form is a suffix array. The
+# Spark-first equivalent: fingerprint EVERY W-token window (stride 1,
+# so any duplicated run of >= W tokens is caught at some alignment in
+# both copies — no aligned-stride recall hole), then count distinct
+# documents per span hash. md5 over the joined window text makes the
+# match exact (no false positives beyond md5 collisions), unlike a
+# weak rolling hash.
+#
+# Scale: linear in corpus tokens (n windows per doc ~= n tokens), one
+# shuffle on the span hash with map-side partial aggregation, then a
+# constant-size summary. At 100 TB this IS the practical replacement
+# for a distributed suffix array: the span-hash table is the single
+# big shuffle, and the dedup ACTION joins flagged hashes back to
+# (doc_id, pos) to cut the spans out.
+
+SPAN_TOKENS = 16
+
+
+def d13_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.operators.text import tokens_col
+
+    docs = _spread(_docs(spark, sf_dir))
+    toks = tokens_col()
+    n = F.size(toks)
+    with_t = docs.select("doc_id", toks.alias("t"), n.alias("n")).filter(
+        F.col("n") >= SPAN_TOKENS
+    )
+    starts = F.sequence(F.lit(0), F.col("n") - SPAN_TOKENS, F.lit(1))
+    spans = with_t.select(
+        "doc_id", "t", F.explode(starts).alias("s")
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(F.col("t"), F.col("s") + 1, SPAN_TOKENS), " ")
+        ).alias("span_hash"),
+    )
+    per_span = spans.groupBy("span_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    dup = per_span.filter(F.col("n_docs") >= 2)
+    affected = (
+        spans.join(dup.select("span_hash"), "span_hash", "left_semi")
+        .agg(F.countDistinct("doc_id").alias("n_docs_affected"))
+    )
+    summary = dup.agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("n_occ").alias("n_span_occurrences"),
+        F.max("n_docs").alias("max_docs_per_span"),
+    )
+    return summary.crossJoin(F.broadcast(affected))
+
+
+_D13_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         md5(list_aggregate(list_slice(t, s + 1, s + {SPAN_TOKENS}),
+                            'string_agg', ' ')) AS span_hash
+  FROM (SELECT doc_id, t FROM toks WHERE len(t) >= {SPAN_TOKENS}),
+       unnest(range(0, len(t) - {SPAN_TOKENS} + 1)) AS u(s)
+),
+per_span AS (
+  SELECT span_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+  FROM spans GROUP BY span_hash
+),
+dup AS (SELECT * FROM per_span WHERE n_docs >= 2),
+affected AS (
+  SELECT count(DISTINCT doc_id) AS n_docs_affected
+  FROM spans WHERE span_hash IN (SELECT span_hash FROM dup)
+)
+SELECT count(*) AS n_dup_spans,
+       CAST(sum(n_occ) AS BIGINT) AS n_span_occurrences,
+       CAST(max(n_docs) AS BIGINT) AS max_docs_per_span,
+       (SELECT n_docs_affected FROM affected) AS n_docs_affected
+FROM dup
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -907,6 +992,7 @@ QUERIES = {
     "d09_containment": d09_containment,
     "d10_fuzzy_pairs": d10_fuzzy_pairs,
     "d12_minhash_calibration": d12_minhash_calibration,
+    "d13_duplicate_spans": d13_duplicate_spans,
 }
 
 ORACLE = {
@@ -921,4 +1007,5 @@ ORACLE = {
     "d09_containment": _D09_SQL,
     "d10_fuzzy_pairs": _D10_SQL,
     "d12_minhash_calibration": _d12_sql(),
+    "d13_duplicate_spans": _D13_SQL,
 }

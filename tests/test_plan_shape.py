@@ -275,6 +275,7 @@ _SINGLE_PARTITION_OK = {
     "m01_image_metadata",  # per-format summary over a 96-row media table
     "m02_media_stats",  # 2-row per-kind decode summary
     "d12_minhash_calibration",  # 1-row calibration summary
+    "d13_duplicate_spans",  # 1-row span-dedup summary
     "t06_tfidf_top_terms",  # 1-row corpus doc-count frame (IDF side)
     "t08_top_bigrams",  # top-k limit frame
     "t10_cms_heavy_hitters",  # constant-size sketch
