@@ -225,3 +225,45 @@ def test_parse_image_header_never_raises(raw):
 def test_parse_image_header_never_raises_on_magic_prefixed(raw, prefix):
     fmt, w, h, depth = parse_image_header(prefix + raw)
     assert fmt in (None, "png", "jpeg", "gif", "bmp", "ppm")
+
+
+# -- x10 domain mixture: quota math and selection intent --------------------
+
+
+def test_x10_mixture_quotas_and_selection(spark):
+    """Independent Python recomputation of x10's contract on sf0.001:
+    T = min_s floor(n_s * P / p_s), quota_s = floor(p_s * T / P), and
+    each domain's selection is exactly its quota_s smallest-md5 docs
+    (the oracle proves engine parity; this proves the intent)."""
+    import hashlib as _hl
+
+    from rfb_data_pipeline_spark.operators.sampling import (
+        MIX_PARTS,
+        MIX_TOTAL,
+        _docs,
+        x10_domain_mixture,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = _docs(spark, sf).select("doc_id", "lang").collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    t_max = min(
+        (len(ids) * MIX_TOTAL) // MIX_PARTS[lang]
+        for lang, ids in by_lang.items()
+        if lang in MIX_PARTS
+    )
+    got = {r["lang"]: r for r in x10_domain_mixture(spark, sf).collect()}
+    assert set(got) == set(by_lang) & set(MIX_PARTS)
+    for lang, ids in by_lang.items():
+        if lang not in MIX_PARTS:
+            continue
+        quota = (MIX_PARTS[lang] * t_max) // MIX_TOTAL
+        expect = sorted(ids, key=lambda d: (_hl.md5(str(d).encode()).hexdigest(), d))[
+            :quota
+        ]
+        assert got[lang]["quota"] == quota
+        assert got[lang]["n_selected"] == quota
+        assert got[lang]["n_available"] == len(ids)
+        assert got[lang]["sel_checksum"] == sum(expect)
