@@ -1,0 +1,149 @@
+"""Streaming corpus curation: the x05 funnel as a continuous pipeline.
+
+Documents arrive as file drops (the reference's monthly-drop shape,
+reference src/main.py:59-71, generalized to a stream); each micro-batch
+is exact-deduplicated against the recent-history state, quality-gated
+with t02's rules, split-assigned with x01's deterministic md5 buckets,
+and written through an idempotent batch-keyed sink. Every rule is the
+SAME expression the batch operators use — stream/batch parity is a
+test invariant, not an aspiration.
+
+Scale/state notes:
+
+- Dedup state is bounded by the watermark horizon over ``ingest_ts``
+  (``dropDuplicatesWithinWatermark``): the store holds fingerprints
+  for the active horizon only, never the full corpus. Corpus-wide
+  history dedup is the BATCH operator d06 (anti-join against the
+  materialized fingerprint index); the stream handles the in-horizon
+  re-drops that dominate real feeds.
+- The quality gate and split assignment are stateless maps — they add
+  no store pressure and run inside codegen.
+- The sink partitions by (split, _batch_id): replaying a micro-batch
+  overwrites exactly its own output (the A19/A20 exactly-once story;
+  batch-id keying per round-2 ADVICE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from rfb_data_pipeline_spark.operators.sampling import split_col
+from rfb_data_pipeline_spark.operators.text import STOPWORDS_EN, tokens_col
+
+DOC_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("ingest_ts", TimestampType(), True),
+    ]
+)
+
+DEFAULT_DOC_WATERMARK = "1 day"
+
+
+def read_documents_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over a documents drop directory."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def fingerprint_col() -> F.Column:
+    """d01's exact-dedup fingerprint — the shared stream/batch rule."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+
+
+def quality_col() -> F.Column:
+    """t02's quality gate — the shared stream/batch rule."""
+    toks = tokens_col()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / n_tokens
+    )
+    digit_ratio = (
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double")
+        / F.length("text")
+    )
+    return (n_tokens >= 10) & (stop_ratio >= 0.01) & (digit_ratio <= 0.3)
+
+
+def curated_stream(
+    docs: DataFrame, watermark: str = DEFAULT_DOC_WATERMARK
+) -> DataFrame:
+    """dedup-in-horizon → quality gate → split assignment."""
+    deduped = (
+        docs.withColumn("fingerprint", fingerprint_col())
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+    return (
+        deduped.filter(quality_col())
+        .withColumn("split", split_col(F.col("doc_id")))
+        .withColumn("n_tokens", F.size(tokens_col()))
+        .select(
+            "doc_id", "lang", "source", "fingerprint", "split", "n_tokens",
+            "ingest_ts",
+        )
+    )
+
+
+def idempotent_corpus_sink(out_dir: str):
+    """foreachBatch writer partitioned by (split, _batch_id): replaying
+    a batch replaces exactly its own earlier output."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("split", "_batch_id")
+            .parquet(out_dir)
+        )
+
+    return write
+
+
+def run_curation(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = DEFAULT_DOC_WATERMARK,
+    max_files_per_trigger: int = 1,
+):
+    """Process the current backlog (availableNow) through the funnel."""
+    stream = curated_stream(
+        read_documents_stream(spark, in_dir, max_files_per_trigger),
+        watermark,
+    )
+    q = (
+        stream.writeStream.option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(idempotent_corpus_sink(out_dir))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

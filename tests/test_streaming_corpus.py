@@ -1,0 +1,123 @@
+"""Streaming corpus-curation tests: file drops → in-horizon dedup →
+quality gate → split assignment → batch-keyed idempotent sink, with
+stream/batch rule parity asserted against a Python model.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import re
+
+import pytest
+
+from rfb_data_pipeline_spark.streaming import corpus_stream as cs
+
+GOOD_A = "the quick brown fox jumps over a lazy dog in summer time"
+GOOD_B = "a small boat sails to the island of glass in quiet morning light"
+GOOD_C = "and so it is that the story of winter begins in a cold town"
+BAD_DIGITS = "the 111 222 333 444 555 666 777 888 999 000 111 222 statistics"
+BAD_SHORT = "the tiny text"
+
+
+def _fp(text: str) -> str:
+    return hashlib.md5(re.sub(r"\s+", " ", text.strip().lower()).encode()).hexdigest()
+
+
+@pytest.fixture()
+def doc_drops(spark, tmp_path):
+    ts = dt.datetime(2024, 5, 1, 12, 0, 0)
+    drop1 = [
+        (1, GOOD_A, "en", "src0", ts),
+        (2, GOOD_A.upper(), "en", "src1", ts),  # same fingerprint as 1
+        (3, BAD_DIGITS, "en", "src0", ts),
+        (4, GOOD_B, "en", "src2", ts),
+    ]
+    drop2 = [
+        (7, "  " + GOOD_A + " ", "en", "src3", ts + dt.timedelta(hours=1)),
+        (8, GOOD_C, "en", "src0", ts + dt.timedelta(hours=1)),
+        (9, BAD_SHORT, "en", "src1", ts + dt.timedelta(hours=1)),
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate((drop1, drop2)):
+        df = spark.createDataFrame(rows, cs.DOC_STREAM_SCHEMA).coalesce(1)
+        tmp = tmp_path / f"stage{i}"
+        df.write.parquet(str(tmp))
+        import glob
+        import shutil
+
+        (src,) = glob.glob(str(tmp / "*.parquet"))
+        shutil.copy(src, in_dir / f"drop{i}.parquet")
+    return str(in_dir)
+
+
+def test_streaming_curation_funnel(spark, tmp_path, doc_drops):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cs.run_curation(spark, doc_drops, out, ckpt, max_files_per_trigger=1)
+
+    got = spark.read.parquet(out).collect()
+    by_id = {r["doc_id"]: r for r in got}
+
+    # doc 1 survives; doc 2 (same-batch dup) and doc 7 (cross-batch
+    # dup within the watermark horizon) are deduplicated away
+    assert 1 in by_id and 2 not in by_id and 7 not in by_id
+    # quality gate: digit-heavy and short docs dropped
+    assert 3 not in by_id and 9 not in by_id
+    # survivors: the distinct-fingerprint, quality-passing set
+    assert set(by_id) == {1, 4, 8}
+    # fingerprints match the batch d01 rule bit-for-bit
+    for doc_id, text in ((1, GOOD_A), (4, GOOD_B), (8, GOOD_C)):
+        assert by_id[doc_id]["fingerprint"] == _fp(text)
+    # cross-batch processing really happened: two batches wrote output
+    assert len({r["_batch_id"] for r in got}) >= 2
+    # split assignment matches the deterministic x01 rule
+    from rfb_data_pipeline_spark.operators.sampling import split_col
+    from pyspark.sql import functions as F
+
+    expected = {
+        r["doc_id"]: r["split"]
+        for r in spark.range(0, 10)
+        .select(F.col("id").alias("doc_id"), split_col(F.col("id")).alias("split"))
+        .collect()
+    }
+    for doc_id, row in by_id.items():
+        assert row["split"] == expected[doc_id]
+
+
+def test_streaming_curation_resume_is_incremental(spark, tmp_path, doc_drops):
+    """Processing the same backlog twice from one checkpoint adds
+    nothing; a NEW drop after resume flows through with dedup state
+    still effective within the horizon... (new duplicate of doc 1 is
+    dropped on resume only if inside the watermark — here it is)."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cs.run_curation(spark, doc_drops, out, ckpt, max_files_per_trigger=1)
+    n_first = len(spark.read.parquet(out).collect())
+
+    # resume with no new files: nothing new written
+    cs.run_curation(spark, doc_drops, out, ckpt, max_files_per_trigger=1)
+    assert len(spark.read.parquet(out).collect()) == n_first
+
+    # a third drop: one fresh doc + one in-horizon duplicate of doc 1
+    ts = dt.datetime(2024, 5, 1, 14, 0, 0)
+    rows = [
+        (11, "it is a bright day and the wind moves over the open field", "en",
+         "src4", ts),
+        (12, GOOD_A, "en", "src5", ts),
+    ]
+    df = spark.createDataFrame(rows, cs.DOC_STREAM_SCHEMA).coalesce(1)
+    stage = tmp_path / "stage_resume"
+    df.write.parquet(str(stage))
+    (src,) = glob.glob(str(stage / "*.parquet"))
+    shutil.copy(src, tmp_path / "in" / "drop2b.parquet")
+
+    cs.run_curation(spark, str(tmp_path / "in"), out, ckpt, max_files_per_trigger=1)
+    final = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 11 in final
+    assert 12 not in final  # deduped against state carried across resume
