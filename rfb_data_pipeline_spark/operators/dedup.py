@@ -926,6 +926,10 @@ def d13_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") >= SPAN_TOKENS
     )
     starts = F.sequence(F.lit(0), F.col("n") - SPAN_TOKENS, F.lit(1))
+    # The span table feeds two plan branches (per-span counts AND the
+    # affected-docs semi-join); materialize the narrow (doc_id, hash)
+    # rows once so the stride-1 explode+md5 — the hot map — runs once
+    # (the d02/d03 stage-boundary idiom).
     spans = with_t.select(
         "doc_id", "t", F.explode(starts).alias("s")
     ).select(
@@ -933,7 +937,7 @@ def d13_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.array_join(F.slice(F.col("t"), F.col("s") + 1, SPAN_TOKENS), " ")
         ).alias("span_hash"),
-    )
+    ).localCheckpoint(eager=True)
     per_span = spans.groupBy("span_hash").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_occ"),
