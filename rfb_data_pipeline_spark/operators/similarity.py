@@ -805,8 +805,14 @@ SEMDEDUP_COS = 0.3
 def s10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     # Norms once per vector before the pair join (stored with the
-    # cell index at scale) — one dot per pair instead of three.
-    v = emb.select("label", "vec_id", "embedding", _norm("embedding").alias("nrm"))
+    # cell index at scale) — one dot per pair instead of three. The
+    # frame is hash-partitioned on the cell id ONCE and both join
+    # sides derive from it, so the planner reuses a single exchange
+    # (ReusedExchange) instead of shuffling the 64-float arrays twice
+    # — at scale this is the cell-partitioned table layout itself.
+    v = emb.select(
+        "label", "vec_id", "embedding", _norm("embedding").alias("nrm")
+    ).repartition("label")
     a = v.select(
         "label",
         F.col("vec_id").alias("vec_a"),
