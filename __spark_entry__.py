@@ -45,9 +45,9 @@ def _registry() -> tuple[dict, dict]:
     # first 50 entries per round. Rounds 1-2 listed q/e first, which pushed all
     # d/t/s/x queries out of the window (VERDICT r02 item 1). Round 3 lists
     # those families first: 43 d/t/s/x entries (incl. the new d13/s10/x10/
-    # t11) + the 2 rows-only media queries + e01-e05 fill the window.
+    # t11) + the 3 rows-only media queries + e01-e04 fill the window.
     # Round 4 should rotate back to (relational, events, ...) so the
-    # q-series and e06-e15 get re-verified.
+    # q-series and e05-e15 get re-verified.
     for mod in (dedup, text, similarity, sampling, media, events, relational):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)

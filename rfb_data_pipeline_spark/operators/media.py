@@ -82,9 +82,27 @@ def m02_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.unionByName(video)
 
 
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling contract: one row per sampled frame per video
+    (1 video → N frames row explosion), summarized per video. Offsets
+    come from the typed duration metadata (real codec decode is gated
+    — functions/multimodal.py tiers); the row-explosion shape and
+    per-video summary are the operator's contract."""
+    from rfb_data_pipeline_spark.functions.multimodal import frame_sample
+
+    media = synthetic_media(spark, _N_MEDIA)
+    frames = frame_sample(media, every_ms=500)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("frame_ms").alias("first_ms"),
+        F.max("frame_ms").alias("last_ms"),
+    )
+
+
 QUERIES = {
     "m01_image_metadata": m01_image_metadata,
     "m02_media_stats": m02_media_stats,
+    "m03_frame_sample": m03_frame_sample,
 }
 
 # Rows-only by design: no DuckDB codec surface exists to twin the
