@@ -196,7 +196,11 @@ def parse_image_header(raw: bytes):
                 i += 2 + seglen
         if raw[:6] in (b"GIF87a", b"GIF89a") and len(raw) >= 11:
             w, h = struct.unpack("<HH", raw[6:10])
-            depth = (raw[10] & 0x07) + 1
+            # Logical Screen Descriptor packed byte: bits 4-6 are the
+            # color-resolution exponent (bits per primary minus one).
+            # Bits 0-2 are the GCT *size* exponent — a different field
+            # that merely coincides on 0xF7 fixtures (ADVICE r03).
+            depth = ((raw[10] >> 4) & 0x07) + 1
             return "gif", w, h, depth
         if raw.startswith(b"BM") and len(raw) >= 30:
             w, h = struct.unpack("<ii", raw[18:26])

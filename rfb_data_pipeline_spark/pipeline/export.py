@@ -102,9 +102,9 @@ def export_training_corpus(
     order-insensitive content checksum (xor-free: sum of doc md5
     prefixes — associative, so partial aggregation is safe)."""
     curated = curated_docs(spark, sf_dir)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         curated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("split", "shard")
         .parquet(out_dir)

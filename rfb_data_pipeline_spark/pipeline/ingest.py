@@ -109,9 +109,9 @@ def load_table(
     # Dynamic partition overwrite: only the ref_ym partition is
     # replaced — the Spark-native TRUNCATE-per-month (reference A11)
     # with atomicity per partition.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         observed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ref_ym")
         .parquet(f"{out_dir}/{table}")
     )

@@ -48,10 +48,10 @@ def compact_partition(
         .filter(F.col(partition) == value)
         .localCheckpoint(eager=True)
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         df.coalesce(target_files)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition)
         .parquet(table_dir)
     )

@@ -36,7 +36,7 @@ from rfb_data_pipeline_spark.pipeline.download import (
 )
 from rfb_data_pipeline_spark.pipeline.ingest import LoadResult, load_table
 from rfb_data_pipeline_spark.sources.encoding import sniff_encoding
-from rfb_data_pipeline_spark.sources.rfb_csv import route_table
+from rfb_data_pipeline_spark.sources.rfb_csv import route_table_py
 
 
 @dataclass
@@ -60,9 +60,8 @@ class RunReport:
         return all(lr.passed for lr in self.loads)
 
 
-def _route_one(spark: SparkSession, filename: str) -> str | None:
-    df = spark.createDataFrame([(filename,)], ["filename"])
-    return df.select(route_table().alias("t")).collect()[0].t
+def _route_one(filename: str) -> str | None:
+    return route_table_py(filename)
 
 
 def run_month(spark: SparkSession, cfg: RunConfig) -> RunReport:
@@ -154,7 +153,7 @@ def run_month(spark: SparkSession, cfg: RunConfig) -> RunReport:
         zip_tables[r.arquivo] = set()
         for member in r.arquivos_extraidos or []:
             path = os.path.join(extract_dir, member)
-            table = _route_one(spark, member)
+            table = _route_one(member)
             zip_tables[r.arquivo].add(table)
             if table is None:
                 continue

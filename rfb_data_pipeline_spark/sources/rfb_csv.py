@@ -119,3 +119,15 @@ def route_table(filename_col: str = "filename") -> F.Column:
         *[x for s, (t, _) in SUFFIX_TO_TABLE.items() for x in (F.lit(s), F.lit(t))]
     )
     return F.element_at(mapping, suffix)
+
+
+def route_table_py(filename: str) -> str | None:
+    """Driver-side twin of :func:`route_table` for orchestration code that
+    routes one filename at a time (the manifest loop) — a dict lookup, not
+    a per-file Spark job. Parity with the expression is pinned by
+    ``tests/test_rfb_csv.py``.
+    """
+    base = filename.split("__corrigido")[0]
+    suffix = base.split(".")[-1].upper()
+    entry = SUFFIX_TO_TABLE.get(suffix)
+    return entry[0] if entry else None

@@ -113,11 +113,14 @@ def idempotent_corpus_sink(out_dir: str):
     a batch replaces exactly its own earlier output."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Per-writer option, NOT spark.conf.set: a session-wide
+        # partitionOverwriteMode=dynamic would silently turn every later
+        # plain overwrite in the same session from full-table into
+        # dynamic (ADVICE r03).
         (
             batch_df.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("split", "_batch_id")
             .parquet(out_dir)
         )

@@ -162,12 +162,12 @@ def idempotent_parquet_sink(out_dir: str):
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # per-writer option — no session-wide conf leak (ADVICE r03)
         (
             batch_df.withColumn("event_date", F.to_date("ts"))
             .withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("event_date", "_batch_id")
             .parquet(out_dir)
         )

@@ -242,8 +242,8 @@ def _jpeg(w, h, precision=8):
     return b"\xff\xd8" + app0 + sof0 + b"\x00" * 12
 
 
-def _gif(w, h):
-    return b"GIF89a" + _struct.pack("<HH", w, h) + bytes([0xF7, 0, 0]) + b"\x00" * 4
+def _gif(w, h, packed=0xF7):
+    return b"GIF89a" + _struct.pack("<HH", w, h) + bytes([packed, 0, 0]) + b"\x00" * 4
 
 
 def _bmp(w, h, bpp=24):
@@ -261,6 +261,11 @@ def test_parse_image_header_formats():
     assert mm.parse_image_header(_png(640, 480, 16)) == ("png", 640, 480, 16)
     assert mm.parse_image_header(_jpeg(1024, 768)) == ("jpeg", 1024, 768, 8)
     assert mm.parse_image_header(_gif(320, 200)) == ("gif", 320, 200, 8)
+    # packed 0x71: color resolution (bits 4-6) = 8, GCT size exponent
+    # (bits 0-2) = 1 — distinguishes the two fields (ADVICE r03: 0xF7
+    # has both equal to 7, so it could not catch reading the wrong bits)
+    assert mm.parse_image_header(_gif(320, 200, packed=0x71)) == ("gif", 320, 200, 8)
+    assert mm.parse_image_header(_gif(16, 16, packed=0x07)) == ("gif", 16, 16, 1)
     # BMP stores bottom-up rows as positive height, top-down as negative
     assert mm.parse_image_header(_bmp(800, -600)) == ("bmp", 800, 600, 24)
     ppm = mm.encode_ppm(_np.zeros((6, 8, 3), dtype=_np.uint8))

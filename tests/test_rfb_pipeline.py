@@ -22,13 +22,17 @@ from rfb_data_pipeline_spark.pipeline.validate import (
     v4_referential,
     v5_duplicate_keys,
 )
-from rfb_data_pipeline_spark.schemas import EMPRESAS
+from rfb_data_pipeline_spark.schemas import EMPRESAS, SUFFIX_TO_TABLE
 from rfb_data_pipeline_spark.sources.encoding import (
     count_lines,
     sniff_encoding,
     transcode_file,
 )
-from rfb_data_pipeline_spark.sources.rfb_csv import read_rfb_csv, route_table
+from rfb_data_pipeline_spark.sources.rfb_csv import (
+    read_rfb_csv,
+    route_table,
+    route_table_py,
+)
 from rfb_data_pipeline_spark.sources.zip_source import (
     list_zip_members,
     read_zip_lines,
@@ -98,6 +102,21 @@ def test_route_table(spark):
     # reference semantics (src/main.py:186-190): strip '__corrigido'
     # and everything after it FIRST, then route on the last dot-suffix.
     assert [r.t for r in got] == ["rfb_empresas", "rfb_estabelecimentos", None]
+
+
+def test_route_table_py_parity(spark):
+    # the driver-side dict-lookup twin must agree with the Spark
+    # expression on every suffix spelling plus the corrigido/unknown
+    # edge cases (orchestration routes via route_table_py, pipeline/run.py)
+    names = [f"F.K03200$Z.D40113.{s}" for s in sorted(SUFFIX_TO_TABLE)] + [
+        "K3241.K03200Y0.D50510.EMPRECSV",
+        "K3241.K03200Y0.D50510.ESTABELE__corrigido.csv",
+        "weird.UNKNOWN",
+        "nodotsuffix",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], ["filename"])
+    spark_side = [r.t for r in df.select(route_table().alias("t")).collect()]
+    assert [route_table_py(n) for n in names] == spark_side
 
 
 def test_load_table_end_to_end_idempotent(spark, rfb_dir, tmp_path):
