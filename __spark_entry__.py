@@ -48,9 +48,10 @@ def _registry() -> tuple[dict, dict]:
     #   r3:    d/t/s/x/m + e01-e04 first (q and e05-e15 outside)
     #   r4:    relational(35) + events(15) = exactly 50 — re-greens the whole
     #          q-series (incl. the r03-rewritten banded q29, VERDICT r03 gap 1)
-    #          and e05-e15. The r03-green d/t/s/x/m families rotate out; any
-    #          NEW queries added this round are appended to their family dicts
-    #          (positions >50) and rotate into the r05 window.
+    #          and e05-e15. The r03-green d/t/s/x/m families rotate out; the
+    #          four NEW r04 queries (d14/t12/x11/s11) are appended to their
+    #          family dicts (positions >50) and rotate into the r05 window
+    #          (locally oracle-verified this round via tools/check_oracle.py).
     # Round 5 should rotate back to (dedup, text, similarity, sampling, media,
     # events, relational).
     for mod in (relational, events, dedup, text, similarity, sampling, media):

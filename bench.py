@@ -55,7 +55,12 @@ HEADLINE = [
     "x10_domain_mixture",
     "t11_unigram_surprisal",
     "d13_duplicate_spans",
+    "t12_zipf_slope",
+    "x11_curriculum_buckets",
+    "s11_batch_knn",
 ]
+# d14 is untimed: it re-times d13's span table with a different final
+# aggregate — no new scale-sensitive shape.
 # s03 (exact all-pairs) is deliberately NOT timed: it is the
 # correctness oracle for s06, quadratic by definition; the production
 # pair operator in the timed set is s06.

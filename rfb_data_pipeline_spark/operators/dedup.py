@@ -916,7 +916,21 @@ JOIN sig sb ON doc_b = sb.doc_id
 SPAN_TOKENS = 16
 
 
-def d13_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized stride-1 W-token window fingerprints: one narrow
+    (doc_id, span_hash) row per window position.
+
+    The span table feeds multiple plan branches in its consumers
+    (d13's counts + semi-join, d14's totals + dup counts); it is
+    localCheckpoint-materialized so the explode+hash — the hot map —
+    runs once (the d02/d03 stage-boundary idiom).
+
+    xxhash64, not md5: the hash never leaves either query (outputs are
+    structural counts), so only grouping equality matters — an 8-byte
+    long shuffle key instead of a 32-char hex string quarters the
+    shuffled span-table bytes at 100 TB. The DuckDB oracles group by
+    md5 of the same strings; the duplicate structure is identical.
+    """
     from rfb_data_pipeline_spark.operators.text import tokens_col
 
     docs = _spread(_docs(spark, sf_dir))
@@ -926,18 +940,33 @@ def d13_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") >= SPAN_TOKENS
     )
     starts = F.sequence(F.lit(0), F.col("n") - SPAN_TOKENS, F.lit(1))
-    # The span table feeds two plan branches (per-span counts AND the
-    # affected-docs semi-join); materialize the narrow (doc_id, hash)
-    # rows once so the stride-1 explode+md5 — the hot map — runs once
-    # (the d02/d03 stage-boundary idiom).
-    spans = with_t.select(
+    return with_t.select(
         "doc_id", "t", F.explode(starts).alias("s")
     ).select(
         "doc_id",
-        F.md5(
+        F.xxhash64(
             F.array_join(F.slice(F.col("t"), F.col("s") + 1, SPAN_TOKENS), " ")
         ).alias("span_hash"),
     ).localCheckpoint(eager=True)
+
+
+_SPANS_CTE = f"""
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         md5(list_aggregate(list_slice(t, s + 1, s + {{W}}),
+                            'string_agg', ' ')) AS span_hash
+  FROM (SELECT doc_id, t FROM toks WHERE len(t) >= {{W}}),
+       unnest(range(0, len(t) - {{W}} + 1)) AS u(s)
+)
+""".replace("{W}", str(SPAN_TOKENS))
+
+
+def d13_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = _span_table(spark, sf_dir)
     per_span = spans.groupBy("span_hash").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_occ"),
@@ -956,17 +985,7 @@ def d13_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _D13_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-  FROM documents
-),
-spans AS (
-  SELECT doc_id,
-         md5(list_aggregate(list_slice(t, s + 1, s + {SPAN_TOKENS}),
-                            'string_agg', ' ')) AS span_hash
-  FROM (SELECT doc_id, t FROM toks WHERE len(t) >= {SPAN_TOKENS}),
-       unnest(range(0, len(t) - {SPAN_TOKENS} + 1)) AS u(s)
-),
+WITH {_SPANS_CTE},
 per_span AS (
   SELECT span_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
   FROM spans GROUP BY span_hash
@@ -984,6 +1003,71 @@ FROM dup
 """
 
 
+# --------------------------------------------------------------------------
+# d14 — per-document duplicated-span fraction: d13's corpus summary
+# refined into a per-doc quality signal (the "duplicate n-gram
+# fraction" metric that web-corpus pipelines attach to every document
+# before filtering — Gopher/RefinedWeb-style repetition gates consume
+# exactly this number). A span is duplicated when its W-token window
+# fingerprint appears in >= 2 distinct documents; the fraction is
+# dup-span occurrences over total span positions in the doc.
+#
+# Plan: the shared materialized span table feeds (a) per-doc totals,
+# (b) the dup-hash set (one agg shuffle), (c) a semi-join back to
+# count each doc's duplicated positions — all equi-joins/aggs on the
+# 8-byte hash, linear in corpus tokens, no all-pairs anywhere.
+
+
+def d14_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = _span_table(spark, sf_dir)
+    dup = (
+        spans.groupBy("span_hash")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("span_hash")
+    )
+    per_doc = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    per_doc_dup = (
+        spans.join(dup, "span_hash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_dup"))
+    )
+    n_dup = F.coalesce(F.col("_n_dup"), F.lit(0))
+    return (
+        per_doc.join(per_doc_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            n_dup.alias("n_dup_spans"),
+            (
+                F.round(n_dup.cast("double") / F.col("n_spans"), 4) + F.lit(0.0)
+            ).alias("dup_frac"),
+        )
+    )
+
+
+_D14_SQL = f"""
+WITH {_SPANS_CTE},
+dup AS (
+  SELECT span_hash FROM spans
+  GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+),
+per_dup AS (
+  SELECT doc_id, count(*) AS n_dup FROM spans
+  WHERE span_hash IN (SELECT span_hash FROM dup)
+  GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_spans AS BIGINT) AS n_spans,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       round(coalesce(d.n_dup, 0)::DOUBLE / p.n_spans, 4) + 0.0 AS dup_frac
+FROM per_doc p LEFT JOIN per_dup d USING (doc_id)
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -997,6 +1081,7 @@ QUERIES = {
     "d10_fuzzy_pairs": d10_fuzzy_pairs,
     "d12_minhash_calibration": d12_minhash_calibration,
     "d13_duplicate_spans": d13_duplicate_spans,
+    "d14_dup_span_fraction": d14_dup_span_fraction,
 }
 
 ORACLE = {
@@ -1012,4 +1097,5 @@ ORACLE = {
     "d10_fuzzy_pairs": _D10_SQL,
     "d12_minhash_calibration": _d12_sql(),
     "d13_duplicate_spans": _D13_SQL,
+    "d14_dup_span_fraction": _D14_SQL,
 }

@@ -723,6 +723,132 @@ GROUP BY r.lang, q.n_available, q.quota
 """
 
 
+# --------------------------------------------------------------------------
+# x11 — curriculum quality buckets: rank every document on a composite
+# quality score and cut the ranking into CURRICULUM_BUCKETS equal-depth
+# tiers (bucket 1 = highest quality). Curriculum / quality-annealed
+# training consumes exactly this assignment — highest tier last, or
+# tier-weighted sampling — so the operator reports the per-tier doc and
+# token budget a scheduler would feed from.
+#
+# Scale shape: an exact equal-depth cut needs a TOTAL order, but a
+# global-sort window would funnel the corpus through one partition — so
+# the global rank is the q29/x09 banded two-phase prefix-sum: score-
+# range bands rank locally in parallel, a constant-size (X11_BANDS-row)
+# offset frame stitches them, and ntile math converts rank → bucket.
+# The only single-partition frame is the band-offset table.
+
+CURRICULUM_BUCKETS = 4
+X11_BANDS = 32
+
+
+def x11_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.operators.text import STOPWORDS_EN, tokens_col
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col()
+    nt = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / nt
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / nt
+    )
+    len_norm = F.least(nt / F.lit(100.0), F.lit(1.0))
+    # fixed evaluation order — bit-identical in both engines, so the
+    # total order (score DESC, doc_id) is identical too
+    score = (
+        F.lit(0.5) * uniq_ratio + F.lit(0.3) * stop_ratio + F.lit(0.2) * len_norm
+    )
+    scored = docs.select(
+        "doc_id", F.size(toks).alias("n_tokens"), score.alias("score")
+    )
+
+    bounds = scored.agg(
+        F.min("score").alias("_lo"),
+        F.max("score").alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    span = F.col("_hi") - F.col("_lo")
+    banded = scored.join(F.broadcast(bounds)).withColumn(
+        "_band",
+        F.when(span == 0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(X11_BANDS - 1),
+                F.floor((F.col("_hi") - F.col("score")) * X11_BANDS / span),
+            )
+        ),
+    )
+    wb = Window.partitionBy("_band").orderBy(F.desc("score"), F.asc("doc_id"))
+    local = banded.withColumn("_local_rn", F.row_number().over(wb))
+    offsets = (
+        banded.groupBy("_band")
+        .agg(F.count(F.lit(1)).alias("_band_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_band_n").over(
+                    Window.orderBy("_band").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_band", "_offset")
+    )
+    rank = F.col("_offset") + F.col("_local_rn")
+    k = F.lit(CURRICULUM_BUCKETS)
+    q, r = F.floor(F.col("_n") / k), F.col("_n") % k
+    bucket = F.when(rank <= r * (q + 1), F.ceil(rank / (q + 1))).otherwise(
+        r + F.ceil((rank - r * (q + 1)) / F.when(q == 0, 1).otherwise(q))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_band")
+        .withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (F.round(F.avg("score"), 4) + F.lit(0.0)).alias("avg_score"),
+            (F.round(F.min("score"), 4) + F.lit(0.0)).alias("min_score"),
+            (F.round(F.max("score"), 4) + F.lit(0.0)).alias("max_score"),
+        )
+    )
+
+
+def _x11_stop_sql() -> str:
+    from rfb_data_pipeline_spark.operators.text import STOPWORDS_EN
+
+    vals = ",".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"len(list_filter(toks, t -> t IN ({vals})))::DOUBLE"
+
+
+_X11_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         0.5 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+         + 0.3 * ({{STOP}} / len(toks)::DOUBLE)
+         + 0.2 * least(len(toks)::DOUBLE / 100.0, 1.0) AS score
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents)
+),
+b AS (
+  SELECT *, ntile({CURRICULUM_BUCKETS})
+              OVER (ORDER BY score DESC, doc_id ASC) AS bucket
+  FROM scored
+)
+SELECT bucket, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       round(avg(score), 4) + 0.0 AS avg_score,
+       round(min(score), 4) + 0.0 AS min_score,
+       round(max(score), 4) + 0.0 AS max_score
+FROM b GROUP BY bucket
+"""
+
+
 QUERIES = {
     "x01_split_assign": x01_split_assign,
     "x02_cap_per_group": x02_cap_per_group,
@@ -734,6 +860,7 @@ QUERIES = {
     "x08_split_leakage": x08_split_leakage,
     "x09_pack_sequences": x09_pack_sequences,
     "x10_domain_mixture": x10_domain_mixture,
+    "x11_curriculum_buckets": x11_curriculum_buckets,
 }
 
 ORACLE = {
@@ -747,4 +874,5 @@ ORACLE = {
     "x08_split_leakage": _x08_sql(),
     "x09_pack_sequences": _X09_SQL,
     "x10_domain_mixture": _X10_SQL,
+    "x11_curriculum_buckets": _X11_SQL.replace("{STOP}", _x11_stop_sql()),
 }

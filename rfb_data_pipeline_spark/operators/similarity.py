@@ -866,6 +866,70 @@ LEFT JOIN dropped d ON t.label = d.label
 """
 
 
+# --------------------------------------------------------------------------
+# s11 — BATCHED kNN: top-k neighbors for a whole batch of query
+# vectors in one pass (the realistic retrieval shape — embedding
+# services score thousands of queries per corpus sweep, not one).
+# The batch broadcasts against the corpus scan, every (query, vector)
+# pair is scored JVM-side, and the per-query top-k is a rank window
+# ON THE QUERY KEY — Catalyst rewrites the rank<=k filter into
+# WindowGroupLimit, so each corpus partition keeps only k rows per
+# query BEFORE the shuffle: shuffled bytes are O(queries × k), not
+# O(queries × corpus). One scan regardless of batch size, vs s01's
+# scan-per-query.
+
+BATCH_QUERY_IDS = (0, 1, 2, 3, 4)
+
+
+def s11_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    ids = list(BATCH_QUERY_IDS)
+    queries = emb.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    cos = _dot("embedding", "q") / (_norm("embedding") * _norm("q"))
+    scored = (
+        emb.filter(~F.col("vec_id").isin(ids))
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            (F.round(cos, 4) + F.lit(0.0)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "vec_id", "label", "cosine")
+    )
+
+
+def _s11_sql() -> str:
+    ids = ", ".join(str(i) for i in BATCH_QUERY_IDS)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS q FROM embeddings WHERE vec_id IN ({ids})
+),
+scored AS (
+  SELECT qid, vec_id, label,
+         round({_SQL_DOT.format(a="embedding", b="q")}
+               / (sqrt({_SQL_DOT.format(a="embedding", b="embedding")})
+                  * sqrt({_SQL_DOT.format(a="q", b="q")})), 4) + 0.0 AS cosine
+  FROM embeddings, q
+  WHERE vec_id NOT IN ({ids})
+)
+SELECT qid, rank, vec_id, label, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "s01_knn_bruteforce": s01_knn_bruteforce,
     "s02_ann_lsh": s02_ann_lsh,
@@ -877,6 +941,7 @@ QUERIES = {
     "s08_kmeans_lloyd": s08_kmeans_lloyd,
     "s09_vector_stats": s09_vector_stats,
     "s10_semantic_dedup": s10_semantic_dedup,
+    "s11_batch_knn": s11_batch_knn,
 }
 
 ORACLE = {
@@ -890,4 +955,5 @@ ORACLE = {
     "s08_kmeans_lloyd": _S08_SQL,
     "s09_vector_stats": _S09_SQL,
     "s10_semantic_dedup": _S10_SQL,
+    "s11_batch_knn": _s11_sql(),
 }

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rfb_data_pipeline_spark.catalog import load_tables
 
@@ -629,6 +630,96 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# t12 — Zipf-law fit over the head of the term-frequency distribution:
+# OLS slope/intercept/R² of ln(freq) on ln(rank) for the top
+# ZIPF_TERMS terms. Natural corpora fit slope ≈ -1; a corpus whose
+# head deviates hard (too flat = templated/boilerplate text, too
+# steep = token collapse) is a curation red flag, so this is a
+# one-row corpus health metric alongside t10/t11.
+#
+# Scale shape: the term-frequency agg is the only corpus-size shuffle;
+# the head extraction is orderBy().limit() (distributed TakeOrdered,
+# no global sort), and ranking/regression run on the constant-size
+# ZIPF_TERMS-row head (whitelisted single-partition frame — same class
+# as t08's top-k limit frame). Regression uses explicit sum formulas
+# (not regr_slope) so both engines compute identical float math.
+
+ZIPF_TERMS = 40
+
+
+def t12_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    head = (
+        docs.select(F.explode(tokens_col()).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(ZIPF_TERMS)
+    )
+    ranked = head.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), F.asc("term")))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (
+        (n * sxy - sx * sy)
+        * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    )
+    return sums.select(
+        n.cast("bigint").alias("n_terms"),
+        (F.round(slope, 4) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round((sy - slope * sx) / n, 4) + F.lit(0.0)).alias("zipf_intercept"),
+        (F.round(r2, 4) + F.lit(0.0)).alias("r_squared"),
+    )
+
+
+_T12_SQL = f"""
+WITH head AS (
+  SELECT term, count(*) AS freq
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+  WHERE length(term) > 0
+  GROUP BY term
+  ORDER BY freq DESC, term ASC
+  LIMIT {ZIPF_TERMS}
+),
+ranked AS (
+  SELECT ln((row_number() OVER (ORDER BY freq DESC, term ASC))::DOUBLE) AS x,
+         ln(freq::DOUBLE) AS y
+  FROM head
+),
+sums AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) + 0.0
+         AS zipf_intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0 AS r_squared
+FROM sums
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -641,6 +732,7 @@ QUERIES = {
     "t09_bpe_token_count": t09_bpe_token_count,
     "t10_cms_heavy_hitters": t10_cms_heavy_hitters,
     "t11_unigram_surprisal": t11_unigram_surprisal,
+    "t12_zipf_slope": t12_zipf_slope,
 }
 
 ORACLE = {
@@ -655,4 +747,5 @@ ORACLE = {
     "t09_bpe_token_count": _T09_SQL,
     "t10_cms_heavy_hitters": _T10_SQL,
     "t11_unigram_surprisal": _T11_SQL,
+    "t12_zipf_slope": _T12_SQL,
 }

@@ -75,7 +75,7 @@ def test_rank_filters_get_window_group_limit(spark):
     materializes the full group even when groups grow linearly with the
     table (the r02 VERDICT q21 concern — at 100 TB a nation's suppliers
     are millions of rows, but each map task still ships at most k)."""
-    for name in ("q21_rank_suppliers", "q09_topk_per_group"):
+    for name in ("q21_rank_suppliers", "q09_topk_per_group", "s11_batch_knn"):
         plan = pi.explain_string(_q(spark, name), "simple")
         assert "WindowGroupLimit" in plan, name
         assert "Partial" in plan.split("WindowGroupLimit", 1)[1], name
@@ -285,6 +285,8 @@ _SINGLE_PARTITION_OK = {
     "x03_stratified_sample",  # per-stratum rate frame (|groups| rows)
     "x09_pack_sequences",  # banded prefix sum's band-offset frame
     "x10_domain_mixture",  # 1-row t_max frame + |langs|-row quota frame
+    "x11_curriculum_buckets",  # 1-row bounds + 32-row band offsets (q29 shape)
+    "t12_zipf_slope",  # rank/regression over the constant 40-row head
 }
 
 
