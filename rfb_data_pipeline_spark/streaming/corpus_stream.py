@@ -88,13 +88,36 @@ def quality_col() -> F.Column:
     return (n_tokens >= 10) & (stop_ratio >= 0.01) & (digit_ratio <= 0.3)
 
 
+def fingerprint_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The materialized historical fingerprint index (d06's static
+    side): a parquet table with at least a ``fingerprint`` column. At
+    100 TB this is written bucketed by fingerprint so the per-batch
+    anti-join is co-located; small indexes broadcast automatically."""
+    return spark.read.parquet(index_dir).select("fingerprint").distinct()
+
+
 def curated_stream(
-    docs: DataFrame, watermark: str = DEFAULT_DOC_WATERMARK
+    docs: DataFrame,
+    watermark: str = DEFAULT_DOC_WATERMARK,
+    history_index: DataFrame | None = None,
 ) -> DataFrame:
-    """dedup-in-horizon → quality gate → split assignment."""
+    """history anti-join → dedup-in-horizon → quality gate → split.
+
+    ``history_index`` is the STREAM-STATIC left-anti join — the
+    streaming twin of batch d06 (incremental dedup against the
+    materialized corpus index). The watermark-bounded state store then
+    only has to absorb in-horizon re-drops; corpus-wide history lives
+    in the static index, not in streaming state. Stateless per batch:
+    no store pressure, retriable, and the join is an equi-join on the
+    fingerprint key.
+    """
+    fingerprinted = docs.withColumn("fingerprint", fingerprint_col())
+    if history_index is not None:
+        fingerprinted = fingerprinted.join(
+            history_index, "fingerprint", "left_anti"
+        )
     deduped = (
-        docs.withColumn("fingerprint", fingerprint_col())
-        .withWatermark("ingest_ts", watermark)
+        fingerprinted.withWatermark("ingest_ts", watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
     return (
@@ -135,11 +158,17 @@ def run_curation(
     checkpoint_dir: str,
     watermark: str = DEFAULT_DOC_WATERMARK,
     max_files_per_trigger: int = 1,
+    history_index_dir: str | None = None,
 ):
     """Process the current backlog (availableNow) through the funnel."""
     stream = curated_stream(
         read_documents_stream(spark, in_dir, max_files_per_trigger),
         watermark,
+        history_index=(
+            fingerprint_index(spark, history_index_dir)
+            if history_index_dir
+            else None
+        ),
     )
     q = (
         stream.writeStream.option("checkpointLocation", checkpoint_dir)

@@ -121,3 +121,25 @@ def test_streaming_curation_resume_is_incremental(spark, tmp_path, doc_drops):
     final = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert 11 in final
     assert 12 not in final  # deduped against state carried across resume
+
+
+def test_streaming_history_anti_join_dedup(spark, tmp_path, doc_drops):
+    """Stream-static twin of batch d06: docs whose fingerprint is in
+    the materialized historical index never reach the funnel, while
+    fresh docs flow through untouched."""
+    # history: GOOD_B was already ingested in a previous corpus build
+    hist = tmp_path / "history_index"
+    spark.createDataFrame(
+        [(_fp(GOOD_B),)], "fingerprint string"
+    ).write.parquet(str(hist))
+
+    out = str(tmp_path / "out_hist")
+    ckpt = str(tmp_path / "ckpt_hist")
+    cs.run_curation(
+        spark, doc_drops, out, ckpt,
+        max_files_per_trigger=1, history_index_dir=str(hist),
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # doc 4 (GOOD_B) is suppressed by the history index; otherwise the
+    # funnel result matches test_streaming_curation_funnel
+    assert got == {1, 8}
