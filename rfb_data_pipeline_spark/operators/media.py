@@ -99,10 +99,29 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m04_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowed-energy contract (the m03 row-explosion shape on
+    the audio axis): every clip explodes into 10 ms RMS/peak windows
+    from the REAL PCM decode, summarized per clip with an
+    active-frame count (RMS above a fixed floor — the VAD pre-filter
+    a speech-curation pipeline applies before transcription)."""
+    from rfb_data_pipeline_spark.functions.multimodal import audio_frame_energy
+
+    media = synthetic_media(spark, _N_MEDIA)
+    frames = audio_frame_energy(media, frame_ms=10)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.round(F.avg("rms"), 4).alias("avg_rms"),
+        F.round(F.max("peak"), 4).alias("max_peak"),
+        F.sum((F.col("rms") > 0.3).cast("int")).alias("n_active_frames"),
+    )
+
+
 QUERIES = {
     "m01_image_metadata": m01_image_metadata,
     "m02_media_stats": m02_media_stats,
     "m03_frame_sample": m03_frame_sample,
+    "m04_audio_frames": m04_audio_frames,
 }
 
 # Rows-only by design: no DuckDB codec surface exists to twin the

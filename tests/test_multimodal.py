@@ -317,3 +317,43 @@ def test_image_header_meta_keeps_unknown_rows(spark):
     assert (got[0]["format"], got[0]["width"], got[0]["height"]) == ("png", 9, 7)
     assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("jpeg", 33, 44)
     assert got[2]["format"] is None and got[2]["width"] is None
+
+
+def test_audio_frame_energy_matches_numpy(spark):
+    """Windowed RMS/peak per 10 ms frame equals a local numpy model,
+    including the trailing partial window."""
+    import numpy as np
+
+    media = mm.synthetic_media(spark, 12)
+    got = {}
+    for r in mm.audio_frame_energy(media, frame_ms=10).collect():
+        got.setdefault(r["media_id"], []).append(r)
+    audio_ids = [i for i in range(12) if i % 3 == 1]
+    assert set(got) == set(audio_ids)
+    for i in audio_ids:
+        rate, samples = mm.decode_wav(mm._synthetic_wav(i))
+        x = samples.astype(np.float64) / 32768.0
+        step = rate * 10 // 1000  # 160 samples per 10 ms at 16 kHz
+        frames = sorted(got[i], key=lambda r: r["frame_idx"])
+        n_expect = -(-len(x) // step)  # ceil: trailing partial kept
+        assert len(frames) == n_expect
+        for k, fr in enumerate(frames):
+            w = x[k * step : (k + 1) * step]
+            assert fr["start_ms"] == k * step * 1000.0 / rate
+            assert abs(fr["rms"] - float(np.sqrt(np.mean(w * w)))) < 1e-12
+            assert abs(fr["peak"] - float(np.max(np.abs(w)))) < 1e-12
+
+
+def test_m04_audio_frames_summary(spark):
+    from rfb_data_pipeline_spark.operators.media import m04_audio_frames
+
+    rows = {r["media_id"]: r for r in m04_audio_frames(spark, "").collect()}
+    assert rows  # audio rows exist in the synthetic table
+    for r in rows.values():
+        # 50-90 ms clips at 10 ms windows → 5..9 frames
+        assert 5 <= r["n_frames"] <= 9
+        assert 0.0 <= r["avg_rms"] <= r["max_peak"] <= 1.0
+        assert 0 <= r["n_active_frames"] <= r["n_frames"]
+    # md5-chain samples are near-uniform noise: RMS ~ 0.577 full scale,
+    # so every frame of every clip should clear the 0.3 activity floor
+    assert all(r["n_active_frames"] == r["n_frames"] for r in rows.values())
