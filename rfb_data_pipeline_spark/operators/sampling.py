@@ -762,9 +762,13 @@ def x11_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = (
         F.lit(0.5) * uniq_ratio + F.lit(0.3) * stop_ratio + F.lit(0.2) * len_norm
     )
+    # Materialized once: the scored frame feeds three branches (bounds,
+    # local ranks, band offsets) and the tokenize+score map is the
+    # heaviest stage — without the checkpoint the corpus is scanned and
+    # scored twice (the d02/d13 stage-boundary idiom).
     scored = docs.select(
         "doc_id", F.size(toks).alias("n_tokens"), score.alias("score")
-    )
+    ).localCheckpoint(eager=True)
 
     bounds = scored.agg(
         F.min("score").alias("_lo"),

@@ -326,6 +326,10 @@ def test_exchange_budgets_headline(spark):
         # 256-row offset frame + final pack agg (banded prefix sum)
         "q34_histogram": 2,  # 1-row bounds agg + bin agg
         "q04_revenue_by_nation": 3,  # partial-agg + join + final agg
+        "s11_batch_knn": 1,  # broadcast batch; one window shuffle on qid
+        "t12_zipf_slope": 1,  # one term-freq agg; head rank is post-limit
+        "d14_dup_span_fraction": 4,  # span aggs + dup semi-join + per-doc join
+        "x11_curriculum_buckets": 6,  # banded rank (q29 shape) + final agg
     }
     over = {}
     for name, budget in budgets.items():
