@@ -114,7 +114,13 @@ def apply_updates(manifest: DataFrame, updates: DataFrame) -> DataFrame:
 
 def save_manifest(manifest: DataFrame, path: str) -> None:
     """Atomic single-file JSON save (the manifest is driver-scale:
-    ~37 rows/month — a distributed write would be overhead)."""
+    ~37 rows/month — a distributed write would be overhead).
+
+    Control-plane cap: this collect() is bounded by the file count of
+    one monthly drop (tens of rows), never by data volume. If a future
+    source produced manifests beyond ~10^5 rows, switch to a
+    partitioned parquet/Delta manifest and per-stage predicate updates
+    instead of whole-frame round-trips."""
     records = [r.asDict(recursive=True) for r in manifest.collect()]
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
