@@ -750,6 +750,74 @@ FROM spine s LEFT JOIN hourly h USING (event_type, hour)
 """
 
 
+# --------------------------------------------------------------------------
+# e16 — streaming-funnel batch replay: the driver-visible twin of
+# streaming/corpus_stream.py. The streaming curation funnel (history
+# anti-join → in-horizon dedup → quality gate → split assignment) is
+# pytest-verified for stream/batch parity; this query runs the SAME
+# column expressions (imported from the streaming module, not copied)
+# over the static documents table so the parity claim earns a driver
+# CORRECTNESS row. Dedup survivorship replays arrival order as doc_id
+# order (min doc_id per fingerprint survives — what
+# dropDuplicatesWithinWatermark keeps when the backlog is drained in
+# file order). One shuffle for the fingerprint window, one for the
+# final split aggregate; at 100 TB the same plan holds — the
+# fingerprint shuffle is the d01 exact-dedup shuffle.
+
+
+def e16_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.catalog import load_tables
+    from rfb_data_pipeline_spark.streaming.corpus_stream import curated_batch
+
+    docs = load_tables(
+        spark, sf_dir, tables=("documents",), register_views=False
+    )["documents"]
+    return curated_batch(docs).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_total"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+_E16_SQL = """
+WITH survived AS (
+  SELECT *,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM (
+    SELECT *,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             AS fingerprint
+    FROM documents
+  )
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
+),
+curated AS (
+  SELECT *,
+         ((instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1)
+            * 16
+          + (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)
+         ) AS bucket
+  FROM survived
+  WHERE len(toks) >= 10
+    AND len(list_filter(toks,
+          t -> t IN ('the','a','of','to','and','in','is','it')))::DOUBLE
+        / len(toks) >= 0.01
+    AND length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+        / length(text) <= 0.3
+)
+SELECT CASE WHEN CAST(floor(bucket * 100.0 / 256) AS INTEGER) < 80
+            THEN 'train'
+            WHEN CAST(floor(bucket * 100.0 / 256) AS INTEGER) < 90
+            THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(len(toks)) AS BIGINT) AS tokens_total,
+       count(DISTINCT source) AS n_sources
+FROM curated
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_window": e02_sliding_window,
@@ -766,6 +834,9 @@ QUERIES = {
     "e13_variant_extract": e13_variant_extract,
     "e14_max_concurrency": e14_max_concurrency,
     "e15_gap_fill_locf": e15_gap_fill_locf,
+    # Position 51+ in the r04 registry: rotates into the r05 window
+    # (locally oracle-verified this round; see __spark_entry__.py).
+    "e16_stream_replay": e16_stream_replay,
 }
 
 ORACLE = {
@@ -784,4 +855,5 @@ ORACLE = {
     "e13_variant_extract": _E13_SQL,
     "e14_max_concurrency": _E14_SQL,
     "e15_gap_fill_locf": _E15_SQL,
+    "e16_stream_replay": _E16_SQL,
 }

@@ -131,6 +131,28 @@ def curated_stream(
     )
 
 
+def curated_batch(docs: DataFrame) -> DataFrame:
+    """The funnel's BATCH replay: identical rule columns, with
+    dropDuplicatesWithinWatermark replaced by its drained-backlog
+    equivalent (min doc_id per fingerprint survives — what the stream
+    keeps when drops are processed in file order). Used by the
+    driver-visible e16_stream_replay query and by the stream/batch
+    parity tests, so there is exactly one copy of each rule."""
+    from pyspark.sql.window import Window
+
+    fingerprinted = docs.withColumn("fingerprint", fingerprint_col())
+    w = Window.partitionBy("fingerprint")
+    survived = fingerprinted.withColumn(
+        "_first", F.col("doc_id") == F.min("doc_id").over(w)
+    ).filter("_first")
+    return (
+        survived.filter(quality_col())
+        .withColumn("split", split_col(F.col("doc_id")))
+        .withColumn("n_tokens", F.size(tokens_col()))
+        .select("doc_id", "lang", "source", "fingerprint", "split", "n_tokens")
+    )
+
+
 def idempotent_corpus_sink(out_dir: str):
     """foreachBatch writer partitioned by (split, _batch_id): replaying
     a batch replaces exactly its own earlier output."""

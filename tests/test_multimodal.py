@@ -357,3 +357,62 @@ def test_m04_audio_frames_summary(spark):
     # md5-chain samples are near-uniform noise: RMS ~ 0.577 full scale,
     # so every frame of every clip should clear the 0.3 activity floor
     assert all(r["n_active_frames"] == r["n_frames"] for r in rows.values())
+
+
+def test_m05_expression_grammar_matches_real_ppm_encoder(spark):
+    """m05's shared preamble grammar (PPM_HEADER_RE) parses REAL
+    encoder-produced PPM bytes to the same dimensions the full codec
+    parser recovers — pinning the oracle-backed metadata tier to the
+    codec tier."""
+    import re
+
+    import numpy as np
+
+    from rfb_data_pipeline_spark.functions.multimodal import (
+        encode_ppm,
+        parse_image_header,
+    )
+    from rfb_data_pipeline_spark.operators.media import PPM_HEADER_RE
+
+    for w, h in ((8, 6), (32, 22), (13, 7)):
+        raw = encode_ppm(np.zeros((h, w, 3), dtype=np.uint8))
+        fmt, pw, ph, _ = parse_image_header(raw)
+        assert (fmt, pw, ph) == ("ppm", w, h)
+        m = re.match(PPM_HEADER_RE, raw[:16].decode("utf-8", "replace"))
+        assert m and (int(m.group(1)), int(m.group(2))) == (w, h)
+        assert int(m.group(3)) == 255
+
+
+def test_m05_aggregate_matches_python_model(spark):
+    """The driver-visible m05 aggregate matches a Python model over
+    the actual sf0.001 doc_ids (construction + parse + rollup)."""
+    import duckdb
+
+    from rfb_data_pipeline_spark.operators.media import m05_header_parse
+
+    sf = "/root/testdata/sf0.001"
+    doc_ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchall()
+    ]
+    model = {}
+    for i in doc_ids:
+        w, h = 8 + i % 25, 6 + i % 17
+        cls = "large" if w * h >= 300 else "small"
+        agg = model.setdefault(cls, [0, 10**9, 0, 10**9, 0, 0, 0])
+        agg[0] += 1
+        agg[1], agg[2] = min(agg[1], w), max(agg[2], w)
+        agg[3], agg[4] = min(agg[3], h), max(agg[4], h)
+        agg[5] += w * h * 3
+        agg[6] += 1  # maxval is always 255 in this construction
+
+    got = {
+        r["size_class"]: [
+            r["n_images"], r["min_width"], r["max_width"], r["min_height"],
+            r["max_height"], r["total_px_bytes"], r["n_maxval_255"],
+        ]
+        for r in m05_header_parse(spark, sf).collect()
+    }
+    assert got == model

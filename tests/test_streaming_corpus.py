@@ -143,3 +143,24 @@ def test_streaming_history_anti_join_dedup(spark, tmp_path, doc_drops):
     # doc 4 (GOOD_B) is suppressed by the history index; otherwise the
     # funnel result matches test_streaming_curation_funnel
     assert got == {1, 8}
+
+
+def test_batch_replay_matches_streamed_funnel(spark, tmp_path, doc_drops):
+    """e16's batch replay (curated_batch) and the real stream agree
+    row-for-row on the same backlog: same survivors, same fingerprints,
+    same splits, same token counts. This is the parity the driver's
+    e16_stream_replay row vouches for."""
+    out = str(tmp_path / "out_replay")
+    ckpt = str(tmp_path / "ckpt_replay")
+    cs.run_curation(spark, doc_drops, out, ckpt, max_files_per_trigger=1)
+    streamed = {
+        r["doc_id"]: (r["fingerprint"], r["split"], r["n_tokens"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    static_docs = spark.read.schema(cs.DOC_STREAM_SCHEMA).parquet(doc_drops)
+    replayed = {
+        r["doc_id"]: (r["fingerprint"], r["split"], r["n_tokens"])
+        for r in cs.curated_batch(static_docs).collect()
+    }
+    assert replayed == streamed
