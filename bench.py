@@ -58,6 +58,7 @@ HEADLINE = [
     "t12_zipf_slope",
     "x11_curriculum_buckets",
     "s11_batch_knn",
+    "e16_stream_replay",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.
@@ -82,19 +83,23 @@ def main() -> None:
     # not session startup.
     qs["q01_pricing_summary"](spark, sf_dir).collect()
 
-    # min of 2 runs: steady-state engine time, not JIT/page-cache
-    # noise. A single query failure must not cost the whole bench
-    # line — it is recorded and skipped.
+    # n=3 runs per query; record BOTH min (steady-state engine time,
+    # the headline) and median (load-robust — r02's 1.42x "regression"
+    # was co-located harness load that medians would have flagged as
+    # noise immediately; VERDICT r03 item 7). A single query failure
+    # must not cost the whole bench line — it is recorded and skipped.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        best = float("inf")
+        runs: list[float] = []
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 qs[name](spark, sf_dir).collect()
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
+                runs.append(time.time() - t0)
+            timings[name] = round(min(runs), 3)
+            medians[name] = round(sorted(runs)[len(runs) // 2], 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -104,6 +109,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "total_median": round(sum(medians.values()), 3),
         "sf": sf,
     }
     # The headline set has grown since the round-1 baseline was recorded

@@ -415,16 +415,29 @@ GROUP BY shard
 # local_running. At 100 TB widen the band prefix to 3-4 hex chars.
 
 PACK_BUDGET = 2048
+# Band prefix width (hex chars of skey): 16**k bands. Sizing rule for
+# the two-phase prefix sum: the band-offset frame is 16**k rows and
+# must stay driver/broadcast-scale, while each band should hold
+# ~(corpus rows / 16**k) ≲ a few million rows so the per-band window
+# fits one task. sf0.1 (60k docs): k=2 (256 bands). 100 TB
+# (~1e10 docs): k=4 (65,536 bands, ~150k docs/band — offsets still a
+# trivially broadcastable 65k-row frame).
+PACK_BAND_HEX = 2
 
 
-def x09_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x09_pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    pack_budget: int = PACK_BUDGET,
+    band_hex: int = PACK_BAND_HEX,
+) -> DataFrame:
     from rfb_data_pipeline_spark.operators.text import tokens_col
 
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         F.size(tokens_col()).alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("skey"),
-    ).withColumn("band", F.substring("skey", 1, 2))
+    ).withColumn("band", F.substring("skey", 1, band_hex))
     wb = (
         Window.partitionBy("band")
         .orderBy("skey", "doc_id")
@@ -452,7 +465,7 @@ def x09_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(
             (F.col("band_offset") + F.col("local_running") - F.col("n_tokens"))
-            / PACK_BUDGET
+            / pack_budget
         ).alias("pack_id"),
     )
     return packed.groupBy("pack_id").agg(
@@ -633,27 +646,39 @@ FROM merged GROUP BY o_orderstatus
 
 MIX_PARTS = {"en": 2, "de": 1, "es": 1, "fr": 1, "zh": 1}
 MIX_TOTAL = sum(MIX_PARTS.values())
+# Band prefix width for the per-domain rank: |langs| * 16**k window
+# partitions. 100 TB sizing follows x09's rule — pick k so each
+# (lang, band) cell holds ≲ a few million rows; the offset frame stays
+# |langs| * 16**k rows (broadcast-scale even at k=4).
+MIX_BAND_HEX = 1
 
 
-def x10_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x10_domain_mixture(
+    spark: SparkSession,
+    sf_dir: str,
+    mix_parts: dict[str, int] | None = None,
+    band_hex: int = MIX_BAND_HEX,
+) -> DataFrame:
+    mix_parts = MIX_PARTS if mix_parts is None else mix_parts
+    mix_total = sum(mix_parts.values())
     parts = F.create_map(
-        *[F.lit(x) for kv in MIX_PARTS.items() for x in kv]
+        *[F.lit(x) for kv in mix_parts.items() for x in kv]
     )
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         "lang",
         F.md5(F.col("doc_id").cast("string")).alias("skey"),
-    ).withColumn("band", F.substring("skey", 1, 1))
+    ).withColumn("band", F.substring("skey", 1, band_hex))
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_available"))
     total = counts.agg(
         F.min(
-            F.floor(F.col("n_available") * MIX_TOTAL / parts[F.col("lang")])
+            F.floor(F.col("n_available") * mix_total / parts[F.col("lang")])
         ).alias("t_max")
     )
     quotas = counts.crossJoin(F.broadcast(total)).select(
         "lang",
         "n_available",
-        F.floor(parts[F.col("lang")] * F.col("t_max") / MIX_TOTAL).alias("quota"),
+        F.floor(parts[F.col("lang")] * F.col("t_max") / mix_total).alias("quota"),
     )
     wb = Window.partitionBy("lang", "band").orderBy("skey", "doc_id")
     local = docs.withColumn("local_rn", F.row_number().over(wb))

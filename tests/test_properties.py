@@ -267,3 +267,50 @@ def test_x10_mixture_quotas_and_selection(spark):
         assert got[lang]["n_selected"] == quota
         assert got[lang]["n_available"] == len(ids)
         assert got[lang]["sel_checksum"] == sum(expect)
+
+
+def test_x09_x10_band_width_invariance(spark):
+    """The banded two-phase prefix-sum/rank is band-width invariant:
+    the band key is a PREFIX of the sort key, so per-band order + band
+    order == global order for ANY prefix width. This is the property
+    that licenses widening the band prefix at 100 TB (x09/x10 sizing
+    notes) without changing a single output row."""
+    from rfb_data_pipeline_spark.operators.sampling import (
+        x09_pack_sequences,
+        x10_domain_mixture,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(x09_pack_sequences(spark, sf, band_hex=1)) == rows(
+        x09_pack_sequences(spark, sf, band_hex=2)
+    )
+    assert rows(x10_domain_mixture(spark, sf, band_hex=2)) == rows(
+        x10_domain_mixture(spark, sf, band_hex=1)
+    )
+
+
+def test_x10_custom_mixture_weights(spark):
+    """Mixture weights are a real parameter: a 2-language mixture
+    selects only those languages and honors the integer quota math."""
+    from rfb_data_pipeline_spark.operators.sampling import x10_domain_mixture
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["lang"]: r
+        for r in x10_domain_mixture(
+            spark, sf, mix_parts={"en": 3, "de": 1}
+        ).collect()
+    }
+    assert set(out) == {"en", "de"}
+    t_max = min(
+        out["en"]["n_available"] * 4 // 3,
+        out["de"]["n_available"] * 4 // 1,
+    )
+    assert out["en"]["quota"] == 3 * t_max // 4
+    assert out["de"]["quota"] == t_max // 4
+    for r in out.values():
+        assert r["n_selected"] == r["quota"]
