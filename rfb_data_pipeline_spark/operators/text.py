@@ -720,6 +720,145 @@ FROM sums
 """
 
 
+# --------------------------------------------------------------------------
+# t13 — PII redaction audit, driver-visible. The redaction chain
+# (functions/redact.py — the corpus scrubber every shipped training
+# set runs) previously had no oracle row because the synthetic corpus
+# contains no PII (a vacuous pass). Same fix as m05: both engines
+# INJECT deterministic PII built from doc_id (an e-mail, a formatted
+# CNPJ, a formatted CPF, or a BR phone, by doc_id % 4), run the SAME
+# ordered regexp_replace chain (patterns are RE2-compatible — no
+# lookarounds/backrefs — so Java and RE2 agree), and audit the result
+# by counting redaction tokens per class. Counting is
+# length-difference based (codegen string ops, no extra regex pass).
+#
+# Scale: a pure per-row map over the scan + one small per-lang
+# aggregate; the redaction chain is JVM regexp_replace — no Python.
+
+
+def t13_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.functions.redact import redact
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    d14 = F.lpad(did, 14, "0")
+    d11 = F.lpad(did, 11, "0")
+    injection = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("mail user"), did, F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("cnpj "),
+                F.substring(d14, 1, 2), F.lit("."),
+                F.substring(d14, 3, 3), F.lit("."),
+                F.substring(d14, 6, 3), F.lit("/"),
+                F.substring(d14, 9, 4), F.lit("-"),
+                F.substring(d14, 13, 2), F.lit(" ok"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("cpf "),
+                F.substring(d11, 1, 3), F.lit("."),
+                F.substring(d11, 4, 3), F.lit("."),
+                F.substring(d11, 7, 3), F.lit("-"),
+                F.substring(d11, 10, 2), F.lit(" ok"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("tel +55 (11) 9"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 9999).cast("string"), 4, "0"),
+                F.lit(" end"),
+            )
+        )
+    )
+    aug = F.concat(F.col("text"), F.lit(" "), injection)
+    red = redact(aug)
+
+    def tok_count(token: str) -> F.Column:
+        return (
+            (F.length(red) - F.length(F.replace(red, F.lit(token), F.lit(""))))
+            / len(token)
+        ).cast("bigint")
+
+    return (
+        docs.select(
+            "lang",
+            red.alias("red"),
+            tok_count("<EMAIL>").alias("n_email"),
+            tok_count("<CNPJ>").alias("n_cnpj"),
+            tok_count("<CPF>").alias("n_cpf"),
+            tok_count("<PHONE>").alias("n_phone"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("emails_redacted"),
+            F.sum("n_cnpj").alias("cnpjs_redacted"),
+            F.sum("n_cpf").alias("cpfs_redacted"),
+            F.sum("n_phone").alias("phones_redacted"),
+            F.sum(F.length("red")).alias("total_red_chars"),
+        )
+    )
+
+
+def _t13_sql() -> str:
+    from rfb_data_pipeline_spark.functions.redact import PATTERNS
+
+    red = "aug"
+    for _, pattern, token in PATTERNS:
+        # DuckDB single-quoted strings are literal (no backslash
+        # escape processing) — the Java pattern text passes through
+        # verbatim; only quotes need doubling.
+        pat = pattern.replace("'", "''")
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH injected AS (
+  SELECT lang,
+         text || ' ' ||
+         CASE
+           WHEN doc_id % 4 = 0 THEN
+             'mail user' || doc_id::VARCHAR || '@example.com now'
+           WHEN doc_id % 4 = 1 THEN
+             'cnpj ' || substr(lpad(doc_id::VARCHAR, 14, '0'), 1, 2) || '.'
+                     || substr(lpad(doc_id::VARCHAR, 14, '0'), 3, 3) || '.'
+                     || substr(lpad(doc_id::VARCHAR, 14, '0'), 6, 3) || '/'
+                     || substr(lpad(doc_id::VARCHAR, 14, '0'), 9, 4) || '-'
+                     || substr(lpad(doc_id::VARCHAR, 14, '0'), 13, 2) || ' ok'
+           WHEN doc_id % 4 = 2 THEN
+             'cpf ' || substr(lpad(doc_id::VARCHAR, 11, '0'), 1, 3) || '.'
+                    || substr(lpad(doc_id::VARCHAR, 11, '0'), 4, 3) || '.'
+                    || substr(lpad(doc_id::VARCHAR, 11, '0'), 7, 3) || '-'
+                    || substr(lpad(doc_id::VARCHAR, 11, '0'), 10, 2) || ' ok'
+           ELSE
+             'tel +55 (11) 9' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                    || '-' || lpad((doc_id % 9999)::VARCHAR, 4, '0') || ' end'
+         END AS aug
+  FROM documents
+),
+redacted AS (SELECT lang, {red} AS red FROM injected)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum((length(red) - length(replace(red, '<EMAIL>', ''))) / 7)
+            AS BIGINT) AS emails_redacted,
+       CAST(sum((length(red) - length(replace(red, '<CNPJ>', ''))) / 6)
+            AS BIGINT) AS cnpjs_redacted,
+       CAST(sum((length(red) - length(replace(red, '<CPF>', ''))) / 5)
+            AS BIGINT) AS cpfs_redacted,
+       CAST(sum((length(red) - length(replace(red, '<PHONE>', ''))) / 7)
+            AS BIGINT) AS phones_redacted,
+       CAST(sum(length(red)) AS BIGINT) AS total_red_chars
+FROM redacted
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -733,6 +872,7 @@ QUERIES = {
     "t10_cms_heavy_hitters": t10_cms_heavy_hitters,
     "t11_unigram_surprisal": t11_unigram_surprisal,
     "t12_zipf_slope": t12_zipf_slope,
+    "t13_pii_redaction": t13_pii_redaction,
 }
 
 ORACLE = {
@@ -748,4 +888,5 @@ ORACLE = {
     "t10_cms_heavy_hitters": _T10_SQL,
     "t11_unigram_surprisal": _T11_SQL,
     "t12_zipf_slope": _T12_SQL,
+    "t13_pii_redaction": _t13_sql(),
 }

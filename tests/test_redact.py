@@ -53,3 +53,28 @@ def test_redact_is_jvm_only(spark):
         redact("raw").alias("t")
     )
     assert not pi.has_python_eval(df)
+
+
+def test_t13_audit_redacts_every_injected_class(spark):
+    """t13's driver row is non-vacuous: each doc_id%4 class injects
+    one PII instance and the audit finds at least that many across the
+    corpus — per class, per language."""
+    from rfb_data_pipeline_spark.operators.text import t13_pii_redaction
+
+    rows = t13_pii_redaction(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    tot = {
+        c: sum(r[c] for r in rows)
+        for c in (
+            "emails_redacted", "cnpjs_redacted", "cpfs_redacted",
+            "phones_redacted",
+        )
+    }
+    n_docs = sum(r["n_docs"] for r in rows)
+    # every doc injects exactly one instance of its class; base text
+    # may add more, never fewer
+    assert tot["emails_redacted"] >= n_docs // 4
+    assert tot["cnpjs_redacted"] >= n_docs // 4 - 1
+    assert tot["cpfs_redacted"] >= n_docs // 4 - 1
+    assert tot["phones_redacted"] >= n_docs // 4 - 1
+    assert all(v > 0 for v in tot.values())

@@ -1,0 +1,133 @@
+"""d13 linearity check (VERDICT r03 item 4): wall time and shuffle
+bytes vs corpus size.
+
+Builds 1x/3x/10x document fixtures from sf0.1 (replica k suffixes
+every token with ``_k``, so replicas share no spans with each other —
+the within-replica duplicate structure is preserved and total work is
+exactly multiplied), then times ``d13_duplicate_spans`` on each and
+reports wall seconds plus total shuffle-write bytes from the Spark
+REST status API. Linear growth in both confirms the claimed
+stride-1-span-fingerprint complexity (no all-pairs blowup).
+
+Usage: python tools/scale_check.py [mults...]   (default: 1 3 10)
+Writes one JSON line per multiplier.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+
+BASE = "/root/testdata/sf0.1/documents.parquet"
+FIXTURES = "/tmp/spark_graft_scale_fixtures"
+
+
+def _fixture_dir(mult: int) -> str:
+    return os.path.join(FIXTURES, f"x{mult}")
+
+
+def build_fixture(spark, mult: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = _fixture_dir(mult)
+    dest = os.path.join(out, "documents.parquet")
+    if os.path.exists(dest):
+        return out
+    base = spark.read.parquet(BASE)
+    n = base.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = []
+    for k in range(mult):
+        suffixed = F.array_join(
+            F.transform(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda t: F.concat(t, F.lit(f"_{k}")),
+            ),
+            " ",
+        )
+        reps.append(
+            base.select(
+                (F.col("doc_id") + F.lit(k * n)).alias("doc_id"),
+                suffixed.alias("text"),
+                "lang",
+                "source",
+                F.length(suffixed).alias("n_chars"),
+            )
+        )
+    df = reps[0]
+    for r in reps[1:]:
+        df = df.unionByName(r)
+    df.repartition(32).write.mode("overwrite").parquet(dest)
+    return out
+
+
+def shuffle_write_bytes(ui_port: int) -> int:
+    api = f"http://localhost:{ui_port}/api/v1/applications"
+    apps = json.load(urllib.request.urlopen(api, timeout=10))
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(f"{api}/{app_id}/stages?status=complete", timeout=10)
+    )
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    from pyspark.sql import SparkSession
+
+    from rfb_data_pipeline_spark.operators.dedup import d13_duplicate_spans
+
+    # One bootstrap session to build fixtures (UI off, cheap).
+    boot = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    for m in mults:
+        build_fixture(boot, m)
+    boot.stop()
+
+    for m in mults:
+        # Fresh session per multiplier so REST stage metrics are
+        # attributable to this run alone; UI on for the status API.
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.ui.enabled", "true")
+            .config("spark.ui.port", "4055")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.driver.memory", "16g")
+            .getOrCreate()
+        )
+        # warm
+        spark.read.parquet(
+            os.path.join(_fixture_dir(m), "documents.parquet")
+        ).count()
+        pre_bytes = shuffle_write_bytes(4055)
+        t0 = time.time()
+        row = d13_duplicate_spans(spark, _fixture_dir(m)).collect()[0]
+        wall = time.time() - t0
+        bytes_run = shuffle_write_bytes(4055) - pre_bytes
+        print(
+            json.dumps(
+                {
+                    "mult": m,
+                    "wall_s": round(wall, 2),
+                    "shuffle_write_bytes": bytes_run,
+                    "n_dup_spans": row["n_dup_spans"],
+                    "n_docs_affected": row["n_docs_affected"],
+                }
+            ),
+            flush=True,
+        )
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
