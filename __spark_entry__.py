@@ -46,14 +46,19 @@ def _registry() -> tuple[dict, dict]:
     # is ever unverified two rounds running (ADVICE r03):
     #   r1-r2: q/e first (d/t/s/x outside the window)
     #   r3:    d/t/s/x/m + e01-e04 first (q and e05-e15 outside)
-    #   r4:    relational(35) + events(15) = exactly 50 — re-greens the whole
-    #          q-series (incl. the r03-rewritten banded q29, VERDICT r03 gap 1)
-    #          and e05-e15. The r03-green d/t/s/x/m families rotate out; the
-    #          four NEW r04 queries (d14/t12/x11/s11) are appended to their
-    #          family dicts (positions >50) and rotate into the r05 window
-    #          (locally oracle-verified this round via tools/check_oracle.py).
-    # Round 5 should rotate back to (dedup, text, similarity, sampling, media,
-    # events, relational).
+    #   r4:    relational(35) + events e01-e15 = exactly 50 — re-greens the
+    #          whole q-series (incl. the r03-rewritten banded q29, VERDICT r03
+    #          gap 1) and e05-e15. The r03-green d/t/s/x/m families rotate
+    #          out; the NEW r04 queries (d14/t12/x11/s11/m04 from the first
+    #          half, then e16/m05/t13) sit at positions >50 and rotate into
+    #          the r05 window (all locally oracle-verified this round via
+    #          tools/check_oracle.py — 105 queries, 0 failures at sf0.01).
+    # Round 5 rotation: the stale set is d(13)+t(13)+s(11)+x(11)+m(5)+e16 =
+    # 54 entries vs a 50-slot window. The 4 rows-only media entries
+    # (m01-m04 — they can only ever earn rowcount checks anyway) go last;
+    # the 50 oracle-backed stale entries (d, t, s, x, m05, e16) fill the
+    # window exactly. Order: dedup(13), text(13), similarity(11),
+    # sampling(11), m05, e16, then m01-m04, events, relational.
     for mod in (relational, events, dedup, text, similarity, sampling, media):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)
