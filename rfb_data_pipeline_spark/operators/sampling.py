@@ -878,6 +878,132 @@ FROM b GROUP BY bucket
 """
 
 
+# --------------------------------------------------------------------------
+# x12 — repetition gate (the Gopher/RefinedWeb document filter that
+# CONSUMES d14 + t07): a document is dropped when its cross-doc
+# duplicated-span fraction (d14) or its intra-doc repetition signals
+# (t07's duplicate-bigram / top-token fractions) exceed thresholds.
+# This closes the loop from repetition *metrics* to the curation
+# *decision* — reported per source so the gate's cost is auditable,
+# with kept-token totals (what actually reaches training).
+#
+# Reuses the d14 and t07 operators verbatim (their outputs are
+# hash-green, so threshold comparisons on their rounded fractions are
+# engine-identical by construction). Plan: the span-table aggs (d14)
+# + the token aggs (t07) + one doc-keyed join layer + a small
+# per-source aggregate — every shuffle is keyed on doc_id or a hash,
+# linear at 100 TB. Docs shorter than d13's span window have no
+# cross-doc row → coalesce(0): short docs can't span-duplicate.
+
+REP_MAX_CROSS_DUP = 0.2
+REP_MAX_DUP_BIGRAM = 0.3
+REP_MAX_TOP_TOKEN = 0.2
+
+
+def x12_repetition_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    max_cross_dup: float = REP_MAX_CROSS_DUP,
+    max_dup_bigram: float = REP_MAX_DUP_BIGRAM,
+    max_top_token: float = REP_MAX_TOP_TOKEN,
+) -> DataFrame:
+    from rfb_data_pipeline_spark.operators.dedup import d14_dup_span_fraction
+    from rfb_data_pipeline_spark.operators.text import t07_repetition
+
+    intra = t07_repetition(spark, sf_dir)
+    cross = d14_dup_span_fraction(spark, sf_dir).select("doc_id", "dup_frac")
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    joined = docs.join(intra, "doc_id").join(cross, "doc_id", "left")
+    cross_frac = F.coalesce(F.col("dup_frac"), F.lit(0.0))
+    flag_cross = (cross_frac > max_cross_dup).cast("int")
+    flag_intra = (
+        (F.col("dup_bigram_frac") > max_dup_bigram)
+        | (F.col("top_token_frac") > max_top_token)
+    ).cast("int")
+    kept = ((flag_cross + flag_intra) == 0).cast("int")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(flag_cross).alias("n_flag_cross"),
+        F.sum(flag_intra).alias("n_flag_intra"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(F.col("n_tokens") * kept).alias("tokens_kept"),
+    )
+
+
+def _x12_sql() -> str:
+    from rfb_data_pipeline_spark.operators.dedup import _SPANS_CTE
+
+    return f"""
+WITH {_SPANS_CTE},
+dupset AS (
+  SELECT span_hash FROM spans
+  GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+),
+per_doc_spans AS (
+  SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+),
+per_doc_dup AS (
+  SELECT doc_id, count(*) AS n_dup FROM spans
+  WHERE span_hash IN (SELECT span_hash FROM dupset)
+  GROUP BY doc_id
+),
+cross_frac AS (
+  SELECT p.doc_id,
+         round(coalesce(d.n_dup, 0)::DOUBLE / p.n_spans, 4) + 0.0 AS dup_frac
+  FROM per_doc_spans p LEFT JOIN per_doc_dup d USING (doc_id)
+),
+tk AS (
+  SELECT doc_id, u.i AS pos, t[u.i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents),
+       unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE length(t[u.i]) > 0
+),
+per_doc_tok AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS max_tok
+  FROM (SELECT doc_id, w, count(*) AS c FROM tk GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+bigrams AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         count(DISTINCT bg) AS n_unique_bigrams
+  FROM (
+    SELECT doc_id,
+           w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg,
+           lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+    FROM tk
+  ) WHERE w1 IS NOT NULL
+  GROUP BY doc_id
+),
+intra AS (
+  SELECT doc_id, n_tokens,
+         round(max_tok::DOUBLE / n_tokens, 4) AS top_token_frac,
+         round(1 - n_unique_bigrams::DOUBLE / n_bigrams, 4) AS dup_bigram_frac
+  FROM per_doc_tok JOIN bigrams USING (doc_id)
+),
+flags AS (
+  SELECT dd.source, i.n_tokens,
+         CASE WHEN coalesce(c.dup_frac, 0.0) > {REP_MAX_CROSS_DUP}
+              THEN 1 ELSE 0 END AS flag_cross,
+         CASE WHEN i.dup_bigram_frac > {REP_MAX_DUP_BIGRAM}
+                OR i.top_token_frac > {REP_MAX_TOP_TOKEN}
+              THEN 1 ELSE 0 END AS flag_intra
+  FROM documents dd
+  JOIN intra i ON dd.doc_id = i.doc_id
+  LEFT JOIN cross_frac c ON dd.doc_id = c.doc_id
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(flag_cross) AS BIGINT) AS n_flag_cross,
+       CAST(sum(flag_intra) AS BIGINT) AS n_flag_intra,
+       CAST(sum(CASE WHEN flag_cross + flag_intra = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(n_tokens * CASE WHEN flag_cross + flag_intra = 0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM flags
+GROUP BY source
+"""
+
+
 QUERIES = {
     "x01_split_assign": x01_split_assign,
     "x02_cap_per_group": x02_cap_per_group,
@@ -890,6 +1016,7 @@ QUERIES = {
     "x09_pack_sequences": x09_pack_sequences,
     "x10_domain_mixture": x10_domain_mixture,
     "x11_curriculum_buckets": x11_curriculum_buckets,
+    "x12_repetition_gate": x12_repetition_gate,
 }
 
 ORACLE = {
@@ -904,4 +1031,5 @@ ORACLE = {
     "x09_pack_sequences": _X09_SQL,
     "x10_domain_mixture": _X10_SQL,
     "x11_curriculum_buckets": _X11_SQL.replace("{STOP}", _x11_stop_sql()),
+    "x12_repetition_gate": _x12_sql(),
 }

@@ -930,6 +930,110 @@ WHERE rank <= {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# s12 — embedding outlier detection: per-label squared distance to the
+# label centroid, z-scored within the label; vectors with z > 2 are
+# flagged. The embedding-table quality gate every curation pipeline
+# runs before similarity search / SemDeDup — mislabeled or corrupt
+# vectors show up as centroid outliers.
+#
+# Determinism: every cross-row aggregate (centroid sums, moment sums)
+# goes through DECIMAL — exact, order-independent (the s08 idiom) —
+# so both engines see bit-identical centroids, means, and variances;
+# per-row float64 arithmetic is identical by construction. z uses the
+# POPULATION variance (E[d²²]−E[d²]², same formula both sides).
+#
+# Scale: one (label, dim) centroid aggregate (broadcast-scale result:
+# |labels|×DIM rows), one dim-keyed join + per-vector reduce, one
+# per-label moment aggregate, one broadcast join back. Linear, no
+# all-pairs; the heavy shuffle is the exploded (vec, dim) frame —
+# at 100 TB, compute d² with zip_with against a broadcast centroid
+# MAP instead of the exploded join (same math, zero dim shuffle).
+
+OUTLIER_Z = 2.0
+
+
+def s12_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = dims.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    diff = F.col("v") - F.col("c")
+    d2 = (
+        dims.join(cent, ["label", "dim"])
+        .withColumn("sq", (diff * diff).cast("decimal(30,18)"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("sq").cast("double").alias("d2"))
+    )
+    stats = d2.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum(F.col("d2").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_d2"),
+        (
+            F.sum((F.col("d2") * F.col("d2")).cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_sq"),
+    )
+    joined = d2.join(F.broadcast(stats), "label")
+    var = F.col("mean_sq") - F.col("mean_d2") * F.col("mean_d2")
+    z = (F.col("d2") - F.col("mean_d2")) / F.sqrt(var)
+    return (
+        joined.withColumn("z", z)
+        .groupBy("label")
+        .agg(
+            F.max("n_vecs").cast("bigint").alias("n_vecs"),
+            F.sum((F.col("z") > OUTLIER_Z).cast("int")).alias("n_outliers"),
+            (F.round(F.max("z"), 4) + F.lit(0.0)).alias("max_z"),
+            (F.round(F.max("mean_d2"), 4) + F.lit(0.0)).alias("mean_d2"),
+        )
+    )
+
+
+_S12_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, label, u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+cent AS (
+  SELECT label, dim,
+         (sum(v::DECIMAL(20,10)))::DOUBLE / count(*) AS c
+  FROM dims GROUP BY label, dim
+),
+d2 AS (
+  SELECT vec_id, d.label,
+         (sum(((v - c) * (v - c))::DECIMAL(30,18)))::DOUBLE AS d2
+  FROM dims d JOIN cent USING (label, dim)
+  GROUP BY vec_id, d.label
+),
+stats AS (
+  SELECT label, count(*) AS n_vecs,
+         (sum(d2::DECIMAL(30,12)))::DOUBLE / count(*) AS mean_d2,
+         (sum((d2 * d2)::DECIMAL(38,12)))::DOUBLE / count(*) AS mean_sq
+  FROM d2 GROUP BY label
+)
+SELECT label,
+       CAST(max(n_vecs) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN (d2 - mean_d2) / sqrt(mean_sq - mean_d2 * mean_d2)
+                          > {OUTLIER_Z} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(max((d2 - mean_d2) / sqrt(mean_sq - mean_d2 * mean_d2)), 4) + 0.0
+         AS max_z,
+       round(max(mean_d2), 4) + 0.0 AS mean_d2
+FROM d2 JOIN stats USING (label)
+GROUP BY label
+"""
+
+
 QUERIES = {
     "s01_knn_bruteforce": s01_knn_bruteforce,
     "s02_ann_lsh": s02_ann_lsh,
@@ -942,6 +1046,7 @@ QUERIES = {
     "s09_vector_stats": s09_vector_stats,
     "s10_semantic_dedup": s10_semantic_dedup,
     "s11_batch_knn": s11_batch_knn,
+    "s12_embedding_outliers": s12_embedding_outliers,
 }
 
 ORACLE = {
@@ -956,4 +1061,5 @@ ORACLE = {
     "s09_vector_stats": _S09_SQL,
     "s10_semantic_dedup": _S10_SQL,
     "s11_batch_knn": _s11_sql(),
+    "s12_embedding_outliers": _S12_SQL,
 }

@@ -1,0 +1,95 @@
+"""Intent tests for the second-half round-4 operators (x12, s12).
+
+Oracle parity proves Spark == DuckDB; these fixtures pin the actual
+decision semantics on constructed inputs with known right answers.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rfb_data_pipeline_spark.operators.dedup import SPAN_TOKENS
+from rfb_data_pipeline_spark.operators.sampling import x12_repetition_gate
+from rfb_data_pipeline_spark.operators.similarity import (
+    s12_embedding_outliers,
+)
+
+
+def _toks(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+@pytest.fixture(scope="module")
+def gate_dir(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("x12")
+    shared = " ".join(f"dup{i}" for i in range(SPAN_TOKENS + 8))
+    rows = [
+        # clean doc: unique tokens, no repetition → kept
+        (0, _toks("a", 40), "en", "clean"),
+        # intra-doc repetition: one token over and over → top_token_frac
+        # 1.0 and dup_bigram_frac ~1 → flagged intra
+        (1, " ".join(["spam"] * 40), "en", "spammy"),
+        # cross-doc duplication: two docs sharing a long span → both
+        # flagged cross (dup fraction > 0.2 of their windows)
+        (2, shared + " " + _toks("b", 2), "en", "copied"),
+        (3, shared + " " + _toks("c", 2), "en", "copied"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(str(tmp / "documents.parquet"))
+    return str(tmp)
+
+
+def test_x12_gate_decisions(spark, gate_dir):
+    out = {r["source"]: r for r in x12_repetition_gate(spark, gate_dir).collect()}
+    assert out["clean"]["n_kept"] == 1
+    assert out["clean"]["n_flag_cross"] == 0
+    assert out["clean"]["n_flag_intra"] == 0
+    assert out["spammy"]["n_flag_intra"] == 1
+    assert out["spammy"]["n_kept"] == 0
+    assert out["copied"]["n_flag_cross"] == 2
+    assert out["copied"]["n_kept"] == 0
+    # kept tokens come only from kept docs
+    assert out["clean"]["tokens_kept"] == 40
+    assert out["copied"]["tokens_kept"] == 0
+
+
+def test_x12_thresholds_are_parameters(spark, gate_dir):
+    # loosen every threshold to 1.0: nothing can exceed it except the
+    # all-dup docs whose fractions equal 1.0 (strict > keeps them too)
+    out = {
+        r["source"]: r
+        for r in x12_repetition_gate(
+            spark, gate_dir,
+            max_cross_dup=1.0, max_dup_bigram=1.0, max_top_token=1.0,
+        ).collect()
+    }
+    assert all(r["n_kept"] == r["n_docs"] for r in out.values())
+
+
+@pytest.fixture(scope="module")
+def outlier_dir(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("s12")
+    rows = []
+    # label 0: 40 tight vectors + 1 planted far outlier
+    for i in range(40):
+        rows.append((i, [0.5 + 0.001 * (i % 5), 0.5, 0.25, 0.75], 0))
+    rows.append((40, [9.0, -9.0, 9.0, -9.0], 0))
+    # label 1: uniform cloud, no planted outlier
+    for i in range(30):
+        rows.append((100 + i, [0.1 * (i % 10), 0.2, 0.3, 0.4], 1))
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp / "embeddings.parquet"))
+    return str(tmp)
+
+
+def test_s12_flags_planted_outlier(spark, outlier_dir):
+    out = {r["label"]: r for r in s12_embedding_outliers(spark, outlier_dir).collect()}
+    # the planted vector dominates label 0's variance → exactly it is
+    # beyond 2 sigma
+    assert out[0]["n_vecs"] == 41
+    assert out[0]["n_outliers"] == 1
+    assert out[0]["max_z"] > 2.0
+    # the uniform cloud has no >2-sigma member
+    assert out[1]["n_outliers"] == 0
