@@ -53,12 +53,14 @@ def _registry() -> tuple[dict, dict]:
     #          half, then e16/m05/t13) sit at positions >50 and rotate into
     #          the r05 window (all locally oracle-verified this round via
     #          tools/check_oracle.py — 105 queries, 0 failures at sf0.01).
-    # Round 5 rotation: the stale set is d(13)+t(13)+s(11)+x(11)+m(5)+e16 =
-    # 54 entries vs a 50-slot window. The 4 rows-only media entries
-    # (m01-m04 — they can only ever earn rowcount checks anyway) go last;
-    # the 50 oracle-backed stale entries (d, t, s, x, m05, e16) fill the
-    # window exactly. Order: dedup(13), text(13), similarity(11),
-    # sampling(11), m05, e16, then m01-m04, events, relational.
+    # Round 5 rotation: the stale set is d(13)+t(13)+s(12)+x(12)+m(5)+e16 =
+    # 56 entries vs a 50-slot window. Priority order for r05:
+    #   1. the 9 never-driver-checked r04 entries (d14, t12, t13, x11,
+    #      x12, s11, s12, m05, e16) — first;
+    #   2. the r03-green d/t/s/x entries (43) fill the remaining 41
+    #      slots — the last 2 spill to r06, acceptable because their
+    #      code is unchanged since their r03 green rows;
+    #   3. rows-only media (m01-m04) and the r04-re-greened q/e last.
     for mod in (relational, events, dedup, text, similarity, sampling, media):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)
