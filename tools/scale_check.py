@@ -1,16 +1,17 @@
-"""d13 linearity check (VERDICT r03 item 4): wall time and shuffle
-bytes vs corpus size.
+"""Operator linearity check (VERDICT r03 item 4): wall time and
+shuffle bytes vs corpus size for the scale-critical document
+operators.
 
 Builds 1x/3x/10x document fixtures from sf0.1 (replica k suffixes
-every token with ``_k``, so replicas share no spans with each other —
-the within-replica duplicate structure is preserved and total work is
-exactly multiplied), then times ``d13_duplicate_spans`` on each and
-reports wall seconds plus total shuffle-write bytes from the Spark
-REST status API. Linear growth in both confirms the claimed
-stride-1-span-fingerprint complexity (no all-pairs blowup).
+every token with ``_k``, so replicas share no shingles/spans with
+each other — the within-replica duplicate structure is preserved and
+total work is exactly multiplied), then times each checked operator
+and reports wall seconds plus total shuffle-write bytes from the
+Spark REST status API. Linear growth in both confirms the banded /
+fingerprint designs carry no hidden all-pairs blowup.
 
-Usage: python tools/scale_check.py [mults...]   (default: 1 3 10)
-Writes one JSON line per multiplier.
+Usage: python tools/scale_check.py [--ops=d13,d03,x09,t11] [mults...]
+(defaults: ops d13, mults 1 3 10). One JSON line per (op, mult).
 """
 
 from __future__ import annotations
@@ -75,11 +76,31 @@ def shuffle_write_bytes(ui_port: int) -> int:
     return sum(s.get("shuffleWriteBytes", 0) for s in stages)
 
 
+def _ops() -> dict:
+    from rfb_data_pipeline_spark.operators.dedup import (
+        d03_minhash_lsh,
+        d13_duplicate_spans,
+    )
+    from rfb_data_pipeline_spark.operators.sampling import x09_pack_sequences
+    from rfb_data_pipeline_spark.operators.text import t11_unigram_surprisal
+
+    return {
+        "d13": d13_duplicate_spans,
+        "d03": d03_minhash_lsh,
+        "x09": x09_pack_sequences,
+        "t11": t11_unigram_surprisal,
+    }
+
+
 def main() -> None:
-    mults = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    args = sys.argv[1:]
+    op_names = ["d13"]
+    if args and args[0].startswith("--ops"):
+        op_names = args.pop(0).split("=", 1)[-1].split(",")
+    mults = [int(a) for a in args] or [1, 3, 10]
     from pyspark.sql import SparkSession
 
-    from rfb_data_pipeline_spark.operators.dedup import d13_duplicate_spans
+    ops = {k: v for k, v in _ops().items() if k in op_names}
 
     # One bootstrap session to build fixtures (UI off, cheap).
     boot = (
@@ -93,40 +114,41 @@ def main() -> None:
         build_fixture(boot, m)
     boot.stop()
 
-    for m in mults:
-        # Fresh session per multiplier so REST stage metrics are
-        # attributable to this run alone; UI on for the status API.
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "32")
-            .config("spark.ui.enabled", "true")
-            .config("spark.ui.port", "4055")
-            .config("spark.sql.session.timeZone", "UTC")
-            .config("spark.driver.memory", "16g")
-            .getOrCreate()
-        )
-        # warm
-        spark.read.parquet(
-            os.path.join(_fixture_dir(m), "documents.parquet")
-        ).count()
-        pre_bytes = shuffle_write_bytes(4055)
-        t0 = time.time()
-        row = d13_duplicate_spans(spark, _fixture_dir(m)).collect()[0]
-        wall = time.time() - t0
-        bytes_run = shuffle_write_bytes(4055) - pre_bytes
-        print(
-            json.dumps(
-                {
-                    "mult": m,
-                    "wall_s": round(wall, 2),
-                    "shuffle_write_bytes": bytes_run,
-                    "n_dup_spans": row["n_dup_spans"],
-                    "n_docs_affected": row["n_docs_affected"],
-                }
-            ),
-            flush=True,
-        )
-        spark.stop()
+    for op_name, fn in ops.items():
+        for m in mults:
+            # Fresh session per (op, multiplier) so REST stage metrics
+            # are attributable to this run alone; UI on for the API.
+            spark = (
+                SparkSession.builder.master("local[32]")
+                .config("spark.sql.shuffle.partitions", "32")
+                .config("spark.ui.enabled", "true")
+                .config("spark.ui.port", "4055")
+                .config("spark.sql.session.timeZone", "UTC")
+                .config("spark.driver.memory", "16g")
+                .getOrCreate()
+            )
+            # warm
+            spark.read.parquet(
+                os.path.join(_fixture_dir(m), "documents.parquet")
+            ).count()
+            pre_bytes = shuffle_write_bytes(4055)
+            t0 = time.time()
+            n_rows = fn(spark, _fixture_dir(m)).count()
+            wall = time.time() - t0
+            bytes_run = shuffle_write_bytes(4055) - pre_bytes
+            print(
+                json.dumps(
+                    {
+                        "op": op_name,
+                        "mult": m,
+                        "wall_s": round(wall, 2),
+                        "shuffle_write_bytes": bytes_run,
+                        "n_rows": n_rows,
+                    }
+                ),
+                flush=True,
+            )
+            spark.stop()
 
 
 if __name__ == "__main__":
