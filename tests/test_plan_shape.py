@@ -330,6 +330,10 @@ def test_exchange_budgets_headline(spark):
         "t12_zipf_slope": 1,  # one term-freq agg; head rank is post-limit
         "d14_dup_span_fraction": 4,  # span aggs + dup semi-join + per-doc join
         "x11_curriculum_buckets": 6,  # banded rank (q29 shape) + final agg
+        "x12_repetition_gate": 8,  # d14's span aggs/semi-join + t07's
+        # token/bigram aggs + doc-keyed joins + per-source agg
+        "s12_embedding_outliers": 6,  # dim-explode centroid agg + dim
+        # join + per-vec reduce + label moments (stats broadcast back)
     }
     over = {}
     for name, budget in budgets.items():
