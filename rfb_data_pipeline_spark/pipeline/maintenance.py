@@ -25,6 +25,42 @@ def partition_file_count(table_dir: str, partition: str, value: str) -> int:
     )
 
 
+def cluster_table(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    cluster_cols: list[str],
+    target_files: int = 8,
+) -> None:
+    """Range-cluster a table for data skipping (the sort-based cousin
+    of Z-ordering): ``repartitionByRange`` on the cluster columns puts
+    disjoint value ranges in disjoint files, and
+    ``sortWithinPartitions`` tightens every row group's min/max, so a
+    selective filter on those columns prunes whole files/row-groups
+    from the footer statistics alone — no data pages read.
+
+    At 100 TB this is the difference between a point-range query
+    scanning the table and scanning a handful of files: parquet
+    readers (and Spark's parquet filter pushdown) skip any row group
+    whose [min, max] cannot satisfy the predicate. The rewrite is one
+    range shuffle + a local sort — linear, and only run as a
+    maintenance pass after loads (same lifecycle slot as
+    ``compact_partition``).
+
+    Caveat pinned in tests: range partitioning by sampling is
+    allowed to place boundary duplicates in adjacent files — the
+    guarantee is *monotone non-overlapping ranges up to boundary
+    ties*, which is exactly what footer-stat pruning needs.
+    """
+    df = spark.read.parquet(in_dir)
+    (
+        df.repartitionByRange(target_files, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
 def compact_partition(
     spark: SparkSession,
     table_dir: str,
