@@ -341,3 +341,37 @@ def test_exchange_budgets_headline(spark):
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"exchange budget exceeded (got, budget): {over}"
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """100 TB runtime-filtering path: when a fact x fact shuffle join
+    has a selective filter on one side, Catalyst injects a runtime
+    bloom filter (might_contain) into the other side's scan, cutting
+    shuffled fact bytes before the exchange. Size thresholds are
+    lowered here because testdata is tiny; at cluster scale the
+    defaults (10 MB creation / 10 GB application) trigger on exactly
+    this plan shape — the point pinned is that OUR join plans are
+    eligible (selective creation side, plain equi-join, no
+    broadcast)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(SF_SMALL + "/orders.parquet")
+        li = spark.read.parquet(SF_SMALL + "/lineitem.parquet")
+        j = li.join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
