@@ -120,3 +120,74 @@ def sequence_matcher(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4.x arbitrary-state v2): the same
+# per-user running profile as ``user_activity_tracker``, on the new
+# typed-state API. What v2 buys at 100 TB state scale over
+# applyInPandasWithState:
+#   * TYPED state handles (ValueState/ListState/MapState) — the store
+#     is schema'd per state variable, not one opaque tuple, so state
+#     can evolve (add a variable) without rewriting the whole store;
+#   * native per-state TTL (``ttlDurationMs``) — idle keys retire in
+#     the store itself, no hand-rolled timeout bookkeeping;
+#   * timers (``registerTimer``) for emit-on-deadline patterns.
+# The profile logic is deliberately identical to the v1 operator so
+# tests can pin v1 == v2 == batch on the same input.
+
+PROFILE_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
+
+
+def user_profile_tws(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Running (count, sum) per user via transformWithStateInPandas.
+
+    REQUIRES the RocksDB state store provider (the v2 operator's
+    store contract):
+
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+
+    set BEFORE the query starts (provider is bound per query from
+    session conf; it cannot be a writer option). RocksDB is also the
+    right provider at 100 TB state scale — spillable, incremental
+    checkpointing, not heap-bound like the HDFS-backed default.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._profile = handle.getValueState(
+                "profile", "n bigint, total double", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._profile.get() if self._profile.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    total += float(pdf["value"].sum())
+            self._profile.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ProfileProcessor(),
+        outputStructType=PROFILE_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

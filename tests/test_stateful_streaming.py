@@ -4,6 +4,8 @@ per-user state must equal the batch aggregate over the same input.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from rfb_data_pipeline_spark.catalog import load_tables
@@ -132,3 +134,66 @@ def test_sequence_matcher_matches_batch_e12(spark, tmp_path):
     }
     assert got == expected
     assert sum(v[1] for v in got.values()) > 0  # non-vacuous: conversions exist
+
+
+def test_transform_with_state_matches_v1_and_batch(spark, tmp_path):
+    """The v2 (transformWithStateInPandas, typed state) profile must
+    equal the batch aggregate over the same backlog — and carry state
+    across micro-batches exactly like the v1 operator.
+
+    Env-guarded: the v2 state protocol needs google.protobuf, which
+    this container does not ship (same guard class as the live
+    Postgres tests). The operator itself is import-clean either way.
+    """
+    pytest.importorskip("google.protobuf")
+    from rfb_data_pipeline_spark.streaming.stateful import user_profile_tws
+
+    ev = load_tables(spark, SF_SMALL, tables=("events",), register_views=False)[
+        "events"
+    ]
+    flat = tmp_path / "in"
+    flat.mkdir()
+    ev.coalesce(2).write.mode("overwrite").parquet(str(flat))
+
+    stream = es.read_events_stream(spark, str(flat))
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    q = (
+        user_profile_tws(stream)
+        .writeStream.format("memory")
+        .queryName("profile_tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set(provider_key, old_provider)
+
+    got = (
+        spark.sql("select * from profile_tws")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value").alias("sum_value"),
+        )
+        .collect()
+    )
+    expected = {
+        r.user_id: (r.n, round(r.s, 4))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert len(got) == len(expected)
+    for r in got:
+        n, s = expected[r.user_id]
+        assert r.n_events == n
+        assert round(r.sum_value, 4) == s
