@@ -943,12 +943,12 @@ WHERE rank <= {TOP_K}
 # per-row float64 arithmetic is identical by construction. z uses the
 # POPULATION variance (E[d²²]−E[d²]², same formula both sides).
 #
-# Scale: one (label, dim) centroid aggregate (broadcast-scale result:
-# |labels|×DIM rows), one dim-keyed join + per-vector reduce, one
-# per-label moment aggregate, one broadcast join back. Linear, no
-# all-pairs; the heavy shuffle is the exploded (vec, dim) frame —
-# at 100 TB, compute d² with zip_with against a broadcast centroid
-# MAP instead of the exploded join (same math, zero dim shuffle).
+# Scale: one (label, dim) centroid aggregate (partial-agg'd explode;
+# broadcast-scale result: |labels|×DIM rows, collected into per-label
+# centroid ARRAYS), then d² is a zip_with sequential fold against the
+# BROADCAST centroid array — the corpus never shuffles on dim; the
+# only corpus-size shuffles are the centroid partial agg and the
+# per-label moment agg. Linear, no all-pairs.
 
 OUTLIER_Z = 2.0
 
@@ -964,12 +964,28 @@ def s12_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("c")
     )
-    diff = F.col("v") - F.col("c")
-    d2 = (
-        dims.join(cent, ["label", "dim"])
-        .withColumn("sq", (diff * diff).cast("decimal(30,18)"))
-        .groupBy("vec_id", "label")
-        .agg(F.sum("sq").cast("double").alias("d2"))
+    # Per-label centroid ARRAY (|labels| rows), broadcast into the
+    # main scan: d² is a sequential zip_with fold per row — the s01
+    # dot-product idiom, bit-identical across engines — so the
+    # exploded (vec, dim) frame never re-shuffles into a dim join.
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("c_arr")
+    )
+    d2 = emb.join(F.broadcast(cent_arr), "label").select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "c_arr",
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
     )
     stats = d2.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -1009,11 +1025,15 @@ cent AS (
          (sum(v::DECIMAL(20,10)))::DOUBLE / count(*) AS c
   FROM dims GROUP BY label, dim
 ),
+cent_arr AS (
+  SELECT label, list(c ORDER BY dim) AS c_arr FROM cent GROUP BY label
+),
 d2 AS (
-  SELECT vec_id, d.label,
-         (sum(((v - c) * (v - c))::DECIMAL(30,18)))::DOUBLE AS d2
-  FROM dims d JOIN cent USING (label, dim)
-  GROUP BY vec_id, d.label
+  SELECT vec_id, label,
+         list_sum(list_transform(range(1, 65),
+           i -> (embedding[i]::DOUBLE - c_arr[i])
+              * (embedding[i]::DOUBLE - c_arr[i])))::DOUBLE AS d2
+  FROM embeddings JOIN cent_arr USING (label)
 ),
 stats AS (
   SELECT label, count(*) AS n_vecs,
