@@ -1004,6 +1004,80 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# x13 — deterministic WEIGHTED sampling without replacement
+# (Efraimidis–Spirakis): each doc draws key = ln(u)/w with u a
+# deterministic md5-derived uniform and w its weight (chars here; a
+# quality score in production); the K largest keys are the sample.
+# P(selected) ∝ w — the importance-sampling primitive behind
+# quality-weighted data mixing — yet fully reproducible and
+# engine-identical: u comes from 12 md5 hex digits (48 bits, exact in
+# float64), never rand().
+#
+# Scale: key assignment is a pure map; top-K is orderBy().limit()
+# (distributed TakeOrdered — each task ships K rows, no global sort).
+# At 100 TB with per-stratum quotas, swap the global limit for the
+# x02 per-group window or the x10 banded rank — same key column.
+
+WEIGHTED_K = 100
+_U_DIGITS = 12
+
+
+def _uniform_from_md5(col: Column) -> Column:
+    """(0,1] uniform from the first 12 md5 hex digits — built from the
+    same instr() digit walk both engines share (x01's bucket idiom
+    widened to 48 bits). +1 in the numerator avoids u=0 (ln(0))."""
+    h = F.md5(col.cast("string"))
+    hexd = "0123456789abcdef"
+    acc = F.lit(0).cast("double")
+    for i in range(1, _U_DIGITS + 1):
+        digit = F.instr(F.lit(hexd), F.substring(h, i, 1)) - 1
+        acc = acc + digit * float(16 ** (_U_DIGITS - i))
+    return (acc + 1) / float(16**_U_DIGITS)
+
+
+def _uniform_sql(expr: str) -> str:
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1)"
+        f" * {float(16 ** (_U_DIGITS - i))}"
+        for i in range(1, _U_DIGITS + 1)
+    )
+    return f"(({terms}) + 1) / {float(16 ** _U_DIGITS)}"
+
+
+def x13_weighted_sample(
+    spark: SparkSession, sf_dir: str, k: int = WEIGHTED_K
+) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    key = F.log(_uniform_from_md5(F.col("doc_id"))) / F.col("n_chars")
+    sample = (
+        docs.select("doc_id", "lang", "n_chars", key.alias("skey"))
+        .orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return sample.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_chars").alias("chars_selected"),
+        F.sum("doc_id").alias("sel_checksum"),
+    )
+
+
+def _x13_sql() -> str:
+    return f"""
+SELECT lang, count(*) AS n_selected,
+       CAST(sum(n_chars) AS BIGINT) AS chars_selected,
+       CAST(sum(doc_id) AS BIGINT) AS sel_checksum
+FROM (
+  SELECT doc_id, lang, n_chars,
+         ln({_uniform_sql('doc_id::VARCHAR')}) / n_chars AS skey
+  FROM documents
+  ORDER BY skey DESC, doc_id ASC
+  LIMIT {WEIGHTED_K}
+)
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "x01_split_assign": x01_split_assign,
     "x02_cap_per_group": x02_cap_per_group,
@@ -1017,6 +1091,7 @@ QUERIES = {
     "x10_domain_mixture": x10_domain_mixture,
     "x11_curriculum_buckets": x11_curriculum_buckets,
     "x12_repetition_gate": x12_repetition_gate,
+    "x13_weighted_sample": x13_weighted_sample,
 }
 
 ORACLE = {
@@ -1032,4 +1107,5 @@ ORACLE = {
     "x10_domain_mixture": _X10_SQL,
     "x11_curriculum_buckets": _X11_SQL.replace("{STOP}", _x11_stop_sql()),
     "x12_repetition_gate": _x12_sql(),
+    "x13_weighted_sample": _x13_sql(),
 }

@@ -93,3 +93,49 @@ def test_s12_flags_planted_outlier(spark, outlier_dir):
     assert out[0]["max_z"] > 2.0
     # the uniform cloud has no >2-sigma member
     assert out[1]["n_outliers"] == 0
+
+
+def test_x13_matches_python_model_and_weights_bias(spark):
+    """x13's deterministic Efraimidis-Spirakis selection equals a
+    Python model computing the same keys, and selection is
+    weight-biased: heavy docs are overrepresented relative to their
+    population share."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from rfb_data_pipeline_spark.operators.sampling import (
+        WEIGHTED_K,
+        _U_DIGITS,
+        x13_weighted_sample,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = duckdb.sql(
+        f"SELECT doc_id, lang, n_chars FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+
+    def key(doc_id: int, w: int) -> float:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:_U_DIGITS]
+        u = (int(h, 16) + 1) / float(16**_U_DIGITS)
+        return math.log(u) / w
+
+    ranked = sorted(rows, key=lambda r: (-key(r[0], r[2]), r[0]))[:WEIGHTED_K]
+    model = {}
+    for doc_id, lang, n_chars in ranked:
+        agg = model.setdefault(lang, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += n_chars
+        agg[2] += doc_id
+
+    got = {
+        r["lang"]: [r["n_selected"], r["chars_selected"], r["sel_checksum"]]
+        for r in x13_weighted_sample(spark, sf).collect()
+    }
+    assert got == model
+
+    # weight bias: the sample's mean doc length exceeds the corpus mean
+    corpus_mean = sum(r[2] for r in rows) / len(rows)
+    sample_mean = sum(r[2] for r in ranked) / len(ranked)
+    assert sample_mean > corpus_mean
