@@ -96,3 +96,69 @@ def test_cluster_table_enables_file_and_rowgroup_skipping(spark, tmp_path):
         F.sum("user_id"), F.sum("event_id"), F.count(F.lit(1))
     ).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_zorder_clustering_prunes_on_both_columns(spark, tmp_path):
+    """Z-order vs single-column clustering: the x-clustered layout
+    cannot prune a y-only probe (every file spans all y), while the
+    Z-layout bounds both columns per file, so the same probe skips
+    most row groups — and the Morton key math itself is pinned
+    against a Python model."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from rfb_data_pipeline_spark.pipeline.maintenance import (
+        cluster_table,
+        cluster_table_zorder,
+        zorder_key,
+    )
+
+    # pin the bit-interleave against a Python model
+    probe = spark.createDataFrame(
+        [(5, 9), (0, 0), (1023, 1), (777, 333)], "a int, b int"
+    ).select("a", "b", zorder_key(F.col("a"), F.col("b"), 10).alias("z"))
+
+    def morton(a: int, b: int, bits: int = 10) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1) | ((b >> i) & 1) << (2 * i)
+        return z
+
+    for r in probe.collect():
+        assert r["z"] == morton(r["a"], r["b"]), (r["a"], r["b"])
+
+    src = str(tmp_path / "src")
+    spark.range(0, 40000).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 7919) % 200).alias("y"),
+    ).repartition(4).write.parquet(src)
+
+    xdir = str(tmp_path / "xclust")
+    zdir = str(tmp_path / "zclust")
+    cluster_table(spark, src, xdir, ["x"], target_files=16)
+    cluster_table_zorder(spark, src, zdir, "x", "y", target_files=16, bits=8)
+
+    def hit_ratio(d: str, col: str, lo: int, hi: int) -> tuple[int, int]:
+        hit, total = 0, 0
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                st = next(
+                    md.row_group(rg).column(i).statistics
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                total += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        return hit, total
+
+    # y-only probe over 5% of the y space
+    yh_x, yt_x = hit_ratio(xdir, "y", 100, 109)
+    yh_z, yt_z = hit_ratio(zdir, "y", 100, 109)
+    assert yh_x == yt_x  # x-clustered: no y pruning possible
+    assert yh_z <= yt_z // 2, (yh_z, yt_z)  # z-order: most groups skipped
+    # and the z layout still prunes on x too
+    xh_z, xt_z = hit_ratio(zdir, "x", 100, 109)
+    assert xh_z <= xt_z // 2, (xh_z, xt_z)
