@@ -721,6 +721,82 @@ FROM sums
 
 
 # --------------------------------------------------------------------------
+# t14 — bigram-LM surprisal per document: t11's perplexity-filter
+# upgraded from unigram to conditional probabilities — each bigram's
+# information content is ln(c(w1)/c(w1 w2)) nats under the corpus
+# bigram MLE p(w2|w1); per-doc average. Catches exactly what a
+# unigram LM can't: documents of common words in incoherent ORDER
+# score high here while t11 scores them low (pinned in tests).
+#
+# Scale: the bigram stream reuses t07's per-doc lead window (one
+# doc-keyed shuffle), corpus counts are two hash aggs with map-side
+# combine, then one equi-join back on the bigram key (Zipf-skewed
+# head — AQE skew split; at 100 TB broadcast the head). Same float
+# discipline as t11: ln() on identical integer-ratio doubles, rounded
+# at the edge.
+
+
+def t14_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "w")
+    ).filter(F.length("w") > 0)
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w", 1).over(win).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    per_doc = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.log(F.col("c1") / F.col("c2"))).alias("_s"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        (F.round(F.col("_s") / F.col("n_bigrams"), 3) + F.lit(0.0)).alias(
+            "avg_surprisal_nats"
+        ),
+    )
+
+
+_T14_SQL = """
+WITH tk AS (
+  SELECT doc_id, u.i AS pos, t[u.i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents),
+       unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE length(t[u.i]) > 0
+),
+bg AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, w AS w1,
+           lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tk
+  ) WHERE w2 IS NOT NULL
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(sum(ln(c1::DOUBLE / c2::DOUBLE)) / count(*), 3) + 0.0
+         AS avg_surprisal_nats
+FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # t13 — PII redaction audit, driver-visible. The redaction chain
 # (functions/redact.py — the corpus scrubber every shipped training
 # set runs) previously had no oracle row because the synthetic corpus
@@ -873,6 +949,7 @@ QUERIES = {
     "t11_unigram_surprisal": t11_unigram_surprisal,
     "t12_zipf_slope": t12_zipf_slope,
     "t13_pii_redaction": t13_pii_redaction,
+    "t14_bigram_surprisal": t14_bigram_surprisal,
 }
 
 ORACLE = {
@@ -889,4 +966,5 @@ ORACLE = {
     "t11_unigram_surprisal": _T11_SQL,
     "t12_zipf_slope": _T12_SQL,
     "t13_pii_redaction": _t13_sql(),
+    "t14_bigram_surprisal": _T14_SQL,
 }

@@ -139,3 +139,30 @@ def test_x13_matches_python_model_and_weights_bias(spark):
     corpus_mean = sum(r[2] for r in rows) / len(rows)
     sample_mean = sum(r[2] for r in ranked) / len(ranked)
     assert sample_mean > corpus_mean
+
+
+def test_t14_catches_word_salad_that_t11_cannot(spark, tmp_path):
+    """Bigram surprisal separates coherent word ORDER from word salad
+    built of the same vocabulary; unigram surprisal (t11) is blind to
+    it — identical unigram profiles score identically there."""
+    from rfb_data_pipeline_spark.operators.text import (
+        t11_unigram_surprisal,
+        t14_bigram_surprisal,
+    )
+
+    phrase = "the cat sat on the mat and the dog ran in the park all day"
+    salad = "mat the dog the on sat day all in cat the ran park and the"
+    rows = [(i, phrase, "en", "s") for i in range(20)]
+    rows.append((100, salad, "en", "s"))  # same multiset of tokens
+    d = str(tmp_path / "t14")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(d + "/documents.parquet")
+
+    t14 = {r["doc_id"]: r["avg_surprisal_nats"]
+           for r in t14_bigram_surprisal(spark, d).collect()}
+    t11 = {r["doc_id"]: r["avg_surprisal_nats"]
+           for r in t11_unigram_surprisal(spark, d).collect()}
+    # same unigrams → t11 identical; scrambled order → t14 much higher
+    assert t11[100] == t11[0]
+    assert t14[100] > t14[0] + 1.0
