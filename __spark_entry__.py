@@ -53,14 +53,17 @@ def _registry() -> tuple[dict, dict]:
     #          half, then e16/m05/t13) sit at positions >50 and rotate into
     #          the r05 window (all locally oracle-verified this round via
     #          tools/check_oracle.py — 105 queries, 0 failures at sf0.01).
-    # Round 5 rotation: the stale set is d(13)+t(13)+s(12)+x(12)+m(5)+e16 =
-    # 56 entries vs a 50-slot window. Priority order for r05:
-    #   1. the 9 never-driver-checked r04 entries (d14, t12, t13, x11,
-    #      x12, s11, s12, m05, e16) — first;
-    #   2. the r03-green d/t/s/x entries (43) fill the remaining 41
-    #      slots — the last 2 spill to r06, acceptable because their
-    #      code is unchanged since their r03 green rows;
+    # Round 5 rotation: the stale set is d(13)+t(14)+s(12)+x(13)+m(5)+e16 =
+    # 58 entries vs a 50-slot window. Priority order for r05:
+    #   1. the 11 never-driver-checked r04 entries (d14, t12, t13, t14,
+    #      x11, x12, x13, s11, s12, m05, e16) — first;
+    #   2. the r03-green d/t/s/x entries (43) fill the remaining 39
+    #      slots — the last 4 spill to r06, acceptable because their
+    #      code is unchanged since their r03 green rows (except d02,
+    #      re-greened in the r04 local full gate);
     #   3. rows-only media (m01-m04) and the r04-re-greened q/e last.
+    # All 108 entries pass tools/check_oracle.py at sf0.01 this round
+    # (108 passed, 0 failed — recorded in COVERAGE.md).
     for mod in (relational, events, dedup, text, similarity, sampling, media):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)
