@@ -84,9 +84,11 @@ def main() -> None:
     # a cold orders.parquet costs q25 5.2 s vs 0.4 s steady-state).
     import glob as _glob
 
+    # recursive ** also matches zero directories, so one glob covers
+    # both flat files and directory-style parquet tables
     for p in sorted(
         _glob.glob(os.path.join(sf_dir, "**", "*.parquet"), recursive=True)
-    ) + sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+    ):
         if os.path.isfile(p):
             with open(p, "rb") as fh:  # page-cache warm, no Spark job
                 while fh.read(1 << 22):

@@ -929,7 +929,13 @@ def _span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     structural counts), so only grouping equality matters — an 8-byte
     long shuffle key instead of a 32-char hex string quarters the
     shuffled span-table bytes at 100 TB. The DuckDB oracles group by
-    md5 of the same strings; the duplicate structure is identical.
+    md5 of the same strings; at test SFs the duplicate structure is
+    identical (count parity IS the no-collision check). Collision
+    honesty at the extreme: 1e12 distinct spans → ~n²/2^65 ≈ 3e7
+    birthday-colliding PAIRS, a ~1e-5 relative overcount on dup-span
+    totals — acceptable for the d13/d14/x12 gate metrics; if exact
+    counts are required at that scale, widen the key to 128 bits (two
+    xxhash64 seeds — still 2x narrower than the hex string).
     """
     from rfb_data_pipeline_spark.operators.text import tokens_col
 

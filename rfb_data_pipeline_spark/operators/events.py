@@ -779,7 +779,16 @@ def e16_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_E16_SQL = """
+def _e16_sql() -> str:
+    # Generated from the SAME shared constants the rule columns use
+    # (STOPWORDS_EN, TRAIN_PCT/VAL_PCT) — editing a rule constant
+    # cannot silently de-sync the oracle from the Spark side (the
+    # _x11_stop_sql / _t13_sql generator pattern).
+    from rfb_data_pipeline_spark.operators.sampling import TRAIN_PCT, VAL_PCT
+    from rfb_data_pipeline_spark.operators.text import STOPWORDS_EN
+
+    stop_vals = ",".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
 WITH survived AS (
   SELECT *,
          string_split_regex(trim(text), '\\s+') AS toks
@@ -799,15 +808,15 @@ curated AS (
          ) AS bucket
   FROM survived
   WHERE len(toks) >= 10
-    AND len(list_filter(toks,
-          t -> t IN ('the','a','of','to','and','in','is','it')))::DOUBLE
+    AND len(list_filter(toks, t -> t IN ({stop_vals})))::DOUBLE
         / len(toks) >= 0.01
     AND length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
         / length(text) <= 0.3
 )
-SELECT CASE WHEN CAST(floor(bucket * 100.0 / 256) AS INTEGER) < 80
+SELECT CASE WHEN CAST(floor(bucket * 100.0 / 256) AS INTEGER) < {TRAIN_PCT}
             THEN 'train'
-            WHEN CAST(floor(bucket * 100.0 / 256) AS INTEGER) < 90
+            WHEN CAST(floor(bucket * 100.0 / 256) AS INTEGER)
+                 < {TRAIN_PCT + VAL_PCT}
             THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
@@ -855,5 +864,5 @@ ORACLE = {
     "e13_variant_extract": _E13_SQL,
     "e14_max_concurrency": _E14_SQL,
     "e15_gap_fill_locf": _E15_SQL,
-    "e16_stream_replay": _E16_SQL,
+    "e16_stream_replay": _e16_sql(),
 }

@@ -910,15 +910,32 @@ def x12_repetition_gate(
     from rfb_data_pipeline_spark.operators.dedup import d14_dup_span_fraction
     from rfb_data_pipeline_spark.operators.text import t07_repetition
 
-    intra = t07_repetition(spark, sf_dir)
+    from rfb_data_pipeline_spark.operators.text import tokens_col
+
+    intra = t07_repetition(spark, sf_dir).select(
+        "doc_id", "top_token_frac", "dup_bigram_frac"
+    )
     cross = d14_dup_span_fraction(spark, sf_dir).select("doc_id", "dup_frac")
-    docs = _docs(spark, sf_dir).select("doc_id", "source")
-    joined = docs.join(intra, "doc_id").join(cross, "doc_id", "left")
+    # Every document is audited — n_tokens is computed inline so docs
+    # too short for t07 (no bigram: <2 non-empty tokens) still count
+    # in n_docs/n_kept instead of silently vanishing from the funnel
+    # denominator. Missing intra/cross signals coalesce to "cannot
+    # measure repetition on this doc" = not flagged.
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.filter(tokens_col(), lambda t: F.length(t) > 0)).alias(
+            "n_tokens"
+        ),
+    )
+    joined = (
+        docs.join(intra, "doc_id", "left").join(cross, "doc_id", "left")
+    )
     cross_frac = F.coalesce(F.col("dup_frac"), F.lit(0.0))
     flag_cross = (cross_frac > max_cross_dup).cast("int")
     flag_intra = (
-        (F.col("dup_bigram_frac") > max_dup_bigram)
-        | (F.col("top_token_frac") > max_top_token)
+        (F.coalesce(F.col("dup_bigram_frac"), F.lit(0.0)) > max_dup_bigram)
+        | (F.coalesce(F.col("top_token_frac"), F.lit(0.0)) > max_top_token)
     ).cast("int")
     kept = ((flag_cross + flag_intra) == 0).cast("int")
     return joined.groupBy("source").agg(
@@ -981,15 +998,19 @@ intra AS (
          round(1 - n_unique_bigrams::DOUBLE / n_bigrams, 4) AS dup_bigram_frac
   FROM per_doc_tok JOIN bigrams USING (doc_id)
 ),
+doc_tok AS (
+  SELECT doc_id, count(*) AS n_tokens FROM tk GROUP BY doc_id
+),
 flags AS (
-  SELECT dd.source, i.n_tokens,
+  SELECT dd.source, coalesce(dt.n_tokens, 0) AS n_tokens,
          CASE WHEN coalesce(c.dup_frac, 0.0) > {REP_MAX_CROSS_DUP}
               THEN 1 ELSE 0 END AS flag_cross,
-         CASE WHEN i.dup_bigram_frac > {REP_MAX_DUP_BIGRAM}
-                OR i.top_token_frac > {REP_MAX_TOP_TOKEN}
+         CASE WHEN coalesce(i.dup_bigram_frac, 0.0) > {REP_MAX_DUP_BIGRAM}
+                OR coalesce(i.top_token_frac, 0.0) > {REP_MAX_TOP_TOKEN}
               THEN 1 ELSE 0 END AS flag_intra
   FROM documents dd
-  JOIN intra i ON dd.doc_id = i.doc_id
+  LEFT JOIN doc_tok dt ON dd.doc_id = dt.doc_id
+  LEFT JOIN intra i ON dd.doc_id = i.doc_id
   LEFT JOIN cross_frac c ON dd.doc_id = c.doc_id
 )
 SELECT source, count(*) AS n_docs,
@@ -1049,7 +1070,13 @@ def x13_weighted_sample(
     spark: SparkSession, sf_dir: str, k: int = WEIGHTED_K
 ) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    key = F.log(_uniform_from_md5(F.col("doc_id"))) / F.col("n_chars")
+    # ROUNDED key (repo float discipline, s11 precedent): ln() is only
+    # 1-ulp-accurate and libm implementations differ, so an unrounded
+    # rank could flip a boundary selection between engines; 12 decimals
+    # crushes ulp noise, doc_id breaks any tie deterministically.
+    key = F.round(
+        F.log(_uniform_from_md5(F.col("doc_id"))) / F.col("n_chars"), 12
+    )
     sample = (
         docs.select("doc_id", "lang", "n_chars", key.alias("skey"))
         .orderBy(F.desc("skey"), F.asc("doc_id"))
@@ -1069,7 +1096,7 @@ SELECT lang, count(*) AS n_selected,
        CAST(sum(doc_id) AS BIGINT) AS sel_checksum
 FROM (
   SELECT doc_id, lang, n_chars,
-         ln({_uniform_sql('doc_id::VARCHAR')}) / n_chars AS skey
+         round(ln({_uniform_sql('doc_id::VARCHAR')}) / n_chars, 12) AS skey
   FROM documents
   ORDER BY skey DESC, doc_id ASC
   LIMIT {WEIGHTED_K}

@@ -1002,7 +1002,11 @@ def s12_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = d2.join(F.broadcast(stats), "label")
     var = F.col("mean_sq") - F.col("mean_d2") * F.col("mean_d2")
-    z = (F.col("d2") - F.col("mean_d2")) / F.sqrt(var)
+    # Zero-variance guard: a single-vector label (or an all-equidistant
+    # cell) has var == 0 → 0/0; by definition nothing deviates, z = 0.
+    z = F.when(var > 0, (F.col("d2") - F.col("mean_d2")) / F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
     return (
         joined.withColumn("z", z)
         .groupBy("label")
@@ -1040,16 +1044,21 @@ stats AS (
          (sum(d2::DECIMAL(30,12)))::DOUBLE / count(*) AS mean_d2,
          (sum((d2 * d2)::DECIMAL(38,12)))::DOUBLE / count(*) AS mean_sq
   FROM d2 GROUP BY label
+),
+z AS (
+  SELECT label, n_vecs, mean_d2,
+         CASE WHEN mean_sq - mean_d2 * mean_d2 > 0
+              THEN (d2 - mean_d2) / sqrt(mean_sq - mean_d2 * mean_d2)
+              ELSE 0.0 END AS zval
+  FROM d2 JOIN stats USING (label)
 )
 SELECT label,
        CAST(max(n_vecs) AS BIGINT) AS n_vecs,
-       CAST(sum(CASE WHEN (d2 - mean_d2) / sqrt(mean_sq - mean_d2 * mean_d2)
-                          > {OUTLIER_Z} THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN zval > {OUTLIER_Z} THEN 1 ELSE 0 END) AS BIGINT)
          AS n_outliers,
-       round(max((d2 - mean_d2) / sqrt(mean_sq - mean_d2 * mean_d2)), 4) + 0.0
-         AS max_z,
+       round(max(zval), 4) + 0.0 AS max_z,
        round(max(mean_d2), 4) + 0.0 AS mean_d2
-FROM d2 JOIN stats USING (label)
+FROM z
 GROUP BY label
 """
 

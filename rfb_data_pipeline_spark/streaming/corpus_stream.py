@@ -133,11 +133,21 @@ def curated_stream(
 
 def curated_batch(docs: DataFrame) -> DataFrame:
     """The funnel's BATCH replay: identical rule columns, with
-    dropDuplicatesWithinWatermark replaced by its drained-backlog
-    equivalent (min doc_id per fingerprint survives — what the stream
-    keeps when drops are processed in file order). Used by the
-    driver-visible e16_stream_replay query and by the stream/batch
-    parity tests, so there is exactly one copy of each rule."""
+    dropDuplicatesWithinWatermark replaced by a CANONICAL survivorship
+    rule — min doc_id per fingerprint. Used by the driver-visible
+    e16_stream_replay query and by the stream/batch parity tests, so
+    there is exactly one copy of each rule.
+
+    Survivorship caveat: across micro-batches the stream keeps the
+    EARLIER batch's doc (deterministic); within one micro-batch
+    dropDuplicatesWithinWatermark keeps an arbitrary first-encountered
+    row per key, which coincides with min doc_id only when each drop
+    file is a single split read in order (how the parity test builds
+    its backlog, and how maxFilesPerTrigger=1 file drops behave). The
+    batch replay always pins the canonical min-id choice; exact
+    row-parity with a stream whose batches span multi-split files
+    holds at the fingerprint level, not necessarily the doc_id level.
+    """
     from pyspark.sql.window import Window
 
     fingerprinted = docs.withColumn("fingerprint", fingerprint_col())

@@ -78,6 +78,8 @@ def outlier_dir(spark, tmp_path_factory):
     # label 1: uniform cloud, no planted outlier
     for i in range(30):
         rows.append((100 + i, [0.1 * (i % 10), 0.2, 0.3, 0.4], 1))
+    # label 2: a singleton — variance is exactly 0 (the 0/0 guard case)
+    rows.append((200, [1.0, 2.0, 3.0, 4.0], 2))
     spark.createDataFrame(
         rows, "vec_id bigint, embedding array<float>, label int"
     ).write.parquet(str(tmp / "embeddings.parquet"))
@@ -93,6 +95,10 @@ def test_s12_flags_planted_outlier(spark, outlier_dir):
     assert out[0]["max_z"] > 2.0
     # the uniform cloud has no >2-sigma member
     assert out[1]["n_outliers"] == 0
+    # singleton label: var == 0 → z defined as 0, no NULLs, no outliers
+    assert out[2]["n_vecs"] == 1
+    assert out[2]["n_outliers"] == 0
+    assert out[2]["max_z"] == 0.0
 
 
 def test_x13_matches_python_model_and_weights_bias(spark):
@@ -119,7 +125,7 @@ def test_x13_matches_python_model_and_weights_bias(spark):
     def key(doc_id: int, w: int) -> float:
         h = hashlib.md5(str(doc_id).encode()).hexdigest()[:_U_DIGITS]
         u = (int(h, 16) + 1) / float(16**_U_DIGITS)
-        return math.log(u) / w
+        return round(math.log(u) / w, 12)
 
     ranked = sorted(rows, key=lambda r: (-key(r[0], r[2]), r[0]))[:WEIGHTED_K]
     model = {}

@@ -96,7 +96,16 @@ def main() -> None:
     args = sys.argv[1:]
     op_names = ["d13"]
     if args and args[0].startswith("--ops"):
-        op_names = args.pop(0).split("=", 1)[-1].split(",")
+        flag = args.pop(0)
+        if "=" in flag:
+            op_names = flag.split("=", 1)[1].split(",")
+        elif args:  # space-separated form: --ops d13,d03
+            op_names = args.pop(0).split(",")
+        else:
+            sys.exit("usage: scale_check.py [--ops=d13,d03,x09,t11] [mults...]")
+        unknown = set(op_names) - set(_ops())
+        if unknown:
+            sys.exit(f"unknown ops {sorted(unknown)}; choose from {sorted(_ops())}")
     mults = [int(a) for a in args] or [1, 3, 10]
     from pyspark.sql import SparkSession
 
