@@ -33,6 +33,9 @@ def gate_dir(spark, tmp_path_factory):
         # flagged cross (dup fraction > 0.2 of their windows)
         (2, shared + " " + _toks("b", 2), "en", "copied"),
         (3, shared + " " + _toks("c", 2), "en", "copied"),
+        # 1-token doc: too short for any repetition signal — must still
+        # be AUDITED (counted + kept), not silently dropped
+        (4, "solo", "en", "clean"),
     ]
     spark.createDataFrame(
         rows, "doc_id bigint, text string, lang string, source string"
@@ -42,15 +45,18 @@ def gate_dir(spark, tmp_path_factory):
 
 def test_x12_gate_decisions(spark, gate_dir):
     out = {r["source"]: r for r in x12_repetition_gate(spark, gate_dir).collect()}
-    assert out["clean"]["n_kept"] == 1
+    # the 1-token doc is audited and kept (no measurable repetition),
+    # never silently dropped from the denominator
+    assert out["clean"]["n_docs"] == 2
+    assert out["clean"]["n_kept"] == 2
     assert out["clean"]["n_flag_cross"] == 0
     assert out["clean"]["n_flag_intra"] == 0
     assert out["spammy"]["n_flag_intra"] == 1
     assert out["spammy"]["n_kept"] == 0
     assert out["copied"]["n_flag_cross"] == 2
     assert out["copied"]["n_kept"] == 0
-    # kept tokens come only from kept docs
-    assert out["clean"]["tokens_kept"] == 40
+    # kept tokens come only from kept docs (40 + 1 for "solo")
+    assert out["clean"]["tokens_kept"] == 41
     assert out["copied"]["tokens_kept"] == 0
 
 
