@@ -34,6 +34,12 @@ _PROBED = [
     "t07_repetition",
     "d13_duplicate_spans",
     "t05_top_terms",
+    "t09_bpe_token_count",
+    "t11_unigram_surprisal",
+    "t14_bigram_surprisal",
+    "d02_ngram_jaccard",
+    "x05_corpus_curation",
+    "x13_weighted_sample",
 ]
 
 _ROWS = [
