@@ -32,10 +32,44 @@ def _fixture_dir(mult: int) -> str:
     return os.path.join(FIXTURES, f"x{mult}")
 
 
+def build_embeddings_fixture(spark, mult: int) -> None:
+    """Replica k multiplies every vector elementwise by a k-seeded ±1
+    sign pattern: within-replica cosines are EXACTLY preserved
+    (cos(s⊙a, s⊙b) == cos(a, b)), while cross-replica vectors
+    decorrelate — so pair/cell structure multiplies cleanly."""
+    from pyspark.sql import functions as F
+
+    dest = os.path.join(_fixture_dir(mult), "embeddings.parquet")
+    if os.path.exists(dest):
+        return
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = base.agg(F.max("vec_id")).collect()[0][0] + 1
+    nl = base.agg(F.max("label")).collect()[0][0] + 1
+    reps = []
+    for k in range(mult):
+        signed = F.transform(
+            "embedding",
+            lambda x, i: x
+            * (F.xxhash64(F.lit(k), i) % 2 * 2 - 1).cast("float"),
+        )
+        reps.append(
+            base.select(
+                (F.col("vec_id") + F.lit(k * n)).alias("vec_id"),
+                signed.alias("embedding"),
+                (F.col("label") + F.lit(k * nl)).alias("label"),
+            )
+        )
+    df = reps[0]
+    for r in reps[1:]:
+        df = df.unionByName(r)
+    df.repartition(32).write.mode("overwrite").parquet(dest)
+
+
 def build_fixture(spark, mult: int) -> str:
     from pyspark.sql import functions as F
 
     out = _fixture_dir(mult)
+    build_embeddings_fixture(spark, mult)
     dest = os.path.join(out, "documents.parquet")
     if os.path.exists(dest):
         return out
@@ -82,6 +116,10 @@ def _ops() -> dict:
         d13_duplicate_spans,
     )
     from rfb_data_pipeline_spark.operators.sampling import x09_pack_sequences
+    from rfb_data_pipeline_spark.operators.similarity import (
+        s06_near_dup_pairs_banded,
+        s10_semantic_dedup,
+    )
     from rfb_data_pipeline_spark.operators.text import t11_unigram_surprisal
 
     return {
@@ -89,6 +127,8 @@ def _ops() -> dict:
         "d03": d03_minhash_lsh,
         "x09": x09_pack_sequences,
         "t11": t11_unigram_surprisal,
+        "s06": s06_near_dup_pairs_banded,
+        "s10": s10_semantic_dedup,
     }
 
 
@@ -137,9 +177,10 @@ def main() -> None:
                 .getOrCreate()
             )
             # warm
-            spark.read.parquet(
-                os.path.join(_fixture_dir(m), "documents.parquet")
-            ).count()
+            for t in ("documents.parquet", "embeddings.parquet"):
+                p = os.path.join(_fixture_dir(m), t)
+                if os.path.exists(p):
+                    spark.read.parquet(p).count()
             pre_bytes = shuffle_write_bytes(4055)
             t0 = time.time()
             n_rows = fn(spark, _fixture_dir(m)).count()
