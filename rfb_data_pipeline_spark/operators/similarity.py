@@ -350,16 +350,17 @@ WHERE cosine >= {NEAR_DUP_COS}
 # tests/test_ann_recall.py); s03 stays as the exactness oracle.
 
 
-def s06_near_dup_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Checkpoint: the 96-projection bucket table feeds both join
-    # sides; at pipeline scale it is the materialized (t, bucket)-
-    # partitioned index this query would read back. Only the NARROW
-    # (vec_id, t, bucket) index is checkpointed — materializing the
-    # 64-float embedding once per LSH table (16x data volume) is pure
-    # waste when candidate generation never touches it.
-    emb = _emb(spark, sf_dir)
+def _s06_candidates(
+    spark: SparkSession,
+    emb: DataFrame,
+    num_tables: int = NUM_TABLES,
+    sign_bits: int = SIGN_BITS,
+) -> DataFrame:
+    """Narrow (vec_a, vec_b) candidate pairs from the bucket self-join
+    — exposed separately so capacity planning can count candidates at
+    a given (num_tables, sign_bits) before running the scoring stage."""
     ids = (
-        _bucketed(emb, NUM_TABLES, SIGN_BITS)
+        _bucketed(emb, num_tables, sign_bits)
         .select("vec_id", "t", "bucket")
         .localCheckpoint(eager=True)
     )
@@ -370,7 +371,7 @@ def s06_near_dup_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bucket join and deduping with first(array) shuffled every
     # vector once per (table x bucket-mate) — measured 2.5x slower at
     # sf0.1 and strictly worse at scale.
-    cand = (
+    return (
         ids.alias("a")
         .join(ids.alias("b"), ["t", "bucket"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
@@ -384,6 +385,32 @@ def s06_near_dup_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (t, bucket) anyway and this becomes a no-op-cost rebalance.
         .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     )
+
+
+def s06_near_dup_pairs_banded(
+    spark: SparkSession,
+    sf_dir: str,
+    num_tables: int = NUM_TABLES,
+    sign_bits: int = SIGN_BITS,
+) -> DataFrame:
+    # Checkpoint: the 96-projection bucket table feeds both join
+    # sides; at pipeline scale it is the materialized (t, bucket)-
+    # partitioned index this query would read back. Only the NARROW
+    # (vec_id, t, bucket) index is checkpointed — materializing the
+    # 64-float embedding once per LSH table (16x data volume) is pure
+    # waste when candidate generation never touches it.
+    #
+    # SIZE THE BUCKET WIDTH WITH THE CORPUS (tools/scale_check.py
+    # measurement, r04): with sign_bits FIXED the bucket count is
+    # constant, per-bucket occupancy grows ~N, and candidate pairs —
+    # hence shuffle bytes — grow ~N² (measured 1 : 8.2 : 97.5 at
+    # 1x/3x/10x). sign_bits is therefore a PARAMETER: grow it as
+    # ~log2(N / target_bucket_occupancy) so occupancy (and per-vector
+    # candidate work) stays constant — candidates then scale ~N at the
+    # same recall operating point (re-measure recall vs s03 when
+    # retuning; tests/test_ann_recall.py is the harness).
+    emb = _emb(spark, sf_dir)
+    cand = _s06_candidates(spark, emb, num_tables, sign_bits)
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))

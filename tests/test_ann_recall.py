@@ -94,3 +94,18 @@ def test_banded_pair_recall_vs_exact(spark):
             len(banded),
             len(exact),
         )
+
+
+def test_s06_candidate_count_scales_down_with_sign_bits(spark):
+    """The r04 scale finding: fixed sign_bits → quadratic candidates.
+    Widening the bucket key must cut the candidate-pair count hard
+    (the knob the 100 TB sizing note tells operators to turn)."""
+    from rfb_data_pipeline_spark.operators.similarity import (
+        _emb,
+        _s06_candidates,
+    )
+
+    emb = _emb(spark, "/root/testdata/sf0.001")
+    narrow = _s06_candidates(spark, emb, num_tables=4, sign_bits=4).count()
+    wide = _s06_candidates(spark, emb, num_tables=4, sign_bits=8).count()
+    assert wide < narrow / 3, (narrow, wide)
