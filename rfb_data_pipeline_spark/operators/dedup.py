@@ -409,6 +409,19 @@ _D04_SQL = f"SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM ({_SIMHASH_C
 
 
 def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FINGERPRINT WIDTH MUST GROW WITH THE CORPUS (tools/scale_check.py
+    # measurement, r04): with 32-bit fingerprints, random hamming-≤3
+    # collisions occur at rate ~(1+32+496+4960)/2^32 ≈ 1.3e-6 per pair,
+    # so beyond ~10^5 docs RANDOM pairs dominate true near-dups
+    # (measured: 0.6M docs → 1.25M pairs, mostly noise; bytes grew
+    # 1 : 8.3 : 20.7 at 1x/3x/10x). Sizing rule: pick the width so
+    # C(N,2) · P(hamming ≤ H | random) stays ≪ the expected true-pair
+    # count — 64-bit fingerprints (P ≈ 2.4e-15) cover any realistic
+    # corpus; the byte-pigeonhole banding below generalizes unchanged
+    # (H+1 bands of width/(H+1) bits each). 32-bit is kept here
+    # because the oracle twin pins the exact constant; the algorithm
+    # is width-generic.
+    #
     # Checkpoint: the fingerprint agg feeds both join sides; without it
     # the doc scan + simhash aggregation run twice.
     sim = _simhash_df(spark, sf_dir).localCheckpoint(eager=True)

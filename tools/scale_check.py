@@ -113,6 +113,7 @@ def shuffle_write_bytes(ui_port: int) -> int:
 def _ops() -> dict:
     from rfb_data_pipeline_spark.operators.dedup import (
         d03_minhash_lsh,
+        d05_simhash_pairs,
         d13_duplicate_spans,
     )
     from rfb_data_pipeline_spark.operators.sampling import x09_pack_sequences
@@ -125,6 +126,7 @@ def _ops() -> dict:
     return {
         "d13": d13_duplicate_spans,
         "d03": d03_minhash_lsh,
+        "d05": d05_simhash_pairs,
         "x09": x09_pack_sequences,
         "t11": t11_unigram_surprisal,
         "s06": s06_near_dup_pairs_banded,
