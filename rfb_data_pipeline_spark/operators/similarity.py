@@ -980,10 +980,14 @@ WHERE rank <= {TOP_K}
 OUTLIER_Z = 2.0
 
 
-def s12_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+def centroid_arrays(emb: DataFrame) -> DataFrame:
+    """Per-label centroid ARRAYS (label → array<double>), with
+    DECIMAL-exact (order-independent) per-dim sums — the one copy of
+    this math, shared by s12 and the streaming vector-ingest path
+    (streaming/vector_stream.py) so batch-trained centroids and the
+    oracle-checked outlier path can never drift apart."""
     dims = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+        "label", F.posexplode("embedding").alias("dim", "v")
     ).withColumn("v", F.col("v").cast("double"))
     cent = dims.groupBy("label", "dim").agg(
         (
@@ -991,28 +995,38 @@ def s12_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("c")
     )
-    # Per-label centroid ARRAY (|labels| rows), broadcast into the
-    # main scan: d² is a sequential zip_with fold per row — the s01
-    # dot-product idiom, bit-identical across engines — so the
-    # exploded (vec, dim) frame never re-shuffles into a dim join.
-    cent_arr = cent.groupBy("label").agg(
+    return cent.groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "c"))),
             lambda s: s.getField("c"),
         ).alias("c_arr")
     )
+
+
+def squared_distance(vec_col: str, cent_col) -> Column:
+    """Σ (v_i - c_i)² as a sequential zip_with fold (the s01 dot
+    idiom — bit-identical across engines)."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            cent_col,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def s12_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    # Per-label centroid ARRAY (|labels| rows), broadcast into the
+    # main scan: d² is a per-row fold, so the exploded (vec, dim)
+    # frame never re-shuffles into a dim join.
+    cent_arr = centroid_arrays(emb)
     d2 = emb.join(F.broadcast(cent_arr), "label").select(
         "vec_id",
         "label",
-        F.aggregate(
-            F.zip_with(
-                "embedding",
-                "c_arr",
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("d2"),
+        squared_distance("embedding", "c_arr").alias("d2"),
     )
     stats = d2.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),

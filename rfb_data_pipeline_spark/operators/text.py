@@ -742,6 +742,10 @@ def t14_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(tokens_col()).alias("pos", "w")
     ).filter(F.length("w") > 0)
     win = Window.partitionBy("doc_id").orderBy("pos")
+    # Materialized once: the bigram stream (tokenize + explode + per-
+    # doc window — the hottest subtree) feeds the count agg AND the
+    # per-doc join; without the checkpoint it is re-instantiated per
+    # consumer (the d02/d05 stage-boundary idiom).
     bg = (
         toks.select(
             "doc_id",
@@ -749,6 +753,7 @@ def t14_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("w", 1).over(win).alias("w2"),
         )
         .filter(F.col("w2").isNotNull())
+        .localCheckpoint(eager=True)
     )
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))

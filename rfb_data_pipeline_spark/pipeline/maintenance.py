@@ -97,6 +97,21 @@ def cluster_table_zorder(
     ZORDER BY) expressed with stock Spark: one expression column, one
     range shuffle, one local sort."""
     df = spark.read.parquet(in_dir)
+    # Bit interleave silently truncates values outside [0, 2^bits) —
+    # which would quietly destroy the layout this function promises —
+    # so out-of-range inputs are an ERROR, not a degraded rewrite.
+    # (To cluster arbitrary-range columns, rank them into the domain
+    # first: a percent_rank * 2^bits pass, or widen bits.)
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).collect()[0]
+    limit = 1 << bits
+    if lo_a < 0 or lo_b < 0 or hi_a >= limit or hi_b >= limit:
+        raise ValueError(
+            f"zorder columns must lie in [0, {limit}): "
+            f"{col_a}=[{lo_a}, {hi_a}], {col_b}=[{lo_b}, {hi_b}] — "
+            "rank/scale them into range or raise `bits`"
+        )
     zk = zorder_key(F.col(col_a), F.col(col_b), bits).alias("_zk")
     (
         df.withColumn("_zk", zk)

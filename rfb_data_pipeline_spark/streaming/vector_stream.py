@@ -27,33 +27,22 @@ from rfb_data_pipeline_spark.catalog import load_tables
 
 def train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid ARRAYS from the static embeddings table —
-    the batch-trained side of the stream-static join (s04's math,
-    array-packed like s12)."""
+    the batch-trained side of the stream-static join. Delegates to the
+    ONE copy of the centroid math (similarity.centroid_arrays,
+    decimal-exact sums) so this path and the oracle-checked s12 path
+    cannot drift."""
+    from rfb_data_pipeline_spark.operators.similarity import centroid_arrays
+
     emb = load_tables(
         spark, sf_dir, tables=("embeddings",), register_views=False
     )["embeddings"]
-    dims = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
-    cent = dims.groupBy("label", "dim").agg(
-        F.avg(F.col("v").cast("double")).alias("c")
-    )
-    return cent.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "c"))),
-            lambda s: s.getField("c"),
-        ).alias("c_arr")
-    )
+    return centroid_arrays(emb)
 
 
-def _d2(vec_col: str, cent_col: str) -> F.Column:
-    return F.aggregate(
-        F.zip_with(
-            vec_col,
-            cent_col,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _d2(vec_col: str, cent_col) -> F.Column:
+    from rfb_data_pipeline_spark.operators.similarity import squared_distance
+
+    return squared_distance(vec_col, cent_col)
 
 
 def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:

@@ -47,10 +47,16 @@ def build_embeddings_fixture(spark, mult: int) -> None:
     nl = base.agg(F.max("label")).collect()[0][0] + 1
     reps = []
     for k in range(mult):
+        # pmod, not %: Spark remainder keeps the dividend's sign, so
+        # odd NEGATIVE hashes would give -1*2-1 = -3 (a 3x-scaled dim,
+        # breaking the cosine-preservation invariant). pmod(h, 2) is
+        # always {0, 1} (the skew.py idiom).
         signed = F.transform(
             "embedding",
             lambda x, i: x
-            * (F.xxhash64(F.lit(k), i) % 2 * 2 - 1).cast("float"),
+            * (F.pmod(F.xxhash64(F.lit(k), i), F.lit(2)) * 2 - 1).cast(
+                "float"
+            ),
         )
         reps.append(
             base.select(
