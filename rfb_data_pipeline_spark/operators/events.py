@@ -33,11 +33,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def e01_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
+    # Integer-cents sum (the e15 discipline): round(sum(double), 2)
+    # diverges across engines on half-cent inputs — Spark's round goes
+    # through the SHORTEST decimal rendering of the double (1.005 →
+    # "1.005" → HALF_UP → 1.01) while DuckDB rounds the binary value
+    # (1.00499999… → 1.00). Summing per-row cents is deterministic on
+    # both (caught by tests/test_adversarial_events.py).
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(cents) / 100.0).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -52,7 +59,7 @@ _E01_SQL = """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -66,18 +73,20 @@ GROUP BY 1, 2
 
 def e02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")  # e01's discipline
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(cents) / 100.0).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
 
 
 _E02_SQL = """
-SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+SELECT window_start, count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM (
   SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
   UNION ALL
@@ -92,7 +101,11 @@ GROUP BY 1
 # e03 — session windows (5-minute gap) per user via the native
 # session_window operator; the oracle derives the same sessions with
 # the gaps-and-islands idiom (lag + cumulative sum). A new session
-# starts when the gap from the previous event is >= 5 minutes.
+# starts when the gap from the previous event EXCEEDS 5 minutes —
+# Spark's session_window keeps an event landing exactly at
+# prev + gap in the SAME session (merge rule: gap <= duration), so
+# the oracle's boundary must be strict '>' (the shipped corpus has no
+# exact-gap pair; tests/test_adversarial_events.py forces one).
 
 
 def e03_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,7 +129,7 @@ _E03_SQL = """
 WITH marked AS (
   SELECT user_id, ts,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= INTERVAL '5 minutes'
+                   > INTERVAL '5 minutes'
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
@@ -262,10 +275,16 @@ def e07_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E07_SQL = """
 SELECT event_type, count(*) AS n_events,
-       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-       min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
-       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
-FROM events
+       CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+FROM (
+  -- json_valid guard: DuckDB's json_extract RAISES on malformed
+  -- input, while Spark's from_json yields NULL — a corpus query must
+  -- quarantine bad rows, not crash (adversarial-events suite).
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN CAST(json_extract(props, '$.k') AS INTEGER) END AS k
+  FROM events
+)
 GROUP BY event_type
 """
 
@@ -549,7 +568,11 @@ WHERE event_type = 'signup'
 
 def e13_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    # try_parse_json, not parse_json: the strict form ABORTS the whole
+    # job on one malformed props row (FAILFAST) — schema-less
+    # extraction over a raw corpus must degrade per-row to NULL
+    # (adversarial-events suite; DuckDB twin guards with json_valid).
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "long")
     return (
         ev.select("event_type", k.alias("k"))
         .filter(F.col("k").isNotNull() & (F.col("k") % 2 == 0))
@@ -566,7 +589,10 @@ _E13_SQL = """
 SELECT event_type, count(*) AS n_even,
        CAST(sum(k) AS BIGINT) AS sum_k,
        max(k) AS max_k
-FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
+FROM (SELECT event_type,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN json_extract(props, '$.k')::BIGINT END AS k
+      FROM events)
 WHERE k IS NOT NULL AND k % 2 = 0
 GROUP BY event_type
 """
