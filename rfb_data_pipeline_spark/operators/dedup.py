@@ -1087,6 +1087,128 @@ FROM per_doc p LEFT JOIN per_dup d USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# d15 — connected components via alternating LARGE-STAR / SMALL-STAR
+# (Kiveris et al. 2014, "Connected Components in MapReduce and
+# Beyond") over the same verified near-dup pair graph as d07. d07's
+# min-label propagation converges in O(diameter) rounds — fine for the
+# tiny dense clusters it targets, but a web-crawl dedup graph has
+# chain-shaped components (mirror-of-a-mirror duplication) where the
+# diameter is hundreds; large/small-star converges in O(log n) rounds
+# regardless of shape. Each phase is one groupBy(min) + one re-emit —
+# shuffle-bound, AQE-skew-safe, and no task ever materializes a full
+# neighborhood in memory. The fixpoint test is a constant-size
+# checksum aggregate (edge count + sum of 64-bit pair hashes — same
+# collision-bound class as d13's span hashing, ~2^-64 per round), not
+# a frame diff, so each round costs exactly one tiny action.
+#
+# d15 shares d07's output schema AND oracle: two independent
+# algorithms, one logical result — the driver hash doubles as an
+# algorithm cross-check.
+
+
+def cc_star(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> DataFrame:
+    """Component labels for an undirected edge list (``u``, ``v``).
+
+    Returns (doc_id, label) for every node incident to an edge, where
+    label is the component's minimum node id. Alternates large-star
+    (link every larger neighbor to the neighborhood min) and
+    small-star (link every smaller neighbor to the smaller-neighbor
+    min) until the star forest is stable.
+    """
+    edges = (
+        edges.select("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("u").alias("doc_id"))
+        .union(edges.select(F.col("v").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: a long sum of 64-bit hashes
+            # overflows under ANSI mode
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iters):
+        # LARGE-STAR: for each u, link every neighbor v > u to
+        # min(Γ(u) ∪ {u}). Symmetrize first so both endpoints group.
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        lmin = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR on big→small oriented edges: for each u, link
+        # every smaller neighbor (and u itself) to the smallest one.
+        oriented = (
+            large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        smin = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(smin, "u")
+            .select(F.col("v").alias("c"), "m")
+            .union(smin.select(F.col("u").alias("c"), "m"))
+            .filter(F.col("c") != F.col("m"))
+            .select(F.col("c").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = small
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"star CC did not converge in {max_iters} rounds")
+    # Stable state is a star forest: (child, root) edges with root =
+    # component min. Nodes with no edge left (isolated after self-loop
+    # removal — i.e. component roots) label themselves.
+    roots = edges.groupBy(F.col("u").alias("doc_id")).agg(F.min("v").alias("root"))
+    return nodes.join(roots, "doc_id", "left").select(
+        "doc_id", F.coalesce("root", "doc_id").alias("label")
+    )
+
+
+def d15_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d02_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels = cc_star(pairs)
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - 1).alias("n_redundant"),
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ","
+        ).alias("members"),
+    )
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1101,6 +1223,7 @@ QUERIES = {
     "d12_minhash_calibration": d12_minhash_calibration,
     "d13_duplicate_spans": d13_duplicate_spans,
     "d14_dup_span_fraction": d14_dup_span_fraction,
+    "d15_cc_star": d15_cc_star,
 }
 
 ORACLE = {
@@ -1117,4 +1240,8 @@ ORACLE = {
     "d12_minhash_calibration": _d12_sql(),
     "d13_duplicate_spans": _D13_SQL,
     "d14_dup_span_fraction": _D14_SQL,
+    # d15 computes the same logical result as d07 with a different
+    # algorithm; sharing the oracle makes the driver hash an
+    # algorithm cross-check.
+    "d15_cc_star": _D07_SQL,
 }

@@ -1,0 +1,75 @@
+"""Round-4c operators: scalable connected components (d15) et al."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from rfb_data_pipeline_spark.operators.dedup import cc_star
+
+
+def _labels(spark, edge_list, **kw):
+    edges = spark.createDataFrame(edge_list, "u bigint, v bigint")
+    return {r["doc_id"]: r["label"] for r in cc_star(edges, **kw).collect()}
+
+
+def _unionfind(edge_list):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edge_list:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical label = component minimum
+    comp = {}
+    for n in list(parent):
+        comp.setdefault(find(n), []).append(n)
+    return {n: root for root, members in comp.items() for n in members}
+
+
+def test_cc_star_chain_converges_in_log_rounds(spark):
+    """A 64-node path graph has diameter 63: min-label propagation
+    (d07's loop) needs ~63 rounds, large/small-star needs O(log n).
+    max_iters=10 > log2(64) proves the round bound, not just the
+    answer."""
+    chain = [(i, i + 1) for i in range(63)]
+    labels = _labels(spark, chain, max_iters=10)
+    assert set(labels) == set(range(64))
+    assert set(labels.values()) == {0}
+
+
+def test_cc_star_matches_union_find_on_random_graph(spark):
+    rng = random.Random(42)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(120)]
+    edges = [(u, v) for u, v in edges if u != v]
+    expected = _unionfind(edges)
+    got = _labels(spark, edges)
+    assert got == expected
+
+
+def test_cc_star_two_node_components_and_duplicate_edges(spark):
+    edges = [(5, 9), (9, 5), (5, 9), (20, 21), (30, 31), (31, 32)]
+    got = _labels(spark, edges)
+    assert got == {5: 5, 9: 5, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
+
+
+def test_d15_equals_d07_on_the_corpus(spark):
+    """Two independent CC algorithms over the same pair graph must
+    produce identical cluster summaries (the strongest cross-check)."""
+    from rfb_data_pipeline_spark.operators.dedup import (
+        d07_dedup_clusters,
+        d15_cc_star,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = d07_dedup_clusters(spark, sf).orderBy("cluster_id").collect()
+    b = d15_cc_star(spark, sf).orderBy("cluster_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
