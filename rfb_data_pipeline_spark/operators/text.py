@@ -940,6 +940,147 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# t15 — Naive-Bayes log-odds quality classifier (the trained
+# counterpart of t02's hand-written heuristic — the "quality
+# classifier" stage of CCNet/GPT-3-style curation, in a deterministic,
+# engine-portable form). A seed subset (doc_id % 3 == 0 — in
+# production, a curated reference corpus) is pseudo-labeled by the
+# exact t02 gate; per-token class counts with add-one smoothing give
+# each token a log-odds weight ln((c⁺+1)/(T⁺+V)) − ln((c⁻+1)/(T⁻+V));
+# every document (seed and unseen) is scored as the class prior plus
+# its tokens' summed log-odds. Tokens outside the seed vocabulary get
+# the smoothed unseen weight via the left-join coalesce.
+#
+# Scale: one seed-side token aggregate (vocabulary-sized — broadcast
+# at 100 TB), one tf×vocab LEFT equi-join over the scoring corpus
+# (t11's join shape and skew note), constant-size totals frame
+# broadcast. Float parity: ln() of identical integer-ratio doubles,
+# tf-weighted sums rounded at the edge (t11 discipline); the class
+# decision compares the ROUNDED score so both engines decide on the
+# same value.
+
+SEED_MOD = 3  # doc_id % SEED_MOD == 0 → labeled seed document
+
+
+def t15_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    label = (
+        (n_tokens >= 10)
+        & (n_stop.cast("double") / n_tokens >= 0.01)
+        & (digits.cast("double") / F.length("text") <= 0.3)
+    ).cast("int")
+    labeled = docs.select("doc_id", "text", label.alias("label"))
+    seed = labeled.filter(F.col("doc_id") % SEED_MOD == 0)
+    seed_terms = seed.select(
+        "label", F.explode(tokens_col()).alias("term")
+    ).filter(F.length("term") > 0)
+    cls = seed_terms.groupBy("term").agg(
+        F.sum(F.col("label")).alias("cp"),
+        F.sum(1 - F.col("label")).alias("cn"),
+    )
+    totals = cls.agg(
+        F.sum("cp").alias("tp"),
+        F.sum("cn").alias("tn"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    prior = seed.agg(
+        F.log(
+            F.sum(F.col("label")).cast("double")
+            / F.sum(1 - F.col("label")).cast("double")
+        ).alias("prior")
+    )
+    tf = (
+        labeled.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    logodds = F.log(
+        (F.coalesce(F.col("cp"), F.lit(0)) + 1).cast("double")
+        / (F.col("tp") + F.col("v"))
+    ) - F.log(
+        (F.coalesce(F.col("cn"), F.lit(0)) + 1).cast("double")
+        / (F.col("tn") + F.col("v"))
+    )
+    scored = (
+        tf.join(cls, "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(prior))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.round(F.first("prior") + F.sum(F.col("tf") * logodds), 3)
+                + F.lit(0.0)
+            ).alias("nb_logodds"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "nb_logodds",
+        (F.col("nb_logodds") > 0).cast("int").alias("pred_quality"),
+    )
+
+
+_T15_SQL = f"""
+WITH lbl AS (
+  SELECT doc_id, text,
+         CASE WHEN len(toks) >= 10
+               AND len(list_filter(toks, t -> t IN
+                   ('the','a','of','to','and','in','is','it')))::DOUBLE
+                   / len(toks) >= 0.01
+               AND length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                   / length(text) <= 0.3
+              THEN 1 ELSE 0 END AS label
+  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents)
+),
+seed AS (SELECT * FROM lbl WHERE doc_id % {SEED_MOD} = 0),
+seed_terms AS (
+  SELECT label, term FROM (
+    SELECT label, unnest(string_split_regex(trim(text), '\\s+')) AS term
+    FROM seed
+  ) WHERE length(term) > 0
+),
+cls AS (
+  SELECT term, sum(label) AS cp, sum(1 - label) AS cn
+  FROM seed_terms GROUP BY term
+),
+totals AS (
+  SELECT sum(cp) AS tp, sum(cn) AS tn, count(*)::DOUBLE AS v FROM cls
+),
+prior AS (
+  SELECT ln(sum(label)::DOUBLE / sum(1 - label)::DOUBLE) AS prior FROM seed
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+    FROM lbl
+  ) WHERE length(term) > 0 GROUP BY doc_id, term
+),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         round(any_value(prior) + sum(tf * (
+             ln((coalesce(cp, 0) + 1)::DOUBLE / (tp + v))
+             - ln((coalesce(cn, 0) + 1)::DOUBLE / (tn + v)))), 3) + 0.0
+           AS nb_logodds
+  FROM tf LEFT JOIN cls USING (term) CROSS JOIN totals CROSS JOIN prior
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, nb_logodds,
+       CASE WHEN nb_logodds > 0 THEN 1 ELSE 0 END AS pred_quality
+FROM scored
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -955,6 +1096,7 @@ QUERIES = {
     "t12_zipf_slope": t12_zipf_slope,
     "t13_pii_redaction": t13_pii_redaction,
     "t14_bigram_surprisal": t14_bigram_surprisal,
+    "t15_quality_classifier": t15_quality_classifier,
 }
 
 ORACLE = {
@@ -972,4 +1114,5 @@ ORACLE = {
     "t12_zipf_slope": _T12_SQL,
     "t13_pii_redaction": _t13_sql(),
     "t14_bigram_surprisal": _T14_SQL,
+    "t15_quality_classifier": _T15_SQL,
 }

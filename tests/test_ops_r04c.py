@@ -61,6 +61,36 @@ def test_cc_star_two_node_components_and_duplicate_edges(spark):
     assert got == {5: 5, 9: 5, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
 
 
+def test_t15_classifier_generalizes_beyond_the_seed_rule(spark, tmp_path):
+    """The NB classifier learns token weights from the seed's t02
+    pseudo-labels and must generalize: an UNSEEN doc (not in the
+    doc_id%3 seed) made of good-class vocabulary scores positive;
+    an unseen digit-garbage doc scores negative."""
+    from rfb_data_pipeline_spark.operators.text import t15_quality_classifier
+
+    good = "the cat is in the park and it is a good day to walk"
+    bad = "737 9983 118377 44 9said 83771 22 9111 40404 737812 99 38"
+    rows = []
+    for i in range(60):
+        rows.append((i * 3, good + f" extra{i}", "en", "s"))  # seed pos
+    for i in range(12):
+        rows.append((i * 3 + 30 * 6, bad + f" {i}77", "en", "s"))
+    # unseen (doc_id % 3 != 0): one of each class, vocabulary only
+    rows.append((1001, "the cat is in the park and it is good", "en", "s"))
+    rows.append((1003, "9983 44 83771 9111 40404 99", "en", "s"))
+    d = str(tmp_path / "t15")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(d + "/documents.parquet")
+
+    out = {r["doc_id"]: r for r in t15_quality_classifier(spark, d).collect()}
+    assert out[1001]["pred_quality"] == 1
+    assert out[1003]["pred_quality"] == 0
+    assert out[1001]["nb_logodds"] > out[1003]["nb_logodds"]
+    # both probes sit OUTSIDE the seed (doc_id % 3 != 0)
+    assert 1001 % 3 != 0 and 1003 % 3 != 0
+
+
 def test_d15_equals_d07_on_the_corpus(spark):
     """Two independent CC algorithms over the same pair graph must
     produce identical cluster summaries (the strongest cross-check)."""
