@@ -1104,6 +1104,203 @@ GROUP BY label
 """
 
 
+# --------------------------------------------------------------------------
+# s13 — product-quantization (PQ) ANN: the compression half of FAISS's
+# IVF-PQ standard (Jégou et al. 2011). The 64-d vector is split into
+# PQ_M subvectors; each subspace gets a K_PQ-centroid codebook (seeded
+# from the first K_PQ vectors, one Lloyd update — the s08 shape per
+# subspace); a vector is stored as PQ_M small codes (here 4 × 3 bits —
+# a 85x compression of the 64-float payload). Query-time ADC
+# (asymmetric distance computation): d²(q, x) ≈ Σ_m d²(q_m,
+# codebook_m[code_m(x)]) — the corpus scan reads ONLY the codes and a
+# broadcast (PQ_M × K_PQ)-entry distance table.
+#
+# 100 TB story: the codebook is KB-sized and broadcast; encoding is
+# one corpus map + one narrow (m, cid, dim) shuffle per training
+# round; the ANN scan touches PQ_M bytes/vector instead of 256 —
+# memory-bandwidth-bound at ~1e11 vectors where float scan is I/O
+# dead. Composes with s05: IVF cells prune the scan, PQ codes shrink
+# it.
+#
+# Determinism: per-(vec, m) argmin folds d² sequentially (bit-identical
+# across engines, the s08 precedent) with cid tie-break; codebook
+# update and the PQ_M-term ADC sum accumulate in DECIMAL — exact and
+# order-independent, so LIMIT boundaries cannot flip on float
+# reassociation. Rounded only at the output edge.
+
+PQ_M = 4  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+K_PQ = 8  # centroids per subspace codebook
+
+# SIZE THE CODEBOOK WITH THE DATA (same lesson as s06's sign_bits):
+# total code entropy is PQ_M × log2(K_PQ) bits — 12 bits here, which
+# on a NEAR-UNIFORM 64-d corpus cannot separate neighbors from the
+# bulk (measured recall@10 0.4 at sf0.01 / 0.1 at sf0.1 — the
+# information-theoretic limit, not an implementation defect; the
+# planted-cluster test in tests/test_ops_r04c.py shows recall 1.0 the
+# moment the data has structure). Production FAISS operating point is
+# PQ_M=8..64, K_PQ=256 (64-512 bits); both are parameters below, and
+# cost scales linearly in PQ_M and K_PQ (the codebook stays
+# KB-broadcastable far past that).
+
+
+def s13_pq_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    pq_m: int = PQ_M,
+    k_pq: int = K_PQ,
+    query_vec_id: int = QUERY_VEC_ID,
+) -> DataFrame:
+    sub_dim = DIM // pq_m
+    emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+    slices = F.array(
+        *[
+            F.transform(
+                F.slice("embedding", m * sub_dim + 1, sub_dim),
+                lambda x: x.cast("double"),
+            )
+            for m in range(pq_m)
+        ]
+    )
+    sub = emb.select("vec_id", F.posexplode(slices).alias("m", "sv"))
+
+    def d2(a: str, b: str) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(codebook: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("cid"))
+        return (
+            sub.join(F.broadcast(codebook), "m")
+            .select("vec_id", "m", "sv", "cid", d2("sv", "c").alias("d2"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+
+    seeds = sub.filter(F.col("vec_id") < k_pq).select(
+        "m", F.col("vec_id").cast("int").alias("cid"), F.col("sv").alias("c")
+    )
+    a1 = assign(seeds)
+    cd = (
+        a1.select("m", "cid", F.posexplode("sv").alias("dim", "v"))
+        .groupBy("m", "cid", "dim")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cv")
+        )
+    )
+    codebook = (
+        cd.groupBy("m", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("s"))
+        .select("m", "cid", F.transform("s", lambda x: x["cv"]).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    codes = assign(codebook).select("vec_id", "m", F.col("cid").alias("code"))
+    q_sub = sub.filter(F.col("vec_id") == query_vec_id).select(
+        "m", F.col("sv").alias("qv")
+    )
+    # distinct column names: adc shares lineage with codes (both built
+    # from codebook), so joining on renamed keys avoids the ambiguous-
+    # self-join trap
+    adc = (
+        codebook.join(F.broadcast(q_sub), "m")
+        .select(
+            F.col("m").alias("am"),
+            F.col("cid").alias("acid"),
+            d2("qv", "c").alias("adc_d2"),
+        )
+    )
+    scored = (
+        codes.join(
+            F.broadcast(adc),
+            (F.col("m") == F.col("am")) & (F.col("code") == F.col("acid")),
+        )
+        .groupBy("vec_id")
+        # decimal accumulator: exact => order-independent => the top-k
+        # boundary is identical across engines
+        .agg(F.sum(F.col("adc_d2").cast("decimal(30,15)")).alias("ad2"))
+    )
+    return (
+        scored.filter(F.col("vec_id") != query_vec_id)
+        .orderBy(F.asc("ad2"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            (F.round(F.col("ad2").cast("double"), 4) + F.lit(0.0)).alias(
+                "approx_d2"
+            ),
+        )
+    )
+
+
+_SQL_SUBD2 = (
+    f"list_sum(list_transform(range(1, {PQ_SUB + 1}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+_S13_SQL = f"""
+WITH sub AS (
+  SELECT vec_id, u.m AS m,
+         list_transform(embedding[u.m * {PQ_SUB} + 1 : (u.m + 1) * {PQ_SUB}],
+                        x -> x::DOUBLE) AS sv
+  FROM embeddings, unnest(range(0, {PQ_M})) AS u(m)
+),
+seeds AS (
+  SELECT m, vec_id::INTEGER AS cid, sv AS c FROM sub WHERE vec_id < {K_PQ}
+),
+a1 AS (
+  SELECT vec_id, m, sv, cid FROM (
+    SELECT s.vec_id, s.m, s.sv, k.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {_SQL_SUBD2.format(a="s.sv", b="k.c")} ASC, k.cid ASC
+           ) AS rk
+    FROM sub s JOIN seeds k USING (m)
+  ) WHERE rk = 1
+),
+cd AS (
+  SELECT m, cid, u.i AS dim,
+         (sum(sv[u.i]::DECIMAL(20,10)))::DOUBLE / count(*) AS cv
+  FROM a1, unnest(range(1, {PQ_SUB + 1})) AS u(i)
+  GROUP BY m, cid, u.i
+),
+codebook AS (SELECT m, cid, list(cv ORDER BY dim) AS c FROM cd GROUP BY m, cid),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT s.vec_id, s.m, k.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {_SQL_SUBD2.format(a="s.sv", b="k.c")} ASC, k.cid ASC
+           ) AS rk
+    FROM sub s JOIN codebook k USING (m)
+  ) WHERE rk = 1
+),
+q_sub AS (SELECT m, sv AS qv FROM sub WHERE vec_id = {QUERY_VEC_ID}),
+adc AS (
+  SELECT m, cid, {_SQL_SUBD2.format(a="qv", b="c")} AS adc_d2
+  FROM codebook JOIN q_sub USING (m)
+),
+scored AS (
+  SELECT vec_id, sum(adc_d2::DECIMAL(30,15)) AS ad2
+  FROM codes c JOIN adc a ON c.m = a.m AND c.code = a.cid
+  GROUP BY vec_id
+)
+SELECT s.vec_id, e.label, round(s.ad2::DOUBLE, 4) + 0.0 AS approx_d2
+FROM (
+  SELECT vec_id, ad2 FROM scored WHERE vec_id != {QUERY_VEC_ID}
+  ORDER BY ad2 ASC, vec_id ASC LIMIT {TOP_K}
+) s JOIN embeddings e USING (vec_id)
+"""
+
+
 QUERIES = {
     "s01_knn_bruteforce": s01_knn_bruteforce,
     "s02_ann_lsh": s02_ann_lsh,
@@ -1117,6 +1314,7 @@ QUERIES = {
     "s10_semantic_dedup": s10_semantic_dedup,
     "s11_batch_knn": s11_batch_knn,
     "s12_embedding_outliers": s12_embedding_outliers,
+    "s13_pq_ann": s13_pq_ann,
 }
 
 ORACLE = {
@@ -1132,4 +1330,5 @@ ORACLE = {
     "s10_semantic_dedup": _S10_SQL,
     "s11_batch_knn": _s11_sql(),
     "s12_embedding_outliers": _S12_SQL,
+    "s13_pq_ann": _S13_SQL,
 }

@@ -91,6 +91,43 @@ def test_t15_classifier_generalizes_beyond_the_seed_rule(spark, tmp_path):
     assert 1001 % 3 != 0 and 1003 % 3 != 0
 
 
+def test_s13_pq_recalls_planted_neighbors(spark, tmp_path):
+    """On structured data (a tight cluster around the query amid a
+    spread-out background) PQ codes isolate the cluster and ADC
+    retrieves the planted neighbors. On near-uniform data 12-bit codes
+    cannot — that measured limit is documented on the operator."""
+    import math
+
+    from rfb_data_pipeline_spark.operators.similarity import DIM, s13_pq_ann
+
+    rng_base = [math.sin(7 * i) for i in range(DIM)]
+    rows = []
+    # background: 100 vectors on distinct far-away patterns
+    for vid in range(100):
+        rows.append(
+            (
+                vid,
+                [5.0 * math.cos(vid + 3 * i) for i in range(DIM)],
+                vid % 4,
+            )
+        )
+    # planted: 10 tight neighbors of the query pattern
+    rows.append((200, rng_base, 9))  # the query itself
+    for j in range(10):
+        rows.append(
+            (201 + j, [x + 0.01 * math.sin(j + i) for i, x in enumerate(rng_base)], 9)
+        )
+    d = str(tmp_path / "pq")
+    spark.createDataFrame(
+        [(v, [float(x) for x in e], lbl) for v, e, lbl in rows],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.parquet(d + "/embeddings.parquet")
+
+    got = {r["vec_id"] for r in s13_pq_ann(spark, d, query_vec_id=200).collect()}
+    planted = set(range(201, 211))
+    assert len(got & planted) >= 9
+
+
 def test_d15_equals_d07_on_the_corpus(spark):
     """Two independent CC algorithms over the same pair graph must
     produce identical cluster summaries (the strongest cross-check)."""

@@ -287,6 +287,7 @@ _SINGLE_PARTITION_OK = {
     "x10_domain_mixture",  # 1-row t_max frame + |langs|-row quota frame
     "x11_curriculum_buckets",  # 1-row bounds + 32-row band offsets (q29 shape)
     "t12_zipf_slope",  # rank/regression over the constant 40-row head
+    "t15_quality_classifier",  # 1-row vocab-totals + 1-row prior frames
 }
 
 
