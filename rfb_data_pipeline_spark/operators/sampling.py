@@ -1105,6 +1105,98 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# x14 — epoch/repeat-factor planning (the data-constrained-scaling
+# step that precedes x10's selection): given a train-token BUDGET and
+# a target domain mixture, how many epochs of each domain does the
+# plan imply, and which domains exceed the useful-repetition limit
+# (~4 epochs — past that, repeated data's value decays sharply;
+# Muennighoff et al. 2023, "Scaling Data-Constrained Language
+# Models")? Production pipelines run exactly this arithmetic to decide
+# whether to relax dedup, widen crawls, or rebalance the mixture
+# before committing a training run.
+#
+# Scale: one corpus aggregate (token counts per domain — no explode,
+# a per-row size(split) map) + constant-size frames. All-integer
+# until the final division; the epoch flag compares the ROUNDED value
+# so both engines decide identically.
+
+EPOCH_BUDGET_MULT = 3  # token budget as a multiple of total corpus tokens
+MAX_GOOD_EPOCHS = 4.0
+
+
+def x14_epoch_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    mix_parts: dict[str, int] | None = None,
+    budget_mult: int = EPOCH_BUDGET_MULT,
+) -> DataFrame:
+    mix_parts = MIX_PARTS if mix_parts is None else mix_parts
+    mix_total = sum(mix_parts.values())
+    parts = F.create_map(*[F.lit(x) for kv in mix_parts.items() for x in kv])
+    docs = _docs(spark, sf_dir).select(
+        "lang", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ntok")
+    )
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("ntok").alias("n_tokens")
+    )
+    total = per.agg(F.sum("n_tokens").alias("corpus_tokens"))
+    epochs = F.round(
+        F.col("target_tokens").cast("double") / F.col("n_tokens"), 2
+    ) + F.lit(0.0)
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            parts[F.col("lang")].cast("int").alias("mix_part"),
+            F.floor(
+                F.col("corpus_tokens") * budget_mult * parts[F.col("lang")] / mix_total
+            ).alias("target_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "mix_part",
+            "target_tokens",
+            epochs.alias("epochs"),
+            (epochs > MAX_GOOD_EPOCHS).cast("int").alias("over_repeated"),
+        )
+    )
+
+
+def _x14_parts_sql() -> str:
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_PARTS.items())
+    return f"CASE lang {cases} END"
+
+
+def _x14_sql() -> str:
+    return f"""
+WITH per AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang
+),
+total AS (SELECT sum(n_tokens) AS corpus_tokens FROM per)
+SELECT lang, n_docs, n_tokens,
+       ({_x14_parts_sql()})::INTEGER AS mix_part,
+       target_tokens,
+       round(target_tokens::DOUBLE / n_tokens, 2) + 0.0 AS epochs,
+       CASE WHEN round(target_tokens::DOUBLE / n_tokens, 2) + 0.0
+                 > {MAX_GOOD_EPOCHS} THEN 1 ELSE 0 END AS over_repeated
+FROM (
+  SELECT lang, n_docs, n_tokens,
+         CAST(floor(corpus_tokens * {EPOCH_BUDGET_MULT}
+                    * ({_x14_parts_sql()}) / {MIX_TOTAL}) AS BIGINT)
+           AS target_tokens
+  FROM per CROSS JOIN total
+)
+"""
+
+
 QUERIES = {
     "x01_split_assign": x01_split_assign,
     "x02_cap_per_group": x02_cap_per_group,
@@ -1119,6 +1211,7 @@ QUERIES = {
     "x11_curriculum_buckets": x11_curriculum_buckets,
     "x12_repetition_gate": x12_repetition_gate,
     "x13_weighted_sample": x13_weighted_sample,
+    "x14_epoch_plan": x14_epoch_plan,
 }
 
 ORACLE = {
@@ -1135,4 +1228,5 @@ ORACLE = {
     "x11_curriculum_buckets": _X11_SQL.replace("{STOP}", _x11_stop_sql()),
     "x12_repetition_gate": _x12_sql(),
     "x13_weighted_sample": _x13_sql(),
+    "x14_epoch_plan": _x14_sql(),
 }

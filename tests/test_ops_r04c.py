@@ -128,6 +128,38 @@ def test_s13_pq_recalls_planted_neighbors(spark, tmp_path):
     assert len(got & planted) >= 9
 
 
+def test_x14_epoch_plan_matches_python_model_and_flags_over_repeat(spark):
+    """A mixture skewed toward a token-poor domain must imply >4
+    epochs for it (over_repeated=1); the arithmetic is verified
+    against a plain Python model of the same plan."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rfb_data_pipeline_spark.operators.sampling import x14_epoch_plan
+
+    sf = "/root/testdata/sf0.001"
+    parts = {"en": 1, "de": 1, "es": 1, "fr": 1, "zh": 20}
+    out = {r["lang"]: r for r in x14_epoch_plan(spark, sf, mix_parts=parts).collect()}
+
+    docs = spark.read.parquet(sf + "/documents.parquet").select(
+        "lang", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n")
+    )
+    toks = {
+        r["lang"]: r["s"]
+        for r in docs.groupBy("lang").agg(F.sum("n").alias("s")).collect()
+    }
+    corpus = sum(toks.values())
+    for lang, part in parts.items():
+        target = math.floor(corpus * 3 * part / sum(parts.values()))
+        assert out[lang]["target_tokens"] == target
+        epochs = round(target / toks[lang], 2)
+        assert abs(out[lang]["epochs"] - epochs) < 1e-9
+        assert out[lang]["over_repeated"] == (1 if epochs > 4.0 else 0)
+    assert out["zh"]["over_repeated"] == 1
+    assert out["en"]["over_repeated"] == 0
+
+
 def test_d15_equals_d07_on_the_corpus(spark):
     """Two independent CC algorithms over the same pair graph must
     produce identical cluster summaries (the strongest cross-check)."""
