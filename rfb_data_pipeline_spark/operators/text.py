@@ -1081,6 +1081,103 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# t16 — HTML boilerplate extraction (the trafilatura/jusText-shaped
+# first stage of every web-crawl corpus: markup → main text). The
+# synthetic corpus ships plain text, so — the t13/m05 pattern — both
+# engines SYNTHESIZE the identical HTML wrapper (head with title/
+# script/style, h1, the entity-escaped body, a comment, a footer with
+# entities) and then run the same extraction chain: drop the <head>
+# block, drop comments, strip tags, decode entities, collapse
+# whitespace. The escape→extract round-trip means the recovered body
+# must equal the normalized original — pinned in pytest; the driver
+# row hashes lengths, ratio and the content fingerprint.
+#
+# Scale: a pure per-row regexp/replace map over the scan — no shuffle,
+# no UDF; regexes are RE2-compatible ((?s) + non-greedy, no
+# lookaround) so Java and DuckDB agree byte-for-byte.
+
+
+def _t16_wrap(esc_text):  # shared by query + test
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        did,
+        F.lit('</title><script type="text/javascript">var id='),
+        did,
+        F.lit(";</script><style>.main{color:#333}</style></head><body><h1>Doc "),
+        did,
+        F.lit("</h1><p>"),
+        esc_text,
+        F.lit("</p><!-- auto-generated --><footer>&copy; 2026 Example &amp; Co</footer></body></html>"),
+    )
+
+
+def t16_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    esc = F.expr(
+        "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    )
+    html = _t16_wrap(esc)
+    r = F.regexp_replace(html, r"(?s)<head>.*?</head>", " ")
+    r = F.regexp_replace(r, r"(?s)<!--.*?-->", " ")
+    r = F.regexp_replace(r, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&copy;", "(c)"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&amp;", "&"),  # last, so escaped source text round-trips
+    ):
+        r = F.replace(r, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(r, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.length(html).alias("raw_len"),
+        F.length(clean).alias("text_len"),
+        (
+            F.round(F.length(clean).cast("double") / F.length(html), 4)
+            + F.lit(0.0)
+        ).alias("content_ratio"),
+        F.md5(clean).alias("content_fp"),
+    )
+
+
+_T16_SQL = """
+WITH wrapped AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || doc_id::VARCHAR
+         || '</title><script type="text/javascript">var id=' || doc_id::VARCHAR
+         || ';</script><style>.main{color:#333}</style></head><body><h1>Doc '
+         || doc_id::VARCHAR || '</h1><p>'
+         || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+         || '</p><!-- auto-generated --><footer>&copy; 2026 Example &amp; Co</footer></body></html>'
+           AS html
+  FROM documents
+),
+extracted AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(html, '(?s)<head>.*?</head>', ' '),
+                 '(?s)<!--.*?-->', ' '),
+               '<[^>]+>', ' ', 'g'),
+             '&copy;', '(c)'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS clean
+  FROM wrapped
+)
+SELECT doc_id,
+       length(html) AS raw_len,
+       length(clean) AS text_len,
+       round(length(clean)::DOUBLE / length(html), 4) + 0.0 AS content_ratio,
+       md5(clean) AS content_fp
+FROM extracted
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -1097,6 +1194,7 @@ QUERIES = {
     "t13_pii_redaction": t13_pii_redaction,
     "t14_bigram_surprisal": t14_bigram_surprisal,
     "t15_quality_classifier": t15_quality_classifier,
+    "t16_html_extract": t16_html_extract,
 }
 
 ORACLE = {
@@ -1115,4 +1213,5 @@ ORACLE = {
     "t13_pii_redaction": _t13_sql(),
     "t14_bigram_surprisal": _T14_SQL,
     "t15_quality_classifier": _T15_SQL,
+    "t16_html_extract": _T16_SQL,
 }

@@ -160,6 +160,38 @@ def test_x14_epoch_plan_matches_python_model_and_flags_over_repeat(spark):
     assert out["en"]["over_repeated"] == 0
 
 
+def test_t16_extraction_roundtrips_adversarial_text(spark, tmp_path):
+    """The escape→wrap→extract chain must recover the normalized
+    original body (plus the known h1/footer frame) even when the
+    source text contains markup metacharacters, entities-looking
+    strings, and messy whitespace."""
+    from pyspark.sql import functions as F
+
+    from rfb_data_pipeline_spark.operators.text import _t16_wrap, t16_html_extract
+
+    texts = {
+        1: "plain words only here",
+        2: "angle <brackets> and & ampersand and a fake <script>alert(1)</script>",
+        3: "already-escaped-looking &amp;lt; stays literal",
+        4: "messy   \t whitespace\n\n  everywhere",
+    }
+    rows = [(k, v, "en", "s") for k, v in texts.items()]
+    d = str(tmp_path / "t16")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(d + "/documents.parquet")
+
+    out = {r["doc_id"]: r for r in t16_html_extract(spark, d).collect()}
+    import hashlib
+    import re
+
+    for k, v in texts.items():
+        norm = re.sub(r"\s+", " ", v).strip()
+        expected = f"Doc {k} {norm} (c) 2026 Example & Co"
+        assert out[k]["content_fp"] == hashlib.md5(expected.encode()).hexdigest(), k
+        assert out[k]["text_len"] == len(expected)
+
+
 def test_d15_equals_d07_on_the_corpus(spark):
     """Two independent CC algorithms over the same pair graph must
     produce identical cluster summaries (the strongest cross-check)."""
