@@ -121,22 +121,30 @@ def _ops() -> dict:
         d03_minhash_lsh,
         d05_simhash_pairs,
         d13_duplicate_spans,
+        d15_cc_star,
     )
     from rfb_data_pipeline_spark.operators.sampling import x09_pack_sequences
     from rfb_data_pipeline_spark.operators.similarity import (
         s06_near_dup_pairs_banded,
         s10_semantic_dedup,
+        s13_pq_ann,
     )
-    from rfb_data_pipeline_spark.operators.text import t11_unigram_surprisal
+    from rfb_data_pipeline_spark.operators.text import (
+        t11_unigram_surprisal,
+        t15_quality_classifier,
+    )
 
     return {
         "d13": d13_duplicate_spans,
         "d03": d03_minhash_lsh,
         "d05": d05_simhash_pairs,
+        "d15": d15_cc_star,
         "x09": x09_pack_sequences,
         "t11": t11_unigram_surprisal,
+        "t15": t15_quality_classifier,
         "s06": s06_near_dup_pairs_banded,
         "s10": s10_semantic_dedup,
+        "s13": s13_pq_ann,
     }
 
 
