@@ -59,6 +59,11 @@ HEADLINE = [
     "x11_curriculum_buckets",
     "s11_batch_knn",
     "e16_stream_replay",
+    "d15_cc_star",
+    "t15_quality_classifier",
+    "t16_html_extract",
+    "s13_pq_ann",
+    "x14_epoch_plan",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

@@ -1144,15 +1144,18 @@ def x14_epoch_plan(
     epochs = F.round(
         F.col("target_tokens").cast("double") / F.col("n_tokens"), 2
     ) + F.lit(0.0)
+    # languages outside the mixture get part 0 (present in the corpus,
+    # absent from the plan) — not NULL arithmetic
+    part = F.coalesce(parts[F.col("lang")], F.lit(0))
     return (
         per.crossJoin(F.broadcast(total))
         .select(
             "lang",
             "n_docs",
             "n_tokens",
-            parts[F.col("lang")].cast("int").alias("mix_part"),
+            part.cast("int").alias("mix_part"),
             F.floor(
-                F.col("corpus_tokens") * budget_mult * parts[F.col("lang")] / mix_total
+                F.col("corpus_tokens") * budget_mult * part / mix_total
             ).alias("target_tokens"),
         )
         .select(
@@ -1169,7 +1172,7 @@ def x14_epoch_plan(
 
 def _x14_parts_sql() -> str:
     cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_PARTS.items())
-    return f"CASE lang {cases} END"
+    return f"CASE lang {cases} ELSE 0 END"
 
 
 def _x14_sql() -> str:

@@ -989,10 +989,13 @@ def t15_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cn").alias("tn"),
         F.count(F.lit(1)).cast("double").alias("v"),
     )
+    # add-one smoothing on the prior too: a single-class seed (every
+    # doc passes — or fails — the gate) must yield a finite prior, not
+    # ln(x/0)
     prior = seed.agg(
         F.log(
-            F.sum(F.col("label")).cast("double")
-            / F.sum(1 - F.col("label")).cast("double")
+            (F.sum(F.col("label")) + 1).cast("double")
+            / (F.sum(1 - F.col("label")) + 1).cast("double")
         ).alias("prior")
     )
     tf = (
@@ -1057,7 +1060,8 @@ totals AS (
   SELECT sum(cp) AS tp, sum(cn) AS tn, count(*)::DOUBLE AS v FROM cls
 ),
 prior AS (
-  SELECT ln(sum(label)::DOUBLE / sum(1 - label)::DOUBLE) AS prior FROM seed
+  SELECT ln((sum(label) + 1)::DOUBLE / (sum(1 - label) + 1)::DOUBLE) AS prior
+  FROM seed
 ),
 tf AS (
   SELECT doc_id, term, count(*) AS tf FROM (

@@ -40,6 +40,9 @@ _PROBED = [
     "d02_ngram_jaccard",
     "x05_corpus_curation",
     "x13_weighted_sample",
+    "t15_quality_classifier",  # single-class seed → smoothed-prior path
+    "t16_html_extract",  # markup metachars inside source text
+    "x14_epoch_plan",  # lang outside the mixture → part-0 path
 ]
 
 _ROWS = [
