@@ -1,0 +1,103 @@
+"""Materialized ANN index layouts: probe parity with the query-time
+operators (s02/s05) and the partition-pruning plan claims."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from rfb_data_pipeline_spark.operators.similarity import QUERY_VEC_ID
+from rfb_data_pipeline_spark.pipeline.ann_index import (
+    probe_ivf_index,
+    probe_lsh_index,
+    query_buckets,
+    write_ivf_index,
+    write_lsh_index,
+)
+from rfb_data_pipeline_spark.plans import inspect as pi
+
+SF = "/root/testdata/sf0.001"
+
+
+def _query_vec(spark):
+    return (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .collect()[0]["embedding"]
+    )
+
+
+def test_lsh_index_probe_matches_s02(spark, tmp_path):
+    from rfb_data_pipeline_spark.operators.similarity import s02_ann_lsh
+
+    path = str(tmp_path / "lsh_idx")
+    write_lsh_index(spark, SF, path)
+    qvec = _query_vec(spark)
+    probe = probe_lsh_index(
+        spark, path, qvec, exclude_vec_id=QUERY_VEC_ID
+    ).collect()
+    direct = s02_ann_lsh(spark, SF).collect()
+    assert [tuple(r) for r in probe] == [tuple(r) for r in direct]
+
+
+def test_lsh_probe_scan_is_partition_pruned(spark, tmp_path):
+    path = str(tmp_path / "lsh_idx2")
+    write_lsh_index(spark, SF, path)
+    qvec = _query_vec(spark)
+    probe = probe_lsh_index(spark, path, qvec, exclude_vec_id=QUERY_VEC_ID)
+    plan = pi.explain_string(probe, "formatted")
+    # the scan must push the (t, bucket) literals into PartitionFilters
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "t" in seg and "bucket" in seg
+    # and the layout on disk is the partitioned directory tree
+    assert any(d.startswith("t=") for d in os.listdir(path))
+
+
+def test_lsh_probe_reads_fraction_of_files(spark, tmp_path):
+    """The probe must open only its bucket directories — the measured
+    scan fraction, not just the plan string."""
+    path = str(tmp_path / "lsh_idx3")
+    write_lsh_index(spark, SF, path)
+    qvec = _query_vec(spark)
+    pairs = set(query_buckets(qvec))
+    all_dirs = 0
+    probe_dirs = 0
+    for t_dir in os.listdir(path):
+        if not t_dir.startswith("t="):
+            continue
+        t = int(t_dir.split("=")[1])
+        for b_dir in os.listdir(os.path.join(path, t_dir)):
+            if not b_dir.startswith("bucket="):
+                continue
+            all_dirs += 1
+            if (t, int(b_dir.split("=")[1])) in pairs:
+                probe_dirs += 1
+    assert probe_dirs == len(pairs)
+    # 16 tables x 2^6 buckets: the probe touches a small fraction of
+    # the populated directories
+    assert probe_dirs / all_dirs < 0.25
+
+
+def test_ivf_index_probe_matches_s05(spark, tmp_path):
+    from rfb_data_pipeline_spark.operators.similarity import s05_ann_ivf
+
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(spark, SF, path)
+    qvec = _query_vec(spark)
+    probe = probe_ivf_index(
+        spark, path, qvec, exclude_vec_id=QUERY_VEC_ID
+    ).collect()
+    direct = s05_ann_ivf(spark, SF).collect()
+    assert [tuple(r) for r in probe] == [tuple(r) for r in direct]
+
+
+def test_ivf_probe_scan_is_partition_pruned(spark, tmp_path):
+    path = str(tmp_path / "ivf_idx2")
+    write_ivf_index(spark, SF, path)
+    qvec = _query_vec(spark)
+    probe = probe_ivf_index(spark, path, qvec, exclude_vec_id=QUERY_VEC_ID)
+    plan = pi.explain_string(probe, "formatted")
+    assert "PartitionFilters" in plan
+    assert "label" in plan.split("PartitionFilters")[1].split("]")[0]
