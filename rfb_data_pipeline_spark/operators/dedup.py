@@ -476,6 +476,105 @@ WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 2
 
 
 # --------------------------------------------------------------------------
+# 64-bit SimHash (the d05 docstring's sizing rule, realized): random
+# hamming-≤2 collisions at 64 bits occur at ~(1+64+2016)/2^64 ≈
+# 1.1e-16 per pair — negligible for any realistic corpus, where the
+# 32-bit rate (~1.3e-6) drowns true pairs past ~1e5 docs (measured,
+# tools/scale_check.py). The fingerprint is TWO 32-bit words (hi from
+# nibble bit 2, lo from nibble bit 3 of the same md5 — 64 independent
+# bits) because a single signed long cannot carry bit 63 under ANSI
+# arithmetic; banding generalizes to the 8 bytes across both words
+# (hamming ≤ 2 ⇒ ≥ 6 identical bytes ⇒ equi-join candidates, exactly
+# the d05 shape). Not driver-registered — the 32-bit oracle twin pins
+# the exact constant; this variant is pinned by an exact Python-model
+# parity test plus the measured noise-collapse test.
+
+
+def _simhash_wide_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_docs(spark, sf_dir))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    h = F.md5("w")
+    chunks = [
+        F.conv(F.substring(h, 8 * j + 1, 8), 16, 10).cast("long").alias(f"c{j}")
+        for j in range(4)
+    ]
+    tokc = tok.select("doc_id", *chunks)
+    votes = []
+    for i in range(32):
+        j, k = divmod(i, 8)
+        for word, bitoff in (("lo", 3), ("hi", 2)):
+            bitpos = (7 - k) * 4 + bitoff
+            votes.append(
+                (
+                    F.shiftrightunsigned(F.col(f"c{j}"), bitpos).bitwiseAND(
+                        F.lit(1)
+                    )
+                    * 2
+                    - 1
+                ).alias(f"{word}{i}")
+            )
+    bits = tokc.select("doc_id", *votes)
+    agg = bits.groupBy("doc_id").agg(
+        *[
+            F.sum(f"{w}{i}").alias(f"s_{w}{i}")
+            for i in range(32)
+            for w in ("lo", "hi")
+        ]
+    )
+    out = []
+    for word in ("hi", "lo"):
+        fp = None
+        for i in range(32):
+            term = F.when(F.col(f"s_{word}{i}") > 0, F.lit(1 << i)).otherwise(0)
+            fp = term if fp is None else fp + term
+        out.append(fp.cast("long").alias(word))
+    return agg.select("doc_id", *out)
+
+
+def simhash_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d05 at 64-bit width: same byte-pigeonhole banding over the
+    8 bytes of (hi, lo), same verify-before-distinct ordering."""
+    sim = _simhash_wide_df(spark, sf_dir).localCheckpoint(eager=True)
+    byte_of = [
+        F.shiftrightunsigned(F.col("lo" if i < 4 else "hi"), 8 * (i % 4))
+        .bitwiseAND(F.lit(255))
+        for i in range(8)
+    ]
+    banded = sim.select(
+        "doc_id",
+        "hi",
+        "lo",
+        F.posexplode(F.array(*byte_of)).alias("byte_idx", "byte_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+        "byte_idx",
+        "byte_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+        "byte_idx",
+        "byte_val",
+    )
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    return (
+        a.join(b, ["byte_idx", "byte_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 2)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
 # d06 — incremental (cross-snapshot) dedup: dedup a NEW crawl batch
 # against the EXISTING corpus without re-deduping the corpus itself —
 # the shape every recurring ingestion runs. Here the corpus/batch

@@ -192,6 +192,80 @@ def test_t16_extraction_roundtrips_adversarial_text(spark, tmp_path):
         assert out[k]["text_len"] == len(expected)
 
 
+def test_simhash_wide_matches_python_model(spark, tmp_path):
+    """64-bit fingerprints (hi, lo) must equal an independent Python
+    md5-vote model bit-for-bit."""
+    import hashlib
+    import re
+
+    from rfb_data_pipeline_spark.operators.dedup import _simhash_wide_df
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "pack my box with five dozen liquor jugs today",
+        3: "the quick brown fox jumps over the lazy dog",  # dup of 1
+        4: "numbers 123 456 789 and symbols #$% here",
+    }
+    d = str(tmp_path / "sw")
+    spark.createDataFrame(
+        [(k, v, "en", "s") for k, v in texts.items()],
+        "doc_id bigint, text string, lang string, source string",
+    ).write.parquet(d + "/documents.parquet")
+
+    def model(text):
+        lo_v, hi_v = [0] * 32, [0] * 32
+        for w in re.split(r"\s+", text.strip()):
+            h = hashlib.md5(w.encode()).hexdigest()
+            for i in range(32):
+                v = int(h[i], 16)
+                lo_v[i] += 1 if (v >> 3) & 1 else -1
+                hi_v[i] += 1 if (v >> 2) & 1 else -1
+        lo = sum(1 << i for i in range(32) if lo_v[i] > 0)
+        hi = sum(1 << i for i in range(32) if hi_v[i] > 0)
+        return hi, lo
+
+    got = {r["doc_id"]: (r["hi"], r["lo"]) for r in _simhash_wide_df(spark, d).collect()}
+    for k, v in texts.items():
+        assert got[k] == model(v), k
+    assert got[1] == got[3]  # exact dup -> identical fingerprint
+
+
+def test_simhash_64bit_collapses_noise_pairs(spark, tmp_path):
+    """On a corpus large enough for 32-bit random collisions, the
+    64-bit pairs are a strict subset (hamming64 >= hamming-on-lo, and
+    the lo word IS the 32-bit fingerprint): planted duplicates survive
+    at both widths, noise pairs collapse at 64."""
+    import random
+
+    from rfb_data_pipeline_spark.operators.dedup import (
+        d05_simhash_pairs,
+        simhash_pairs_wide,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(4000)]
+    rows = []
+    for i in range(5000):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(10)), "en", "s"))
+    # planted exact duplicates (hamming 0 at any width)
+    for j in range(5):
+        rows.append((10000 + j, rows[j][1], "en", "s"))
+    d = str(tmp_path / "noise")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(d + "/documents.parquet")
+
+    p32 = {(r["doc_a"], r["doc_b"]) for r in d05_simhash_pairs(spark, d).collect()}
+    p64 = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs_wide(spark, d).collect()}
+    planted = {(j, 10000 + j) for j in range(5)}
+    assert planted <= p64 and planted <= p32
+    assert p64 <= p32  # ham64 <= 2 implies ham(lo) <= 2
+    # the 32-bit width admits random collisions at this corpus size;
+    # 64-bit collapses them
+    assert len(p32) > len(p64)
+    assert len(p64 - planted) <= 2
+
+
 def test_d15_equals_d07_on_the_corpus(spark):
     """Two independent CC algorithms over the same pair graph must
     produce identical cluster summaries (the strongest cross-check)."""
