@@ -963,8 +963,10 @@ GROUP BY lang
 SEED_MOD = 3  # doc_id % SEED_MOD == 0 → labeled seed document
 
 
-def t15_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+def nb_train(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the NB model from the doc_id%SEED_MOD seed: (cls, totals,
+    prior) frames. ONE copy of the training math — t15 and the
+    streaming scorer both call this, so the paths cannot drift."""
     toks = tokens_col()
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     n_tokens = F.size(toks)
@@ -975,8 +977,9 @@ def t15_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (n_stop.cast("double") / n_tokens >= 0.01)
         & (digits.cast("double") / F.length("text") <= 0.3)
     ).cast("int")
-    labeled = docs.select("doc_id", "text", label.alias("label"))
-    seed = labeled.filter(F.col("doc_id") % SEED_MOD == 0)
+    seed = docs.select("doc_id", "text", label.alias("label")).filter(
+        F.col("doc_id") % SEED_MOD == 0
+    )
     seed_terms = seed.select(
         "label", F.explode(tokens_col()).alias("term")
     ).filter(F.length("term") > 0)
@@ -998,8 +1001,16 @@ def t15_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum(1 - F.col("label")) + 1).cast("double")
         ).alias("prior")
     )
+    return cls, totals, prior
+
+
+def nb_score(
+    docs: DataFrame, cls: DataFrame, totals: DataFrame, prior: DataFrame
+) -> DataFrame:
+    """Score documents against a trained NB model. Works on a static
+    frame OR a micro-batch (no reference to the training corpus)."""
     tf = (
-        labeled.select("doc_id", F.explode(tokens_col()).alias("term"))
+        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
         .filter(F.length("term") > 0)
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -1030,6 +1041,12 @@ def t15_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nb_logodds",
         (F.col("nb_logodds") > 0).cast("int").alias("pred_quality"),
     )
+
+
+def t15_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cls, totals, prior = nb_train(docs)
+    return nb_score(docs, cls, totals, prior)
 
 
 _T15_SQL = f"""
