@@ -1276,9 +1276,18 @@ def cc_star(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> DataFrame:
             .filter(F.col("c") != F.col("m"))
             .select(F.col("c").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        edges = small
+        # Right-size the next round to the MEASURED edge count (known
+        # from the fixpoint action anyway): near-dup graphs shrink
+        # fast, and running every round at the full shuffle width pays
+        # 32 tasks/stage to move a few hundred rows. ~50k edges/
+        # partition; full width returns automatically on big rounds.
+        target = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        if prev is not None:
+            target = max(1, min(target, prev[0] // 50_000 + 1))
+        edges = small.coalesce(target).localCheckpoint(eager=True)
         cur = checksum(edges)
         if cur == prev:
             break

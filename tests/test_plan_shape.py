@@ -288,6 +288,7 @@ _SINGLE_PARTITION_OK = {
     "x11_curriculum_buckets",  # 1-row bounds + 32-row band offsets (q29 shape)
     "t12_zipf_slope",  # rank/regression over the constant 40-row head
     "t15_quality_classifier",  # 1-row vocab-totals + 1-row prior frames
+    "x14_epoch_plan",  # 1-row corpus-token-total frame
 }
 
 
