@@ -316,54 +316,76 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 # positive. Near-identical docs land within small Hamming distance.
 
 
-def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Bit votes run PER OCCURRENCE in one codegen'd map (md5 + 32
-    # nibble tests per token) straight into the keyed aggregate's
-    # map-side partials — one shuffle, no join, no distinct. A
-    # vocabulary-level variant (hash distinct tokens once, broadcast-
-    # join the ±1 vectors back) was faster when the post-shuffle
-    # stages ran coalesced (round 1), but with full stage parallelism
-    # the extra vocab shuffle + broadcast costs more than the repeated
-    # md5s (1.5s vs 2.3s at sf0.1, bit-identical results — a vote per
-    # occurrence equals the occurrence-weighted vocab vote). The
-    # per-occurrence form also has no broadcast size cliff at web
-    # scale.
+def _simhash_words_df(
+    spark: SparkSession, sf_dir: str, words: tuple[tuple[str, int], ...]
+) -> DataFrame:
+    """(doc_id, <word>…): one 32-bit fingerprint column per
+    (name, nibble_bit) spec, all from the SAME md5 votes — the single
+    copy of the bit math behind the 32-bit (d04/d05, nibble bit 3) and
+    64-bit hi/lo (bits 2+3) fingerprints, so the widths cannot drift.
+
+    Bit votes run PER OCCURRENCE in one codegen'd map (md5 + nibble
+    tests per token) straight into the keyed aggregate's map-side
+    partials — one shuffle, no join, no distinct. A vocabulary-level
+    variant (hash distinct tokens once, broadcast-join the ±1 vectors
+    back) was faster when the post-shuffle stages ran coalesced
+    (round 1), but with full stage parallelism the extra vocab shuffle
+    + broadcast costs more than the repeated md5s (1.5s vs 2.3s at
+    sf0.1, bit-identical results — a vote per occurrence equals the
+    occurrence-weighted vocab vote). The per-occurrence form also has
+    no broadcast size cliff at web scale.
+
+    Bit extraction is integer math, not string ops: the 32-hex-char
+    digest becomes four 32-bit ints (one conv per 8-char chunk), and
+    nibble i's bit ``b`` is (chunk >> ((7 - i%8)*4 + b)) & 1.
+    Replacing substring+isin string comparisons per token with 4
+    convs + shifts measured 2.3x on this stage at sf0.1,
+    bit-identical.
+    """
     docs = _spread(_docs(spark, sf_dir))
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )
     h = F.md5("w")
-    # Bit extraction is integer math, not string ops: the 32-hex-char
-    # digest becomes four 32-bit ints (one conv per 8-char chunk), and
-    # nibble i's high bit — the same bit the one-char substring/isin
-    # form tested — is (chunk >> ((7 - i%8)*4 + 3)) & 1. Replacing 32
-    # substring+isin string comparisons per token with 4 convs + 32
-    # shifts measured 2.3x on this stage at sf0.1, bit-identical.
     chunks = [
         F.conv(F.substring(h, 8 * j + 1, 8), 16, 10).cast("long").alias(f"c{j}")
         for j in range(4)
     ]
     tokc = tok.select("doc_id", *chunks)
     votes = []
-    for i in range(32):
-        j, k = divmod(i, 8)
-        bitpos = (7 - k) * 4 + 3
-        votes.append(
-            (
-                F.shiftrightunsigned(F.col(f"c{j}"), bitpos).bitwiseAND(F.lit(1))
-                * 2
-                - 1
-            ).alias(f"b{i}")
-        )
+    for name, bitoff in words:
+        for i in range(32):
+            j, k = divmod(i, 8)
+            bitpos = (7 - k) * 4 + bitoff
+            votes.append(
+                (
+                    F.shiftrightunsigned(F.col(f"c{j}"), bitpos).bitwiseAND(
+                        F.lit(1)
+                    )
+                    * 2
+                    - 1
+                ).alias(f"b_{name}{i}")
+            )
     bits = tokc.select("doc_id", *votes)
     agg = bits.groupBy("doc_id").agg(
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(32)]
+        *[
+            F.sum(f"b_{name}{i}").alias(f"s_{name}{i}")
+            for name, _ in words
+            for i in range(32)
+        ]
     )
-    fingerprint = None
-    for i in range(32):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return agg.select("doc_id", fingerprint.cast("long").alias("simhash"))
+    out = []
+    for name, _ in words:
+        fp = None
+        for i in range(32):
+            term = F.when(F.col(f"s_{name}{i}") > 0, F.lit(1 << i)).otherwise(0)
+            fp = term if fp is None else fp + term
+        out.append(fp.cast("long").alias(name))
+    return agg.select("doc_id", *out)
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_words_df(spark, sf_dir, (("simhash", 3),))
 
 
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,43 +447,54 @@ def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Checkpoint: the fingerprint agg feeds both join sides; without it
     # the doc scan + simhash aggregation run twice.
     sim = _simhash_df(spark, sf_dir).localCheckpoint(eager=True)
+    return _banded_hamming_pairs(sim, ("simhash",))
+
+
+def _banded_hamming_pairs(
+    sim: DataFrame, fp_cols: tuple[str, ...], max_hamming: int = 2
+) -> DataFrame:
+    """Byte-pigeonhole candidate join + exact Hamming verify over any
+    number of 32-bit fingerprint words — the one copy of the d05 pair
+    shape, shared by the 32-bit and 64-bit widths.
+
+    Verify BEFORE deduplicating: a qualifying pair shares >= 2 bytes
+    so it surfaces from >= 2 buckets, but the bit_count filter is a
+    per-row map while distinct() is a shuffle — running the filter
+    first shrinks the distinct's input from the full candidate set
+    (quadratic within skewed buckets) to just the true pairs
+    (measured 3x on this stage at sf0.1).
+    """
+    byte_of = [
+        F.shiftrightunsigned(F.col(c), 8 * i).bitwiseAND(F.lit(255))
+        for c in fp_cols
+        for i in range(4)
+    ]
     banded = sim.select(
         "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), 8 * i)
-                    .bitwiseAND(F.lit(255))
-                    for i in range(4)
-                ]
-            )
-        ).alias("byte_idx", "byte_val"),
+        *fp_cols,
+        F.posexplode(F.array(*byte_of)).alias("byte_idx", "byte_val"),
     )
     a = banded.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("sim_a"),
+        *[F.col(c).alias(f"{c}_a") for c in fp_cols],
         "byte_idx",
         "byte_val",
     )
     b = banded.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sim_b"),
+        *[F.col(c).alias(f"{c}_b") for c in fp_cols],
         "byte_idx",
         "byte_val",
     )
-    # Verify BEFORE deduplicating: a qualifying pair shares >= 2 bytes
-    # so it surfaces from >= 2 buckets, but the bit_count filter is a
-    # per-row map while distinct() is a shuffle — running the filter
-    # first shrinks the distinct's input from the full candidate set
-    # (quadratic within skewed buckets) to just the true pairs
-    # (measured 3x on this stage at sf0.1).
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    ham = None
+    for c in fp_cols:
+        term = F.bit_count(F.col(f"{c}_a").bitwiseXOR(F.col(f"{c}_b")))
+        ham = term if ham is None else ham + term
     return (
         a.join(b, ["byte_idx", "byte_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= 2)
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
 
@@ -491,87 +524,15 @@ WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 2
 
 
 def _simhash_wide_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(_docs(spark, sf_dir))
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
-    )
-    h = F.md5("w")
-    chunks = [
-        F.conv(F.substring(h, 8 * j + 1, 8), 16, 10).cast("long").alias(f"c{j}")
-        for j in range(4)
-    ]
-    tokc = tok.select("doc_id", *chunks)
-    votes = []
-    for i in range(32):
-        j, k = divmod(i, 8)
-        for word, bitoff in (("lo", 3), ("hi", 2)):
-            bitpos = (7 - k) * 4 + bitoff
-            votes.append(
-                (
-                    F.shiftrightunsigned(F.col(f"c{j}"), bitpos).bitwiseAND(
-                        F.lit(1)
-                    )
-                    * 2
-                    - 1
-                ).alias(f"{word}{i}")
-            )
-    bits = tokc.select("doc_id", *votes)
-    agg = bits.groupBy("doc_id").agg(
-        *[
-            F.sum(f"{w}{i}").alias(f"s_{w}{i}")
-            for i in range(32)
-            for w in ("lo", "hi")
-        ]
-    )
-    out = []
-    for word in ("hi", "lo"):
-        fp = None
-        for i in range(32):
-            term = F.when(F.col(f"s_{word}{i}") > 0, F.lit(1 << i)).otherwise(0)
-            fp = term if fp is None else fp + term
-        out.append(fp.cast("long").alias(word))
-    return agg.select("doc_id", *out)
+    return _simhash_words_df(spark, sf_dir, (("hi", 2), ("lo", 3)))
 
 
 def simhash_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d05 at 64-bit width: same byte-pigeonhole banding over the
-    8 bytes of (hi, lo), same verify-before-distinct ordering."""
+    8 bytes of (hi, lo), same verify-before-distinct ordering — both
+    via the shared helpers, so the widths cannot drift."""
     sim = _simhash_wide_df(spark, sf_dir).localCheckpoint(eager=True)
-    byte_of = [
-        F.shiftrightunsigned(F.col("lo" if i < 4 else "hi"), 8 * (i % 4))
-        .bitwiseAND(F.lit(255))
-        for i in range(8)
-    ]
-    banded = sim.select(
-        "doc_id",
-        "hi",
-        "lo",
-        F.posexplode(F.array(*byte_of)).alias("byte_idx", "byte_val"),
-    )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("hi").alias("hi_a"),
-        F.col("lo").alias("lo_a"),
-        "byte_idx",
-        "byte_val",
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("hi").alias("hi_b"),
-        F.col("lo").alias("lo_b"),
-        "byte_idx",
-        "byte_val",
-    )
-    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
-        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
-    )
-    return (
-        a.join(b, ["byte_idx", "byte_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= 2)
-        .distinct()
-    )
+    return _banded_hamming_pairs(sim, ("hi", "lo"))
 
 
 # --------------------------------------------------------------------------
@@ -636,6 +597,19 @@ GROUP BY source
 MAX_CC_ITERS = 15
 
 
+def _cluster_summary(labels: DataFrame) -> DataFrame:
+    """(doc_id, label) → per-cluster summary. ONE copy shared by d07
+    and d15: the two CC algorithms share an oracle, so their output
+    shaping must be the same code."""
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - 1).alias("n_redundant"),
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ","
+        ).alias("members"),
+    )
+
+
 def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d02_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
@@ -675,13 +649,7 @@ def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:
         raise RuntimeError(f"CC did not converge in {MAX_CC_ITERS} rounds")
-    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.count(F.lit(1)) - 1).alias("n_redundant"),
-        F.array_join(
-            F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ","
-        ).alias("members"),
-    )
+    return _cluster_summary(labels)
 
 
 _D07_SQL = f"""
@@ -1259,18 +1227,13 @@ def cc_star(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> DataFrame:
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        # SMALL-STAR on big→small oriented edges: for each u, link
-        # every smaller neighbor (and u itself) to the smallest one.
-        oriented = (
-            large.select(
-                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-            )
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        smin = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        # SMALL-STAR: for each u, link every smaller neighbor (and u
+        # itself) to the smallest one. Large-star output is already
+        # big→small oriented (each emitted edge is (v, m) with
+        # m ≤ u < v) and already distinct — no re-orientation pass.
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
         small = (
-            oriented.join(smin, "u")
+            large.join(smin, "u")
             .select(F.col("v").alias("c"), "m")
             .union(smin.select(F.col("u").alias("c"), "m"))
             .filter(F.col("c") != F.col("m"))
@@ -1307,14 +1270,7 @@ def d15_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d02_ngram_jaccard(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    labels = cc_star(pairs)
-    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.count(F.lit(1)) - 1).alias("n_redundant"),
-        F.array_join(
-            F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ","
-        ).alias("members"),
-    )
+    return _cluster_summary(cc_star(pairs))
 
 
 QUERIES = {

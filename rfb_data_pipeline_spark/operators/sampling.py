@@ -240,7 +240,7 @@ EVAL_MOD = 97  # doc_id % 97 == 0 → held-out benchmark slice (as d08)
 
 def x05_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rfb_data_pipeline_spark.operators.dedup import _doc_shingles
-    from rfb_data_pipeline_spark.operators.text import STOPWORDS_EN, tokens_col
+    from rfb_data_pipeline_spark.operators.text import quality_gate, tokens_col
 
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
@@ -250,23 +250,10 @@ def x05_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(F.md5(F.col("text")))
     keep_dedup = (F.col("doc_id") == F.min("doc_id").over(w)).cast("int")
 
-    # Stage 2 — quality gate (t02's Gopher/C4-style rules, pure map).
-    toks = tokens_col()
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    n_tokens = F.size(toks)
-    stop_ratio = (
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
-            "double"
-        )
-        / n_tokens
-    )
-    digit_ratio = (
-        F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double")
-        / F.length("text")
-    )
-    quality = (
-        (n_tokens >= 10) & (stop_ratio >= 0.01) & (digit_ratio <= 0.3)
-    ).cast("int")
+    # Stage 2 — quality gate (t02's Gopher/C4-style rules, pure map;
+    # one copy, text.quality_gate).
+    n_tokens = F.size(tokens_col())
+    quality = quality_gate().cast("int")
 
     # Stage 3 — decontamination: any 3-gram shared with the held-out
     # slice taints the doc (d08's broadcast-able semi-join shape).
@@ -1141,9 +1128,17 @@ def x14_epoch_plan(
         F.count(F.lit(1)).alias("n_docs"), F.sum("ntok").alias("n_tokens")
     )
     total = per.agg(F.sum("n_tokens").alias("corpus_tokens"))
-    epochs = F.round(
-        F.col("target_tokens").cast("double") / F.col("n_tokens"), 2
-    ) + F.lit(0.0)
+    # floor(x*100+0.5)/100, not round(x, 2): the ratio of two integers
+    # CAN land exactly on a .xx5 tie and the engines' round() disagrees
+    # on ties (the s07 precedent) — this spelling is identical IEEE
+    # arithmetic on both sides
+    epochs = (
+        F.floor(
+            F.col("target_tokens").cast("double") / F.col("n_tokens") * 100
+            + F.lit(0.5)
+        )
+        / F.lit(100.0)
+    )
     # languages outside the mixture get part 0 (present in the corpus,
     # absent from the plan) — not NULL arithmetic
     part = F.coalesce(parts[F.col("lang")], F.lit(0))
@@ -1187,8 +1182,8 @@ total AS (SELECT sum(n_tokens) AS corpus_tokens FROM per)
 SELECT lang, n_docs, n_tokens,
        ({_x14_parts_sql()})::INTEGER AS mix_part,
        target_tokens,
-       round(target_tokens::DOUBLE / n_tokens, 2) + 0.0 AS epochs,
-       CASE WHEN round(target_tokens::DOUBLE / n_tokens, 2) + 0.0
+       floor(target_tokens::DOUBLE / n_tokens * 100 + 0.5) / 100.0 AS epochs,
+       CASE WHEN floor(target_tokens::DOUBLE / n_tokens * 100 + 0.5) / 100.0
                  > {MAX_GOOD_EPOCHS} THEN 1 ELSE 0 END AS over_repeated
 FROM (
   SELECT lang, n_docs, n_tokens,

@@ -36,6 +36,23 @@ def tokens_col(col: str = "text"):
     return F.split(F.trim(F.col(col)), r"\s+")
 
 
+def quality_gate(col: str = "text"):
+    """t02's keep/drop gate (≥10 tokens, ≥1% stopwords, ≤30% digits)
+    as ONE shared boolean Column — t02's flag, x05's funnel stage, the
+    streaming funnel's rule, and the t15/NB seed labels all call this,
+    so the gate cannot drift between consumers."""
+    toks = tokens_col(col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    digits = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    return (
+        (n_tokens >= 10)
+        & (n_stop.cast("double") / n_tokens >= 0.01)
+        & (digits.cast("double") / F.length(col) <= 0.3)
+    )
+
+
 # --------------------------------------------------------------------------
 # t01 — token statistics per document.
 
@@ -97,9 +114,7 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_ratio, 4).alias("stop_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(digit_ratio, 4).alias("digit_ratio"),
-        ((n_tokens >= 10) & (stop_ratio >= 0.01) & (digit_ratio <= 0.3))
-        .cast("int")
-        .alias("passes_quality"),
+        quality_gate().cast("int").alias("passes_quality"),
     )
 
 
@@ -967,18 +982,13 @@ def nb_train(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the NB model from the doc_id%SEED_MOD seed: (cls, totals,
     prior) frames. ONE copy of the training math — t15 and the
     streaming scorer both call this, so the paths cannot drift."""
-    toks = tokens_col()
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
-    label = (
-        (n_tokens >= 10)
-        & (n_stop.cast("double") / n_tokens >= 0.01)
-        & (digits.cast("double") / F.length("text") <= 0.3)
-    ).cast("int")
-    seed = docs.select("doc_id", "text", label.alias("label")).filter(
-        F.col("doc_id") % SEED_MOD == 0
+    # NULL-text seed docs are excluded EXPLICITLY (and identically in
+    # the SQL twin): a nullable gate would silently drop them from the
+    # Spark sums while a CASE would count them as negatives.
+    seed = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", "text", quality_gate().cast("int").alias("label"))
+        .filter(F.col("doc_id") % SEED_MOD == 0)
     )
     seed_terms = seed.select(
         "label", F.explode(tokens_col()).alias("term")
@@ -1060,7 +1070,7 @@ WITH lbl AS (
                    / length(text) <= 0.3
               THEN 1 ELSE 0 END AS label
   FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
-        FROM documents)
+        FROM documents WHERE text IS NOT NULL)
 ),
 seed AS (SELECT * FROM lbl WHERE doc_id % {SEED_MOD} = 0),
 seed_terms AS (

@@ -131,19 +131,18 @@ def probe_lsh_index(
 
 def write_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Cell-partitioned IVF layout (s05's cells = the label clusters)
-    plus the KB-sized centroid sidecar the probe scores first."""
+    plus the KB-sized centroid sidecar the probe scores first. The
+    sidecar uses the ONE copy of the centroid math
+    (similarity.centroid_arrays — decimal-exact, order-independent
+    sums), same as the streaming ingest path."""
+    from rfb_data_pipeline_spark.operators.similarity import centroid_arrays
+
     emb = _emb(spark, sf_dir)
     emb.select("vec_id", "embedding", "label").write.mode(
         "overwrite"
     ).partitionBy("label").parquet(f"{path}/cells")
-    dims = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
-    cdim = dims.groupBy("label", "dim").agg(
-        F.avg(F.col("v").cast("double")).alias("cv")
-    )
-    cents = (
-        cdim.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("s"))
-        .select("label", F.transform("s", lambda x: x["cv"]).alias("centroid"))
+    cents = centroid_arrays(emb).select(
+        "label", F.col("c_arr").alias("centroid")
     )
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 

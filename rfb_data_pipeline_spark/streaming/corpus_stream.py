@@ -71,21 +71,11 @@ def fingerprint_col() -> F.Column:
 
 
 def quality_col() -> F.Column:
-    """t02's quality gate — the shared stream/batch rule."""
-    toks = tokens_col()
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    n_tokens = F.size(toks)
-    stop_ratio = (
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
-            "double"
-        )
-        / n_tokens
-    )
-    digit_ratio = (
-        F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double")
-        / F.length("text")
-    )
-    return (n_tokens >= 10) & (stop_ratio >= 0.01) & (digit_ratio <= 0.3)
+    """t02's quality gate — the shared stream/batch rule (one copy,
+    text.quality_gate)."""
+    from rfb_data_pipeline_spark.operators.text import quality_gate
+
+    return quality_gate()
 
 
 def fingerprint_index(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -16,8 +16,7 @@ from rfb_data_pipeline_spark.pipeline.ann_index import (
     write_lsh_index,
 )
 from rfb_data_pipeline_spark.plans import inspect as pi
-
-SF = "/root/testdata/sf0.001"
+from tests.conftest import SF_SMALL as SF
 
 
 def _query_vec(spark):

@@ -138,7 +138,7 @@ def test_x14_epoch_plan_matches_python_model_and_flags_over_repeat(spark):
 
     from rfb_data_pipeline_spark.operators.sampling import x14_epoch_plan
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SF_SMALL as sf
     parts = {"en": 1, "de": 1, "es": 1, "fr": 1, "zh": 20}
     out = {r["lang"]: r for r in x14_epoch_plan(spark, sf, mix_parts=parts).collect()}
 
@@ -153,7 +153,7 @@ def test_x14_epoch_plan_matches_python_model_and_flags_over_repeat(spark):
     for lang, part in parts.items():
         target = math.floor(corpus * 3 * part / sum(parts.values()))
         assert out[lang]["target_tokens"] == target
-        epochs = round(target / toks[lang], 2)
+        epochs = math.floor(target / toks[lang] * 100 + 0.5) / 100
         assert abs(out[lang]["epochs"] - epochs) < 1e-9
         assert out[lang]["over_repeated"] == (1 if epochs > 4.0 else 0)
     assert out["zh"]["over_repeated"] == 1
@@ -274,7 +274,7 @@ def test_d15_equals_d07_on_the_corpus(spark):
         d15_cc_star,
     )
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SF_SMALL as sf
     a = d07_dedup_clusters(spark, sf).orderBy("cluster_id").collect()
     b = d15_cc_star(spark, sf).orderBy("cluster_id").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
