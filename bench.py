@@ -64,6 +64,8 @@ HEADLINE = [
     "t16_html_extract",
     "s13_pq_ann",
     "x14_epoch_plan",
+    "t17_url_filter",
+    "x15_split_drift",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

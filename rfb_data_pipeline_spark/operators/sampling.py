@@ -1195,6 +1195,138 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# x15 — split-distribution drift audit: KL divergence of the val/test
+# unigram distributions from train's, over the shared corpus
+# vocabulary with add-one smoothing. A deterministic hash split
+# SHOULD yield near-zero KL; a large value flags distribution skew
+# (topic-correlated ids, leaking time order, a broken split rule) —
+# the audit every train/val/test protocol needs before trusting
+# validation loss. Splits come from the ONE split rule (split_col —
+# x01's), so this audits the real pipeline, not a copy.
+#
+# Scale: one (split, term) aggregate, three narrow joins on term
+# (vocabulary-sized), constant-size totals frame. The per-term KL
+# contributions accumulate in DECIMAL (exact, order-independent — the
+# s08 discipline) because the corpus-wide sum spans the whole
+# vocabulary, then round at the edge.
+
+
+def x15_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.operators.text import tokens_col
+
+    docs = _docs(spark, sf_dir).withColumn("split", split_col(F.col("doc_id")))
+    terms = docs.select("split", F.explode(tokens_col()).alias("term")).filter(
+        F.length("term") > 0
+    )
+    counts = terms.groupBy("split", "term").agg(F.count(F.lit(1)).alias("c"))
+
+    def side(name: str) -> DataFrame:
+        return counts.filter(F.col("split") == name).select(
+            "term", F.col("c").alias(f"c_{name}")
+        )
+
+    vocab = counts.select("term").distinct()
+    wide = (
+        vocab.join(side("train"), "term", "left")
+        .join(side("val"), "term", "left")
+        .join(side("test"), "term", "left")
+        .select(
+            "term",
+            *[
+                F.coalesce(F.col(f"c_{s}"), F.lit(0)).alias(f"c_{s}")
+                for s in ("train", "val", "test")
+            ],
+        )
+    )
+    totals = wide.agg(
+        F.sum("c_train").alias("t_train"),
+        F.sum("c_val").alias("t_val"),
+        F.sum("c_test").alias("t_test"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+
+    def kl_term(other: str):
+        p = (F.col("c_train") + 1).cast("double") / (F.col("t_train") + F.col("v"))
+        q = (F.col(f"c_{other}") + 1).cast("double") / (
+            F.col(f"t_{other}") + F.col("v")
+        )
+        return (p * F.log(p / q)).cast("decimal(28,18)")
+
+    agg = (
+        wide.crossJoin(F.broadcast(totals))
+        .agg(
+            F.sum(kl_term("val")).alias("kv"),
+            F.sum(kl_term("test")).alias("kt"),
+            F.first("v").alias("v"),
+            F.first("t_train").alias("t_train"),
+            F.first("t_val").alias("t_val"),
+            F.first("t_test").alias("t_test"),
+        )
+    )
+    return agg.select(
+        (F.round(F.col("kv").cast("double"), 4) + F.lit(0.0)).alias(
+            "kl_train_val"
+        ),
+        (F.round(F.col("kt").cast("double"), 4) + F.lit(0.0)).alias(
+            "kl_train_test"
+        ),
+        F.col("v").cast("bigint").alias("vocab_size"),
+        "t_train",
+        "t_val",
+        "t_test",
+    )
+
+
+_X15_SQL = f"""
+WITH docs AS (
+  SELECT *,
+         CASE WHEN CAST(floor({_SQL_BUCKET} * 100.0 / 256) AS INTEGER)
+                   < {TRAIN_PCT} THEN 'train'
+              WHEN CAST(floor({_SQL_BUCKET} * 100.0 / 256) AS INTEGER)
+                   < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+terms AS (
+  SELECT split, term FROM (
+    SELECT split, unnest(string_split_regex(trim(text), '\\s+')) AS term
+    FROM docs
+  ) WHERE length(term) > 0
+),
+counts AS (SELECT split, term, count(*) AS c FROM terms GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT term FROM counts),
+wide AS (
+  SELECT v.term,
+         coalesce(tr.c, 0) AS c_train,
+         coalesce(va.c, 0) AS c_val,
+         coalesce(te.c, 0) AS c_test
+  FROM vocab v
+  LEFT JOIN (SELECT term, c FROM counts WHERE split = 'train') tr USING (term)
+  LEFT JOIN (SELECT term, c FROM counts WHERE split = 'val') va USING (term)
+  LEFT JOIN (SELECT term, c FROM counts WHERE split = 'test') te USING (term)
+),
+totals AS (
+  SELECT sum(c_train) AS t_train, sum(c_val) AS t_val,
+         sum(c_test) AS t_test, count(*)::DOUBLE AS v
+  FROM wide
+)
+SELECT round(sum(((c_train + 1)::DOUBLE / (t_train + v)
+                  * ln(((c_train + 1)::DOUBLE / (t_train + v))
+                       / ((c_val + 1)::DOUBLE / (t_val + v))))::DECIMAL(28,18)
+             )::DOUBLE, 4) + 0.0 AS kl_train_val,
+       round(sum(((c_train + 1)::DOUBLE / (t_train + v)
+                  * ln(((c_train + 1)::DOUBLE / (t_train + v))
+                       / ((c_test + 1)::DOUBLE / (t_test + v))))::DECIMAL(28,18)
+             )::DOUBLE, 4) + 0.0 AS kl_train_test,
+       CAST(any_value(v) AS BIGINT) AS vocab_size,
+       CAST(any_value(t_train) AS BIGINT) AS t_train,
+       CAST(any_value(t_val) AS BIGINT) AS t_val,
+       CAST(any_value(t_test) AS BIGINT) AS t_test
+FROM wide CROSS JOIN totals
+"""
+
+
 QUERIES = {
     "x01_split_assign": x01_split_assign,
     "x02_cap_per_group": x02_cap_per_group,
@@ -1210,6 +1342,7 @@ QUERIES = {
     "x12_repetition_gate": x12_repetition_gate,
     "x13_weighted_sample": x13_weighted_sample,
     "x14_epoch_plan": x14_epoch_plan,
+    "x15_split_drift": x15_split_drift,
 }
 
 ORACLE = {
@@ -1227,4 +1360,5 @@ ORACLE = {
     "x12_repetition_gate": _x12_sql(),
     "x13_weighted_sample": _x13_sql(),
     "x14_epoch_plan": _x14_sql(),
+    "x15_split_drift": _X15_SQL,
 }

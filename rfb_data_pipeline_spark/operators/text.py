@@ -1209,6 +1209,110 @@ FROM extracted
 """
 
 
+# --------------------------------------------------------------------------
+# t17 — URL/domain curation (the RefinedWeb/C4 URL-filter stage):
+# extract the registrable host from each document's source URL, flag
+# blocklisted domains and suspicious path patterns, and audit the
+# keep/drop decision per source with kept-token totals. The synthetic
+# corpus has no URL column, so — the t13/t16 pattern — both engines
+# synthesize the identical URL from (doc_id, source): doc_id%7 picks
+# the domain (two of which are blocklisted), doc_id%5==0 adds a
+# spammy query-string marker. The operator's contract is the
+# extraction + filter shape, not the synthesis rule.
+#
+# Scale: pure per-row regexp map + one broadcast-sized blocklist
+# (IN-list here; a real blocklist of ~1e6 domains is a broadcast
+# semi-join) + one per-source aggregate.
+
+T17_DOMAINS = (
+    "news.example.org",
+    "blog.example.net",
+    "spam-mill.example",  # blocklisted
+    "docs.example.edu",
+    "shop.example.com",
+    "link-farm.example",  # blocklisted
+    "wiki.example.io",
+)
+T17_BLOCKLIST = ("spam-mill.example", "link-farm.example")
+
+
+def t17_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    domain_arr = F.array(*[F.lit(d) for d in T17_DOMAINS])
+    domain = F.element_at(domain_arr, (F.col("doc_id") % 7 + 1).cast("int"))
+    spam_q = F.when(
+        F.col("doc_id") % 5 == 0, F.lit("?utm_source=spamblast&click=1")
+    ).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"),
+        domain,
+        F.lit("/"),
+        F.col("source"),
+        F.lit("/p"),
+        F.col("doc_id").cast("string"),
+        spam_q,
+    )
+    host = F.regexp_extract(url, r"^https?://([^/]+)/", 1)
+    blocked_domain = host.isin(*T17_BLOCKLIST)
+    spammy_path = url.rlike(r"[?&]utm_source=spamblast")
+    keep = (~blocked_domain & ~spammy_path).cast("int")
+    n_tokens = F.size(tokens_col())
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            host.alias("host"),
+            blocked_domain.cast("int").alias("blocked_domain"),
+            spammy_path.cast("int").alias("spammy_path"),
+            keep.alias("keep"),
+            n_tokens.alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("blocked_domain").alias("n_blocked_domain"),
+            F.sum("spammy_path").alias("n_spammy_path"),
+            F.sum("keep").alias("n_kept"),
+            F.sum(F.col("n_tokens") * F.col("keep")).alias("tokens_kept"),
+        )
+    )
+
+
+def _t17_sql() -> str:
+    domains = ", ".join(f"'{d}'" for d in T17_DOMAINS)
+    blocked = ", ".join(f"'{d}'" for d in T17_BLOCKLIST)
+    return f"""
+WITH urls AS (
+  SELECT doc_id, source, text,
+         'https://' || ([{domains}])[(doc_id % 7 + 1)::INTEGER]
+         || '/' || source || '/p' || doc_id::VARCHAR
+         || CASE WHEN doc_id % 5 = 0
+                 THEN '?utm_source=spamblast&click=1' ELSE '' END AS url
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, source,
+         regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+         CASE WHEN regexp_extract(url, '^https?://([^/]+)/', 1)
+                   IN ({blocked}) THEN 1 ELSE 0 END AS blocked_domain,
+         CASE WHEN regexp_matches(url, '[?&]utm_source=spamblast')
+              THEN 1 ELSE 0 END AS spammy_path,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM urls
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(blocked_domain) AS BIGINT) AS n_blocked_domain,
+       CAST(sum(spammy_path) AS BIGINT) AS n_spammy_path,
+       CAST(sum(CASE WHEN blocked_domain = 0 AND spammy_path = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(n_tokens * CASE WHEN blocked_domain = 0 AND spammy_path = 0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM flags
+GROUP BY source
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -1226,6 +1330,7 @@ QUERIES = {
     "t14_bigram_surprisal": t14_bigram_surprisal,
     "t15_quality_classifier": t15_quality_classifier,
     "t16_html_extract": t16_html_extract,
+    "t17_url_filter": t17_url_filter,
 }
 
 ORACLE = {
@@ -1245,4 +1350,5 @@ ORACLE = {
     "t14_bigram_surprisal": _T14_SQL,
     "t15_quality_classifier": _T15_SQL,
     "t16_html_extract": _T16_SQL,
+    "t17_url_filter": _t17_sql(),
 }

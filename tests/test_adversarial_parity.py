@@ -43,6 +43,8 @@ _PROBED = [
     "t15_quality_classifier",  # single-class seed → smoothed-prior path
     "t16_html_extract",  # markup metachars inside source text
     "x14_epoch_plan",  # lang outside the mixture → part-0 path
+    "t17_url_filter",  # synthesized-URL extraction over odd sources
+    "x15_split_drift",  # splits with EMPTY sides on a tiny corpus
 ]
 
 _ROWS = [

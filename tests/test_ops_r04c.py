@@ -160,6 +160,43 @@ def test_x14_epoch_plan_matches_python_model_and_flags_over_repeat(spark):
     assert out["en"]["over_repeated"] == 0
 
 
+def _py_split(doc_id):
+    """Python twin of sampling.split_col's md5-bucket rule."""
+    import hashlib
+
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()
+    bucket = int(h[0], 16) * 16 + int(h[1], 16)
+    pct = int(bucket * 100.0 / 256)
+    return "train" if pct < 80 else ("val" if pct < 90 else "test")
+
+
+def test_x15_detects_planted_split_drift(spark, tmp_path):
+    """A corpus whose val-split docs use a disjoint vocabulary must
+    show large KL(train||val) while the homogeneous corpus shows near
+    zero — the audit actually detects drift, not just computes a
+    number."""
+    from rfb_data_pipeline_spark.operators.sampling import x15_split_drift
+
+    base = "the cat sat on the mat and the dog ran in the park"
+    skew = "zq xv qj vk jx kq zz vv qq xx jj kk zx vq"
+    clean_rows, drift_rows = [], []
+    for i in range(400):
+        clean_rows.append((i, base + f" w{i % 7}", "en", "s"))
+        drifted = skew if _py_split(i) == "val" else base
+        drift_rows.append((i, drifted + f" w{i % 7}", "en", "s"))
+    for name, rows in (("clean", clean_rows), ("drift", drift_rows)):
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string"
+        ).write.parquet(str(tmp_path / name / "documents.parquet"))
+
+    clean = x15_split_drift(spark, str(tmp_path / "clean")).collect()[0]
+    drift = x15_split_drift(spark, str(tmp_path / "drift")).collect()[0]
+    assert clean["kl_train_val"] < 0.05
+    assert drift["kl_train_val"] > clean["kl_train_val"] + 0.5
+    # the test split was NOT drifted, so its KL stays near the clean one
+    assert drift["kl_train_test"] < 0.05
+
+
 def test_t16_extraction_roundtrips_adversarial_text(spark, tmp_path):
     """The escape→wrap→extract chain must recover the normalized
     original body (plus the known h1/footer frame) even when the
