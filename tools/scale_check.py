@@ -123,7 +123,10 @@ def _ops() -> dict:
         d13_duplicate_spans,
         d15_cc_star,
     )
-    from rfb_data_pipeline_spark.operators.sampling import x09_pack_sequences
+    from rfb_data_pipeline_spark.operators.sampling import (
+        x09_pack_sequences,
+        x15_split_drift,
+    )
     from rfb_data_pipeline_spark.operators.similarity import (
         s06_near_dup_pairs_banded,
         s10_semantic_dedup,
@@ -140,6 +143,7 @@ def _ops() -> dict:
         "d05": d05_simhash_pairs,
         "d15": d15_cc_star,
         "x09": x09_pack_sequences,
+        "x15": x15_split_drift,
         "t11": t11_unigram_surprisal,
         "t15": t15_quality_classifier,
         "s06": s06_near_dup_pairs_banded,
