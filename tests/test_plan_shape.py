@@ -250,6 +250,40 @@ def test_q29_no_corpus_wide_single_partition_window(spark):
     assert plan.count("Exchange SinglePartition") <= 3
 
 
+def test_s13_adc_join_is_broadcast(spark):
+    """s13's ADC scoring joins the corpus codes against the
+    (PQ_M × K_PQ)-entry distance table: that must be a broadcast —
+    shuffling the code table on (m, code) would move the whole corpus
+    for a 32-row build side."""
+    df = _q(spark, "s13_pq_ann")
+    plan = pi.explain_string(df, "simple")
+    assert pi.uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert not pi.has_python_eval(df)
+
+
+def test_t16_t17_pure_map_no_exchange_before_agg(spark):
+    """t16 is a per-row regexp chain (zero exchanges); t17 is the same
+    plus one per-source aggregate (exactly its two agg exchanges at
+    most)."""
+    t16 = _q(spark, "t16_html_extract")
+    assert pi.n_exchanges(t16) == 0
+    assert not pi.has_python_eval(t16)
+    t17 = _q(spark, "t17_url_filter")
+    assert pi.n_exchanges(t17) <= 1  # the groupBy(source) shuffle
+    assert not pi.has_python_eval(t17)
+
+
+def test_d15_round_frames_stay_narrow(spark):
+    """d15's output plan (post-fixpoint) must not contain a cartesian
+    or nested-loop join — every star round is equi-join/groupBy."""
+    df = _q(spark, "d15_cc_star")
+    plan = pi.explain_string(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not pi.has_python_eval(df)
+
+
 # Queries whose plan legitimately funnels through a single partition:
 # every entry is a constant-size or calendar-bounded frame, never a
 # row-count-scaled table. Anything NOT listed here that grows a
