@@ -837,7 +837,7 @@ curated AS (
     AND len(list_filter(toks, t -> t IN ({stop_vals})))::DOUBLE
         / len(toks) >= 0.01
     AND length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
-        / length(text) <= 0.3
+        / greatest(length(text), 1) <= 0.3
 )
 SELECT CASE WHEN CAST(floor(bucket * 100.0 / 256) AS INTEGER) < {TRAIN_PCT}
             THEN 'train'

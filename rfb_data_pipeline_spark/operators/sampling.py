@@ -312,7 +312,7 @@ flagged AS (
                      t -> t IN ('the','a','of','to','and','in','is','it')))::DOUBLE
                    / len(c.toks) >= 0.01
                AND length(regexp_replace(c.text, '[^0-9]', '', 'g'))::DOUBLE
-                   / length(c.text) <= 0.3
+                   / greatest(length(c.text), 1) <= 0.3
               THEN 1 ELSE 0 END AS quality,
          CASE WHEN ct.doc_id IS NULL THEN 1 ELSE 0 END AS clean
   FROM corpus c LEFT JOIN contam ct ON c.doc_id = ct.doc_id
@@ -911,9 +911,13 @@ def x12_repetition_gate(
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         "source",
-        F.size(F.filter(tokens_col(), lambda t: F.length(t) > 0)).alias(
-            "n_tokens"
-        ),
+        # coalesce(0): NULL text → 0 tokens, matching the SQL twin's
+        # coalesce(dt.n_tokens, 0) — a NULL here would silently drop
+        # the doc from tokens_kept while still counting it in n_docs
+        F.coalesce(
+            F.size(F.filter(tokens_col(), lambda t: F.length(t) > 0)),
+            F.lit(0),
+        ).alias("n_tokens"),
     )
     joined = (
         docs.join(intra, "doc_id", "left").join(cross, "doc_id", "left")

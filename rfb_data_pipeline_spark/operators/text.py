@@ -46,10 +46,17 @@ def quality_gate(col: str = "text"):
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     digits = F.length(F.regexp_replace(col, r"[^0-9]", ""))
-    return (
+    # coalesce(False): a NULL-text document FAILS the gate (matching
+    # every SQL twin's CASE ... ELSE 0) instead of propagating NULL
+    # through filters and sums; greatest(len,1): an EMPTY document
+    # must fail the gate, not crash the job with ANSI divide-by-zero.
+    # (Both found by the NULL/empty adversarial probe — a web crawl
+    # always has empty and null documents.)
+    return F.coalesce(
         (n_tokens >= 10)
         & (n_stop.cast("double") / n_tokens >= 0.01)
-        & (digits.cast("double") / F.length(col) <= 0.3)
+        & (digits.cast("double") / F.greatest(F.length(col), F.lit(1)) <= 0.3),
+        F.lit(False),
     )
 
 
@@ -104,8 +111,9 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
     digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
     stop_ratio = n_stop.cast("double") / n_tokens
-    punct_ratio = punct.cast("double") / F.length("text")
-    digit_ratio = digits.cast("double") / F.length("text")
+    # greatest(len,1): empty docs report 0 ratios instead of crashing
+    punct_ratio = punct.cast("double") / F.greatest(F.length("text"), F.lit(1))
+    digit_ratio = digits.cast("double") / F.greatest(F.length("text"), F.lit(1))
     return docs.select(
         "doc_id",
         "lang",
@@ -126,14 +134,14 @@ SELECT doc_id, lang,
        round(len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','it')))::DOUBLE
              / len(toks), 4) AS stop_ratio,
        round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
-             / length(text), 4) AS punct_ratio,
+             / greatest(length(text), 1), 4) AS punct_ratio,
        round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
-             / length(text), 4) AS digit_ratio,
+             / greatest(length(text), 1), 4) AS digit_ratio,
        CASE WHEN len(toks) >= 10
              AND len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','it')))::DOUBLE
                  / len(toks) >= 0.01
              AND length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
-                 / length(text) <= 0.3
+                 / greatest(length(text), 1) <= 0.3
             THEN 1 ELSE 0 END AS passes_quality
 FROM (SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS toks
       FROM documents)
@@ -1067,7 +1075,7 @@ WITH lbl AS (
                    ('the','a','of','to','and','in','is','it')))::DOUBLE
                    / len(toks) >= 0.01
                AND length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
-                   / length(text) <= 0.3
+                   / greatest(length(text), 1) <= 0.3
               THEN 1 ELSE 0 END AS label
   FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
         FROM documents WHERE text IS NOT NULL)

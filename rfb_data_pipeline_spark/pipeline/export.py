@@ -34,7 +34,7 @@ from rfb_data_pipeline_spark.operators.sampling import (
     _hash_bucket,
     split_col,
 )
-from rfb_data_pipeline_spark.operators.text import STOPWORDS_EN, tokens_col
+from rfb_data_pipeline_spark.operators.text import quality_gate, tokens_col
 
 
 def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,20 +48,10 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(F.md5(F.col("text")))
     keep_dedup = F.col("doc_id") == F.min("doc_id").over(w)
 
-    toks = tokens_col()
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    n_tokens = F.size(toks)
-    stop_ratio = (
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
-            "double"
-        )
-        / n_tokens
-    )
-    digit_ratio = (
-        F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double")
-        / F.length("text")
-    )
-    quality = (n_tokens >= 10) & (stop_ratio >= 0.01) & (digit_ratio <= 0.3)
+    # ONE copy of the gate (text.quality_gate) — same rule as x05 and
+    # the streaming funnel
+    quality = quality_gate()
+    n_tokens = F.size(tokens_col())
 
     sh = _doc_shingles(docs)
     eval_sh = (

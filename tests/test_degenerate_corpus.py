@@ -1,0 +1,82 @@
+"""Differential Spark-vs-DuckDB checks on a DEGENERATE corpus: NULL
+text, empty text, whitespace-only text, and exact duplicates.
+
+A 100 TB crawl always contains these rows. This probe found (and now
+pins the fixes for) three real defects: t02/quality_gate crashed with
+ANSI divide-by-zero on empty text, a NULL-text gate propagated NULL
+through sums where every SQL twin's CASE yields 0, and x12's
+token-count NULL silently dropped NULL-text docs from tokens_kept.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tools.check_oracle import _normalize, value_hash
+
+_QUERIES = entry_mod.queries()
+_ORACLES = entry_mod.oracle_sql()
+
+_PROBED = [
+    "d01_exact_dedup",
+    "d04_simhash",
+    "t01_token_stats",
+    "t02_quality_score",  # empty text crashed the gate pre-fix
+    "t11_unigram_surprisal",
+    "t15_quality_classifier",  # NULL-text seed asymmetry pre-fix
+    "t16_html_extract",
+    "t17_url_filter",
+    "x01_split_assign",
+    "x05_corpus_curation",  # NULL gate summed differently pre-fix
+    "x12_repetition_gate",  # NULL token count dropped tokens_kept
+    "x14_epoch_plan",
+    "x15_split_drift",
+    "e16_stream_replay",
+]
+
+_ROWS = [
+    (1, "the quick brown fox jumps over a lazy dog in the sun", "en", "a", 52),
+    (2, None, "en", "nul", 0),  # NULL text
+    (3, "", "en", "emp", 0),  # empty text
+    (4, "   ", "en", "ws", 3),  # whitespace-only text
+    (5, "the of to and in is it a plain doc here now ok fine", "en", "a", 51),
+    (6, "the quick brown fox jumps over a lazy dog in the sun", "en", "a", 52),
+]
+
+
+@pytest.fixture(scope="module")
+def deg_dir(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("degenerate")
+    spark.createDataFrame(
+        _ROWS, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(str(tmp / "documents.parquet"))
+    return str(tmp)
+
+
+@pytest.fixture(scope="module")
+def deg_duck(deg_dir):
+    con = duckdb.connect()
+    p = os.path.join(deg_dir, "documents.parquet")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _PROBED)
+def test_degenerate_corpus_parity(spark, deg_dir, deg_duck, name):
+    spdf = _QUERIES[name](spark, deg_dir).toPandas()
+    opdf = deg_duck.execute(_ORACLES[name]).fetchdf()
+    assert sorted(spdf.columns) == sorted(opdf.columns)
+    assert len(spdf) == len(opdf), (len(spdf), len(opdf))
+    sn, on = _normalize(spdf), _normalize(opdf)
+    if value_hash(sn) != value_hash(on):
+        diff = next((a, b) for a, b in zip(sn, on) if a != b)
+        raise AssertionError(
+            f"value mismatch, first diff spark={diff[0]} duckdb={diff[1]}"
+        )

@@ -323,6 +323,7 @@ _SINGLE_PARTITION_OK = {
     "t12_zipf_slope",  # rank/regression over the constant 40-row head
     "t15_quality_classifier",  # 1-row vocab-totals + 1-row prior frames
     "x14_epoch_plan",  # 1-row corpus-token-total frame
+    "x15_split_drift",  # 1-row totals frame + 1-row KL output
 }
 
 
