@@ -1068,8 +1068,12 @@ def x13_weighted_sample(
     key = F.round(
         F.log(_uniform_from_md5(F.col("doc_id"))) / F.col("n_chars"), 12
     )
+    # weight <= 0 (empty/NULL doc) ⇒ selection probability 0 in
+    # Efraimidis-Spirakis — excluded up front, identically in the SQL
+    # twin, instead of an ANSI divide-by-zero (degenerate-corpus probe)
     sample = (
-        docs.select("doc_id", "lang", "n_chars", key.alias("skey"))
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars", key.alias("skey"))
         .orderBy(F.desc("skey"), F.asc("doc_id"))
         .limit(k)
     )
@@ -1089,6 +1093,7 @@ FROM (
   SELECT doc_id, lang, n_chars,
          round(ln({_uniform_sql('doc_id::VARCHAR')}) / n_chars, 12) AS skey
   FROM documents
+  WHERE n_chars > 0
   ORDER BY skey DESC, doc_id ASC
   LIMIT {WEIGHTED_K}
 )

@@ -23,16 +23,45 @@ _ORACLES = entry_mod.oracle_sql()
 
 _PROBED = [
     "d01_exact_dedup",
+    "d02_ngram_jaccard",
+    "d03_minhash_lsh",
     "d04_simhash",
+    "d06_incremental_dedup",
+    "d07_dedup_clusters",
+    "d08_decontaminate",
+    "d09_containment",
+    "d13_duplicate_spans",
+    "d14_dup_span_fraction",
+    "d15_cc_star",
     "t01_token_stats",
     "t02_quality_score",  # empty text crashed the gate pre-fix
+    "t03_langid",
+    "t04_fingerprint",
+    "t05_top_terms",
+    "t06_tfidf_top_terms",
+    "t07_repetition",
+    "t08_top_bigrams",
+    "t09_bpe_token_count",
+    "t10_cms_heavy_hitters",
     "t11_unigram_surprisal",
+    "t12_zipf_slope",
+    "t13_pii_redaction",
+    "t14_bigram_surprisal",
     "t15_quality_classifier",  # NULL-text seed asymmetry pre-fix
     "t16_html_extract",
     "t17_url_filter",
     "x01_split_assign",
+    "x02_cap_per_group",
+    "x03_stratified_sample",
+    "x04_chunk_documents",
     "x05_corpus_curation",  # NULL gate summed differently pre-fix
+    "x06_shuffle_shard",
+    "x08_split_leakage",
+    "x09_pack_sequences",
+    "x10_domain_mixture",
+    "x11_curriculum_buckets",
     "x12_repetition_gate",  # NULL token count dropped tokens_kept
+    "x13_weighted_sample",  # zero-weight doc crashed the key pre-fix
     "x14_epoch_plan",
     "x15_split_drift",
     "e16_stream_replay",
