@@ -1301,6 +1301,62 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# s14 — embedding validation gate. CONTRACT OF THIS MODULE: the
+# cosine operators (s01-s03, s05-s07, s10, s11) require non-NULL,
+# DIM-length, non-zero-norm vectors — cosine is undefined on a zero
+# vector, and under ANSI arithmetic a single degenerate row would
+# kill the whole job (found by the degenerate-embeddings probe,
+# tests/test_degenerate_embeddings.py). A real ingest ALWAYS contains
+# such rows (failed encoder outputs, padding); this gate is the
+# FAISS-style precondition enforced as a first-class audited step:
+# count each defect class, and expose the clean-row predicate the
+# pipeline filters with before the ANN index is built.
+#
+# Scale: one pure map over the scan + one tiny aggregate; the norm
+# check reuses the same sequential fold as the query-time cosines.
+
+
+def valid_embedding_pred() -> Column:
+    """True iff the row satisfies the cosine operators' precondition."""
+    return (
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == DIM)
+        & (_dot("embedding", "embedding") > 0)
+    )
+
+
+def s14_embedding_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    is_null = F.col("embedding").isNull()
+    wrong_dim = ~is_null & (F.size("embedding") != DIM)
+    zero_norm = ~is_null & ~wrong_dim & (_dot("embedding", "embedding") == 0)
+    valid = F.coalesce(valid_embedding_pred(), F.lit(False))
+    return emb.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(is_null.cast("int")).alias("n_null"),
+        F.sum(wrong_dim.cast("int")).alias("n_wrong_dim"),
+        F.sum(zero_norm.cast("int")).alias("n_zero_norm"),
+        F.sum(valid.cast("int")).alias("n_valid"),
+    )
+
+
+_S14_SQL = f"""
+SELECT count(*) AS n_vectors,
+       CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) != {DIM}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+       CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) = {DIM}
+                     AND {_SQL_DOT.format(a="embedding", b="embedding")} = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) = {DIM}
+                     AND {_SQL_DOT.format(a="embedding", b="embedding")} > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+FROM embeddings
+"""
+
+
 QUERIES = {
     "s01_knn_bruteforce": s01_knn_bruteforce,
     "s02_ann_lsh": s02_ann_lsh,
@@ -1315,6 +1371,7 @@ QUERIES = {
     "s11_batch_knn": s11_batch_knn,
     "s12_embedding_outliers": s12_embedding_outliers,
     "s13_pq_ann": s13_pq_ann,
+    "s14_embedding_validation": s14_embedding_validation,
 }
 
 ORACLE = {
@@ -1331,4 +1388,5 @@ ORACLE = {
     "s11_batch_knn": _s11_sql(),
     "s12_embedding_outliers": _S12_SQL,
     "s13_pq_ann": _S13_SQL,
+    "s14_embedding_validation": _S14_SQL,
 }
