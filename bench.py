@@ -66,6 +66,7 @@ HEADLINE = [
     "x14_epoch_plan",
     "t17_url_filter",
     "x15_split_drift",
+    "s15_ivf_pq_ann",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

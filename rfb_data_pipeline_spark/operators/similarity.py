@@ -522,8 +522,9 @@ GROUP BY label
 NPROBE = 2
 
 
-def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+def _ivf_probe_cells(emb: DataFrame, nprobe: int = NPROBE) -> DataFrame:
+    """Top-nprobe cells by centroid cosine against the query — the one
+    copy of the coarse-quantizer probe, shared by s05 and s15."""
     dims = emb.select("vec_id", "label", F.posexplode("embedding").alias("dim", "v"))
     cdim = dims.groupBy("label", "dim").agg(
         F.avg(F.col("v").cast("double")).alias("cv")
@@ -546,7 +547,12 @@ def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cos")
         )
     )
-    probe = scores.orderBy(F.desc("centroid_cos"), F.asc("label")).limit(NPROBE)
+    return scores.orderBy(F.desc("centroid_cos"), F.asc("label")).limit(nprobe)
+
+
+def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    probe = _ivf_probe_cells(emb)
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("q")
     )
@@ -1144,15 +1150,20 @@ K_PQ = 8  # centroids per subspace codebook
 # KB-broadcastable far past that).
 
 
-def s13_pq_ann(
-    spark: SparkSession,
-    sf_dir: str,
-    pq_m: int = PQ_M,
-    k_pq: int = K_PQ,
-    query_vec_id: int = QUERY_VEC_ID,
-) -> DataFrame:
+def _pq_d2(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_model(
+    emb: DataFrame, pq_m: int, k_pq: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(sub, codebook, codes): the one copy of the PQ training/encode
+    math — shared by s13 (flat ADC scan) and s15 (IVF-pruned ADC)."""
     sub_dim = DIM // pq_m
-    emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
     slices = F.array(
         *[
             F.transform(
@@ -1164,18 +1175,11 @@ def s13_pq_ann(
     )
     sub = emb.select("vec_id", F.posexplode(slices).alias("m", "sv"))
 
-    def d2(a: str, b: str) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     def assign(codebook: DataFrame) -> DataFrame:
         w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("cid"))
         return (
             sub.join(F.broadcast(codebook), "m")
-            .select("vec_id", "m", "sv", "cid", d2("sv", "c").alias("d2"))
+            .select("vec_id", "m", "sv", "cid", _pq_d2("sv", "c").alias("d2"))
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .drop("rk")
@@ -1202,6 +1206,19 @@ def s13_pq_ann(
         .localCheckpoint(eager=True)
     )
     codes = assign(codebook).select("vec_id", "m", F.col("cid").alias("code"))
+    return sub, codebook, codes
+
+
+def s13_pq_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    pq_m: int = PQ_M,
+    k_pq: int = K_PQ,
+    query_vec_id: int = QUERY_VEC_ID,
+) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+    sub, codebook, codes = _pq_model(emb, pq_m, k_pq)
+    d2 = _pq_d2
     q_sub = sub.filter(F.col("vec_id") == query_vec_id).select(
         "m", F.col("sv").alias("qv")
     )
@@ -1357,6 +1374,137 @@ FROM embeddings
 """
 
 
+# --------------------------------------------------------------------------
+# s15 — IVF-PQ: the production ANN architecture proper (Jégou et al.
+# 2011; the FAISS default at 1e9+ vectors), composed from the two
+# halves this module already ships with ONE copy of each: s05's
+# coarse quantizer prunes the scan to the top-NPROBE cells
+# (_ivf_probe_cells), s13's product quantizer shrinks what that scan
+# reads to PQ_M code bytes per vector (_pq_model), and ADC scores
+# only the surviving codes. At 100 TB: cells are the partition key
+# (pipeline/ann_index.write_ivf_index's layout), codes are the
+# payload — the probe reads nprobe/ncells of a table that is itself
+# ~85× smaller than the float corpus.
+#
+# Determinism: the probe LIMIT is the s05 shape (tie-broken on
+# label); the ADC sum is s13's decimal accumulator.
+
+
+def s15_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+    probe = _ivf_probe_cells(emb)
+    sub, codebook, codes = _pq_model(emb, PQ_M, K_PQ)
+    q_sub = sub.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "m", F.col("sv").alias("qv")
+    )
+    adc = codebook.join(F.broadcast(q_sub), "m").select(
+        F.col("m").alias("am"),
+        F.col("cid").alias("acid"),
+        _pq_d2("qv", "c").alias("adc_d2"),
+    )
+    in_cells = emb.join(F.broadcast(probe.select("label")), "label").select(
+        "vec_id", "label"
+    )
+    scored = (
+        codes.join(in_cells, "vec_id")
+        .join(
+            F.broadcast(adc),
+            (F.col("m") == F.col("am")) & (F.col("code") == F.col("acid")),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("label").alias("label"),
+            F.sum(F.col("adc_d2").cast("decimal(30,15)")).alias("ad2"),
+        )
+    )
+    return (
+        scored.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.asc("ad2"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select(
+            "vec_id",
+            "label",
+            (F.round(F.col("ad2").cast("double"), 4) + F.lit(0.0)).alias(
+                "approx_d2"
+            ),
+        )
+    )
+
+
+_S15_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, label, u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, 65)) AS u(i)
+), cdim AS (
+  SELECT label, dim, avg(v) AS cv FROM dims GROUP BY 1, 2
+), qdim AS (
+  SELECT dim, v AS qv FROM dims WHERE vec_id = {QUERY_VEC_ID}
+), cscores AS (
+  SELECT label,
+         sum(cv * qv) / (sqrt(sum(cv * cv)) * sqrt(sum(qv * qv))) AS centroid_cos
+  FROM cdim JOIN qdim USING (dim)
+  GROUP BY label
+), probe AS (
+  SELECT label FROM cscores ORDER BY centroid_cos DESC, label ASC LIMIT {NPROBE}
+),
+sub AS (
+  SELECT vec_id, u.m AS m,
+         list_transform(embedding[u.m * {PQ_SUB} + 1 : (u.m + 1) * {PQ_SUB}],
+                        x -> x::DOUBLE) AS sv
+  FROM embeddings, unnest(range(0, {PQ_M})) AS u(m)
+),
+seeds AS (
+  SELECT m, vec_id::INTEGER AS cid, sv AS c FROM sub WHERE vec_id < {K_PQ}
+),
+a1 AS (
+  SELECT vec_id, m, sv, cid FROM (
+    SELECT s.vec_id, s.m, s.sv, k.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {_SQL_SUBD2.format(a="s.sv", b="k.c")} ASC, k.cid ASC
+           ) AS rk
+    FROM sub s JOIN seeds k USING (m)
+  ) WHERE rk = 1
+),
+cd AS (
+  SELECT m, cid, u.i AS dim,
+         (sum(sv[u.i]::DECIMAL(20,10)))::DOUBLE / count(*) AS cv
+  FROM a1, unnest(range(1, {PQ_SUB + 1})) AS u(i)
+  GROUP BY m, cid, u.i
+),
+codebook AS (SELECT m, cid, list(cv ORDER BY dim) AS c FROM cd GROUP BY m, cid),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT s.vec_id, s.m, k.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {_SQL_SUBD2.format(a="s.sv", b="k.c")} ASC, k.cid ASC
+           ) AS rk
+    FROM sub s JOIN codebook k USING (m)
+  ) WHERE rk = 1
+),
+q_sub AS (SELECT m, sv AS qv FROM sub WHERE vec_id = {QUERY_VEC_ID}),
+adc AS (
+  SELECT m, cid, {_SQL_SUBD2.format(a="qv", b="c")} AS adc_d2
+  FROM codebook JOIN q_sub USING (m)
+),
+scored AS (
+  SELECT c.vec_id, any_value(e.label) AS label,
+         sum(adc_d2::DECIMAL(30,15)) AS ad2
+  FROM codes c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN probe p ON e.label = p.label
+  JOIN adc a ON c.m = a.m AND c.code = a.cid
+  GROUP BY c.vec_id
+)
+SELECT vec_id, label, round(ad2::DOUBLE, 4) + 0.0 AS approx_d2
+FROM scored
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY ad2 ASC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "s01_knn_bruteforce": s01_knn_bruteforce,
     "s02_ann_lsh": s02_ann_lsh,
@@ -1372,6 +1520,7 @@ QUERIES = {
     "s12_embedding_outliers": s12_embedding_outliers,
     "s13_pq_ann": s13_pq_ann,
     "s14_embedding_validation": s14_embedding_validation,
+    "s15_ivf_pq_ann": s15_ivf_pq_ann,
 }
 
 ORACLE = {
@@ -1389,4 +1538,5 @@ ORACLE = {
     "s12_embedding_outliers": _S12_SQL,
     "s13_pq_ann": _S13_SQL,
     "s14_embedding_validation": _S14_SQL,
+    "s15_ivf_pq_ann": _S15_SQL,
 }

@@ -128,6 +128,42 @@ def test_s13_pq_recalls_planted_neighbors(spark, tmp_path):
     assert len(got & planted) >= 9
 
 
+def test_s15_ivf_pq_prunes_to_probe_cells_and_recalls_planted(spark, tmp_path):
+    """IVF-PQ: every result must come from a probed cell, and a tight
+    planted cluster sharing the query's cell must be retrieved."""
+    import math
+
+    from rfb_data_pipeline_spark.operators.similarity import (
+        DIM,
+        _emb,
+        _ivf_probe_cells,
+        s15_ivf_pq_ann,
+    )
+
+    base = [math.sin(7 * i) for i in range(DIM)]
+    rows = [(0, base, 9)]  # the query (QUERY_VEC_ID = 0), cell 9
+    for vid in range(1, 101):
+        rows.append(
+            (vid, [5.0 * math.cos(vid + 3 * i) for i in range(DIM)], vid % 4)
+        )
+    for j in range(10):  # planted neighbors, same cell as the query
+        rows.append(
+            (201 + j, [x + 0.01 * math.sin(j + i) for i, x in enumerate(base)], 9)
+        )
+    d = str(tmp_path / "ivfpq")
+    spark.createDataFrame(
+        [(v, [float(x) for x in e], lbl) for v, e, lbl in rows],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.parquet(d + "/embeddings.parquet")
+
+    probe = {r["label"] for r in _ivf_probe_cells(_emb(spark, d)).collect()}
+    assert 9 in probe  # the coarse quantizer finds the query's cell
+    out = s15_ivf_pq_ann(spark, d).collect()
+    assert all(r["label"] in probe for r in out)
+    got = {r["vec_id"] for r in out}
+    assert len(got & set(range(201, 211))) >= 9
+
+
 def test_x14_epoch_plan_matches_python_model_and_flags_over_repeat(spark):
     """A mixture skewed toward a token-poor domain must imply >4
     epochs for it (over_repeated=1); the arithmetic is verified
