@@ -131,6 +131,7 @@ def _ops() -> dict:
         s06_near_dup_pairs_banded,
         s10_semantic_dedup,
         s13_pq_ann,
+        s15_ivf_pq_ann,
     )
     from rfb_data_pipeline_spark.operators.text import (
         t11_unigram_surprisal,
@@ -149,6 +150,7 @@ def _ops() -> dict:
         "s06": s06_near_dup_pairs_banded,
         "s10": s10_semantic_dedup,
         "s13": s13_pq_ann,
+        "s15": s15_ivf_pq_ann,
     }
 
 
