@@ -31,8 +31,10 @@ from pyspark.sql import functions as F
 
 from rfb_data_pipeline_spark.operators.similarity import (
     DIM,
+    K_PQ,
     NPROBE,
     NUM_TABLES,
+    PQ_M,
     SIGN_BITS,
     TOP_K,
     _bucketed,
@@ -40,6 +42,7 @@ from rfb_data_pipeline_spark.operators.similarity import (
     _emb,
     _hyperplanes,
     _norm,
+    _pq_model,
 )
 
 
@@ -147,17 +150,12 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
-def probe_ivf_index(
-    spark: SparkSession,
-    path: str,
-    qvec: list[float],
-    exclude_vec_id: int | None = None,
-    nprobe: int = NPROBE,
-    top_k: int = TOP_K,
-) -> DataFrame:
-    """Score the centroid sidecar, pick nprobe cells (control-plane —
-    ncells rows), then exact-score ONLY those partitions. Output
-    matches s05."""
+def _sidecar_probe_cells(
+    spark: SparkSession, path: str, qvec: list[float], nprobe: int
+) -> list[int]:
+    """Top-nprobe cell ids from the KB centroid sidecar — a
+    control-plane decision over ncells rows (shared by the IVF and
+    IVF-PQ probes)."""
     q = np.asarray(qvec, dtype=np.float64)
     cents = spark.read.parquet(f"{path}/centroids").collect()
     scored = []
@@ -171,7 +169,21 @@ def probe_ivf_index(
             qn += q[i] * q[i]
         scored.append((dot / (np.sqrt(cn) * np.sqrt(qn)), r["label"]))
     scored.sort(key=lambda x: (-x[0], x[1]))
-    cells = [label for _, label in scored[:nprobe]]
+    return [label for _, label in scored[:nprobe]]
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    path: str,
+    qvec: list[float],
+    exclude_vec_id: int | None = None,
+    nprobe: int = NPROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Score the centroid sidecar, pick nprobe cells (control-plane —
+    ncells rows), then exact-score ONLY those partitions. Output
+    matches s05."""
+    cells = _sidecar_probe_cells(spark, path, qvec, nprobe)
     idx = spark.read.parquet(f"{path}/cells").where(F.col("label").isin(cells))
     if exclude_vec_id is not None:
         idx = idx.filter(F.col("vec_id") != exclude_vec_id)
@@ -184,4 +196,89 @@ def probe_ivf_index(
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(top_k)
+    )
+
+
+def write_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the full IVF-PQ layout (s15's amortized build):
+    cell-partitioned CODE table (PQ_M small codes per vector — the
+    scan payload), the (PQ_M × K_PQ) codebook sidecar, and the
+    centroid sidecar for the coarse probe. Training/encoding (the
+    dominant cost in s15's query-time measurement) happens ONCE here;
+    probes read codes only."""
+    from rfb_data_pipeline_spark.operators.similarity import centroid_arrays
+
+    emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+    _, codebook, codes = _pq_model(emb, PQ_M, K_PQ)
+    (
+        codes.join(emb.select("vec_id", "label"), "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(f"{path}/codes")
+    )
+    codebook.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    centroid_arrays(emb).select(
+        "label", F.col("c_arr").alias("centroid")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def probe_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    qvec: list[float],
+    exclude_vec_id: int | None = None,
+    nprobe: int = NPROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """IVF-PQ probe over the materialized layout: pick nprobe cells
+    from the centroid sidecar, build the broadcast ADC table from the
+    codebook sidecar (same sequential fold as s15), then scan ONLY the
+    probed cells' code partitions. Output matches s15."""
+    cells = _sidecar_probe_cells(spark, path, qvec, nprobe)
+    codebook = spark.read.parquet(f"{path}/codebook")
+    sub_dim = DIM // PQ_M
+    qsubs = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(float(x))
+                    for x in qvec[m * sub_dim : (m + 1) * sub_dim]
+                ]
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    qv = F.element_at(qsubs, F.col("m") + 1)
+    adc_d2 = F.aggregate(
+        F.zip_with(qv, F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adc = codebook.select(
+        F.col("m").alias("am"), F.col("cid").alias("acid"), adc_d2.alias("adc_d2")
+    )
+    codes = spark.read.parquet(f"{path}/codes").where(F.col("label").isin(cells))
+    if exclude_vec_id is not None:
+        codes = codes.filter(F.col("vec_id") != exclude_vec_id)
+    scored = (
+        codes.join(
+            F.broadcast(adc),
+            (F.col("m") == F.col("am")) & (F.col("code") == F.col("acid")),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("label").alias("label"),
+            F.sum(F.col("adc_d2").cast("decimal(30,15)")).alias("ad2"),
+        )
+    )
+    return (
+        scored.orderBy(F.asc("ad2"), F.asc("vec_id"))
+        .limit(top_k)
+        .select(
+            "vec_id",
+            "label",
+            (F.round(F.col("ad2").cast("double"), 4) + F.lit(0.0)).alias(
+                "approx_d2"
+            ),
+        )
     )

@@ -100,3 +100,41 @@ def test_ivf_probe_scan_is_partition_pruned(spark, tmp_path):
     plan = pi.explain_string(probe, "formatted")
     assert "PartitionFilters" in plan
     assert "label" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_ivfpq_index_probe_matches_s15(spark, tmp_path):
+    from rfb_data_pipeline_spark.operators.similarity import s15_ivf_pq_ann
+    from rfb_data_pipeline_spark.pipeline.ann_index import (
+        probe_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    path = str(tmp_path / "ivfpq_idx")
+    write_ivfpq_index(spark, SF, path)
+    qvec = _query_vec(spark)
+    probe = probe_ivfpq_index(
+        spark, path, qvec, exclude_vec_id=0
+    ).collect()
+    direct = s15_ivf_pq_ann(spark, SF).collect()
+    assert [tuple(r) for r in probe] == [tuple(r) for r in direct]
+
+
+def test_ivfpq_code_table_is_small_and_cell_partitioned(spark, tmp_path):
+    """The materialized code table must carry only (vec_id, m, code)
+    per row under cell directories — the 85x-smaller scan payload the
+    s15 commentary promises."""
+    from rfb_data_pipeline_spark.pipeline.ann_index import write_ivfpq_index
+
+    path = str(tmp_path / "ivfpq_small")
+    write_ivfpq_index(spark, SF, path)
+    assert any(
+        d.startswith("label=") for d in os.listdir(path + "/codes")
+    )
+    codes = spark.read.parquet(path + "/codes")
+    assert set(codes.columns) == {"vec_id", "m", "code", "label"}
+    # PQ_M rows per vector, 3-bit codes
+    from rfb_data_pipeline_spark.operators.similarity import K_PQ, PQ_M
+
+    n_vec = spark.read.parquet(SF + "/embeddings.parquet").count()
+    assert codes.count() == n_vec * PQ_M
+    assert codes.agg({"code": "max"}).collect()[0][0] < K_PQ
