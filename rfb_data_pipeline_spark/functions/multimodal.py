@@ -58,6 +58,16 @@ try:  # decoder probe — not present in this container
 except ImportError:
     HAS_IMAGE_DECODER = False
 
+def _ensure_worker_import(df: DataFrame) -> None:
+    """mapInPandas closures here reference module helpers (pickled by
+    reference) — ship the package to Python workers so the import
+    works from ANY caller cwd and on real clusters
+    (session.ship_package)."""
+    from rfb_data_pipeline_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -242,6 +252,7 @@ def image_header_meta(media: DataFrame) -> DataFrame:
                 columns=["media_id", "format", "width", "height", "bit_depth"],
             )
 
+    _ensure_worker_import(media)
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, IMAGE_HEADER_SCHEMA
     )
@@ -427,6 +438,7 @@ def video_meta(media: DataFrame) -> DataFrame:
                 ],
             )
 
+    _ensure_worker_import(media)
     return media.filter(F.col("kind") == "video").mapInPandas(
         run, VIDEO_META_SCHEMA
     )
@@ -527,6 +539,7 @@ def decode_features(
                 out["batch_rows"] = len(pdf)
             yield out
 
+    _ensure_worker_import(media)
     return media.mapInPandas(run, schema)
 
 
@@ -580,6 +593,7 @@ def image_stats(media: DataFrame) -> DataFrame:
                 ],
             )
 
+    _ensure_worker_import(media)
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, IMAGE_STATS_SCHEMA
     )
@@ -629,6 +643,7 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 ],
             )
 
+    _ensure_worker_import(media)
     return media.filter(F.col("kind") == "audio").mapInPandas(
         run, AUDIO_STATS_SCHEMA
     )
@@ -678,6 +693,7 @@ def audio_frame_energy(media: DataFrame, frame_ms: int = 10) -> DataFrame:
                 recs, columns=["media_id", "frame_idx", "start_ms", "rms", "peak"]
             )
 
+    _ensure_worker_import(media)
     return media.filter(F.col("kind") == "audio").mapInPandas(
         run, AUDIO_FRAME_SCHEMA
     )

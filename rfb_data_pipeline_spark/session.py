@@ -79,3 +79,38 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``rfb_data_pipeline_spark`` importable on Python WORKERS.
+
+    mapInPandas/pandas_udf closures that reference module-level
+    helpers are pickled BY REFERENCE — the worker process must import
+    the module itself. That works by accident when the caller's cwd is
+    the repo root (local mode inherits it), and fails everywhere else:
+    a driver started from another directory, or any real cluster,
+    where executors never share the driver's filesystem layout. Found
+    by the bare-session driver smoke run from /tmp.
+
+    Fix: zip the package once per process and ``addPyFile`` it —
+    Spark ships the zip to every executor and puts it on the worker
+    PYTHONPATH. Idempotent per SparkContext.
+    """
+    import shutil
+    import tempfile
+
+    sc = spark.sparkContext
+    if getattr(sc, "_rfb_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"rfb_pkg_ship_{os.getpid()}"
+    )
+    zip_path = base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(
+            base, "zip", root_dir=root, base_dir="rfb_data_pipeline_spark"
+        )
+    sc.addPyFile(zip_path)
+    sc._rfb_pkg_shipped = True

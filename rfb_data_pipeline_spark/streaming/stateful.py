@@ -46,6 +46,9 @@ def _track(
 
 def user_activity_tracker(events: DataFrame) -> DataFrame:
     """Running (count, max) per user as an update stream."""
+    from rfb_data_pipeline_spark.session import ship_package
+
+    ship_package(events.sparkSession)
     return events.groupBy("user_id").applyInPandasWithState(
         _track,
         outputStructType=OUTPUT_SCHEMA,
@@ -113,6 +116,9 @@ def _match_sequences(
 
 def sequence_matcher(events: DataFrame) -> DataFrame:
     """Streaming signup→purchase-within-24h matcher (batch twin: e12)."""
+    from rfb_data_pipeline_spark.session import ship_package
+
+    ship_package(events.sparkSession)
     return events.groupBy("user_id").applyInPandasWithState(
         _match_sequences,
         outputStructType=SEQ_OUTPUT_SCHEMA,
@@ -185,6 +191,9 @@ def user_profile_tws(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
         def close(self) -> None:
             pass
 
+    from rfb_data_pipeline_spark.session import ship_package
+
+    ship_package(events.sparkSession)
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=ProfileProcessor(),
         outputStructType=PROFILE_OUTPUT_SCHEMA,
