@@ -524,30 +524,25 @@ NPROBE = 2
 
 def _ivf_probe_cells(emb: DataFrame, nprobe: int = NPROBE) -> DataFrame:
     """Top-nprobe cells by centroid cosine against the query — the one
-    copy of the coarse-quantizer probe, shared by s05 and s15."""
-    dims = emb.select("vec_id", "label", F.posexplode("embedding").alias("dim", "v"))
-    cdim = dims.groupBy("label", "dim").agg(
-        F.avg(F.col("v").cast("double")).alias("cv")
+    copy of the coarse-quantizer probe, shared by s05 and s15.
+
+    Centroids come from ``centroid_arrays`` (decimal-exact,
+    order-independent sums) and the cosine is the sequential ``_dot``
+    fold — the SAME math the materialized-index sidecar probe
+    (pipeline/ann_index) evaluates driver-side, so near-tie cell
+    selection can never diverge between the operator, its oracle, and
+    the index probe (second review pass, finding 3)."""
+    cents = centroid_arrays(emb)
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q")
     )
-    qdim = dims.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        "dim", F.col("v").cast("double").alias("qv")
+    cos = _dot("c_arr", "q") / (_norm("c_arr") * _norm("q"))
+    return (
+        cents.crossJoin(F.broadcast(query))
+        .select("label", cos.alias("centroid_cos"))
+        .orderBy(F.desc("centroid_cos"), F.asc("label"))
+        .limit(nprobe)
     )
-    # cosine(query, centroid) via the exploded-dim join — no array
-    # rebuild, one narrow shuffle on dim.
-    scores = (
-        cdim.join(F.broadcast(qdim), "dim")
-        .groupBy("label")
-        .agg(
-            (
-                F.sum(F.col("cv") * F.col("qv"))
-                / (
-                    F.sqrt(F.sum(F.col("cv") * F.col("cv")))
-                    * F.sqrt(F.sum(F.col("qv") * F.col("qv")))
-                )
-            ).alias("centroid_cos")
-        )
-    )
-    return scores.orderBy(F.desc("centroid_cos"), F.asc("label")).limit(nprobe)
 
 
 def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,22 +562,27 @@ def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_S05_SQL = f"""
-WITH dims AS (
-  SELECT vec_id, label, u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
+_SQL_IVF_PROBE = f"""dims AS (
+  SELECT label, u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
   FROM embeddings, unnest(range(1, 65)) AS u(i)
 ), cdim AS (
-  SELECT label, dim, avg(v) AS cv FROM dims GROUP BY 1, 2
-), qdim AS (
-  SELECT dim, v AS qv FROM dims WHERE vec_id = {QUERY_VEC_ID}
-), scores AS (
+  SELECT label, dim, (sum(v::DECIMAL(20,10)))::DOUBLE / count(*) AS cv
+  FROM dims GROUP BY 1, 2
+), cents AS (
+  SELECT label, list(cv ORDER BY dim) AS c FROM cdim GROUP BY label
+), qq AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cscores AS (
   SELECT label,
-         sum(cv * qv) / (sqrt(sum(cv * cv)) * sqrt(sum(qv * qv))) AS centroid_cos
-  FROM cdim JOIN qdim USING (dim)
-  GROUP BY label
+         {_SQL_DOT.format(a="c", b="q")}
+           / (sqrt({_SQL_DOT.format(a="c", b="c")})
+              * sqrt({_SQL_DOT.format(a="q", b="q")})) AS centroid_cos
+  FROM cents, qq
 ), probe AS (
-  SELECT label FROM scores ORDER BY centroid_cos DESC, label ASC LIMIT {NPROBE}
-),
+  SELECT label FROM cscores ORDER BY centroid_cos DESC, label ASC LIMIT {NPROBE}
+)"""
+
+_S05_SQL = f"""
+WITH {_SQL_IVF_PROBE},
 q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
 SELECT vec_id, label,
        round({_SQL_DOT.format(a="embedding", b="q")}
@@ -1218,7 +1218,6 @@ def s13_pq_ann(
 ) -> DataFrame:
     emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
     sub, codebook, codes = _pq_model(emb, pq_m, k_pq)
-    d2 = _pq_d2
     q_sub = sub.filter(F.col("vec_id") == query_vec_id).select(
         "m", F.col("sv").alias("qv")
     )
@@ -1230,7 +1229,7 @@ def s13_pq_ann(
         .select(
             F.col("m").alias("am"),
             F.col("cid").alias("acid"),
-            d2("qv", "c").alias("adc_d2"),
+            _pq_d2("qv", "c").alias("adc_d2"),
         )
     )
     scored = (
@@ -1334,29 +1333,65 @@ FROM (
 # check reuses the same sequential fold as the query-time cosines.
 
 
+def _bad_element_count() -> Column:
+    """Elements that poison cosine math: NULL, NaN, or ±Inf. NaN
+    compares greater-than-everything in BOTH engines, so a NaN vector
+    would sail through a `norm > 0` check and then rank FIRST in
+    every descending top-k — the gate must test finiteness
+    element-wise."""
+    xd = lambda x: x.cast("double")  # noqa: E731
+    return F.size(
+        F.filter(
+            "embedding",
+            lambda x: x.isNull()
+            | F.isnan(xd(x))
+            | (xd(x) == F.lit(float("inf")))
+            | (xd(x) == F.lit(float("-inf"))),
+        )
+    )
+
+
 def valid_embedding_pred() -> Column:
-    """True iff the row satisfies the cosine operators' precondition."""
+    """True iff the row satisfies the cosine operators' precondition:
+    non-NULL, DIM elements, every element finite, norm > 0."""
     return (
         F.col("embedding").isNotNull()
         & (F.size("embedding") == DIM)
+        & (_bad_element_count() == 0)
         & (_dot("embedding", "embedding") > 0)
     )
 
 
 def s14_embedding_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutually exclusive defect classes that PARTITION n_vectors:
+    null → wrong_dim → non_finite (NULL/NaN/Inf elements) →
+    zero_norm → valid. An audit whose classes don't sum to the total
+    hides defects."""
     emb = _emb(spark, sf_dir)
     is_null = F.col("embedding").isNull()
     wrong_dim = ~is_null & (F.size("embedding") != DIM)
-    zero_norm = ~is_null & ~wrong_dim & (_dot("embedding", "embedding") == 0)
+    non_finite = ~is_null & ~wrong_dim & (_bad_element_count() > 0)
+    zero_norm = (
+        ~is_null
+        & ~wrong_dim
+        & ~non_finite
+        & (_dot("embedding", "embedding") == 0)
+    )
     valid = F.coalesce(valid_embedding_pred(), F.lit(False))
     return emb.agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(is_null.cast("int")).alias("n_null"),
         F.sum(wrong_dim.cast("int")).alias("n_wrong_dim"),
+        F.sum(non_finite.cast("int")).alias("n_non_finite"),
         F.sum(zero_norm.cast("int")).alias("n_zero_norm"),
         F.sum(valid.cast("int")).alias("n_valid"),
     )
 
+
+_SQL_BADELEM = (
+    "len(list_filter(embedding, x -> x IS NULL OR isnan(x::DOUBLE)"
+    " OR isinf(x::DOUBLE)))"
+)
 
 _S14_SQL = f"""
 SELECT count(*) AS n_vectors,
@@ -1365,9 +1400,14 @@ SELECT count(*) AS n_vectors,
        CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) != {DIM}
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
        CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) = {DIM}
+                     AND {_SQL_BADELEM} > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_non_finite,
+       CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) = {DIM}
+                     AND {_SQL_BADELEM} = 0
                      AND {_SQL_DOT.format(a="embedding", b="embedding")} = 0
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
        CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) = {DIM}
+                     AND {_SQL_BADELEM} = 0
                      AND {_SQL_DOT.format(a="embedding", b="embedding")} > 0
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
 FROM embeddings
@@ -1432,21 +1472,7 @@ def s15_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _S15_SQL = f"""
-WITH dims AS (
-  SELECT vec_id, label, u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
-  FROM embeddings, unnest(range(1, 65)) AS u(i)
-), cdim AS (
-  SELECT label, dim, avg(v) AS cv FROM dims GROUP BY 1, 2
-), qdim AS (
-  SELECT dim, v AS qv FROM dims WHERE vec_id = {QUERY_VEC_ID}
-), cscores AS (
-  SELECT label,
-         sum(cv * qv) / (sqrt(sum(cv * cv)) * sqrt(sum(qv * qv))) AS centroid_cos
-  FROM cdim JOIN qdim USING (dim)
-  GROUP BY label
-), probe AS (
-  SELECT label FROM cscores ORDER BY centroid_cos DESC, label ASC LIMIT {NPROBE}
-),
+WITH {_SQL_IVF_PROBE},
 sub AS (
   SELECT vec_id, u.m AS m,
          list_transform(embedding[u.m * {PQ_SUB} + 1 : (u.m + 1) * {PQ_SUB}],

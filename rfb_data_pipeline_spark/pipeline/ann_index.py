@@ -42,6 +42,7 @@ from rfb_data_pipeline_spark.operators.similarity import (
     _emb,
     _hyperplanes,
     _norm,
+    _pq_d2,
     _pq_model,
 )
 
@@ -249,13 +250,12 @@ def probe_ivfpq_index(
         ]
     )
     qv = F.element_at(qsubs, F.col("m") + 1)
-    adc_d2 = F.aggregate(
-        F.zip_with(qv, F.col("c"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # the ONE copy of the ADC distance fold (similarity._pq_d2 —
+    # zip_with accepts Column operands)
     adc = codebook.select(
-        F.col("m").alias("am"), F.col("cid").alias("acid"), adc_d2.alias("adc_d2")
+        F.col("m").alias("am"),
+        F.col("cid").alias("acid"),
+        _pq_d2(qv, F.col("c")).alias("adc_d2"),
     )
     codes = spark.read.parquet(f"{path}/codes").where(F.col("label").isin(cells))
     if exclude_vec_id is not None:

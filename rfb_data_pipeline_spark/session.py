@@ -104,13 +104,13 @@ def ship_package(spark: SparkSession) -> None:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
-    base = os.path.join(
-        tempfile.gettempdir(), f"rfb_pkg_ship_{os.getpid()}"
+    # fresh private dir every time (once per SparkContext): a name
+    # keyed on pid could collide with a STALE zip from an older
+    # checkout after pid reuse, and a shared path races concurrent
+    # builders into shipping a truncated archive
+    base = os.path.join(tempfile.mkdtemp(prefix="rfb_pkg_ship_"), "pkg")
+    zip_path = shutil.make_archive(
+        base, "zip", root_dir=root, base_dir="rfb_data_pipeline_spark"
     )
-    zip_path = base + ".zip"
-    if not os.path.exists(zip_path):
-        shutil.make_archive(
-            base, "zip", root_dir=root, base_dir="rfb_data_pipeline_spark"
-        )
     sc.addPyFile(zip_path)
     sc._rfb_pkg_shipped = True

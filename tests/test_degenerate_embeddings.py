@@ -24,7 +24,7 @@ _ORACLES = entry_mod.oracle_sql()
 DIM = 64
 
 
-def _rows():
+def _finite_rows():
     rows = []
     for vid in range(12):
         rows.append(
@@ -33,6 +33,17 @@ def _rows():
     rows.append((20, [0.0] * DIM, 1))  # zero vector
     rows.append((21, None, 2))  # NULL embedding
     rows.append((22, [1.0] * 16, 0))  # wrong dimension
+    return rows
+
+
+def _rows():
+    # NON-FINITE garbage on top: NaN semantics legitimately differ
+    # across engines (NULL-skipping sums, NaN formatting), which is
+    # exactly why the gate must remove these rows before ANY operator
+    rows = _finite_rows()
+    rows.append((23, [float("nan")] * DIM, 1))  # NaN vector
+    rows.append((24, [float("inf")] + [1.0] * (DIM - 1), 2))  # Inf element
+    rows.append((25, [1.0] * (DIM - 1) + [None], 0))  # NULL element
     return rows
 
 
@@ -46,9 +57,18 @@ def deg_dir(spark, tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
-def deg_duck(deg_dir):
+def finite_deg_dir(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("deg_emb_finite")
+    spark.createDataFrame(
+        _finite_rows(), "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp / "embeddings.parquet"))
+    return str(tmp)
+
+
+@pytest.fixture(scope="module")
+def finite_deg_duck(finite_deg_dir):
     con = duckdb.connect()
-    p = os.path.join(deg_dir, "embeddings.parquet")
+    p = os.path.join(finite_deg_dir, "embeddings.parquet")
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}/*.parquet')"
     )
@@ -62,22 +82,35 @@ def test_s14_counts_every_defect_class(spark, deg_dir):
     )
 
     row = s14_embedding_validation(spark, deg_dir).collect()[0]
-    assert row["n_vectors"] == 15
+    assert row["n_vectors"] == 18
     assert row["n_null"] == 1
     assert row["n_zero_norm"] == 1
     assert row["n_wrong_dim"] == 1
+    assert row["n_non_finite"] == 3  # NaN vector, Inf element, NULL element
     assert row["n_valid"] == 12
+    # the defect classes PARTITION the total — nothing slips through
+    assert (
+        row["n_null"]
+        + row["n_wrong_dim"]
+        + row["n_non_finite"]
+        + row["n_zero_norm"]
+        + row["n_valid"]
+        == row["n_vectors"]
+    )
 
 
 @pytest.mark.parametrize(
     "name",
     ["s14_embedding_validation", "s04_label_centroids", "s09_vector_stats"],
 )
-def test_tolerant_operators_keep_parity_on_degenerate_input(
-    spark, deg_dir, deg_duck, name
+def test_tolerant_operators_keep_parity_on_finite_degenerate_input(
+    spark, finite_deg_dir, finite_deg_duck, name
 ):
-    spdf = _QUERIES[name](spark, deg_dir).toPandas()
-    opdf = deg_duck.execute(_ORACLES[name]).fetchdf()
+    """Parity holds through NULL/zero/wrong-dim rows; the NON-finite
+    classes are excluded here because NaN semantics differ across
+    engines by design — the gate removes them before any operator."""
+    spdf = _QUERIES[name](spark, finite_deg_dir).toPandas()
+    opdf = finite_deg_duck.execute(_ORACLES[name]).fetchdf()
     assert sorted(spdf.columns) == sorted(opdf.columns)
     assert len(spdf) == len(opdf)
     sn, on = _normalize(spdf), _normalize(opdf)
@@ -108,4 +141,4 @@ def test_gate_then_cosine_operator_end_to_end(spark, deg_dir, tmp_path):
     )
     out = s01_knn_bruteforce(spark, clean_dir).collect()
     assert len(out) == 10
-    assert all(r["vec_id"] not in (20, 21, 22) for r in out)
+    assert all(r["vec_id"] not in (20, 21, 22, 23, 24, 25) for r in out)
