@@ -1336,6 +1336,133 @@ FROM wide CROSS JOIN totals
 """
 
 
+# --------------------------------------------------------------------------
+# x16 — QUALITY-WEIGHTED domain mixture (the FineWeb-edu move): fill
+# each domain's quota with its BEST-scoring documents instead of
+# x10's uniform smallest-md5 draw. Composes t15's trained NB quality
+# score with x10's exact integer-quota machinery; the per-domain rank
+# runs banded two-phase on the SCORE key (band = integer part of the
+# ascending sort key -skey — a prefix of the sort order, so per-band
+# local ranks + cumulative band offsets reproduce the global
+# per-domain rank without a domain-wide single partition; the x09/x10
+# shape on a numeric key). Output includes the implied per-domain
+# quality FLOOR (min selected score) — the number a mixture designer
+# actually argues about.
+#
+# Determinism: ranks on t15's ROUNDED score (both engines compute the
+# identical value — t15 is hash-green) with doc_id tie-break.
+
+
+def x16_quality_mixture(
+    spark: SparkSession,
+    sf_dir: str,
+    mix_parts: dict[str, int] | None = None,
+) -> DataFrame:
+    from rfb_data_pipeline_spark.operators.text import t15_quality_classifier
+
+    mix_parts = MIX_PARTS if mix_parts is None else mix_parts
+    mix_total = sum(mix_parts.values())
+    parts = F.create_map(*[F.lit(x) for kv in mix_parts.items() for x in kv])
+    scores = t15_quality_classifier(spark, sf_dir).select(
+        "doc_id", "nb_logodds"
+    )
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang")
+        .join(scores, "doc_id")
+        .withColumn("skey", -F.col("nb_logodds"))
+        .withColumn("band", F.floor("skey"))
+        .localCheckpoint(eager=True)
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_available"))
+    total = counts.agg(
+        F.min(
+            F.floor(F.col("n_available") * mix_total / parts[F.col("lang")])
+        ).alias("t_max")
+    )
+    quotas = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_available",
+        F.floor(parts[F.col("lang")] * F.col("t_max") / mix_total).alias(
+            "quota"
+        ),
+    )
+    wb = Window.partitionBy("lang", "band").orderBy("skey", "doc_id")
+    local = docs.withColumn("local_rn", F.row_number().over(wb))
+    offsets = (
+        docs.groupBy("lang", "band")
+        .agg(F.count(F.lit(1)).alias("band_n"))
+        .withColumn(
+            "band_offset",
+            F.coalesce(
+                F.sum("band_n").over(
+                    Window.partitionBy("lang")
+                    .orderBy("band")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("lang", "band", "band_offset")
+    )
+    selected = (
+        local.join(F.broadcast(offsets), ["lang", "band"])
+        .join(F.broadcast(quotas), "lang")
+        .filter(F.col("band_offset") + F.col("local_rn") <= F.col("quota"))
+    )
+    return selected.groupBy("lang").agg(
+        F.max("n_available").alias("n_available"),
+        F.max("quota").cast("bigint").alias("quota"),
+        F.count(F.lit(1)).alias("n_selected"),
+        (F.round(F.min("nb_logodds"), 3) + F.lit(0.0)).alias(
+            "quality_floor"
+        ),
+        F.sum("doc_id").alias("sel_checksum"),
+    )
+
+
+def _x16_sql() -> str:
+    from rfb_data_pipeline_spark.operators.text import _T15_SQL
+
+    return f"""
+WITH t15 AS ({_T15_SQL}),
+docs AS (
+  SELECT d.doc_id, d.lang, t.nb_logodds
+  FROM documents d JOIN t15 t ON d.doc_id = t.doc_id
+),
+counts AS (SELECT lang, count(*) AS n_available FROM docs GROUP BY lang),
+total AS (
+  SELECT min(CAST(floor(n_available * {MIX_TOTAL}.0
+                        / ({_x10_parts_sql()})) AS BIGINT)) AS t_max
+  FROM counts
+),
+quotas AS (
+  SELECT lang, n_available,
+         CAST(floor(({_x10_parts_sql()}) * t_max / {MIX_TOTAL}.0) AS BIGINT)
+           AS quota
+  FROM counts CROSS JOIN total
+),
+ranked AS (
+  SELECT doc_id, lang, nb_logodds,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY -nb_logodds ASC, doc_id ASC
+         ) AS rn
+  FROM docs
+),
+selected AS (
+  SELECT r.* FROM ranked r JOIN quotas q USING (lang) WHERE r.rn <= q.quota
+)
+SELECT lang,
+       CAST(max(q.n_available) AS BIGINT) AS n_available,
+       CAST(max(q.quota) AS BIGINT) AS quota,
+       count(*) AS n_selected,
+       round(min(s.nb_logodds), 3) + 0.0 AS quality_floor,
+       CAST(sum(s.doc_id) AS BIGINT) AS sel_checksum
+FROM selected s JOIN quotas q USING (lang)
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "x01_split_assign": x01_split_assign,
     "x02_cap_per_group": x02_cap_per_group,
@@ -1352,6 +1479,7 @@ QUERIES = {
     "x13_weighted_sample": x13_weighted_sample,
     "x14_epoch_plan": x14_epoch_plan,
     "x15_split_drift": x15_split_drift,
+    "x16_quality_mixture": x16_quality_mixture,
 }
 
 ORACLE = {
@@ -1370,4 +1498,5 @@ ORACLE = {
     "x13_weighted_sample": _x13_sql(),
     "x14_epoch_plan": _x14_sql(),
     "x15_split_drift": _X15_SQL,
+    "x16_quality_mixture": _x16_sql(),
 }

@@ -233,6 +233,49 @@ def test_x15_detects_planted_split_drift(spark, tmp_path):
     assert drift["kl_train_test"] < 0.05
 
 
+def test_x16_selects_exactly_the_top_quota_by_quality(spark):
+    """x16's banded selection must equal a plain Python model: per
+    lang, sort by (-score, doc_id), take the x10-formula quota — the
+    checksum pins WHICH docs were chosen, not just how many."""
+    import math
+    from collections import defaultdict
+
+    from rfb_data_pipeline_spark.operators.sampling import (
+        MIX_PARTS,
+        MIX_TOTAL,
+        x16_quality_mixture,
+    )
+    from rfb_data_pipeline_spark.operators.text import t15_quality_classifier
+
+    from tests.conftest import SF_SMALL as sf
+
+    scores = {
+        r["doc_id"]: r["nb_logodds"]
+        for r in t15_quality_classifier(spark, sf).collect()
+    }
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(sf + "/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    by_lang = defaultdict(list)
+    for doc_id, s in scores.items():
+        by_lang[langs[doc_id]].append((-s, doc_id))
+    t_max = min(
+        math.floor(len(v) * MIX_TOTAL / MIX_PARTS[lg])
+        for lg, v in by_lang.items()
+    )
+    out = {r["lang"]: r for r in x16_quality_mixture(spark, sf).collect()}
+    for lg, items in by_lang.items():
+        quota = math.floor(MIX_PARTS[lg] * t_max / MIX_TOTAL)
+        sel = sorted(items)[:quota]
+        assert out[lg]["quota"] == quota
+        assert out[lg]["n_selected"] == len(sel)
+        assert out[lg]["sel_checksum"] == sum(d for _, d in sel)
+        assert abs(out[lg]["quality_floor"] - round(-sel[-1][0], 3)) < 1e-9
+
+
 def test_t16_extraction_roundtrips_adversarial_text(spark, tmp_path):
     """The escape→wrap→extract chain must recover the normalized
     original body (plus the known h1/footer frame) even when the

@@ -325,6 +325,7 @@ _SINGLE_PARTITION_OK = {
     "x14_epoch_plan",  # 1-row corpus-token-total frame
     "x15_split_drift",  # 1-row totals frame + 1-row KL output
     "s14_embedding_validation",  # 1-row validation summary
+    "x16_quality_mixture",  # t15's 1-row model frames + 1-row t_max
 }
 
 
