@@ -67,6 +67,7 @@ HEADLINE = [
     "t17_url_filter",
     "x15_split_drift",
     "s15_ivf_pq_ann",
+    "x16_quality_mixture",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.
