@@ -68,6 +68,7 @@ HEADLINE = [
     "x15_split_drift",
     "s15_ivf_pq_ann",
     "x16_quality_mixture",
+    "e17_multistep_funnel",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

@@ -853,6 +853,122 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# e17 — MULTI-STEP ordered funnel with PER-STEP timeout windows
+# (view → click within 1h → purchase within 24h OF THE CLICK): the
+# 3-step MATCH_RECOGNIZE shape. e12's single following-frame window
+# cannot express "within 24h of the *matched middle step*" — the
+# third step's deadline anchors on a DYNAMIC timestamp. Two chained
+# passes do it declaratively: every event gets its next-click and
+# next-purchase times from one following-frame window; views then
+# join the click rows on (user, next_click_ts) to inherit THAT
+# click's own next-purchase. One user-keyed window shuffle + one
+# equi-join on (user, ts) — no per-row iteration, no state.
+#
+# Ties: multiple clicks at the matched timestamp collapse to the
+# earliest next-purchase (min), so the match is deterministic in both
+# engines.
+
+
+def e17_multistep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    annotated = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        .over(w)
+        .alias("next_click_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .over(w)
+        .alias("next_purchase_ts"),
+    ).localCheckpoint(eager=True)
+    views = annotated.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), "next_click_ts"
+    )
+    clicks = (
+        annotated.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("c_ts"))
+        .agg(F.min("next_purchase_ts").alias("p_ts"))
+    )
+    j = views.join(
+        clicks,
+        (views["user_id"] == clicks["user_id"])
+        & (views["next_click_ts"] == clicks["c_ts"]),
+        "left",
+    )
+    step2 = F.col("next_click_ts").isNotNull() & (
+        F.col("next_click_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    step3 = (
+        step2
+        & F.col("p_ts").isNotNull()
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOURS"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum(step2.cast("int")).cast("bigint").alias("n_clicked_1h"),
+        F.sum(step3.cast("int")).cast("bigint").alias("n_purchased_24h"),
+        F.round(F.sum(step2.cast("int")) / F.count(F.lit(1)), 4).alias(
+            "click_rate"
+        ),
+        F.round(F.sum(step3.cast("int")) / F.count(F.lit(1)), 4).alias(
+            "full_funnel_rate"
+        ),
+    )
+
+
+_E17_SQL = """
+WITH annotated AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_click_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_purchase_ts
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+views AS (
+  SELECT user_id, ts AS v_ts, next_click_ts
+  FROM annotated WHERE event_type = 'view'
+),
+clicks AS (
+  SELECT user_id, ts AS c_ts, min(next_purchase_ts) AS p_ts
+  FROM annotated WHERE event_type = 'click'
+  GROUP BY user_id, ts
+),
+j AS (
+  SELECT v.v_ts, v.next_click_ts, c.c_ts, c.p_ts,
+         CASE WHEN v.next_click_ts IS NOT NULL
+               AND v.next_click_ts <= v.v_ts + INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS step2
+  FROM views v LEFT JOIN clicks c
+    ON v.user_id = c.user_id AND v.next_click_ts = c.c_ts
+)
+SELECT count(*) AS n_views,
+       CAST(sum(step2) AS BIGINT) AS n_clicked_1h,
+       CAST(sum(CASE WHEN step2 = 1 AND p_ts IS NOT NULL
+                      AND p_ts <= c_ts + INTERVAL 24 HOUR
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_24h,
+       round(sum(step2)::DOUBLE / count(*), 4) AS click_rate,
+       round(sum(CASE WHEN step2 = 1 AND p_ts IS NOT NULL
+                       AND p_ts <= c_ts + INTERVAL 24 HOUR
+                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+         AS full_funnel_rate
+FROM j
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_window": e02_sliding_window,
@@ -875,6 +991,9 @@ QUERIES = {
     # vouches, and it rotates back in r05.
     "e16_stream_replay": e16_stream_replay,
     "e15_gap_fill_locf": e15_gap_fill_locf,
+    # e17 is appended AFTER e15 so the r04 driver window (first 50 =
+    # q01-q35 + e01-e14 + e16) is untouched; it rotates in at r05.
+    "e17_multistep_funnel": e17_multistep_funnel,
 }
 
 ORACLE = {
@@ -894,4 +1013,5 @@ ORACLE = {
     "e14_max_concurrency": _E14_SQL,
     "e15_gap_fill_locf": _E15_SQL,
     "e16_stream_replay": _e16_sql(),
+    "e17_multistep_funnel": _E17_SQL,
 }

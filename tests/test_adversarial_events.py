@@ -21,7 +21,9 @@ from tools.check_oracle import _normalize, value_hash
 _QUERIES = entry_mod.queries()
 _ORACLES = entry_mod.oracle_sql()
 
-_E_PROBED = [f"e{i:02d}" for i in range(1, 16)]
+# e01-e15 + e17 (e16 is the corpus-funnel replay over documents — it
+# has no events surface to probe here)
+_E_PROBED = [f"e{i:02d}" for i in range(1, 16)] + ["e17"]
 
 
 def _t(h, m=0, s=0, us=0):

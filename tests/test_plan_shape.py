@@ -303,6 +303,7 @@ _SINGLE_PARTITION_OK = {
     "e05_funnel",  # 1-row funnel summary
     "e11_spike_detection",  # post-agg minute frame
     "e12_sequence_match",  # 1-row match count
+    "e17_multistep_funnel",  # 1-row funnel summary
     "e14_max_concurrency",  # banded prefix sum's band-offset frame
     "e15_gap_fill_locf",  # calendar-bounded resample grid
     "d01_exact_dedup",  # 1-row dedup summary
