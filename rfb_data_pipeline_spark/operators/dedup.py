@@ -188,13 +188,15 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 # d03 — MinHash + LSH banding, then exact verification of candidates.
 
 
-def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Materialized once — reused by the signature, the verification
-    # join (both sides), and the size aggregate (see d02 note).
-    exploded = _doc_shingles(_docs(spark, sf_dir)).localCheckpoint(eager=True)
-    # signature: MINHASH_K independent hash orderings approximated by
-    # md5 with a seed prefix; the min hex digest per doc is the
-    # min-hash. One narrow shuffle on doc_id aggregates the signature.
+def _minhash_buckets(exploded: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, bucket) from the exploded shingle table —
+    the ONE copy of the signature+banding math, shared by d03
+    (intra-corpus pairs) and d16 (batch-vs-index incremental dedup).
+
+    Signature: MINHASH_K independent hash orderings approximated by
+    md5 with a seed prefix; the min hex digest per doc is the
+    min-hash. One narrow shuffle on doc_id aggregates the signature.
+    """
     sig = exploded.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
@@ -214,12 +216,19 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
-    buckets = sig.select("doc_id", *band_cols).select(
+    return sig.select("doc_id", *band_cols).select(
         "doc_id",
         F.posexplode(F.array(*[f"band{b}" for b in range(n_bands)])).alias(
             "band_idx", "bucket"
         ),
     )
+
+
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialized once — reused by the signature, the verification
+    # join (both sides), and the size aggregate (see d02 note).
+    exploded = _doc_shingles(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    buckets = _minhash_buckets(exploded)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -1273,6 +1282,143 @@ def d15_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_summary(cc_star(pairs))
 
 
+# --------------------------------------------------------------------------
+# d16 — INCREMENTAL near-dup dedup: a NEW crawl batch (doc_id odd —
+# d06's snapshot rule) LSH-probed against the CORPUS SIGNATURE INDEX
+# (doc_id even) and exact-verified. d06 is the exact-fingerprint tier
+# of recurring ingestion; this is its NEAR-dup tier — the shape every
+# refreshed crawl runs so a re-crawled, lightly-edited page doesn't
+# re-enter the corpus. At 100 TB the corpus side reads a
+# pre-materialized (band_idx, bucket)-bucketed signature index (the
+# ann_index discipline), so the candidate join is co-located and the
+# batch never touches corpus text except for its own candidates'
+# verification rows.
+
+
+def d16_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    exploded = _doc_shingles(docs).localCheckpoint(eager=True)
+    buckets = _minhash_buckets(exploded).localCheckpoint(eager=True)
+    corpus_b = buckets.filter(F.col("doc_id") % 2 == 0).select(
+        "band_idx", "bucket", F.col("doc_id").alias("doc_corpus")
+    )
+    batch_b = buckets.filter(F.col("doc_id") % 2 == 1).select(
+        "band_idx", "bucket", F.col("doc_id").alias("doc_batch")
+    )
+    cand = (
+        batch_b.join(corpus_b, ["band_idx", "bucket"])
+        .select("doc_batch", "doc_corpus")
+        .distinct()
+    )
+    sh_batch = exploded.select(
+        F.col("doc_id").alias("doc_batch"), "shingle"
+    )
+    sh_corpus = exploded.select(
+        F.col("doc_id").alias("doc_corpus"), "shingle"
+    )
+    common = (
+        cand.join(sh_batch, "doc_batch")
+        .join(sh_corpus, ["doc_corpus", "shingle"])
+        .groupBy("doc_batch", "doc_corpus")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    jac = F.col("common") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("common")
+    )
+    dup_batch_docs = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_batch"), F.col("sz").alias("sz_a")),
+            "doc_batch",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_corpus"), F.col("sz").alias("sz_b")
+            ),
+            "doc_corpus",
+        )
+        .filter(F.round(jac, 4) >= JACCARD_THRESHOLD)
+        .select("doc_batch")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "source")
+        .join(dup_batch_docs, docs["doc_id"] == dup_batch_docs["doc_batch"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch_docs"),
+            F.count("hit").alias("n_near_dup"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("dup_rate"),
+            F.min(F.when(F.col("hit") == 1, F.col("doc_id"))).alias(
+                "first_dup_doc"
+            ),
+        )
+    )
+
+
+def _d16_sql() -> str:
+    hs = ",\n         ".join(
+        f"list_min(list_transform(shingles, x -> md5('{j}|' || x))) AS h{j}"
+        for j in range(MINHASH_K)
+    )
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    bands = ",\n         ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"h{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)
+        )
+        + f") AS band{b}"
+        for b in range(n_bands)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS bucket FROM banded"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id, shingles,
+         {hs}
+  FROM sh WHERE len(shingles) > 0
+),
+banded AS (
+  SELECT doc_id,
+         {bands}
+  FROM sig
+),
+buckets AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS doc_batch, c.doc_id AS doc_corpus
+  FROM buckets b JOIN buckets c
+    ON b.band_idx = c.band_idx AND b.bucket = c.bucket
+  WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+),
+dup_docs AS (
+  SELECT DISTINCT doc_batch FROM (
+    SELECT doc_batch,
+           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                 / (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))), 4)
+             AS jaccard
+    FROM cand
+    JOIN sh sa ON doc_batch = sa.doc_id
+    JOIN sh sb ON doc_corpus = sb.doc_id
+  ) WHERE jaccard >= {JACCARD_THRESHOLD}
+)
+SELECT source,
+       count(*) AS n_batch_docs,
+       count(h.doc_batch) AS n_near_dup,
+       round(count(h.doc_batch)::DOUBLE / count(*), 4) AS dup_rate,
+       min(CASE WHEN h.doc_batch IS NOT NULL THEN d.doc_id END)
+         AS first_dup_doc
+FROM documents d LEFT JOIN dup_docs h ON d.doc_id = h.doc_batch
+WHERE d.doc_id % 2 = 1
+GROUP BY source
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1288,6 +1434,7 @@ QUERIES = {
     "d13_duplicate_spans": d13_duplicate_spans,
     "d14_dup_span_fraction": d14_dup_span_fraction,
     "d15_cc_star": d15_cc_star,
+    "d16_incremental_minhash": d16_incremental_minhash,
 }
 
 ORACLE = {
@@ -1308,4 +1455,5 @@ ORACLE = {
     # algorithm; sharing the oracle makes the driver hash an
     # algorithm cross-check.
     "d15_cc_star": _D07_SQL,
+    "d16_incremental_minhash": _d16_sql(),
 }

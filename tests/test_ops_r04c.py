@@ -308,6 +308,31 @@ def test_t16_extraction_roundtrips_adversarial_text(spark, tmp_path):
         assert out[k]["text_len"] == len(expected)
 
 
+def test_d16_flags_edited_recrawl_but_not_novel_docs(spark, tmp_path):
+    """A lightly-edited re-crawl of a corpus page (high Jaccard) must
+    be flagged against the signature index; a novel page must not."""
+    from rfb_data_pipeline_spark.operators.dedup import d16_incremental_minhash
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    edited = " ".join(("EDIT" if i == 30 else f"tok{i}") for i in range(60))
+    novel = " ".join(f"other{i}" for i in range(60))
+    rows = [
+        (0, base, "en", "corpus"),  # corpus (even)
+        (2, " ".join(f"pad{i}" for i in range(40)), "en", "corpus"),
+        (1, edited, "en", "recrawl"),  # batch (odd): near-dup of 0
+        (3, novel, "en", "fresh"),  # batch: novel
+    ]
+    d = str(tmp_path / "d16")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(d + "/documents.parquet")
+
+    out = {r["source"]: r for r in d16_incremental_minhash(spark, d).collect()}
+    assert out["recrawl"]["n_near_dup"] == 1
+    assert out["recrawl"]["first_dup_doc"] == 1
+    assert out["fresh"]["n_near_dup"] == 0
+
+
 def test_simhash_wide_matches_python_model(spark, tmp_path):
     """64-bit fingerprints (hi, lo) must equal an independent Python
     md5-vote model bit-for-bit."""
