@@ -55,18 +55,18 @@ def _registry() -> tuple[dict, dict]:
     #          queries sit at positions >50 and rotate into the r05 window
     #          (all locally oracle-verified this round via
     #          tools/check_oracle.py — full gate green at sf0.01).
-    # Round 5 rotation: the stale set is d(15)+t(17)+s(15)+x(16)+m(5)+e15+e17 =
-    # 70 entries vs a 50-slot window. Priority order for r05:
-    #   1. the 22 never-driver-checked r04 entries — first:
+    # Round 5 rotation: the stale set is d(15)+t(17)+s(15)+x(16)+m(6)+e15+e17 =
+    # 71 entries vs a 50-slot window. Priority order for r05:
+    #   1. the 23 never-driver-checked r04 entries — first:
     #      d14, d15, d16, t12, t13, t14, t15, t16, t17, x11, x12, x13, x14,
-    #      x15, x16, s11, s12, s13, s14, s15, m05, e17;
+    #      x15, x16, s11, s12, s13, s14, s15, m05, m06, e17;
     #   2. e15 (green r02, code unchanged, yielded its r04 slot to e16)
     #      and the r03-green d/t/s/x entries fill the remaining 34
     #      slots — the overflow spills to r06, acceptable because their
     #      code is unchanged since their r03 green rows (except d02,
     #      re-greened in the r04 local full gate);
     #   3. rows-only media (m01-m04) and the r04-re-greened q/e last.
-    # All 120 entries pass tools/check_oracle.py at sf0.01 this round
+    # All 121 entries pass tools/check_oracle.py at sf0.01 this round
     # (full gate green — recorded in COVERAGE.md).
     for mod in (relational, events, dedup, text, similarity, sampling, media):
         queries.update(mod.QUERIES)

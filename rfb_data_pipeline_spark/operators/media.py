@@ -228,12 +228,154 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# m06 — WebVTT subtitle cue parsing: the transcript/subtitle sidecar
+# every video corpus carries, and the media family's SECOND fully
+# hash-checkable row (the m05 pattern — text-expressible container
+# metadata). Both engines synthesize the identical WebVTT document
+# per clip (doc_id drives cue count and jittered durations), then
+# parse the cue timings back OUT OF THE TEXT with the standard
+# `HH:MM:SS.mmm --> HH:MM:SS.mmm` regexp and integer-ms arithmetic —
+# the speech-duration/cue-rate audit a multimodal curation pipeline
+# runs before aligning audio to text.
+#
+# Scale: pure per-row string build + regexp extract (codegen); one
+# small per-source aggregate.
+
+_VTT_TS_RE = r"(\d{2}):(\d{2}):(\d{2})\.(\d{3})"
+
+
+def _vtt_fmt(ms_col):
+    """HH:MM:SS.mmm from integer milliseconds — identical expression
+    text in both engines (lpad + integer div/mod)."""
+    hh = F.lpad((ms_col / 3600000).cast("long").cast("string"), 2, "0")
+    mm = F.lpad(((ms_col / 60000) % 60).cast("long").cast("string"), 2, "0")
+    ss = F.lpad(((ms_col / 1000) % 60).cast("long").cast("string"), 2, "0")
+    mmm = F.lpad((ms_col % 1000).cast("long").cast("string"), 3, "0")
+    return F.concat(hh, F.lit(":"), mm, F.lit(":"), ss, F.lit("."), mmm)
+
+
+def m06_subtitle_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.catalog import load_tables
+
+    docs = load_tables(
+        spark, sf_dir, tables=("documents",), register_views=False
+    )["documents"]
+    n_cues = (F.col("doc_id") % 4 + 1).cast("int")
+    cue = F.transform(
+        F.sequence(F.lit(0), n_cues - 1),
+        lambda i: F.concat(
+            _vtt_fmt(i * 2500),
+            F.lit(" --> "),
+            _vtt_fmt(i * 2500 + 2000 + F.pmod(F.col("doc_id") + i, F.lit(400))),
+            F.lit("\ncue "),
+            i.cast("string"),
+            F.lit(" of clip "),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    vtt = F.concat(F.lit("WEBVTT\n\n"), F.array_join(cue, "\n\n"))
+
+    def to_ms(m: int):  # ms from the m-th regexp group quadruple
+        g = lambda k: F.regexp_extract(  # noqa: E731
+            F.col("line"), _VTT_TS_RE + " --> " + _VTT_TS_RE, k
+        ).cast("long")
+        base = (m - 1) * 4
+        return (
+            g(base + 1) * 3600000
+            + g(base + 2) * 60000
+            + g(base + 3) * 1000
+            + g(base + 4)
+        )
+
+    # regexp_extract_all only exists as a SQL function; the pattern's
+    # backslashes must be doubled inside the SQL string literal
+    sql_pat = f"{_VTT_TS_RE} --> {_VTT_TS_RE}".replace("\\", "\\\\")
+    lines = (
+        docs.select("doc_id", "source", vtt.alias("vtt"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(f"regexp_extract_all(vtt, '{sql_pat}', 0)")
+            ).alias("line"),
+        )
+    )
+    dur = to_ms(2) - to_ms(1)
+    return (
+        lines.select("doc_id", "source", dur.alias("cue_ms"))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_clips"),
+            F.count(F.lit(1)).alias("n_cues"),
+            F.sum("cue_ms").alias("total_speech_ms"),
+            F.round(F.sum("cue_ms") / F.count(F.lit(1)), 2).alias(
+                "avg_cue_ms"
+            ),
+        )
+    )
+
+
+def _m06_sql() -> str:
+    fmt = (
+        "lpad(({ms} // 3600000)::VARCHAR, 2, '0') || ':' || "
+        "lpad((({ms} // 60000) % 60)::VARCHAR, 2, '0') || ':' || "
+        "lpad((({ms} // 1000) % 60)::VARCHAR, 2, '0') || '.' || "
+        "lpad(({ms} % 1000)::VARCHAR, 3, '0')"
+    )
+    start = fmt.format(ms="(i * 2500)")
+    end = fmt.format(ms="(i * 2500 + 2000 + ((doc_id + i) % 400))")
+    ts = r"(\d{2}):(\d{2}):(\d{2})\.(\d{3})"
+
+    def grp(k: int) -> str:
+        # string concatenation, not .format — the regex's {2}/{3}
+        # quantifiers would be misread as format fields
+        return (
+            "regexp_extract(line, '" + ts + " --> " + ts + "', "
+            + str(k)
+            + ")::BIGINT"
+        )
+
+    def ms(m):
+        b = (m - 1) * 4
+        return (
+            f"({grp(b + 1)} * 3600000 + {grp(b + 2)} * 60000"
+            f" + {grp(b + 3)} * 1000 + {grp(b + 4)})"
+        )
+
+    return f"""
+WITH vtts AS (
+  SELECT doc_id, source,
+         'WEBVTT' || chr(10) || chr(10) || array_to_string(
+           list_transform(range(0, (doc_id % 4 + 1)::INTEGER),
+             i -> {start} || ' --> ' || {end}
+                  || chr(10) || 'cue ' || i::VARCHAR
+                  || ' of clip ' || doc_id::VARCHAR),
+           chr(10) || chr(10)) AS vtt
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(vtt, '{ts} --> {ts}', 0)) AS line
+  FROM vtts
+)
+SELECT source,
+       count(DISTINCT doc_id) AS n_clips,
+       count(*) AS n_cues,
+       CAST(sum({ms(2)} - {ms(1)}) AS BIGINT) AS total_speech_ms,
+       round(sum({ms(2)} - {ms(1)})::DOUBLE / count(*), 2) AS avg_cue_ms
+FROM lines
+GROUP BY source
+"""
+
+
 QUERIES = {
     "m01_image_metadata": m01_image_metadata,
     "m02_media_stats": m02_media_stats,
     "m03_frame_sample": m03_frame_sample,
     "m04_audio_frames": m04_audio_frames,
     "m05_header_parse": m05_header_parse,
+    "m06_subtitle_parse": m06_subtitle_parse,
 }
 
 # m01–m04 are rows-only by design: no DuckDB codec surface exists to
@@ -242,4 +384,5 @@ QUERIES = {
 # oracle-backed — DuckDB slices and decodes the same payload blobs.
 ORACLE: dict[str, str] = {
     "m05_header_parse": _M05_SQL,
+    "m06_subtitle_parse": _m06_sql(),
 }

@@ -28,9 +28,9 @@ def test_r04_window_composition():
 def test_every_query_has_unique_name_and_oracle_subset():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    # 108 at the r04 gate + 12 second-session additions
-    # (d15, d16, e17, t15, t16, t17, s13, s14, s15, x14, x15, x16)
-    assert len(q) == 120
+    # 108 at the r04 gate + 13 second-session additions
+    # (d15, d16, e17, t15, t16, t17, s13, s14, s15, x14, x15, x16, m06)
+    assert len(q) == 121
     assert set(o) <= set(q)
     # rows-only tier is exactly the sketches + media decode
     rows_only = set(q) - set(o)
