@@ -33,6 +33,8 @@ _PROBED = [
     "d13_duplicate_spans",
     "d14_dup_span_fraction",
     "d15_cc_star",
+    "d16_incremental_minhash",
+    "m06_subtitle_parse",
     "t01_token_stats",
     "t02_quality_score",  # empty text crashed the gate pre-fix
     "t03_langid",
