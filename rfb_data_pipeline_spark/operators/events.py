@@ -890,18 +890,25 @@ def e17_multistep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("next_purchase_ts"),
     ).localCheckpoint(eager=True)
+    # distinct column names on the click side: both frames share
+    # `annotated`'s lineage, and an attribute-equality join between
+    # same-named columns leans on the analyzer's self-join
+    # disambiguation heuristic (version-fragile; the d03 alias
+    # discipline)
     views = annotated.filter(F.col("event_type") == "view").select(
         "user_id", F.col("ts").alias("v_ts"), "next_click_ts"
     )
     clicks = (
         annotated.filter(F.col("event_type") == "click")
-        .groupBy("user_id", F.col("ts").alias("c_ts"))
+        .groupBy(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
         .agg(F.min("next_purchase_ts").alias("p_ts"))
     )
     j = views.join(
         clicks,
-        (views["user_id"] == clicks["user_id"])
-        & (views["next_click_ts"] == clicks["c_ts"]),
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("next_click_ts") == F.col("c_ts")),
         "left",
     )
     step2 = F.col("next_click_ts").isNotNull() & (
@@ -954,18 +961,20 @@ j AS (
               THEN 1 ELSE 0 END AS step2
   FROM views v LEFT JOIN clicks c
     ON v.user_id = c.user_id AND v.next_click_ts = c.c_ts
+),
+flagged AS (
+  SELECT step2,
+         CASE WHEN step2 = 1 AND p_ts IS NOT NULL
+               AND p_ts <= c_ts + INTERVAL 24 HOUR
+              THEN 1 ELSE 0 END AS step3
+  FROM j
 )
 SELECT count(*) AS n_views,
        CAST(sum(step2) AS BIGINT) AS n_clicked_1h,
-       CAST(sum(CASE WHEN step2 = 1 AND p_ts IS NOT NULL
-                      AND p_ts <= c_ts + INTERVAL 24 HOUR
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_24h,
+       CAST(sum(step3) AS BIGINT) AS n_purchased_24h,
        round(sum(step2)::DOUBLE / count(*), 4) AS click_rate,
-       round(sum(CASE WHEN step2 = 1 AND p_ts IS NOT NULL
-                       AND p_ts <= c_ts + INTERVAL 24 HOUR
-                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
-         AS full_funnel_rate
-FROM j
+       round(sum(step3)::DOUBLE / count(*), 4) AS full_funnel_rate
+FROM flagged
 """
 
 

@@ -261,7 +261,10 @@ def m06_subtitle_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(
         spark, sf_dir, tables=("documents",), register_views=False
     )["documents"]
-    n_cues = (F.col("doc_id") % 4 + 1).cast("int")
+    # pmod, not %: Spark's remainder keeps the dividend sign, so a
+    # negative doc_id would drive sequence() DESCENDING and fabricate
+    # cue rows the oracle never produces (third review pass, finding 1)
+    n_cues = (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int")
     cue = F.transform(
         F.sequence(F.lit(0), n_cues - 1),
         lambda i: F.concat(
@@ -324,7 +327,8 @@ def _m06_sql() -> str:
         "lpad(({ms} % 1000)::VARCHAR, 3, '0')"
     )
     start = fmt.format(ms="(i * 2500)")
-    end = fmt.format(ms="(i * 2500 + 2000 + ((doc_id + i) % 400))")
+    # sign-safe modulo mirroring Spark's pmod (negative-id parity)
+    end = fmt.format(ms="(i * 2500 + 2000 + (((doc_id + i) % 400 + 400) % 400))")
     ts = r"(\d{2}):(\d{2}):(\d{2})\.(\d{3})"
 
     def grp(k: int) -> str:
@@ -347,7 +351,7 @@ def _m06_sql() -> str:
 WITH vtts AS (
   SELECT doc_id, source,
          'WEBVTT' || chr(10) || chr(10) || array_to_string(
-           list_transform(range(0, (doc_id % 4 + 1)::INTEGER),
+           list_transform(range(0, ((doc_id % 4 + 4) % 4 + 1)::INTEGER),
              i -> {start} || ' --> ' || {end}
                   || chr(10) || 'cue ' || i::VARCHAR
                   || ' of clip ' || doc_id::VARCHAR),

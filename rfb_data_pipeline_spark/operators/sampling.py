@@ -640,33 +640,33 @@ MIX_TOTAL = sum(MIX_PARTS.values())
 MIX_BAND_HEX = 1
 
 
-def x10_domain_mixture(
-    spark: SparkSession,
-    sf_dir: str,
-    mix_parts: dict[str, int] | None = None,
-    band_hex: int = MIX_BAND_HEX,
-) -> DataFrame:
-    mix_parts = MIX_PARTS if mix_parts is None else mix_parts
+def _mix_quotas(docs: DataFrame, mix_parts: dict[str, int]) -> DataFrame:
+    """(lang, n_available, quota) — x10's exact integer-part quota
+    formula, ONE copy shared with x16."""
     mix_total = sum(mix_parts.values())
-    parts = F.create_map(
-        *[F.lit(x) for kv in mix_parts.items() for x in kv]
-    )
-    docs = _docs(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        F.md5(F.col("doc_id").cast("string")).alias("skey"),
-    ).withColumn("band", F.substring("skey", 1, band_hex))
+    parts = F.create_map(*[F.lit(x) for kv in mix_parts.items() for x in kv])
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_available"))
     total = counts.agg(
         F.min(
             F.floor(F.col("n_available") * mix_total / parts[F.col("lang")])
         ).alias("t_max")
     )
-    quotas = counts.crossJoin(F.broadcast(total)).select(
+    return counts.crossJoin(F.broadcast(total)).select(
         "lang",
         "n_available",
-        F.floor(parts[F.col("lang")] * F.col("t_max") / mix_total).alias("quota"),
+        F.floor(parts[F.col("lang")] * F.col("t_max") / mix_total).alias(
+            "quota"
+        ),
     )
+
+
+def _banded_quota_select(docs: DataFrame, quotas: DataFrame) -> DataFrame:
+    """Top-quota rows per lang via the banded two-phase rank — ONE
+    copy of the offset/rank machinery (x10 and x16). ``docs`` must
+    carry (doc_id, lang, skey, band) where ``band`` is a MONOTONE
+    PREFIX of the (skey, doc_id) sort order — that property is what
+    licenses replacing the per-lang global rank with per-(lang, band)
+    local ranks plus cumulative band offsets."""
     wb = Window.partitionBy("lang", "band").orderBy("skey", "doc_id")
     local = docs.withColumn("local_rn", F.row_number().over(wb))
     offsets = (
@@ -685,11 +685,26 @@ def x10_domain_mixture(
         )
         .select("lang", "band", "band_offset")
     )
-    selected = (
+    return (
         local.join(F.broadcast(offsets), ["lang", "band"])
         .join(F.broadcast(quotas), "lang")
         .filter(F.col("band_offset") + F.col("local_rn") <= F.col("quota"))
     )
+
+
+def x10_domain_mixture(
+    spark: SparkSession,
+    sf_dir: str,
+    mix_parts: dict[str, int] | None = None,
+    band_hex: int = MIX_BAND_HEX,
+) -> DataFrame:
+    mix_parts = MIX_PARTS if mix_parts is None else mix_parts
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("skey"),
+    ).withColumn("band", F.substring("skey", 1, band_hex))
+    selected = _banded_quota_select(docs, _mix_quotas(docs, mix_parts))
     return selected.groupBy("lang").agg(
         F.max("n_available").alias("n_available"),
         F.max("quota").cast("bigint").alias("quota"),
@@ -1361,8 +1376,6 @@ def x16_quality_mixture(
     from rfb_data_pipeline_spark.operators.text import t15_quality_classifier
 
     mix_parts = MIX_PARTS if mix_parts is None else mix_parts
-    mix_total = sum(mix_parts.values())
-    parts = F.create_map(*[F.lit(x) for kv in mix_parts.items() for x in kv])
     scores = t15_quality_classifier(spark, sf_dir).select(
         "doc_id", "nb_logodds"
     )
@@ -1374,42 +1387,7 @@ def x16_quality_mixture(
         .withColumn("band", F.floor("skey"))
         .localCheckpoint(eager=True)
     )
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_available"))
-    total = counts.agg(
-        F.min(
-            F.floor(F.col("n_available") * mix_total / parts[F.col("lang")])
-        ).alias("t_max")
-    )
-    quotas = counts.crossJoin(F.broadcast(total)).select(
-        "lang",
-        "n_available",
-        F.floor(parts[F.col("lang")] * F.col("t_max") / mix_total).alias(
-            "quota"
-        ),
-    )
-    wb = Window.partitionBy("lang", "band").orderBy("skey", "doc_id")
-    local = docs.withColumn("local_rn", F.row_number().over(wb))
-    offsets = (
-        docs.groupBy("lang", "band")
-        .agg(F.count(F.lit(1)).alias("band_n"))
-        .withColumn(
-            "band_offset",
-            F.coalesce(
-                F.sum("band_n").over(
-                    Window.partitionBy("lang")
-                    .orderBy("band")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("lang", "band", "band_offset")
-    )
-    selected = (
-        local.join(F.broadcast(offsets), ["lang", "band"])
-        .join(F.broadcast(quotas), "lang")
-        .filter(F.col("band_offset") + F.col("local_rn") <= F.col("quota"))
-    )
+    selected = _banded_quota_select(docs, _mix_quotas(docs, mix_parts))
     return selected.groupBy("lang").agg(
         F.max("n_available").alias("n_available"),
         F.max("quota").cast("bigint").alias("quota"),

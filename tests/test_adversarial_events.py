@@ -31,6 +31,10 @@ def _t(h, m=0, s=0, us=0):
 
 
 _ROWS = [
+    # user 1: a VIEW precedes the tied clicks so e17's matched-click
+    # tie collapse and step2/step3 paths are exercised non-vacuously
+    # (third review pass, finding 2)
+    (99, _t(0, 50), 1, "view", 1.0, '{"k": 0}'),
     # user 1: EXACT-TIE timestamps (two clicks, distinct event ids),
     # then a third click; signup → purchase at EXACTLY +24h (the e12
     # within-24h boundary)

@@ -66,6 +66,7 @@ _PROBED = [
     "x13_weighted_sample",  # zero-weight doc crashed the key pre-fix
     "x14_epoch_plan",
     "x15_split_drift",
+    "x16_quality_mixture",  # t15 scores + inner join over degenerate docs
     "e16_stream_replay",
 ]
 
