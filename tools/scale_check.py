@@ -122,6 +122,7 @@ def _ops() -> dict:
         d05_simhash_pairs,
         d13_duplicate_spans,
         d15_cc_star,
+        d16_incremental_minhash,
     )
     from rfb_data_pipeline_spark.operators.sampling import (
         x09_pack_sequences,
@@ -143,6 +144,7 @@ def _ops() -> dict:
         "d03": d03_minhash_lsh,
         "d05": d05_simhash_pairs,
         "d15": d15_cc_star,
+        "d16": d16_incremental_minhash,
         "x09": x09_pack_sequences,
         "x15": x15_split_drift,
         "t11": t11_unigram_surprisal,
