@@ -69,6 +69,8 @@ HEADLINE = [
     "s15_ivf_pq_ann",
     "x16_quality_mixture",
     "e17_multistep_funnel",
+    "d16_incremental_minhash",
+    "m06_subtitle_parse",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.
