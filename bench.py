@@ -158,7 +158,32 @@ def main() -> None:
         pass
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
+    # The full per-query payload outgrew the driver's stdout tail
+    # capture in r04 ("parsed": null — 49 queries x min+median on one
+    # line). Persist the full detail in-repo so rounds stay diffable,
+    # and keep the driver-parsed stdout line compact (<300 bytes).
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+        ),
+        "w",
+    ) as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "total_median": payload["total_median"],
+        "n_queries": len(timings),
+        "sf": sf,
+        "detail": "BENCH_local.json",
+    }
+    if "baseline_subset" in payload:
+        compact["baseline_subset"] = payload["baseline_subset"]
+    if errors:
+        compact["n_errors"] = len(errors)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -868,6 +868,17 @@ GROUP BY 1
 # Ties: multiple clicks at the matched timestamp collapse to the
 # earliest next-purchase (min), so the match is deterministic in both
 # engines.
+#
+# MATCHING RULE (stricter than full MATCH_RECOGNIZE): step 3 binds
+# EXCLUSIVELY to the FIRST click after each view. If that first click
+# never purchases within 24h but a LATER click — still inside the
+# view's 1h window — does, this operator counts the view as NOT
+# converted, whereas MATCH_RECOGNIZE with default AFTER MATCH SKIP
+# semantics could match the later click. First-click attribution is a
+# standard funnel policy and both engines implement it identically
+# (parity holds); consumers needing any-click attribution should
+# extend the join to all clicks in the 1h window with an EXISTS-style
+# aggregate.
 
 
 def e17_multistep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

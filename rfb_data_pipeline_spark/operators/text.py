@@ -1247,9 +1247,15 @@ T17_BLOCKLIST = ("spam-mill.example", "link-farm.example")
 def t17_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     domain_arr = F.array(*[F.lit(d) for d in T17_DOMAINS])
-    domain = F.element_at(domain_arr, (F.col("doc_id") % 7 + 1).cast("int"))
+    # pmod, not %: a negative doc_id under sign-keeping % would index
+    # element_at(arr, <=0) — ANSI error / end-relative — while the SQL
+    # twin's sign-safe form yields a valid slot (the m06 bug class).
+    domain = F.element_at(
+        domain_arr, (F.pmod(F.col("doc_id"), F.lit(7)) + 1).cast("int")
+    )
     spam_q = F.when(
-        F.col("doc_id") % 5 == 0, F.lit("?utm_source=spamblast&click=1")
+        F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+        F.lit("?utm_source=spamblast&click=1"),
     ).otherwise(F.lit(""))
     url = F.concat(
         F.lit("https://"),
@@ -1292,9 +1298,9 @@ def _t17_sql() -> str:
     return f"""
 WITH urls AS (
   SELECT doc_id, source, text,
-         'https://' || ([{domains}])[(doc_id % 7 + 1)::INTEGER]
+         'https://' || ([{domains}])[((doc_id % 7 + 7) % 7 + 1)::INTEGER]
          || '/' || source || '/p' || doc_id::VARCHAR
-         || CASE WHEN doc_id % 5 = 0
+         || CASE WHEN (doc_id % 5 + 5) % 5 = 0
                  THEN '?utm_source=spamblast&click=1' ELSE '' END AS url
   FROM documents
 ),

@@ -11,8 +11,11 @@ Arrow for any pandas interchange.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
+
+_SHIP_LOCK = threading.Lock()
 
 # Tuned for the local[CPUS] harness; on a real cluster these come from
 # spark-submit conf. Shuffle partitions are deliberately low locally —
@@ -96,21 +99,31 @@ def ship_package(spark: SparkSession) -> None:
     Spark ships the zip to every executor and puts it on the worker
     PYTHONPATH. Idempotent per SparkContext.
     """
+    import atexit
     import shutil
     import tempfile
 
     sc = spark.sparkContext
-    if getattr(sc, "_rfb_pkg_shipped", False):
-        return
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    root = os.path.dirname(pkg_dir)
-    # fresh private dir every time (once per SparkContext): a name
-    # keyed on pid could collide with a STALE zip from an older
-    # checkout after pid reuse, and a shared path races concurrent
-    # builders into shipping a truncated archive
-    base = os.path.join(tempfile.mkdtemp(prefix="rfb_pkg_ship_"), "pkg")
-    zip_path = shutil.make_archive(
-        base, "zip", root_dir=root, base_dir="rfb_data_pipeline_spark"
-    )
-    sc.addPyFile(zip_path)
-    sc._rfb_pkg_shipped = True
+    # Lock around the whole check-then-build-then-register sequence:
+    # two threads racing a fresh context would each mkdtemp and
+    # addPyFile two different paths with the same basename 'pkg.zip',
+    # which Spark rejects as a same-name/different-path registration.
+    with _SHIP_LOCK:
+        if getattr(sc, "_rfb_pkg_shipped", False):
+            return
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        root = os.path.dirname(pkg_dir)
+        # fresh private dir per SparkContext: a name keyed on pid could
+        # collide with a STALE zip from an older checkout after pid
+        # reuse. Registered for atexit removal so context restarts in a
+        # long-lived process don't leak temp dirs.
+        tmp_dir = tempfile.mkdtemp(prefix="rfb_pkg_ship_")
+        atexit.register(shutil.rmtree, tmp_dir, ignore_errors=True)
+        zip_path = shutil.make_archive(
+            os.path.join(tmp_dir, "pkg"),
+            "zip",
+            root_dir=root,
+            base_dir="rfb_data_pipeline_spark",
+        )
+        sc.addPyFile(zip_path)
+        sc._rfb_pkg_shipped = True
