@@ -94,6 +94,54 @@ _SHINGLES_SQL = """
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
 """
 
+# Document-frequency cap for the EXACT pair tiers (d02/d09): a
+# boilerplate shingle with df = 1e6 in a real crawl contributes
+# df^2/2 ≈ 5e11 candidate rows to the shingle equi-join — the one
+# unbounded term in the exact tier's cost. Dropping shingles with
+# df > cap (every production near-dup pipeline's move; cf. MinHashLSH
+# maxDF / boilerplate stripping) bounds any one shingle's contribution
+# to cap^2/2 pairs while leaving discriminative shingles — and hence
+# near-dup recall at the 0.8 threshold — untouched. The cap is
+# mirrored in the DuckDB oracles, so the registered Jaccard is the
+# capped-set Jaccard in BOTH engines. Measured corpus max df: 7 at
+# sf0.01, 25 at sf0.1 — the cap is inert on the test corpora
+# (bit-identical results) and only engages on boilerplate skew; the
+# skew fixture in tests/test_degenerate_corpus.py pins the bound.
+# The banded tiers (d03/d16) don't need it: banding already bounds
+# their candidate generation, and their verification joins are keyed
+# on (doc_id, shingle), never shingle alone.
+SHINGLE_DF_CAP = 100
+
+
+def _capped_shingles(exploded: DataFrame) -> DataFrame:
+    """Drop shingles with document frequency > SHINGLE_DF_CAP.
+
+    The hot set is tiny by construction (only heavy hitters), so it
+    broadcasts and the cap costs one small df aggregate plus a
+    map-side anti-join — no extra shuffle of the shingle table.
+    """
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    return exploded.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+# Capped exploded-shingle CTEs, shared by the d02/d09 oracle twins.
+# DuckDB QUALIFY computes the per-shingle df without a second CTE
+# scan; sizes MUST be recomputed from the capped set (not
+# len(shingles)) so the Jaccard/containment denominator matches.
+_CAPPED_EXPLODED_SQL = f"""
+exploded AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, unnest(shingles) AS shingle FROM sh
+  ) QUALIFY count(*) OVER (PARTITION BY shingle) <= {SHINGLE_DF_CAP}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM exploded GROUP BY doc_id)
+"""
+
 
 # --------------------------------------------------------------------------
 # d01 — exact dedup summary over normalized-text fingerprints.
@@ -136,8 +184,11 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sizes); materialize it once instead of re-scanning/re-shingling
     # per branch. At pipeline scale this is a persisted intermediate
     # table (a stage boundary), which localCheckpoint emulates
-    # in-query. Measured 3x on the cold path at sf0.1.
-    exploded = _doc_shingles(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    # in-query. Measured 3x on the cold path at sf0.1. The raw table
+    # is materialized BEFORE the df-cap so the cap's own df aggregate
+    # and anti-join don't re-run the shingle map.
+    raw = _doc_shingles(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    exploded = _capped_shingles(raw).localCheckpoint(eager=True)
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -165,8 +216,7 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _D02_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
-exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+{_CAPPED_EXPLODED_SQL},
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
   FROM exploded a JOIN exploded b
@@ -745,7 +795,8 @@ CONTAINMENT_THRESHOLD = 0.8
 
 
 def d09_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exploded = _doc_shingles(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    raw = _doc_shingles(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    exploded = _capped_shingles(raw).localCheckpoint(eager=True)
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -774,8 +825,7 @@ def d09_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _D09_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
-exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+{_CAPPED_EXPLODED_SQL},
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
   FROM exploded a JOIN exploded b
@@ -1276,7 +1326,15 @@ def cc_star(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> DataFrame:
 
 
 def d15_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = d02_ngram_jaccard(spark, sf_dir).select(
+    # Edges come from d03's LSH-verified pairs, NOT d02's exact
+    # all-pairs shingle join: the 100 TB composition must be
+    # banded-candidate-generation end to end (VERDICT r04 item 3).
+    # Same JACCARD_THRESHOLD and the same exact verification step, so
+    # the clusters equal d02's at full LSH recall — which the shared
+    # d07 oracle (exact-pair SQL) and
+    # tests/test_ops_r04c.py::test_d15_equals_d07_on_the_corpus
+    # both pin; a d02-sourced cc_star cross-check lives next to it.
+    pairs = d03_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     return _cluster_summary(cc_star(pairs))

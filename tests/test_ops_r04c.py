@@ -408,8 +408,12 @@ def test_simhash_64bit_collapses_noise_pairs(spark, tmp_path):
 
 
 def test_d15_equals_d07_on_the_corpus(spark):
-    """Two independent CC algorithms over the same pair graph must
-    produce identical cluster summaries (the strongest cross-check)."""
+    """Two independent CC algorithms over DIFFERENTLY-SOURCED pair
+    graphs must produce identical cluster summaries: d07 runs
+    min-label propagation on d02's exact all-pairs edges, d15 runs
+    large/small-star on d03's LSH-verified edges (its r05 scale-safe
+    recomposition). Equality checks both the algorithms AND that LSH
+    candidate recall is total at the threshold on this corpus."""
     from rfb_data_pipeline_spark.operators.dedup import (
         d07_dedup_clusters,
         d15_cc_star,
@@ -419,3 +423,33 @@ def test_d15_equals_d07_on_the_corpus(spark):
     a = d07_dedup_clusters(spark, sf).orderBy("cluster_id").collect()
     b = d15_cc_star(spark, sf).orderBy("cluster_id").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_cc_star_d02_edges_equal_d03_edges(spark):
+    """The d02-sourced cc_star variant (pre-r05 composition) is kept
+    as an equality cross-check against the d03-sourced production
+    query: same threshold, same verification, same clusters."""
+    from pyspark.sql import functions as SF
+
+    from rfb_data_pipeline_spark.operators.dedup import (
+        _cluster_summary,
+        d02_ngram_jaccard,
+        d03_minhash_lsh,
+    )
+
+    from tests.conftest import SF_SMALL as sf
+    by_d02 = _cluster_summary(
+        cc_star(
+            d02_ngram_jaccard(spark, sf).select(
+                SF.col("doc_a").alias("u"), SF.col("doc_b").alias("v")
+            )
+        )
+    ).orderBy("cluster_id").collect()
+    by_d03 = _cluster_summary(
+        cc_star(
+            d03_minhash_lsh(spark, sf).select(
+                SF.col("doc_a").alias("u"), SF.col("doc_b").alias("v")
+            )
+        )
+    ).orderBy("cluster_id").collect()
+    assert [tuple(r) for r in by_d02] == [tuple(r) for r in by_d03]

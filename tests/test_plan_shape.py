@@ -282,6 +282,16 @@ def test_d15_round_frames_stay_narrow(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert not pi.has_python_eval(df)
+    # r05 recomposition: edges must come from d03's banded candidate
+    # generation, never d02's exact tier — no join in the plan may be
+    # keyed on the shingle column ALONE (that is the all-pairs
+    # inverted-index join's signature; d03's joins key on
+    # (band_idx, bucket) or (doc_id, shingle)).
+    import re
+
+    assert not re.search(r"\[shingle#\d+\], \[shingle#\d+\]", plan), (
+        "d15 plan contains a shingle-only-keyed join (exact all-pairs tier)"
+    )
 
 
 # Queries whose plan legitimately funnels through a single partition:
