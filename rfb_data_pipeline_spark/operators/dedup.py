@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rfb_data_pipeline_spark.catalog import load_tables
+from rfb_data_pipeline_spark.plans.stage import stage_boundary
 
 MINHASH_K = 12  # signature length
 MINHASH_BAND_ROWS = 3  # rows per band → 4 bands, LSH threshold ≈ 0.63
@@ -671,14 +672,17 @@ def _cluster_summary(labels: DataFrame) -> DataFrame:
 
 def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d02_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    labels = (
+    edges = stage_boundary(
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+    )
+    labels = stage_boundary(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(MAX_CC_ITERS):
         nbr = (
@@ -687,15 +691,13 @@ def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
+        new_labels = stage_boundary(
+            labels.join(nbr, "doc_id", "left").select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         n_changed = (
             new_labels.withColumnRenamed("label", "new_label")
@@ -1242,17 +1244,13 @@ def cc_star(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> DataFrame:
     small-star (link every smaller neighbor to the smaller-neighbor
     min) until the star forest is stable.
     """
-    edges = (
-        edges.select("u", "v")
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = stage_boundary(
+        edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
     )
-    nodes = (
+    nodes = stage_boundary(
         edges.select(F.col("u").alias("doc_id"))
         .union(edges.select(F.col("v").alias("doc_id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def checksum(e: DataFrame) -> tuple:
@@ -1309,7 +1307,9 @@ def cc_star(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> DataFrame:
         )
         if prev is not None:
             target = max(1, min(target, prev[0] // 50_000 + 1))
-        edges = small.coalesce(target).localCheckpoint(eager=True)
+        # per-round boundary: THE lineage-loss hot spot on a real
+        # cluster — storage mode makes each round restartable
+        edges = stage_boundary(small.coalesce(target))
         cur = checksum(edges)
         if cur == prev:
             break

@@ -453,3 +453,36 @@ def test_cc_star_d02_edges_equal_d03_edges(spark):
         )
     ).orderBy("cluster_id").collect()
     assert [tuple(r) for r in by_d02] == [tuple(r) for r in by_d03]
+
+
+def test_stage_boundary_storage_mode_d15_d07(spark, monkeypatch):
+    """The storage-backed stage boundary (reliable checkpoint — the
+    'persisted intermediate table at pipeline scale' the docstrings
+    promise) must be a pure materialization detail: d07 and d15 run
+    through it bit-identical to local mode."""
+    from rfb_data_pipeline_spark.operators.dedup import (
+        d07_dedup_clusters,
+        d15_cc_star,
+    )
+
+    from tests.conftest import SF_SMALL as sf
+
+    local = {
+        name: fn(spark, sf).orderBy("cluster_id").collect()
+        for name, fn in (("d07", d07_dedup_clusters), ("d15", d15_cc_star))
+    }
+    monkeypatch.setenv("RFB_STAGE_BOUNDARY_MODE", "storage")
+    for name, fn in (("d07", d07_dedup_clusters), ("d15", d15_cc_star)):
+        stored = fn(spark, sf).orderBy("cluster_id").collect()
+        assert [tuple(r) for r in stored] == [tuple(r) for r in local[name]], name
+
+
+def test_stage_boundary_rejects_unknown_mode():
+    from rfb_data_pipeline_spark.plans.stage import _resolve_mode
+
+    import pytest as _pytest
+
+    assert _resolve_mode(None) == "local"
+    assert _resolve_mode("storage") == "storage"
+    with _pytest.raises(ValueError):
+        _resolve_mode("replicated")
