@@ -1346,11 +1346,15 @@ def d15_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (doc_id even) and exact-verified. d06 is the exact-fingerprint tier
 # of recurring ingestion; this is its NEAR-dup tier — the shape every
 # refreshed crawl runs so a re-crawled, lightly-edited page doesn't
-# re-enter the corpus. At 100 TB the corpus side reads a
-# pre-materialized (band_idx, bucket)-bucketed signature index (the
-# ann_index discipline), so the candidate join is co-located and the
-# batch never touches corpus text except for its own candidates'
-# verification rows.
+# re-enter the corpus. At 100 TB the corpus side reads the
+# pre-materialized signature index that
+# pipeline/ann_index.py::write_minhash_index actually writes
+# ((band_idx, shard)-partitioned buckets + shingle/size stores);
+# probe_minhash_index there reproduces this query's candidate
+# generation + verification over that layout with a partition-pruned
+# bucket scan (parity + pruning pinned in tests/test_ann_index.py).
+# The registered query below recomputes the corpus side from text so
+# the DuckDB oracle can run the identical computation.
 
 
 def d16_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:

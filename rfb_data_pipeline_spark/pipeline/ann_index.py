@@ -282,3 +282,133 @@ def probe_ivfpq_index(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized MinHash-LSH signature index — the corpus side of d16's
+# incremental near-dup dedup, realized as a storage layout (ADVICE r04:
+# the operator's at-scale claim must be executable, not aspirational).
+#
+# Layout under ``path``:
+#   buckets/   (doc_id, bucket) partitioned by (band_idx, shard) where
+#              shard = pmod(xxhash64(bucket), MINHASH_INDEX_SHARDS).
+#              Bucket values are md5 hex (cardinality ~ docs x bands),
+#              so the DIRECTORY key is the shard, and the probe prunes
+#              to the batch's (band_idx, shard) set — a small fraction
+#              when the incremental batch is small relative to the
+#              corpus, which is the incremental-dedup regime.
+#   shingles/  (doc_id, shingle) — the corpus shingle store every
+#              near-dup pipeline already materializes; the probe's
+#              exact-verification join reads only candidate doc_ids.
+#   sizes/     (doc_id, sz) — per-doc distinct-shingle counts for the
+#              Jaccard denominator (KB-scale per million docs).
+#
+# The probe reproduces d16's candidate generation + verification
+# exactly (same _minhash_buckets banding, same JACCARD_THRESHOLD), so
+# the index is a drop-in physical layout — pinned by
+# tests/test_ann_index.py::test_minhash_probe_matches_d16.
+
+MINHASH_INDEX_SHARDS = 32
+
+
+def _minhash_shard(bucket_col) -> F.Column:
+    return F.pmod(F.xxhash64(bucket_col), F.lit(MINHASH_INDEX_SHARDS)).cast(
+        "int"
+    )
+
+
+def write_minhash_index(
+    spark: SparkSession, corpus_docs: DataFrame, path: str
+) -> None:
+    """Materialize the (band_idx, shard)-partitioned signature index
+    plus the shingle/size stores for ``corpus_docs`` (doc_id, text)."""
+    from rfb_data_pipeline_spark.operators.dedup import (
+        _doc_shingles,
+        _minhash_buckets,
+    )
+
+    sh = _doc_shingles(corpus_docs).localCheckpoint(eager=True)
+    buckets = _minhash_buckets(sh).select(
+        "doc_id", "bucket", "band_idx", _minhash_shard(F.col("bucket")).alias("shard")
+    )
+    buckets.write.mode("overwrite").partitionBy("band_idx", "shard").parquet(
+        f"{path}/buckets"
+    )
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/sizes")
+
+
+def probe_minhash_index(
+    spark: SparkSession, path: str, batch_docs: DataFrame
+) -> DataFrame:
+    """Near-dup pairs (doc_batch, doc_corpus, jaccard >= threshold)
+    for a new crawl batch against the materialized corpus index.
+
+    The batch's (band_idx, shard) set is collected driver-side (a
+    control-plane frame bounded by n_bands x MINHASH_INDEX_SHARDS =
+    128 rows) and becomes a LITERAL partition predicate, so the
+    bucket scan touches only the batch's shard directories. Candidate
+    equi-join on (band_idx, bucket); exact-Jaccard verification joins
+    the corpus shingle store on candidate doc_ids only.
+    """
+    from rfb_data_pipeline_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _doc_shingles,
+        _minhash_buckets,
+    )
+
+    b_sh = _doc_shingles(batch_docs).localCheckpoint(eager=True)
+    b_buckets = _minhash_buckets(b_sh).select(
+        F.col("doc_id").alias("doc_batch"),
+        "band_idx",
+        "bucket",
+        _minhash_shard(F.col("bucket")).alias("shard"),
+    ).localCheckpoint(eager=True)
+    touched = [
+        (r["band_idx"], r["shard"])
+        for r in b_buckets.select("band_idx", "shard").distinct().collect()
+    ]
+    cond = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("band_idx") == F.lit(bi)) & (F.col("shard") == F.lit(s))
+            for bi, s in touched
+        ],
+    )
+    idx = spark.read.parquet(f"{path}/buckets").where(cond)
+    cand = (
+        b_buckets.join(idx, ["band_idx", "bucket"])
+        .select("doc_batch", F.col("doc_id").alias("doc_corpus"))
+        .distinct()
+    )
+    c_sh = spark.read.parquet(f"{path}/shingles").select(
+        F.col("doc_id").alias("doc_corpus"), "shingle"
+    )
+    common = (
+        cand.join(
+            b_sh.select(F.col("doc_id").alias("doc_batch"), "shingle"),
+            "doc_batch",
+        )
+        .join(c_sh, ["doc_corpus", "shingle"])
+        .groupBy("doc_batch", "doc_corpus")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    b_sz = b_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_a")).select(
+        F.col("doc_id").alias("doc_batch"), "sz_a"
+    )
+    c_sz = spark.read.parquet(f"{path}/sizes").select(
+        F.col("doc_id").alias("doc_corpus"), F.col("sz").alias("sz_b")
+    )
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        common.join(b_sz, "doc_batch")
+        .join(c_sz, "doc_corpus")
+        .select(
+            "doc_batch",
+            "doc_corpus",
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

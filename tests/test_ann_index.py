@@ -138,3 +138,88 @@ def test_ivfpq_code_table_is_small_and_cell_partitioned(spark, tmp_path):
     n_vec = spark.read.parquet(SF + "/embeddings.parquet").count()
     assert codes.count() == n_vec * PQ_M
     assert codes.agg({"code": "max"}).collect()[0][0] < K_PQ
+
+
+def test_minhash_probe_matches_d16(spark, tmp_path):
+    """The materialized MinHash index probe must reproduce d16's
+    result exactly: same banding, same threshold, same verification —
+    d16's source-level aggregate rebuilt from probe pairs equals the
+    registered query's output."""
+    from rfb_data_pipeline_spark.operators.dedup import (
+        d16_incremental_minhash,
+    )
+    from rfb_data_pipeline_spark.pipeline.ann_index import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    path = str(tmp_path / "mh_idx")
+    write_minhash_index(spark, corpus, path)
+    pairs = probe_minhash_index(spark, path, batch)
+    dup = pairs.select("doc_batch").distinct().withColumn("hit", F.lit(1))
+    rebuilt = (
+        batch.select("doc_id", "source")
+        .join(dup, batch["doc_id"] == dup["doc_batch"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch_docs"),
+            F.count("hit").alias("n_near_dup"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("dup_rate"),
+            F.min(F.when(F.col("hit") == 1, F.col("doc_id"))).alias(
+                "first_dup_doc"
+            ),
+        )
+        .orderBy("source")
+        .collect()
+    )
+    direct = d16_incremental_minhash(spark, SF).orderBy("source").collect()
+    assert [tuple(r) for r in rebuilt] == [tuple(r) for r in direct]
+
+
+def test_minhash_probe_scan_is_partition_pruned(spark, tmp_path):
+    """A SMALL incremental batch must prune the bucket scan to its own
+    (band_idx, shard) directories — plan predicate AND touched-
+    directory fraction, the LSH/IVF assertion pattern."""
+    import os as _os
+
+    from rfb_data_pipeline_spark.operators.dedup import (
+        _doc_shingles,
+        _minhash_buckets,
+    )
+    from rfb_data_pipeline_spark.pipeline.ann_index import (
+        _minhash_shard,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    # a ~5%-of-corpus batch: the incremental-dedup regime
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(40)) == 1)
+    path = str(tmp_path / "mh_idx2")
+    write_minhash_index(spark, corpus, path)
+    probe = probe_minhash_index(spark, path, batch)
+    plan = pi.explain_string(probe, "formatted")
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "band_idx" in seg and "shard" in seg
+    # directory census: probed (band_idx, shard) pairs vs all on disk
+    touched = {
+        (r["band_idx"], r["shard"])
+        for r in _minhash_buckets(_doc_shingles(batch))
+        .select("band_idx", _minhash_shard(F.col("bucket")).alias("shard"))
+        .distinct()
+        .collect()
+    }
+    all_dirs = 0
+    for bd in _os.listdir(f"{path}/buckets"):
+        if bd.startswith("band_idx="):
+            all_dirs += sum(
+                1
+                for sd in _os.listdir(_os.path.join(f"{path}/buckets", bd))
+                if sd.startswith("shard=")
+            )
+    assert len(touched) < all_dirs, (len(touched), all_dirs)
