@@ -989,6 +989,84 @@ FROM flagged
 """
 
 
+# --------------------------------------------------------------------------
+# e18 — drift-monitor batch replay: the driver-visible twin of
+# streaming/drift_stream.py (the e16 pattern — VERDICT r04 item 6).
+# The streaming KL drift monitor is pytest-verified for stream/batch
+# parity; this query runs the SAME ``kl_vs_reference`` function
+# (imported from the streaming module, not copied) over a static
+# split of the documents table: the even-doc_id half is the curated
+# reference corpus (d16's corpus rule), the odd half plays the
+# incoming crawl batch. One term aggregate per side, one
+# vocabulary-sized full-outer join, decimal-accumulated KL — the
+# same plan a micro-batch pays, so the driver row vouches for the
+# monitor's math, not a lookalike.
+
+
+def e18_drift_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.catalog import load_tables
+    from rfb_data_pipeline_spark.streaming.drift_stream import kl_vs_reference
+    from rfb_data_pipeline_spark.operators.text import tokens_col
+
+    docs = load_tables(
+        spark, sf_dir, tables=("documents",), register_views=False
+    )["documents"]
+    reference = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+        .select(F.explode(tokens_col()).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+    )
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    return kl_vs_reference(batch, reference)
+
+
+def _e18_sql() -> str:
+    # Threshold inlined from the ONE shared constant so the oracle
+    # cannot de-sync from the stream's flag rule.
+    from rfb_data_pipeline_spark.streaming.drift_stream import (
+        DRIFT_KL_THRESHOLD,
+    )
+
+    return f"""
+WITH bt AS (
+  SELECT term, count(*) AS c_batch FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+    FROM documents WHERE (doc_id % 2 + 2) % 2 = 1
+  ) WHERE length(term) > 0 GROUP BY term
+),
+rt AS (
+  SELECT term, count(*) AS c_ref FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+    FROM documents WHERE (doc_id % 2 + 2) % 2 = 0
+  ) WHERE length(term) > 0 GROUP BY term
+),
+joined AS (
+  SELECT coalesce(c_batch, 0) AS c_batch, coalesce(c_ref, 0) AS c_ref
+  FROM bt FULL OUTER JOIN rt USING (term)
+),
+totals AS (
+  SELECT sum(c_batch) AS t_batch, sum(c_ref) AS t_ref,
+         count(*)::DOUBLE AS v
+  FROM joined
+),
+agg AS (
+  SELECT any_value(t_batch) AS t_batch, any_value(v) AS v,
+         round(sum((((c_batch + 1)::DOUBLE / (t_batch + v))
+                    * ln(((c_batch + 1)::DOUBLE / (t_batch + v))
+                         / ((c_ref + 1)::DOUBLE / (t_ref + v)))
+                   )::DECIMAL(28,18))::DOUBLE, 4) + 0.0 AS kl
+  FROM joined CROSS JOIN totals
+)
+SELECT CAST(t_batch AS BIGINT) AS batch_tokens,
+       CAST(v AS BIGINT) AS union_vocab,
+       kl AS kl_vs_reference,
+       CASE WHEN kl > {DRIFT_KL_THRESHOLD} THEN 1 ELSE 0 END AS drift_flag
+FROM agg
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_window": e02_sliding_window,
@@ -1014,6 +1092,7 @@ QUERIES = {
     # e17 is appended AFTER e15 so the r04 driver window (first 50 =
     # q01-q35 + e01-e14 + e16) is untouched; it rotates in at r05.
     "e17_multistep_funnel": e17_multistep_funnel,
+    "e18_drift_replay": e18_drift_replay,
 }
 
 ORACLE = {
@@ -1034,4 +1113,5 @@ ORACLE = {
     "e15_gap_fill_locf": _E15_SQL,
     "e16_stream_replay": _e16_sql(),
     "e17_multistep_funnel": _E17_SQL,
+    "e18_drift_replay": _e18_sql(),
 }

@@ -70,3 +70,46 @@ def test_stream_kl_matches_batch_and_flags_drift(spark, tmp_path, reference):
             and r["batch_tokens"] == direct["batch_tokens"]
         ]
         assert match, name
+
+
+def test_e18_replay_equals_stream_scoring_of_the_same_split(
+    spark, tmp_path
+):
+    """The registered e18 query (odd half scored against even-half
+    reference) must equal the streaming monitor draining the odd half
+    as one micro-batch with the same reference — the driver row
+    vouches for the STREAM's math."""
+    from rfb_data_pipeline_spark.operators.events import e18_drift_replay
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet")
+    even = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    odd = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    reference = (
+        even.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+        .localCheckpoint(eager=True)
+    )
+    in_dir = _drop(
+        odd.select("doc_id", "text", "lang", "source"), tmp_path, "odd"
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ds.run_drift_monitor(
+        spark, in_dir, out_dir, ckpt, reference, max_files_per_trigger=10
+    )
+    streamed = (
+        spark.read.parquet(out_dir)
+        .drop("_batch_id")
+        .select("batch_tokens", "union_vocab", "kl_vs_reference", "drift_flag")
+        .collect()
+    )
+    direct = (
+        e18_drift_replay(spark, SF_SMALL)
+        .select("batch_tokens", "union_vocab", "kl_vs_reference", "drift_flag")
+        .collect()
+    )
+    assert len(streamed) == 1
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in direct]
