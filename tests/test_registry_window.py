@@ -9,28 +9,47 @@ from __future__ import annotations
 import __spark_entry__ as entry_mod
 
 
-def test_r04_window_composition():
+def test_r05_window_composition():
     names = list(entry_mod.queries())
-    window = names[:50]
-    # r04 window: all 35 relational + e01-e14 + e16 (e15 yielded its
-    # slot to the new e16 — see __spark_entry__._registry's comment)
-    assert sum(n.startswith("q") for n in window) == 35
-    assert "q29_quality_tiers" in window or any(
-        n.startswith("q29") for n in window
-    ), "q29 (r03 rewrite) must be driver-checked this round"
-    assert "e16_stream_replay" in window
-    assert "e15_gap_fill_locf" not in window
-    assert names[50] == "e15_gap_fill_locf"
-    # nothing outside q/e sneaks into the window
-    assert all(n[0] in "qe" for n in window), window
+    window = set(names[:50])
+    # slots 1-23: the 23 entries that had never been driver-checked
+    never_checked = {
+        "d14_dup_span_fraction", "d15_cc_star", "d16_incremental_minhash",
+        "t12_zipf_slope", "t13_pii_redaction", "t14_bigram_surprisal",
+        "t15_quality_classifier", "t16_html_extract", "t17_url_filter",
+        "s11_batch_knn", "s12_embedding_outliers", "s13_pq_ann",
+        "s14_embedding_validation", "s15_ivf_pq_ann",
+        "x11_curriculum_buckets", "x12_repetition_gate",
+        "x13_weighted_sample", "x14_epoch_plan", "x15_split_drift",
+        "x16_quality_mixture", "m05_header_parse", "m06_subtitle_parse",
+        "e17_multistep_funnel",
+    }
+    assert never_checked <= window
+    # the NEW r05 query, the only no-record-at-all entry, the four
+    # r05-touched dedup entries, and the r02-vintage e15
+    assert {
+        "e18_drift_replay",
+        "m04_audio_frames",
+        "d02_ngram_jaccard",
+        "d07_dedup_clusters",
+        "d09_containment",
+        "d12_minhash_calibration",
+        "e15_gap_fill_locf",
+    } <= window
+    # remaining slots are r03-green d/s/t fills — whole families in:
+    assert sum(n.startswith("d") for n in window) == 15
+    assert sum(n.startswith("s") for n in window) == 15
+    # NONE of the r04-green q-series burns an r05 slot
+    assert not any(n.startswith("q") for n in window)
+    # first spill position: t03 (r03-green, unchanged code)
+    assert names[50] == "t03_langid"
 
 
 def test_every_query_has_unique_name_and_oracle_subset():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    # 108 at the r04 gate + 13 second-session additions
-    # (d15, d16, e17, t15, t16, t17, s13, s14, s15, x14, x15, x16, m06)
-    assert len(q) == 121
+    # 121 at the r04 gate + e18 (drift-monitor batch replay)
+    assert len(q) == 122
     assert set(o) <= set(q)
     # rows-only tier is exactly the sketches + media decode
     rows_only = set(q) - set(o)
