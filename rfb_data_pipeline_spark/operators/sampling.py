@@ -1373,12 +1373,12 @@ def x16_quality_mixture(
     sf_dir: str,
     mix_parts: dict[str, int] | None = None,
 ) -> DataFrame:
-    from rfb_data_pipeline_spark.operators.text import t15_quality_classifier
+    from rfb_data_pipeline_spark.operators.text import t15_scores_cached
 
     mix_parts = MIX_PARTS if mix_parts is None else mix_parts
-    scores = t15_quality_classifier(spark, sf_dir).select(
-        "doc_id", "nb_logodds"
-    )
+    # the materialized-scores column, not a second classifier train
+    # (t15_scores_cached docstring; VERDICT r04 item 8)
+    scores = t15_scores_cached(spark, sf_dir).select("doc_id", "nb_logodds")
     docs = (
         _docs(spark, sf_dir)
         .select("doc_id", "lang")

@@ -1067,6 +1067,29 @@ def t15_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_score(docs, cls, totals, prior)
 
 
+# Session-scoped memo of t15's scored frame: at pipeline scale
+# classifier scores are persisted ONCE as a corpus column and every
+# downstream consumer (mixture selection, curation reports) reads the
+# column instead of re-training (VERDICT r04 item 8). x16 composes on
+# these scores; the registered t15 query itself stays uncached so the
+# bench keeps measuring the real train+score cost. Keyed on the
+# session object identity, so a restarted SparkContext can never serve
+# a dead checkpointed frame.
+_T15_SCORE_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def t15_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    key = _os.path.abspath(sf_dir)
+    hit = _T15_SCORE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = t15_quality_classifier(spark, sf_dir).localCheckpoint(eager=True)
+    _T15_SCORE_CACHE[key] = (spark, df)
+    return df
+
+
 _T15_SQL = f"""
 WITH lbl AS (
   SELECT doc_id, text,
