@@ -71,6 +71,7 @@ HEADLINE = [
     "e17_multistep_funnel",
     "d16_incremental_minhash",
     "m06_subtitle_parse",
+    "e18_drift_replay",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

@@ -335,6 +335,7 @@ _SINGLE_PARTITION_OK = {
     "t15_quality_classifier",  # 1-row vocab-totals + 1-row prior frames
     "x14_epoch_plan",  # 1-row corpus-token-total frame
     "x15_split_drift",  # 1-row totals frame + 1-row KL output
+    "e18_drift_replay",  # 1-row totals frame + 1-row KL output (x15 shape)
     "s14_embedding_validation",  # 1-row validation summary
     "x16_quality_mixture",  # t15's 1-row model frames + 1-row t_max
 }
