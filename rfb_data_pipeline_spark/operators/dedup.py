@@ -184,12 +184,13 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle table feeds three plan branches (both join sides +
     # sizes); materialize it once instead of re-scanning/re-shingling
     # per branch. At pipeline scale this is a persisted intermediate
-    # table (a stage boundary), which localCheckpoint emulates
-    # in-query. Measured 3x on the cold path at sf0.1. The raw table
+    # table (a stage boundary — stage_boundary's storage mode IS that
+    # table; local mode emulates it in-query). Measured 3x on the cold
+    # path at sf0.1. The raw table
     # is materialized BEFORE the df-cap so the cap's own df aggregate
     # and anti-join don't re-run the shingle map.
-    raw = _doc_shingles(_docs(spark, sf_dir)).localCheckpoint(eager=True)
-    exploded = _capped_shingles(raw).localCheckpoint(eager=True)
+    raw = _doc_shingles(_docs(spark, sf_dir)).transform(stage_boundary)
+    exploded = _capped_shingles(raw).transform(stage_boundary)
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -278,7 +279,7 @@ def _minhash_buckets(exploded: DataFrame) -> DataFrame:
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialized once — reused by the signature, the verification
     # join (both sides), and the size aggregate (see d02 note).
-    exploded = _doc_shingles(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    exploded = _doc_shingles(_docs(spark, sf_dir)).transform(stage_boundary)
     buckets = _minhash_buckets(exploded)
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -506,7 +507,7 @@ def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     #
     # Checkpoint: the fingerprint agg feeds both join sides; without it
     # the doc scan + simhash aggregation run twice.
-    sim = _simhash_df(spark, sf_dir).localCheckpoint(eager=True)
+    sim = _simhash_df(spark, sf_dir).transform(stage_boundary)
     return _banded_hamming_pairs(sim, ("simhash",))
 
 
@@ -591,7 +592,7 @@ def simhash_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d05 at 64-bit width: same byte-pigeonhole banding over the
     8 bytes of (hi, lo), same verify-before-distinct ordering — both
     via the shared helpers, so the widths cannot drift."""
-    sim = _simhash_wide_df(spark, sf_dir).localCheckpoint(eager=True)
+    sim = _simhash_wide_df(spark, sf_dir).transform(stage_boundary)
     return _banded_hamming_pairs(sim, ("hi", "lo"))
 
 
@@ -797,8 +798,8 @@ CONTAINMENT_THRESHOLD = 0.8
 
 
 def d09_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = _doc_shingles(_docs(spark, sf_dir)).localCheckpoint(eager=True)
-    exploded = _capped_shingles(raw).localCheckpoint(eager=True)
+    raw = _doc_shingles(_docs(spark, sf_dir)).transform(stage_boundary)
+    exploded = _capped_shingles(raw).transform(stage_boundary)
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -927,7 +928,7 @@ def d10_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.substring(F.lower(F.col("text")), 1, _D10_PREFIX).alias("pfx"),
         )
-        .localCheckpoint(eager=True)  # feeds the index and both verify sides
+        .transform(stage_boundary)  # feeds the index and both verify sides
     )
     # Tiered candidate generation: full-64 prefixes allow a 12-gram
     # key ((64-4)/5 = 12-char guaranteed run — 6x less candidate mass
@@ -1094,7 +1095,7 @@ def _span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64(
             F.array_join(F.slice(F.col("t"), F.col("s") + 1, SPAN_TOKENS), " ")
         ).alias("span_hash"),
-    ).localCheckpoint(eager=True)
+    ).transform(stage_boundary)
 
 
 _SPANS_CTE = f"""
@@ -1359,8 +1360,8 @@ def d15_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def d16_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    exploded = _doc_shingles(docs).localCheckpoint(eager=True)
-    buckets = _minhash_buckets(exploded).localCheckpoint(eager=True)
+    exploded = _doc_shingles(docs).transform(stage_boundary)
+    buckets = _minhash_buckets(exploded).transform(stage_boundary)
     corpus_b = buckets.filter(F.col("doc_id") % 2 == 0).select(
         "band_idx", "bucket", F.col("doc_id").alias("doc_corpus")
     )
