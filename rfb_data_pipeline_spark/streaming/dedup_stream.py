@@ -1,0 +1,104 @@
+"""Streaming incremental near-dup dedup: the live-ingest half of the
+d16 lifecycle.
+
+The corpus signature index is materialized in BATCH (the expensive,
+rarely-refreshed step — ``pipeline/ann_index.py::write_minhash_index``:
+(band_idx, shard)-partitioned buckets + shingle/size stores); newly
+crawled documents then stream in and every micro-batch is LSH-probed
+against that index and exact-Jaccard-verified, so a re-crawled,
+lightly-edited page is flagged BEFORE it re-enters the corpus. The
+probe is the ONE shared copy (``probe_minhash_index`` — the same
+banding, threshold, and verification the oracle-checked d16 query
+runs), so the stream and the batch path cannot drift apart (the
+nb_score/kl_vs_reference discipline).
+
+Per-doc verdicts land in a batch-id-keyed idempotent sink: doc_id,
+source, is_dup, best_jaccard, matched_doc (highest-Jaccard corpus
+match, min-doc_id tie-break — deterministic).
+
+Scale: per micro-batch, batch-side shingle+signature cost is linear
+in batch tokens; the index scan is partition-pruned to the batch's
+(band_idx, shard) set; candidates stay an equi-join on banded keys
+(never batch × corpus); verification touches only candidate rows of
+the shingle store. No streaming state — each batch is stateless and
+retriable, which is what makes the sink idempotent under replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def batch_verdicts(
+    spark: SparkSession, index_path: str, batch_docs: DataFrame
+) -> DataFrame:
+    """Per-document dup verdicts for one (micro-)batch against the
+    materialized index — works on a foreachBatch frame or any static
+    frame (the parity test runs both through this one function)."""
+    from rfb_data_pipeline_spark.pipeline.ann_index import (
+        probe_minhash_index,
+    )
+
+    pairs = probe_minhash_index(spark, index_path, batch_docs)
+    # deterministic best match: max jaccard, then MIN corpus doc —
+    # max_by on (jaccard, -doc_corpus) picks exactly that
+    best = pairs.groupBy("doc_batch").agg(
+        F.max("jaccard").alias("best_jaccard"),
+        F.max_by(
+            "doc_corpus", F.struct(F.col("jaccard"), -F.col("doc_corpus"))
+        ).alias("matched_doc"),
+    )
+    return (
+        batch_docs.select("doc_id", "source")
+        .join(best, batch_docs["doc_id"] == best["doc_batch"], "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("matched_doc").isNotNull().cast("int").alias("is_dup"),
+            (F.coalesce(F.col("best_jaccard"), F.lit(0.0)) + F.lit(0.0)).alias(
+                "best_jaccard"
+            ),
+            "matched_doc",
+        )
+    )
+
+
+def run_incremental_dedup(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_path: str,
+    max_files_per_trigger: int = 1,
+):
+    """Drain the crawl backlog through the index probe into a
+    batch-id-keyed idempotent verdict sink."""
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_dir)
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = batch_verdicts(spark, index_path, batch_df).withColumn(
+            "_batch_id", F.lit(batch_id)
+        )
+        (
+            verdicts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
