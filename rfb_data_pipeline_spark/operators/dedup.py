@@ -1245,8 +1245,20 @@ def cc_star(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> DataFrame:
     small-star (link every smaller neighbor to the smaller-neighbor
     min) until the star forest is stable.
     """
+    # Intake normalization: orient every edge big→small before the
+    # distinct, so a symmetric input (d07-style (a,b)+(b,a) lists)
+    # halves instead of doubling round-1 volume — and, because every
+    # LATER round's edges are also strictly big→small (large emits
+    # (v, m) with m < u < v; small emits (c, m) with m < c), the
+    # symmetrize step below never needs its own distinct: the two
+    # union branches cannot overlap. One full-edge-list shuffle saved
+    # per round.
     edges = stage_boundary(
-        edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
     )
     nodes = stage_boundary(
         edges.select(F.col("u").alias("doc_id"))
@@ -1269,10 +1281,13 @@ def cc_star(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> DataFrame:
     prev = None
     for _ in range(max_iters):
         # LARGE-STAR: for each u, link every neighbor v > u to
-        # min(Γ(u) ∪ {u}). Symmetrize first so both endpoints group.
+        # min(Γ(u) ∪ {u}). Symmetrize first so both endpoints group —
+        # no distinct needed: edges are strictly big→small (intake
+        # normalization + the per-round orientation invariant), so the
+        # two branches are disjoint row sets.
         sym = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+        )
         lmin = (
             sym.groupBy("u")
             .agg(F.min("v").alias("mn"))
