@@ -67,6 +67,13 @@ def _registry() -> tuple[dict, dict]:
     # x01-x10; then the r04-green q/e series and rows-only m01-m03.
     # All 122 entries pass tools/check_oracle.py at sf0.01 AND sf0.1
     # this round (full gate — recorded in COVERAGE.md).
+    #
+    # Round 6 rotation plan (write it before you need it): promote the
+    # r05 spill — t03-t11 (9) + x01-x10 (10) + m01-m03 (3) first, then
+    # any entry whose code r06 touches, then the oldest q/e rows
+    # (r04-green q01-q35 + e01-e14/e16 fill the remaining ~28 slots;
+    # overflow to r07). After r06 every registry entry will have a
+    # driver row ≤2 rounds old.
     r05_window = [
         "d14_dup_span_fraction", "d15_cc_star", "d16_incremental_minhash",
         "t12_zipf_slope", "t13_pii_redaction", "t14_bigram_surprisal",
