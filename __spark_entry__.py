@@ -61,17 +61,22 @@ def _registry() -> tuple[dict, dict]:
     #          changed in r05 (shingle df-cap, d15 edge recomposition,
     #          stage_boundary rewiring);
     #   30:    e15 (green r02, code unchanged, yielded its r04 slot);
-    #   31-50: r03-green entries oldest-first (d01, d03-d06, d08, d10,
-    #          d13, s01-s10, t01, t02).
-    # Spill to r06 (code unchanged since r03 green rows): t03-t11,
+    #   31-32: e19 (NEW r05 — quality-scoring batch replay, the other
+    #          stream named by VERDICT r04 item 6) and x17 (NEW r05 —
+    #          cluster-aware curation composing d15 labels + t15
+    #          scores);
+    #   33-50: r03-green entries oldest-first (d01, d03-d06, d08, d10,
+    #          d13, s01-s10) — t01/t02 yield their slots to the two
+    #          new queries and head the r06 spill.
+    # Spill to r06 (code unchanged since r03 green rows): t01-t11,
     # x01-x10; then the r04-green q/e series and rows-only m01-m03.
-    # All 122 entries pass tools/check_oracle.py at sf0.01 AND sf0.1
+    # All 124 entries pass tools/check_oracle.py at sf0.01 AND sf0.1
     # this round (full gate — recorded in COVERAGE.md).
     #
     # Round 6 rotation plan (write it before you need it): promote the
-    # r05 spill — t03-t11 (9) + x01-x10 (10) + m01-m03 (3) first, then
-    # any entry whose code r06 touches, then the oldest q/e rows
-    # (r04-green q01-q35 + e01-e14/e16 fill the remaining ~28 slots;
+    # r05 spill — t01-t11 (11) + x01-x10 (10) + m01-m03 (3) first,
+    # then any entry whose code r06 touches, then the oldest q/e rows
+    # (r04-green q01-q35 + e01-e14/e16 fill the remaining ~26 slots;
     # overflow to r07). After r06 every registry entry will have a
     # driver row ≤2 rounds old.
     r05_window = [
@@ -89,6 +94,7 @@ def _registry() -> tuple[dict, dict]:
         "d02_ngram_jaccard", "d07_dedup_clusters", "d09_containment",
         "d12_minhash_calibration",
         "e15_gap_fill_locf",
+        "e19_quality_replay", "x17_cluster_curation",
         "d01_exact_dedup", "d03_minhash_lsh", "d04_simhash",
         "d05_simhash_pairs", "d06_incremental_dedup", "d08_decontaminate",
         "d10_fuzzy_pairs", "d13_duplicate_spans",
@@ -96,10 +102,9 @@ def _registry() -> tuple[dict, dict]:
         "s04_label_centroids", "s05_ann_ivf", "s06_near_dup_pairs_banded",
         "s07_quantized_knn", "s08_kmeans_lloyd", "s09_vector_stats",
         "s10_semantic_dedup",
-        "t01_token_stats", "t02_quality_score",
     ]
     spill = (
-        [f"t{i:02d}" for i in range(3, 12)]
+        [f"t{i:02d}" for i in range(1, 12)]
         + [f"x{i:02d}" for i in range(1, 11)]
         + [n for n in queries if n.startswith("q")]
         + [n for n in queries if n.startswith("e")]

@@ -72,6 +72,8 @@ HEADLINE = [
     "d16_incremental_minhash",
     "m06_subtitle_parse",
     "e18_drift_replay",
+    "e19_quality_replay",
+    "x17_cluster_curation",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

@@ -1356,6 +1356,32 @@ def d15_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_summary(cc_star(pairs))
 
 
+# Session-scoped memo of the near-dup component labels — the
+# t15_scores_cached discipline (VERDICT r04 item 8): at pipeline scale
+# cluster labels are materialized ONCE as a corpus column and every
+# curation consumer reads the column instead of re-running LSH + CC.
+# The registered d15 query stays uncached so the bench keeps
+# measuring the real pairs+CC cost; x17 composes on this memo. Keyed
+# on the session object identity so a restarted SparkContext can
+# never serve a dead checkpointed frame.
+_CC_LABEL_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def cc_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    key = _os.path.abspath(sf_dir)
+    hit = _CC_LABEL_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    pairs = d03_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    df = cc_star(pairs).localCheckpoint(eager=True)
+    _CC_LABEL_CACHE[key] = (spark, df)
+    return df
+
+
 # --------------------------------------------------------------------------
 # d16 — INCREMENTAL near-dup dedup: a NEW crawl batch (doc_id odd —
 # d06's snapshot rule) LSH-probed against the CORPUS SIGNATURE INDEX

@@ -1067,6 +1067,72 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# e19 — quality-scoring batch replay: the driver-visible twin of
+# streaming/quality_stream.py, closing the e16/e18 pattern (VERDICT
+# r04 item 6 named BOTH pytest-only streams; e18 covered drift, this
+# covers quality). The stream's lifecycle is train-in-batch over the
+# curated reference corpus, then score micro-batches through the SAME
+# ``nb_score`` — here the even-doc_id half plays the reference corpus
+# (d16/e18's split rule), the odd half plays the incoming crawl, and
+# the scored batch is rolled up per source exactly like the sink-side
+# quality report. Train and score run through the ONE shared
+# nb_train/nb_score pair (operators/text.py), so the driver row
+# vouches for the stream's scoring math, not a lookalike. All output
+# metrics are integer-derived (counts + a rounded ratio of counts) —
+# no float accumulation order in the hash.
+
+
+def e19_quality_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.catalog import load_tables
+    from rfb_data_pipeline_spark.operators.text import nb_score, nb_train
+
+    docs = load_tables(
+        spark, sf_dir, tables=("documents",), register_views=False
+    )["documents"]
+    reference = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    cls, totals, prior = nb_train(reference)
+    scored = nb_score(batch, cls, totals, prior)
+    return (
+        scored.join(batch.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pred_quality").cast("bigint").alias("n_quality"),
+            F.round(
+                F.sum("pred_quality") / F.count(F.lit(1)), 4
+            ).alias("quality_rate"),
+            F.sum("n_tokens").cast("bigint").alias("batch_tokens"),
+        )
+    )
+
+
+def _e19_sql() -> str:
+    from rfb_data_pipeline_spark.operators.text import t15_core_sql
+
+    return (
+        t15_core_sql(
+            train_extra="(doc_id % 2 + 2) % 2 = 0",
+            score_extra="(doc_id % 2 + 2) % 2 = 1",
+        )
+        + """
+, pred AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN nb_logodds > 0 THEN 1 ELSE 0 END AS pred_quality
+  FROM scored
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(p.pred_quality) AS BIGINT) AS n_quality,
+       round(sum(p.pred_quality)::DOUBLE / count(*), 4) AS quality_rate,
+       CAST(sum(p.n_tokens) AS BIGINT) AS batch_tokens
+FROM pred p JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+    )
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_window": e02_sliding_window,
@@ -1093,6 +1159,7 @@ QUERIES = {
     # q01-q35 + e01-e14 + e16) is untouched; it rotates in at r05.
     "e17_multistep_funnel": e17_multistep_funnel,
     "e18_drift_replay": e18_drift_replay,
+    "e19_quality_replay": e19_quality_replay,
 }
 
 ORACLE = {
@@ -1114,4 +1181,5 @@ ORACLE = {
     "e16_stream_replay": _e16_sql(),
     "e17_multistep_funnel": _E17_SQL,
     "e18_drift_replay": _e18_sql(),
+    "e19_quality_replay": _e19_sql(),
 }

@@ -1441,6 +1441,93 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# x17 — cluster-aware curation: keep the BEST copy of every near-dup
+# cluster, not an arbitrary one. Production near-dup dedup doesn't
+# drop duplicates blindly — it ranks each cluster's members by the
+# quality score and keeps the argmax (FineWeb / RefinedWeb keep-one
+# rule). Composes the two materialized corpus columns this engine
+# already maintains: the CC labels (dedup.cc_labels_cached — LSH
+# pairs + star CC, the d15 path) and the classifier scores
+# (text.t15_scores_cached), exactly how the 100 TB pipeline would
+# read them (both are persisted columns there, so the registered
+# query reads the session memos — the x16 discipline, VERDICT r04
+# item 8). Per-cluster argmax is one window over the label key:
+# shuffle is keyed on cluster id, frame bounded by cluster size.
+# Ties on the (rounded) score break on doc_id ascending — fully
+# deterministic on both engines. The oracle recomputes labels from
+# the EXACT pair tier (d02 — the d07/d15 oracle rule: same threshold
+# ⇒ same clusters at verified-LSH recall) and scores from the t15
+# chain, so this row also re-vouches the label/score parity.
+
+
+def x17_cluster_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.operators.dedup import cc_labels_cached
+    from rfb_data_pipeline_spark.operators.text import t15_scores_cached
+
+    labels = cc_labels_cached(spark, sf_dir)
+    scores = t15_scores_cached(spark, sf_dir).select("doc_id", "nb_logodds")
+    memb = labels.join(scores, "doc_id")
+    w = Window.partitionBy("label").orderBy(
+        F.col("nb_logodds").desc(), F.col("doc_id").asc()
+    )
+    ranked = memb.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        "nb_logodds",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("n_members"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.col("doc_id").alias("kept_doc"),
+        F.col("nb_logodds").alias("kept_logodds"),
+        (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+    )
+
+
+def _x17_sql() -> str:
+    from rfb_data_pipeline_spark.operators.dedup import _D02_SQL
+    from rfb_data_pipeline_spark.operators.text import _T15_SQL
+
+    return f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_D02_SQL})),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+scored AS (SELECT doc_id, nb_logodds FROM ({_T15_SQL})),
+memb AS (
+  SELECT c.doc_id, c.cluster_id, s.nb_logodds
+  FROM comp c JOIN scored s USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, cluster_id, nb_logodds,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY nb_logodds DESC, doc_id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM memb
+)
+SELECT cluster_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       doc_id AS kept_doc,
+       nb_logodds AS kept_logodds,
+       CAST(n_members - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "x01_split_assign": x01_split_assign,
     "x02_cap_per_group": x02_cap_per_group,
@@ -1458,6 +1545,7 @@ QUERIES = {
     "x14_epoch_plan": x14_epoch_plan,
     "x15_split_drift": x15_split_drift,
     "x16_quality_mixture": x16_quality_mixture,
+    "x17_cluster_curation": x17_cluster_curation,
 }
 
 ORACLE = {
@@ -1477,4 +1565,5 @@ ORACLE = {
     "x14_epoch_plan": _x14_sql(),
     "x15_split_drift": _X15_SQL,
     "x16_quality_mixture": _x16_sql(),
+    "x17_cluster_curation": _x17_sql(),
 }

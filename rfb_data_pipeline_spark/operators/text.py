@@ -1090,7 +1090,14 @@ def t15_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-_T15_SQL = f"""
+def t15_core_sql(train_extra: str = "TRUE", score_extra: str = "TRUE") -> str:
+    """The NB train+score CTE chain (ends at ``scored``), shared by
+    the t15 oracle, e19's stream-replay oracle and x17's curation
+    oracle so the SQL twins cannot drift from one another.
+    ``train_extra`` narrows the labeled seed beyond the ``doc_id %
+    SEED_MOD`` rule (e19 trains on the even-id reference half);
+    ``score_extra`` narrows which documents are scored."""
+    return f"""
 WITH lbl AS (
   SELECT doc_id, text,
          CASE WHEN len(toks) >= 10
@@ -1103,7 +1110,7 @@ WITH lbl AS (
   FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
         FROM documents WHERE text IS NOT NULL)
 ),
-seed AS (SELECT * FROM lbl WHERE doc_id % {SEED_MOD} = 0),
+seed AS (SELECT * FROM lbl WHERE doc_id % {SEED_MOD} = 0 AND {train_extra}),
 seed_terms AS (
   SELECT label, term FROM (
     SELECT label, unnest(string_split_regex(trim(text), '\\s+')) AS term
@@ -1124,7 +1131,7 @@ prior AS (
 tf AS (
   SELECT doc_id, term, count(*) AS tf FROM (
     SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
-    FROM lbl
+    FROM lbl WHERE {score_extra}
   ) WHERE length(term) > 0 GROUP BY doc_id, term
 ),
 scored AS (
@@ -1136,11 +1143,17 @@ scored AS (
            AS nb_logodds
   FROM tf LEFT JOIN cls USING (term) CROSS JOIN totals CROSS JOIN prior
   GROUP BY doc_id
-)
+)"""
+
+
+_T15_SQL = (
+    t15_core_sql()
+    + """
 SELECT doc_id, n_tokens, nb_logodds,
        CASE WHEN nb_logodds > 0 THEN 1 ELSE 0 END AS pred_quality
 FROM scored
 """
+)
 
 
 # --------------------------------------------------------------------------

@@ -67,7 +67,10 @@ _PROBED = [
     "x14_epoch_plan",
     "x15_split_drift",
     "x16_quality_mixture",  # t15 scores + inner join over degenerate docs
+    "x17_cluster_curation",  # CC labels × t15 scores over exact-dup rows 1/6
     "e16_stream_replay",
+    "e18_drift_replay",
+    "e19_quality_replay",  # even-half model scoring odd NULL/empty docs
 ]
 
 _ROWS = [

@@ -66,7 +66,7 @@ def neg_duck(neg_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", [*_PROBED, "e18_drift_replay"])
+@pytest.mark.parametrize("name", _PROBED)
 def test_negative_id_parity(spark, neg_dir, neg_duck, name):
     spdf = _QUERIES[name](spark, neg_dir).toPandas()
     opdf = neg_duck.execute(_ORACLES[name]).fetchdf()

@@ -1,0 +1,125 @@
+"""Round-5 additions: e19 quality-scoring batch replay and x17
+cluster-aware curation — stream parity and cluster-argmax properties
+beyond the DuckDB oracle rows."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rfb_data_pipeline_spark.operators.dedup import cc_labels_cached
+from rfb_data_pipeline_spark.operators.events import e19_quality_replay
+from rfb_data_pipeline_spark.operators.sampling import x17_cluster_curation
+from rfb_data_pipeline_spark.operators.text import t15_scores_cached
+from tests.conftest import SF_SMALL
+
+
+def test_e19_matches_streamed_scoring(spark, tmp_path):
+    """e19's batch replay equals the REAL stream: train the model on
+    the even-id reference half, drain the odd half through
+    run_quality_scoring in two drops, and the per-source rollup of the
+    streamed sink must reproduce e19's rows exactly."""
+    from rfb_data_pipeline_spark.operators.text import nb_train
+    from rfb_data_pipeline_spark.streaming import quality_stream as qs
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet")
+    reference = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    cls, totals, prior = nb_train(reference)
+    model = (
+        cls.localCheckpoint(eager=True),
+        totals.localCheckpoint(eager=True),
+        prior.localCheckpoint(eager=True),
+    )
+
+    half = batch.agg(F.percentile_approx("doc_id", 0.5)).collect()[0][0]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, part in enumerate(
+        (
+            batch.filter(F.col("doc_id") <= half),
+            batch.filter(F.col("doc_id") > half),
+        )
+    ):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        (src,) = glob.glob(str(stage / "*.parquet"))
+        shutil.copy(src, in_dir / f"drop{i}.parquet")
+
+    out = str(tmp_path / "out")
+    qs.run_quality_scoring(spark, str(in_dir), out, str(tmp_path / "ckpt"), model)
+
+    streamed = (
+        spark.read.parquet(out)
+        .join(batch.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pred_quality").cast("bigint").alias("n_quality"),
+            F.round(
+                F.sum("pred_quality") / F.count(F.lit(1)), 4
+            ).alias("quality_rate"),
+            F.sum("n_tokens").cast("bigint").alias("batch_tokens"),
+        )
+    )
+    want = {tuple(r) for r in e19_quality_replay(spark, SF_SMALL).collect()}
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def x17_rows(spark):
+    return x17_cluster_curation(spark, SF_SMALL).collect()
+
+
+def test_x17_keeps_the_argmax_member_of_every_cluster(spark, x17_rows):
+    """Independent python-side model: group the (label, score) table
+    and re-derive each cluster's keep decision."""
+    labels = {
+        r["doc_id"]: r["label"] for r in cc_labels_cached(spark, SF_SMALL).collect()
+    }
+    scores = {
+        r["doc_id"]: r["nb_logodds"]
+        for r in t15_scores_cached(spark, SF_SMALL).collect()
+    }
+    clusters: dict[int, list[int]] = {}
+    for doc, lbl in labels.items():
+        clusters.setdefault(lbl, []).append(doc)
+    assert clusters, "fixture corpus must contain near-dup clusters"
+    want = {}
+    for lbl, members in clusters.items():
+        best = min(members, key=lambda d: (-scores[d], d))
+        want[lbl] = (len(members), best, scores[best], len(members) - 1)
+    got = {
+        r["cluster_id"]: (
+            r["n_members"],
+            r["kept_doc"],
+            r["kept_logodds"],
+            r["n_dropped"],
+        )
+        for r in x17_rows
+    }
+    assert got == want
+
+
+def test_x17_clusters_match_d07_membership(spark, x17_rows):
+    """x17's clusters (LSH-edge CC) carry the same ids and sizes as
+    d07's exact-pair clusters — the d15 equivalence extended to the
+    curation composition."""
+    from rfb_data_pipeline_spark.operators.dedup import d07_dedup_clusters
+
+    d07 = {
+        r["cluster_id"]: r["n_docs"]
+        for r in d07_dedup_clusters(spark, SF_SMALL).collect()
+    }
+    got = {r["cluster_id"]: r["n_members"] for r in x17_rows}
+    assert got == d07
+
+
+def test_x17_every_cluster_is_multidoc(x17_rows):
+    assert all(r["n_members"] >= 2 for r in x17_rows)
+    assert all(r["n_dropped"] == r["n_members"] - 1 for r in x17_rows)

@@ -336,6 +336,7 @@ _SINGLE_PARTITION_OK = {
     "x14_epoch_plan",  # 1-row corpus-token-total frame
     "x15_split_drift",  # 1-row totals frame + 1-row KL output
     "e18_drift_replay",  # 1-row totals frame + 1-row KL output (x15 shape)
+    "e19_quality_replay",  # nb model's 1-row totals/prior frames (t15 shape)
     "s14_embedding_validation",  # 1-row validation summary
     "x16_quality_mixture",  # t15's 1-row model frames + 1-row t_max
 }

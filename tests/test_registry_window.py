@@ -25,10 +25,13 @@ def test_r05_window_composition():
         "e17_multistep_funnel",
     }
     assert never_checked <= window
-    # the NEW r05 query, the only no-record-at-all entry, the four
-    # r05-touched dedup entries, and the r02-vintage e15
+    # the NEW r05 queries (e18/e19/x17), the only no-record-at-all
+    # entry, the four r05-touched dedup entries, and the r02-vintage
+    # e15
     assert {
         "e18_drift_replay",
+        "e19_quality_replay",
+        "x17_cluster_curation",
         "m04_audio_frames",
         "d02_ngram_jaccard",
         "d07_dedup_clusters",
@@ -36,20 +39,22 @@ def test_r05_window_composition():
         "d12_minhash_calibration",
         "e15_gap_fill_locf",
     } <= window
-    # remaining slots are r03-green d/s/t fills — whole families in:
+    # remaining slots are r03-green d/s fills — whole families in:
     assert sum(n.startswith("d") for n in window) == 15
     assert sum(n.startswith("s") for n in window) == 15
     # NONE of the r04-green q-series burns an r05 slot
     assert not any(n.startswith("q") for n in window)
-    # first spill position: t03 (r03-green, unchanged code)
-    assert names[50] == "t03_langid"
+    # first spill position: t01 (r03-green, unchanged code — t01/t02
+    # yielded their r05 slots to e19/x17)
+    assert names[50] == "t01_token_stats"
 
 
 def test_every_query_has_unique_name_and_oracle_subset():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    # 121 at the r04 gate + e18 (drift-monitor batch replay)
-    assert len(q) == 122
+    # 121 at the r04 gate + e18/e19 (stream batch replays) + x17
+    # (cluster-aware curation)
+    assert len(q) == 124
     assert set(o) <= set(q)
     # rows-only tier is exactly the sketches + media decode
     rows_only = set(q) - set(o)

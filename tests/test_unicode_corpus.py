@@ -67,7 +67,7 @@ def uni_duck(uni_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", [*_PROBED, "e18_drift_replay"])
+@pytest.mark.parametrize("name", _PROBED)
 def test_unicode_corpus_parity(spark, uni_dir, uni_duck, name):
     spdf = _QUERIES[name](spark, uni_dir).toPandas()
     opdf = uni_duck.execute(_ORACLES[name]).fetchdf()
