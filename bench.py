@@ -71,6 +71,7 @@ HEADLINE = [
     "e17_multistep_funnel",
     "d16_incremental_minhash",
     "m06_subtitle_parse",
+    "m07_id3_tag_parse",
     "e18_drift_replay",
     "e19_quality_replay",
     "x17_cluster_curation",

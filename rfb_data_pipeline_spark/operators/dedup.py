@@ -1377,7 +1377,7 @@ def cc_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d03_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    df = cc_star(pairs).localCheckpoint(eager=True)
+    df = cc_star(pairs).transform(stage_boundary)
     _CC_LABEL_CACHE[key] = (spark, df)
     return df
 

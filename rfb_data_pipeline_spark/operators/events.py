@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rfb_data_pipeline_spark.catalog import load_tables
+from rfb_data_pipeline_spark.plans.stage import stage_boundary
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,7 +901,7 @@ def e17_multistep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
         .over(w)
         .alias("next_purchase_ts"),
-    ).localCheckpoint(eager=True)
+    ).transform(stage_boundary)
     # distinct column names on the click side: both frames share
     # `annotated`'s lineage, and an attribute-equality join between
     # same-named columns leans on the analyzer's self-join

@@ -373,6 +373,117 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# m07 — ID3v1 audio tag parse: the media family's THIRD fully
+# hash-checkable row (the m05/m06 pattern — text-expressible container
+# metadata). The ID3v1 trailer is the classic FIXED-OFFSET binary
+# record: 128 bytes, 'TAG' magic + space-padded ASCII fields at hard
+# offsets (title@4/30, artist@34/30, album@64/30, year@94/4,
+# comment@98/30, genre byte@128). Both engines synthesize the
+# identical 128-byte payload per doc (doc_id drives every field via
+# sign-safe modulo — the m06 pmod rule), then parse the fields back
+# OUT OF THE BYTES by offset slicing (Spark: substring on binary +
+# decode; DuckDB: the m05 hex-slice idiom) and roll up a per-artist
+# catalog audit. Beyond media, this is the fixed-width-record parse
+# shape every legacy/mainframe ingestion needs.
+#
+# Scale: pure per-row byte slicing (codegen, no shuffle before the
+# final |artists|-row aggregate). All output metrics integer-derived.
+
+_ID3_LEN = 128
+
+
+def _id3_payload() -> "F.Column":
+    did = F.col("doc_id")
+
+    def num(k: int):
+        return F.pmod(did, F.lit(k)).cast("string")
+
+    return F.encode(
+        F.concat(
+            F.lit("TAG"),
+            F.rpad(F.concat(F.lit("Track "), num(1000)), 30, " "),
+            F.rpad(F.concat(F.lit("Artist "), num(7)), 30, " "),
+            F.rpad(F.concat(F.lit("Album "), num(5)), 30, " "),
+            (F.lit(1970) + F.pmod(did, F.lit(50))).cast("string"),
+            F.rpad(F.concat(F.lit("clip "), did.cast("string")), 30, " "),
+            F.expr("char(48 + pmod(doc_id, 10))"),
+        ),
+        "UTF-8",
+    )
+
+
+def m07_id3_tag_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.catalog import load_tables
+
+    docs = load_tables(
+        spark, sf_dir, tables=("documents",), register_views=False
+    )["documents"]
+    tagged = docs.select("doc_id", _id3_payload().alias("payload"))
+
+    def fld(start: int, ln: int):
+        return F.decode(F.substring(F.col("payload"), start, ln), "UTF-8")
+
+    parsed = tagged.select(
+        F.rtrim(fld(34, 30)).alias("artist"),
+        F.rtrim(fld(64, 30)).alias("album"),
+        fld(94, 4).cast("int").alias("year"),
+        (F.ascii(fld(128, 1)) - 48).alias("genre"),
+    )
+    return parsed.groupBy("artist").agg(
+        F.count(F.lit(1)).alias("n_tracks"),
+        F.countDistinct("album").alias("n_albums"),
+        F.min("year").alias("min_year"),
+        F.max("year").alias("max_year"),
+        F.sum(
+            ((F.col("year") >= 1980) & (F.col("year") <= 1989)).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_eighties"),
+        F.sum("genre").cast("bigint").alias("genre_sum"),
+    )
+
+
+def _id3_hex_slice(byte_start: int, n_bytes: int) -> str:
+    """DuckDB blob slicing via the m05 hex idiom (no blob substring in
+    DuckDB): hex offsets are 2x the 1-based byte offsets."""
+    return (
+        f"decode(unhex(substring(hex(payload), "
+        f"{(byte_start - 1) * 2 + 1}, {n_bytes * 2})))"
+    )
+
+
+_M07_SQL = f"""
+WITH payloads AS (
+  SELECT encode('TAG'
+           || rpad('Track ' || ((doc_id % 1000 + 1000) % 1000)::VARCHAR, 30, ' ')
+           || rpad('Artist ' || ((doc_id % 7 + 7) % 7)::VARCHAR, 30, ' ')
+           || rpad('Album ' || ((doc_id % 5 + 5) % 5)::VARCHAR, 30, ' ')
+           || (1970 + (doc_id % 50 + 50) % 50)::VARCHAR
+           || rpad('clip ' || doc_id::VARCHAR, 30, ' ')
+           || chr(CAST(48 + (doc_id % 10 + 10) % 10 AS INTEGER))) AS payload
+  FROM documents
+),
+parsed AS (
+  SELECT rtrim({_id3_hex_slice(34, 30)}) AS artist,
+         rtrim({_id3_hex_slice(64, 30)}) AS album,
+         CAST({_id3_hex_slice(94, 4)} AS INTEGER) AS year,
+         ascii({_id3_hex_slice(128, 1)}) - 48 AS genre
+  FROM payloads
+)
+SELECT artist,
+       count(*) AS n_tracks,
+       count(DISTINCT album) AS n_albums,
+       min(year) AS min_year,
+       max(year) AS max_year,
+       CAST(sum(CASE WHEN year BETWEEN 1980 AND 1989 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_eighties,
+       CAST(sum(genre) AS BIGINT) AS genre_sum
+FROM parsed
+GROUP BY artist
+"""
+
+
 QUERIES = {
     "m01_image_metadata": m01_image_metadata,
     "m02_media_stats": m02_media_stats,
@@ -380,6 +491,7 @@ QUERIES = {
     "m04_audio_frames": m04_audio_frames,
     "m05_header_parse": m05_header_parse,
     "m06_subtitle_parse": m06_subtitle_parse,
+    "m07_id3_tag_parse": m07_id3_tag_parse,
 }
 
 # m01–m04 are rows-only by design: no DuckDB codec surface exists to
@@ -389,4 +501,5 @@ QUERIES = {
 ORACLE: dict[str, str] = {
     "m05_header_parse": _M05_SQL,
     "m06_subtitle_parse": _m06_sql(),
+    "m07_id3_tag_parse": _M07_SQL,
 }

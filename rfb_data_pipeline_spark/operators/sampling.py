@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rfb_data_pipeline_spark.catalog import load_tables
+from rfb_data_pipeline_spark.plans.stage import stage_boundary
 
 TRAIN_PCT = 80
 VAL_PCT = 10  # test gets the remainder
@@ -795,7 +796,7 @@ def x11_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scored twice (the d02/d13 stage-boundary idiom).
     scored = docs.select(
         "doc_id", F.size(toks).alias("n_tokens"), score.alias("score")
-    ).localCheckpoint(eager=True)
+    ).transform(stage_boundary)
 
     bounds = scored.agg(
         F.min("score").alias("_lo"),
@@ -1385,7 +1386,7 @@ def x16_quality_mixture(
         .join(scores, "doc_id")
         .withColumn("skey", -F.col("nb_logodds"))
         .withColumn("band", F.floor("skey"))
-        .localCheckpoint(eager=True)
+        .transform(stage_boundary)
     )
     selected = _banded_quota_select(docs, _mix_quotas(docs, mix_parts))
     return selected.groupBy("lang").agg(

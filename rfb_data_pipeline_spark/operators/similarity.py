@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rfb_data_pipeline_spark.catalog import load_tables
+from rfb_data_pipeline_spark.plans.stage import stage_boundary
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -362,7 +363,7 @@ def _s06_candidates(
     ids = (
         _bucketed(emb, num_tables, sign_bits)
         .select("vec_id", "t", "bucket")
-        .localCheckpoint(eager=True)
+        .transform(stage_boundary)
     )
     # Candidate generation stays NARROW: only (vec_id, t, bucket) flows
     # through the bucket self-join and the pair-dedup shuffle — the
@@ -1203,7 +1204,7 @@ def _pq_model(
         cd.groupBy("m", "cid")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("s"))
         .select("m", "cid", F.transform("s", lambda x: x["cv"]).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(stage_boundary)
     )
     codes = assign(codebook).select("vec_id", "m", F.col("cid").alias("code"))
     return sub, codebook, codes

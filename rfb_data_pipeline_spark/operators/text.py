@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rfb_data_pipeline_spark.catalog import load_tables
+from rfb_data_pipeline_spark.plans.stage import stage_boundary
 
 # Tiny embedded stopword list for quality scoring / language ID.
 STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "it")
@@ -524,7 +525,7 @@ def t10_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("term") > 0)
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n_exact"))
-        .localCheckpoint(eager=True)  # feeds sketch, top-k, and probe
+        .transform(stage_boundary)  # feeds sketch, top-k, and probe
     )
     seeds = list(range(_CMS_DEPTH))
     sketch = (
@@ -776,7 +777,7 @@ def t14_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("w", 1).over(win).alias("w2"),
         )
         .filter(F.col("w2").isNotNull())
-        .localCheckpoint(eager=True)
+        .transform(stage_boundary)
     )
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
@@ -1085,7 +1086,7 @@ def t15_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _T15_SCORE_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
-    df = t15_quality_classifier(spark, sf_dir).localCheckpoint(eager=True)
+    df = t15_quality_classifier(spark, sf_dir).transform(stage_boundary)
     _T15_SCORE_CACHE[key] = (spark, df)
     return df
 

@@ -29,6 +29,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rfb_data_pipeline_spark.plans.stage import stage_boundary
 from rfb_data_pipeline_spark.operators.similarity import (
     DIM,
     K_PQ,
@@ -327,7 +328,7 @@ def write_minhash_index(
         _minhash_buckets,
     )
 
-    sh = _doc_shingles(corpus_docs).localCheckpoint(eager=True)
+    sh = _doc_shingles(corpus_docs).transform(stage_boundary)
     buckets = _minhash_buckets(sh).select(
         "doc_id", "bucket", "band_idx", _minhash_shard(F.col("bucket")).alias("shard")
     )
@@ -359,13 +360,13 @@ def probe_minhash_index(
         _minhash_buckets,
     )
 
-    b_sh = _doc_shingles(batch_docs).localCheckpoint(eager=True)
+    b_sh = _doc_shingles(batch_docs).transform(stage_boundary)
     b_buckets = _minhash_buckets(b_sh).select(
         F.col("doc_id").alias("doc_batch"),
         "band_idx",
         "bucket",
         _minhash_shard(F.col("bucket")).alias("shard"),
-    ).localCheckpoint(eager=True)
+    ).transform(stage_boundary)
     touched = [
         (r["band_idx"], r["shard"])
         for r in b_buckets.select("band_idx", "shard").distinct().collect()

@@ -17,6 +17,7 @@ import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from rfb_data_pipeline_spark.plans.stage import stage_boundary
 
 
 def partition_file_count(table_dir: str, partition: str, value: str) -> int:
@@ -144,7 +145,7 @@ def compact_partition(
     df = (
         spark.read.parquet(table_dir)
         .filter(F.col(partition) == value)
-        .localCheckpoint(eager=True)
+        .transform(stage_boundary)
     )
     (
         df.coalesce(target_files)

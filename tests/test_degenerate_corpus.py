@@ -35,6 +35,7 @@ _PROBED = [
     "d15_cc_star",
     "d16_incremental_minhash",
     "m06_subtitle_parse",
+    "m07_id3_tag_parse",
     "t01_token_stats",
     "t02_quality_score",  # empty text crashed the gate pre-fix
     "t03_langid",

@@ -123,3 +123,67 @@ def test_x17_clusters_match_d07_membership(spark, x17_rows):
 def test_x17_every_cluster_is_multidoc(x17_rows):
     assert all(r["n_members"] >= 2 for r in x17_rows)
     assert all(r["n_dropped"] == r["n_members"] - 1 for r in x17_rows)
+
+
+def test_stage_boundary_storage_mode_across_families(spark, monkeypatch):
+    """Round 5 second session routed EVERY operator-level
+    localCheckpoint through stage_boundary; storage mode must stay a
+    pure materialization detail for one representative of each newly
+    routed family (text sketch, LSH bucketing, banded quota select,
+    funnel annotation, cluster curation)."""
+    from rfb_data_pipeline_spark.operators.events import e17_multistep_funnel
+    from rfb_data_pipeline_spark.operators.similarity import s02_ann_lsh
+    from rfb_data_pipeline_spark.operators.text import t10_cms_heavy_hitters
+    from rfb_data_pipeline_spark.operators.sampling import x16_quality_mixture
+    from tests.conftest import SF_SMALL as sf
+
+    fams = {
+        "t10": t10_cms_heavy_hitters,
+        "s02": s02_ann_lsh,
+        "x16": x16_quality_mixture,
+        "e17": e17_multistep_funnel,
+        "x17": x17_cluster_curation,
+    }
+    local = {
+        name: sorted(tuple(r) for r in fn(spark, sf).collect())
+        for name, fn in fams.items()
+    }
+    monkeypatch.setenv("RFB_STAGE_BOUNDARY_MODE", "storage")
+    for name, fn in fams.items():
+        stored = sorted(tuple(r) for r in fn(spark, sf).collect())
+        assert stored == local[name], name
+
+
+def test_m07_payload_roundtrip_and_length(spark):
+    """Every synthesized ID3v1 trailer is exactly 128 bytes and every
+    fixed-offset field parses back to the value it was built from —
+    the encode→slice→decode loop is lossless for all four parsed
+    fields plus the two unparsed ones (title/comment)."""
+    from rfb_data_pipeline_spark.operators.media import _id3_payload
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet").select("doc_id")
+    tagged = docs.select("doc_id", _id3_payload().alias("payload"))
+
+    def fld(start, ln):
+        return F.decode(F.substring(F.col("payload"), start, ln), "UTF-8")
+
+    chk = tagged.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        fld(1, 3).alias("magic"),
+        F.rtrim(fld(4, 30)).alias("title"),
+        F.rtrim(fld(34, 30)).alias("artist"),
+        fld(94, 4).cast("int").alias("year"),
+        F.rtrim(fld(98, 30)).alias("comment"),
+        (F.ascii(fld(128, 1)) - 48).alias("genre"),
+    ).collect()
+    assert chk
+    for r in chk:
+        did = r["doc_id"]
+        assert r["n_bytes"] == 128, did
+        assert r["magic"] == "TAG"
+        assert r["title"] == f"Track {did % 1000}"
+        assert r["artist"] == f"Artist {did % 7}"
+        assert r["year"] == 1970 + did % 50
+        assert r["comment"] == f"clip {did}"
+        assert r["genre"] == did % 10

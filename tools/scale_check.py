@@ -124,9 +124,11 @@ def _ops() -> dict:
         d15_cc_star,
         d16_incremental_minhash,
     )
+    from rfb_data_pipeline_spark.operators.events import e19_quality_replay
     from rfb_data_pipeline_spark.operators.sampling import (
         x09_pack_sequences,
         x15_split_drift,
+        x17_cluster_curation,
     )
     from rfb_data_pipeline_spark.operators.similarity import (
         s06_near_dup_pairs_banded,
@@ -147,6 +149,8 @@ def _ops() -> dict:
         "d16": d16_incremental_minhash,
         "x09": x09_pack_sequences,
         "x15": x15_split_drift,
+        "x17": x17_cluster_curation,
+        "e19": e19_quality_replay,
         "t11": t11_unigram_surprisal,
         "t15": t15_quality_classifier,
         "s06": s06_near_dup_pairs_banded,
