@@ -66,14 +66,15 @@ def _registry() -> tuple[dict, dict]:
     #          cluster-aware curation composing d15 labels + t15
     #          scores);
     #   33-50: r03-green entries oldest-first (d01, d03-d06, d08, d10,
-    #          d13, s01-s09) + m07 (NEW r05 — ID3v1 fixed-offset tag
-    #          parse, the media family's third hash row) — t01/t02/s10
-    #          yield their slots to the three new queries and head the
-    #          r06 spill.
+    #          d13, s01-s08) + m07/m08 (NEW r05 — ID3v1 fixed-offset
+    #          tag parse and RIFF/WAV little-endian header parse, the
+    #          media family's third and fourth hash rows) —
+    #          t01/t02/s09/s10 yield their slots to the four new
+    #          queries and head the r06 spill.
     # Spill to r06 (code unchanged since r03 green rows): t01-t11,
-    # x01-x10, s10; then the r04-green q/e series and rows-only
+    # x01-x10, s09, s10; then the r04-green q/e series and rows-only
     # m01-m03.
-    # All 125 entries pass tools/check_oracle.py at sf0.01 AND sf0.1
+    # All 126 entries pass tools/check_oracle.py at sf0.01 AND sf0.1
     # this round (full gate — recorded in COVERAGE.md).
     #
     # Round 6 rotation plan (write it before you need it): promote the
@@ -103,13 +104,13 @@ def _registry() -> tuple[dict, dict]:
         "d10_fuzzy_pairs", "d13_duplicate_spans",
         "s01_knn_bruteforce", "s02_ann_lsh", "s03_near_dup_pairs",
         "s04_label_centroids", "s05_ann_ivf", "s06_near_dup_pairs_banded",
-        "s07_quantized_knn", "s08_kmeans_lloyd", "s09_vector_stats",
-        "m07_id3_tag_parse",
+        "s07_quantized_knn", "s08_kmeans_lloyd",
+        "m07_id3_tag_parse", "m08_wav_header_parse",
     ]
     spill = (
         [f"t{i:02d}" for i in range(1, 12)]
         + [f"x{i:02d}" for i in range(1, 11)]
-        + ["s10_semantic_dedup"]
+        + ["s09_vector_stats", "s10_semantic_dedup"]
         + [n for n in queries if n.startswith("q")]
         + [n for n in queries if n.startswith("e")]
         + ["m01_image_metadata", "m02_media_stats", "m03_frame_sample"]

@@ -72,6 +72,7 @@ HEADLINE = [
     "d16_incremental_minhash",
     "m06_subtitle_parse",
     "m07_id3_tag_parse",
+    "m08_wav_header_parse",
     "e18_drift_replay",
     "e19_quality_replay",
     "x17_cluster_curation",

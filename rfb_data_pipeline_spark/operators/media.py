@@ -484,6 +484,174 @@ GROUP BY artist
 """
 
 
+# --------------------------------------------------------------------------
+# m08 — RIFF/WAV fmt-chunk parse: LITTLE-ENDIAN binary integer fields,
+# the capability m05/m07 deliberately sidestep (their fields are
+# ASCII). The canonical 44-byte PCM WAV header carries channels /
+# sample-rate / bits / data-size as LE uint16/uint32 at fixed offsets
+# — the same parse every audio-ingest pipeline runs before deciding
+# resample/transcode work. Both engines synthesize the byte-exact
+# header from doc_id (assembled as a hex string and unhex'd, so
+# non-ASCII bytes never round-trip through a text encoding), then
+# parse the fields back from the BYTES: slice the byte's hex pairs,
+# reassemble in little-endian order, integer-cast (Spark conv(16,10);
+# DuckDB '0x'-cast). Well-formedness (RIFF magic, 'data' chunk id,
+# bits==16) is recomputed from the payload, not assumed. The real
+# PCM16 WAV encoder/decoder pair lives in functions/multimodal
+# (_synthetic_wav / audio decode — m02/m04's rows-only tier); this is
+# its hash-checkable header twin.
+#
+# Scale: per-row hex/substring expressions (codegen), one
+# |sample-rates|-row aggregate. All outputs integer-derived.
+
+
+def _le_hex(col: "F.Column", n_bytes: int) -> "F.Column":
+    """Little-endian hex of a non-negative int column (Spark side)."""
+    h = F.lpad(F.conv(col.cast("string"), 10, 16), n_bytes * 2, "0")
+    return F.concat(
+        *[F.substring(h, (n_bytes - 1 - i) * 2 + 1, 2) for i in range(n_bytes)]
+    )
+
+
+def _wav_payload() -> "F.Column":
+    did = F.col("doc_id")
+    ch = F.lit(1) + F.pmod(did, F.lit(2))
+    rate = F.lit(8000) * (F.lit(1) + F.pmod(did, F.lit(3)))
+    nsamp = F.lit(400) + F.pmod(did, F.lit(200))
+    byte_rate = rate * ch * 2
+    block = ch * 2
+    dsize = nsamp * block
+    return F.unhex(
+        F.concat(
+            F.lit("52494646"),              # 'RIFF'
+            _le_hex(F.lit(36) + dsize, 4),  # riff chunk size
+            F.lit("57415645"),              # 'WAVE'
+            F.lit("666D7420"),              # 'fmt '
+            F.lit("10000000"),              # fmt chunk size = 16 LE
+            F.lit("0100"),                  # PCM tag = 1 LE
+            _le_hex(ch, 2),
+            _le_hex(rate, 4),
+            _le_hex(byte_rate, 4),
+            _le_hex(block, 2),
+            _le_hex(F.lit(16), 2),          # bits per sample
+            F.lit("64617461"),              # 'data'
+            _le_hex(dsize, 4),
+        )
+    )
+
+
+def m08_wav_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.catalog import load_tables
+
+    docs = load_tables(
+        spark, sf_dir, tables=("documents",), register_views=False
+    )["documents"]
+    tagged = docs.select("doc_id", _wav_payload().alias("payload"))
+    hexp = F.hex(F.col("payload"))
+
+    def u_le(start: int, n: int) -> "F.Column":
+        pairs = [
+            F.substring(hexp, (start + n - 1 - k - 1) * 2 + 1, 2)
+            for k in range(n)
+        ]
+        return F.conv(F.concat(*pairs), 16, 10).cast("long")
+
+    parsed = tagged.select(
+        F.decode(F.substring("payload", 1, 4), "UTF-8").alias("magic"),
+        F.decode(F.substring("payload", 37, 4), "UTF-8").alias("chunk"),
+        u_le(23, 2).alias("channels"),
+        u_le(25, 4).alias("sample_rate"),
+        u_le(29, 4).alias("byte_rate"),
+        u_le(35, 2).alias("bits"),
+        u_le(41, 4).alias("data_size"),
+    )
+    return parsed.groupBy("sample_rate").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum((F.col("channels") == 2).cast("int"))
+        .cast("bigint")
+        .alias("n_stereo"),
+        F.min("data_size").alias("min_data_bytes"),
+        F.max("data_size").alias("max_data_bytes"),
+        F.sum("data_size").cast("bigint").alias("total_data_bytes"),
+        F.sum(F.expr("(data_size * 1000) DIV byte_rate"))
+        .cast("bigint")
+        .alias("total_ms"),
+        F.sum(
+            (
+                (F.col("magic") == "RIFF")
+                & (F.col("chunk") == "data")
+                & (F.col("bits") == 16)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_wellformed"),
+    )
+
+
+def _m08_le_build_sql(expr: str, n_bytes: int) -> str:
+    """DuckDB little-endian hex assembly of a non-negative int expr."""
+    sl = " || ".join(
+        f"substring(s, {(n_bytes - 1 - i) * 2 + 1}, 2)" for i in range(n_bytes)
+    )
+    return f"(SELECT {sl} FROM (SELECT lpad(to_hex({expr}), {n_bytes * 2}, '0') AS s))"
+
+
+def _m08_le_parse_sql(start: int, n: int) -> str:
+    pairs = " || ".join(
+        f"substring(hex(payload), {(start + n - 1 - k - 1) * 2 + 1}, 2)"
+        for k in range(n)
+    )
+    return f"CAST(('0x' || {pairs}) AS BIGINT)"
+
+
+_M08_SQL = f"""
+WITH fields AS (
+  SELECT 1 + (doc_id % 2 + 2) % 2 AS ch,
+         8000 * (1 + (doc_id % 3 + 3) % 3) AS rate,
+         400 + (doc_id % 200 + 200) % 200 AS nsamp
+  FROM documents
+),
+sized AS (
+  SELECT ch, rate, rate * ch * 2 AS brate, ch * 2 AS blk,
+         nsamp * ch * 2 AS dsize
+  FROM fields
+),
+payloads AS (
+  SELECT from_hex('52494646' || {_m08_le_build_sql('36 + dsize', 4)}
+           || '57415645' || '666D7420' || '10000000' || '0100'
+           || {_m08_le_build_sql('ch', 2)}
+           || {_m08_le_build_sql('rate', 4)}
+           || {_m08_le_build_sql('brate', 4)}
+           || {_m08_le_build_sql('blk', 2)}
+           || {_m08_le_build_sql('16', 2)}
+           || '64617461' || {_m08_le_build_sql('dsize', 4)}) AS payload
+  FROM sized
+),
+parsed AS (
+  SELECT decode(unhex(substring(hex(payload), 1, 8))) AS magic,
+         decode(unhex(substring(hex(payload), 73, 8))) AS chunk,
+         {_m08_le_parse_sql(23, 2)} AS channels,
+         {_m08_le_parse_sql(25, 4)} AS sample_rate,
+         {_m08_le_parse_sql(29, 4)} AS byte_rate,
+         {_m08_le_parse_sql(35, 2)} AS bits,
+         {_m08_le_parse_sql(41, 4)} AS data_size
+  FROM payloads
+)
+SELECT sample_rate,
+       count(*) AS n_clips,
+       CAST(sum(CASE WHEN channels = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stereo,
+       min(data_size) AS min_data_bytes,
+       max(data_size) AS max_data_bytes,
+       CAST(sum(data_size) AS BIGINT) AS total_data_bytes,
+       CAST(sum((data_size * 1000) // byte_rate) AS BIGINT) AS total_ms,
+       CAST(sum(CASE WHEN magic = 'RIFF' AND chunk = 'data' AND bits = 16
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_wellformed
+FROM parsed
+GROUP BY sample_rate
+"""
+
+
 QUERIES = {
     "m01_image_metadata": m01_image_metadata,
     "m02_media_stats": m02_media_stats,
@@ -492,6 +660,7 @@ QUERIES = {
     "m05_header_parse": m05_header_parse,
     "m06_subtitle_parse": m06_subtitle_parse,
     "m07_id3_tag_parse": m07_id3_tag_parse,
+    "m08_wav_header_parse": m08_wav_header_parse,
 }
 
 # m01–m04 are rows-only by design: no DuckDB codec surface exists to
@@ -502,4 +671,5 @@ ORACLE: dict[str, str] = {
     "m05_header_parse": _M05_SQL,
     "m06_subtitle_parse": _m06_sql(),
     "m07_id3_tag_parse": _M07_SQL,
+    "m08_wav_header_parse": _M08_SQL,
 }

@@ -36,6 +36,7 @@ _PROBED = [
     "d16_incremental_minhash",
     "m06_subtitle_parse",
     "m07_id3_tag_parse",
+    "m08_wav_header_parse",
     "t01_token_stats",
     "t02_quality_score",  # empty text crashed the gate pre-fix
     "t03_langid",

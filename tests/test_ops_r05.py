@@ -187,3 +187,34 @@ def test_m07_payload_roundtrip_and_length(spark):
         assert r["year"] == 1970 + did % 50
         assert r["comment"] == f"clip {did}"
         assert r["genre"] == did % 10
+
+
+def test_m08_payload_is_valid_wav_header_per_struct(spark):
+    """Independent decoder check (the m05 parity idea): the payload
+    Spark builds must parse as a canonical 44-byte PCM WAV header
+    under python's struct little-endian unpacking, field for field,
+    and the query's in-engine parse must agree with struct's."""
+    import struct
+
+    from rfb_data_pipeline_spark.operators.media import _wav_payload
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet").select("doc_id")
+    rows = docs.select("doc_id", _wav_payload().alias("payload")).collect()
+    assert rows
+    for r in rows:
+        did, p = r["doc_id"], bytes(r["payload"])
+        assert len(p) == 44, did
+        assert p[0:4] == b"RIFF" and p[8:12] == b"WAVE"
+        assert p[12:16] == b"fmt " and p[36:40] == b"data"
+        (fmt_size,) = struct.unpack_from("<I", p, 16)
+        tag, ch = struct.unpack_from("<HH", p, 20)
+        rate, brate = struct.unpack_from("<II", p, 24)
+        blk, bits = struct.unpack_from("<HH", p, 32)
+        (dsize,) = struct.unpack_from("<I", p, 40)
+        (riff_size,) = struct.unpack_from("<I", p, 4)
+        assert fmt_size == 16 and tag == 1 and bits == 16
+        assert ch == 1 + did % 2
+        assert rate == 8000 * (1 + did % 3)
+        assert brate == rate * ch * 2 and blk == ch * 2
+        assert dsize == (400 + did % 200) * ch * 2
+        assert riff_size == 36 + dsize

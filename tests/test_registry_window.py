@@ -33,6 +33,7 @@ def test_r05_window_composition():
         "e19_quality_replay",
         "x17_cluster_curation",
         "m07_id3_tag_parse",
+        "m08_wav_header_parse",
         "m04_audio_frames",
         "d02_ngram_jaccard",
         "d07_dedup_clusters",
@@ -40,9 +41,10 @@ def test_r05_window_composition():
         "d12_minhash_calibration",
         "e15_gap_fill_locf",
     } <= window
-    # remaining slots are r03-green d/s fills (s10 yielded to m07):
+    # remaining slots are r03-green d/s fills (s09/s10 yielded to
+    # m07/m08):
     assert sum(n.startswith("d") for n in window) == 15
-    assert sum(n.startswith("s") for n in window) == 14
+    assert sum(n.startswith("s") for n in window) == 13
     # NONE of the r04-green q-series burns an r05 slot
     assert not any(n.startswith("q") for n in window)
     # first spill position: t01 (r03-green, unchanged code — t01/t02
@@ -54,8 +56,8 @@ def test_every_query_has_unique_name_and_oracle_subset():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     # 121 at the r04 gate + e18/e19 (stream batch replays) + x17
-    # (cluster-aware curation) + m07 (ID3v1 tag parse)
-    assert len(q) == 125
+    # (cluster-aware curation) + m07/m08 (ID3v1 + WAV header parses)
+    assert len(q) == 126
     assert set(o) <= set(q)
     # rows-only tier is exactly the sketches + media decode
     rows_only = set(q) - set(o)
