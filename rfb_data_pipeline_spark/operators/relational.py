@@ -22,6 +22,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rfb_data_pipeline_spark.catalog import load_tables
+from rfb_data_pipeline_spark.functions.exactround import (
+    finish_sum,
+    money_avg,
+    money_sum,
+    sql_money_avg,
+    sql_money_sum,
+    units,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -42,35 +50,34 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, 2
             ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
+            money_sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                6,
                 2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            money_avg(F.col("l_quantity"), 0, 4).alias("avg_qty"),
+            money_avg(F.col("l_extendedprice"), 2, 4).alias("avg_price"),
+            money_avg(F.col("l_discount"), 2, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
-_Q01_SQL = """
+_Q01_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 4)                                        AS avg_disc,
-       count(*)                                                         AS count_order
+       round(sum(l_quantity), 2)      AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       {sql_money_sum('l_extendedprice * (1 - l_discount)', 4, 2)} AS sum_disc_price,
+       {sql_money_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6, 2)} AS sum_charge,
+       {sql_money_avg('l_quantity', 0, 4)} AS avg_qty,
+       {sql_money_avg('l_extendedprice', 2, 4)} AS avg_price,
+       {sql_money_avg('l_discount', 2, 4)} AS avg_disc,
+       count(*)                       AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -124,8 +131,8 @@ def q03_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, 2
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -133,10 +140,10 @@ def q03_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q03_SQL = """
+_Q03_SQL = f"""
 SELECT l_orderkey,
        CAST(o_orderdate AS DATE)                              AS o_orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS revenue
+       {sql_money_sum('l_extendedprice * (1 - l_discount)', 4, 2)} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -178,15 +185,15 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, 2
             ).alias("revenue")
         )
     )
 
 
-_Q05_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+_Q05_SQL = f"""
+SELECT n_name, {sql_money_sum('l_extendedprice * (1 - l_discount)', 4, 2)} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -215,9 +222,11 @@ def q04_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem side ~4x before any join, and turns the expensive
     # countDistinct(o_orderkey) into a plain count — ~1.7x measured.
     per_order = t["lineitem"].groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "order_rev"
-        )
+        # exact 10^-4-grid units so the two-level sum stays lossless
+        # (the exactround discipline — associativity holds for ints)
+        F.sum(
+            units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        ).alias("order_rev_units")
     )
     return (
         per_order
@@ -226,16 +235,16 @@ def q04_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum("order_rev"), 2).alias("revenue"),
+            finish_sum(F.sum("order_rev_units"), 4, 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.desc("revenue"))
     )
 
 
-_Q04_SQL = """
+_Q04_SQL = f"""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {sql_money_sum('l_extendedprice * (1 - l_discount)', 4, 2)} AS revenue,
        count(DISTINCT o_orderkey) AS n_orders
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -262,16 +271,16 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            money_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), 4, 2
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
 
 
-_Q06_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+_Q06_SQL = f"""
+SELECT {sql_money_sum('l_extendedprice * l_discount', 4, 2)} AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -537,7 +546,7 @@ def q14_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("yr", "qtr", "mo", "ym")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            money_avg(F.col("o_totalprice"), 2, 2).alias("avg_price"),
         )
         .withColumn(
             "first_of_month",
@@ -555,13 +564,13 @@ def q14_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q14_SQL = """
+_Q14_SQL = f"""
 SELECT extract(year FROM o_orderdate)     AS yr,
        extract(quarter FROM o_orderdate)  AS qtr,
        extract(month FROM o_orderdate)    AS mo,
        strftime(o_orderdate, '%Y-%m')     AS ym,
        count(*)                           AS n_orders,
-       round(avg(o_totalprice), 2)        AS avg_price,
+       {sql_money_avg('o_totalprice', 2, 2)} AS avg_price,
        make_date(CAST(extract(year FROM o_orderdate) AS INTEGER),
                  CAST(extract(month FROM o_orderdate) AS INTEGER), 1)
                                           AS first_of_month,
@@ -587,8 +596,8 @@ def q15_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias(
             "n_high_discount"
         ),
-        F.round(
-            F.avg(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 2
+        money_avg(
+            F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice")), 2, 2
         ).alias("avg_price_bulk"),
         F.sum(
             F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0)
@@ -596,11 +605,11 @@ def q15_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q15_SQL = """
+_Q15_SQL = f"""
 SELECT l_returnflag,
        count(*) AS n_rows,
        CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_discount,
-       round(avg(CASE WHEN l_quantity >= 25 THEN l_extendedprice END), 2) AS avg_price_bulk,
+       {sql_money_avg('CASE WHEN l_quantity >= 25 THEN l_extendedprice END', 2, 2)} AS avg_price_bulk,
        sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS qty_finished
 FROM lineitem
 GROUP BY l_returnflag
@@ -624,14 +633,14 @@ def q16_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.avg("s_acctbal"), 2).alias("avg_acctbal"),
+            money_avg(F.col("s_acctbal"), 2, 2).alias("avg_acctbal"),
         )
         .filter(F.col("n_suppliers") >= 2)
     )
 
 
-_Q16_SQL = """
-SELECT r_name, count(*) AS n_suppliers, round(avg(s_acctbal), 2) AS avg_acctbal
+_Q16_SQL = f"""
+SELECT r_name, count(*) AS n_suppliers, {sql_money_avg('s_acctbal', 2, 2)} AS avg_acctbal
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -686,13 +695,13 @@ def q18_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            money_avg(F.col("p_retailprice"), 2, 2).alias("avg_price"),
         )
     )
 
 
-_Q18_SQL = """
-SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+_Q18_SQL = f"""
+SELECT band, count(*) AS n_parts, {sql_money_avg('p_retailprice', 2, 2)} AS avg_price
 FROM part
 JOIN (VALUES ('budget', 0.0, 930.0),
              ('mid', 930.0, 970.0),
@@ -1251,7 +1260,7 @@ def q34_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("lo"), 2).alias("bin_lo"),
             F.round(F.min("hi"), 2).alias("bin_hi"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            money_avg(F.col("o_totalprice"), 2, 2).alias("avg_price"),
         )
     )
 
@@ -1271,7 +1280,7 @@ binned AS (
   FROM orders, b
 )
 SELECT bin, round(min(lo), 2) AS bin_lo, round(min(hi), 2) AS bin_hi,
-       count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+       count(*) AS n_orders, {sql_money_avg('o_totalprice', 2, 2)} AS avg_price
 FROM binned
 GROUP BY bin
 """
@@ -1290,19 +1299,19 @@ def q35_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = li.groupBy("l_returnflag").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        money_avg(F.col("l_discount"), 2, 4).alias("avg_disc"),
     )
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"], "metric", "value"
     )
 
 
-_Q35_SQL = """
+_Q35_SQL = f"""
 UNPIVOT (
   SELECT l_returnflag,
          round(sum(l_quantity), 2)      AS sum_qty,
          round(sum(l_extendedprice), 2) AS sum_price,
-         round(avg(l_discount), 4)      AS avg_disc
+         {sql_money_avg('l_discount', 2, 4)} AS avg_disc
   FROM lineitem GROUP BY l_returnflag
 )
 ON sum_qty, sum_price, avg_disc
