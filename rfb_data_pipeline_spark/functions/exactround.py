@@ -115,3 +115,31 @@ def sql_money_avg(expr: str, grid_decimals: int, out_decimals: int) -> str:
         f"(CASE WHEN {n} > 0"
         f" THEN CAST({sgn} * {q} AS DOUBLE) / {op} ELSE NULL END)"
     )
+
+
+def ratio_round(num: Column, den: Column, out_decimals: int) -> Column:
+    """Engine-exact ``round(num/den, out)`` for INTEGER-valued columns
+    (rates, per-token averages, percentiles). NULL when den <= 0 —
+    both engines' SQL twins guard identically, so the zero-denominator
+    path can never diverge either."""
+    n = num.cast(_DEC) * F.lit(10 ** out_decimals)
+    d = den.cast(_DEC)
+    sgn = F.when(n < 0, F.lit(-1)).otherwise(F.lit(1))
+    q = _half_up_div(F.abs(n), d)
+    return F.when(
+        den > 0, (sgn * q / F.lit(10 ** out_decimals)).cast("double")
+    )
+
+
+def sql_ratio_round(num: str, den: str, out_decimals: int) -> str:
+    """DuckDB twin of ratio_round."""
+    op = 10 ** out_decimals
+    n = f"(CAST({num} AS HUGEINT) * {op})"
+    d = f"CAST({den} AS HUGEINT)"
+    e = f"(abs({n}) * 2 + {d})"
+    q = f"(({e} - ({e} % ({d} * 2))) // ({d} * 2))"
+    sgn = f"(CASE WHEN {n} < 0 THEN -1 ELSE 1 END)"
+    return (
+        f"(CASE WHEN ({den}) > 0"
+        f" THEN CAST({sgn} * {q} AS DOUBLE) / {op} ELSE NULL END)"
+    )

@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rfb_data_pipeline_spark.catalog import load_tables
+from rfb_data_pipeline_spark.functions.exactround import (
+    ratio_round,
+    sql_ratio_round,
+)
 from rfb_data_pipeline_spark.plans.stage import stage_boundary
 
 MINHASH_K = 12  # signature length
@@ -207,11 +211,15 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    jac = ratio_round(
+        F.col("common"),
+        F.col("sz_a") + F.col("sz_b") - F.col("common"),
+        4,
+    )
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -227,7 +235,7 @@ common AS (
 )
 SELECT * FROM (
   SELECT doc_a, doc_b,
-         round(common::DOUBLE / (sa.sz + sb.sz - common), 4) AS jaccard
+         {sql_ratio_round('common', 'sa.sz + sb.sz - common', 4)} AS jaccard
   FROM common
   JOIN sizes sa ON doc_a = sa.doc_id
   JOIN sizes sb ON doc_b = sb.doc_id
@@ -313,11 +321,15 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    jac = ratio_round(
+        F.col("common"),
+        F.col("sz_a") + F.col("sz_b") - F.col("common"),
+        4,
+    )
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -360,9 +372,7 @@ cand AS (
 )
 SELECT * FROM (
   SELECT doc_a, doc_b,
-         round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-               / (len(sa.shingles) + len(sb.shingles)
-                  - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+         {sql_ratio_round('len(list_intersect(sa.shingles, sb.shingles))', 'len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))', 4)} AS jaccard
   FROM cand
   JOIN sh sa ON doc_a = sa.doc_id
   JOIN sh sb ON doc_b = sb.doc_id
@@ -764,7 +774,9 @@ def d08_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count("hit").alias("n_contaminated"),
-            F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("contam_rate"),
+            ratio_round(
+                F.count("hit"), F.count(F.lit(1)), 4
+            ).alias("contam_rate"),
         )
     )
 
@@ -779,7 +791,7 @@ hits AS (
 )
 SELECT source, count(*) AS n_docs,
        count(h.doc_id) AS n_contaminated,
-       round(count(h.doc_id) / count(*)::DOUBLE, 4) AS contam_rate
+       {sql_ratio_round('count(h.doc_id)', 'count(*)', 4)} AS contam_rate
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % 97 <> 0
 GROUP BY source
@@ -820,7 +832,9 @@ def d09_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("common") / F.col("sz_a"), 4).alias("containment"),
+            ratio_round(
+                F.col("common"), F.col("sz_a"), 4
+            ).alias("containment"),
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
@@ -837,7 +851,7 @@ common AS (
 )
 SELECT * FROM (
   SELECT doc_a, doc_b,
-         round(common::DOUBLE / sa.sz, 4) AS containment
+         {sql_ratio_round('common', 'sa.sz', 4)} AS containment
   FROM common JOIN sizes sa ON doc_a = sa.doc_id
 )
 WHERE containment >= {CONTAINMENT_THRESHOLD}
@@ -1002,7 +1016,7 @@ def d12_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(MINHASH_K):
         m = (F.col(f"a{j}") == F.col(f"b{j}")).cast("int")
         matches = m if matches is None else matches + m
-    est = F.round(matches / MINHASH_K, 4)
+    est = ratio_round(matches, F.lit(MINHASH_K), 4)
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -1024,13 +1038,14 @@ def _d12_sql() -> str:
     match_sum = " + ".join(
         f"(sa.h{j} = sb.h{j})::INT" for j in range(MINHASH_K)
     )
+    est_expr = sql_ratio_round(f"({match_sum})", str(MINHASH_K), 4)
     return f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sig AS (SELECT doc_id, {hs} FROM sh),
 pairs AS ({_D02_SQL})
 SELECT doc_a, doc_b, jaccard,
-       round(({match_sum}) / {MINHASH_K}.0, 4) AS est,
-       round(abs(round(({match_sum}) / {MINHASH_K}.0, 4) - jaccard), 4) AS err
+       {est_expr} AS est,
+       round(abs({est_expr} - jaccard), 4) AS err
 FROM pairs
 JOIN sig sa ON doc_a = sa.doc_id
 JOIN sig sb ON doc_b = sb.doc_id
@@ -1187,9 +1202,7 @@ def d14_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_spans",
             n_dup.alias("n_dup_spans"),
-            (
-                F.round(n_dup.cast("double") / F.col("n_spans"), 4) + F.lit(0.0)
-            ).alias("dup_frac"),
+            ratio_round(n_dup, F.col("n_spans"), 4).alias("dup_frac"),
         )
     )
 
@@ -1211,7 +1224,7 @@ per_dup AS (
 SELECT p.doc_id,
        CAST(p.n_spans AS BIGINT) AS n_spans,
        CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
-       round(coalesce(d.n_dup, 0)::DOUBLE / p.n_spans, 4) + 0.0 AS dup_frac
+       {sql_ratio_round('coalesce(d.n_dup, 0)', 'p.n_spans', 4)} AS dup_frac
 FROM per_doc p LEFT JOIN per_dup d USING (doc_id)
 """
 
@@ -1427,8 +1440,10 @@ def d16_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    jac = F.col("common") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("common")
+    jac = ratio_round(
+        F.col("common"),
+        F.col("sz_a") + F.col("sz_b") - F.col("common"),
+        4,
     )
     dup_batch_docs = (
         common.join(
@@ -1441,7 +1456,7 @@ def d16_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_corpus",
         )
-        .filter(F.round(jac, 4) >= JACCARD_THRESHOLD)
+        .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_batch")
         .distinct()
         .withColumn("hit", F.lit(1))
@@ -1454,7 +1469,9 @@ def d16_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_batch_docs"),
             F.count("hit").alias("n_near_dup"),
-            F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("dup_rate"),
+            ratio_round(
+                F.count("hit"), F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
             F.min(F.when(F.col("hit") == 1, F.col("doc_id"))).alias(
                 "first_dup_doc"
             ),
@@ -1502,9 +1519,7 @@ cand AS (
 dup_docs AS (
   SELECT DISTINCT doc_batch FROM (
     SELECT doc_batch,
-           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-                 / (len(sa.shingles) + len(sb.shingles)
-                    - len(list_intersect(sa.shingles, sb.shingles))), 4)
+           {sql_ratio_round('len(list_intersect(sa.shingles, sb.shingles))', 'len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))', 4)}
              AS jaccard
     FROM cand
     JOIN sh sa ON doc_batch = sa.doc_id
@@ -1514,7 +1529,7 @@ dup_docs AS (
 SELECT source,
        count(*) AS n_batch_docs,
        count(h.doc_batch) AS n_near_dup,
-       round(count(h.doc_batch)::DOUBLE / count(*), 4) AS dup_rate,
+       {sql_ratio_round('count(h.doc_batch)', 'count(*)', 4)} AS dup_rate,
        min(CASE WHEN h.doc_batch IS NOT NULL THEN d.doc_id END)
          AS first_dup_doc
 FROM documents d LEFT JOIN dup_docs h ON d.doc_id = h.doc_batch

@@ -18,6 +18,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rfb_data_pipeline_spark.catalog import load_tables
+from rfb_data_pipeline_spark.functions.exactround import (
+    ratio_round,
+    sql_ratio_round,
+)
 from rfb_data_pipeline_spark.plans.stage import stage_boundary
 
 
@@ -533,18 +537,18 @@ def e12_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signups.agg(
         F.count(F.lit(1)).alias("n_signups"),
         F.sum(converted).cast("bigint").alias("n_converted_24h"),
-        F.round(F.sum(converted) / F.count(F.lit(1)), 4).alias("conv_rate"),
+        ratio_round(
+            F.sum(converted), F.count(F.lit(1)), 4
+        ).alias("conv_rate"),
     )
 
 
-_E12_SQL = """
+_E12_SQL = f"""
 SELECT count(*) AS n_signups,
        CAST(sum(CASE WHEN next_purchase_ts IS NOT NULL
                       AND next_purchase_ts <= ts + INTERVAL 24 HOUR
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_24h,
-       round(sum(CASE WHEN next_purchase_ts IS NOT NULL
-                       AND next_purchase_ts <= ts + INTERVAL 24 HOUR
-                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS conv_rate
+       {sql_ratio_round("sum(CASE WHEN next_purchase_ts IS NOT NULL AND next_purchase_ts <= ts + INTERVAL 24 HOUR THEN 1 ELSE 0 END)", "count(*)", 4)} AS conv_rate
 FROM (
   SELECT event_type, ts,
          min(CASE WHEN event_type = 'purchase' THEN ts END)
@@ -935,16 +939,16 @@ def e17_multistep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_views"),
         F.sum(step2.cast("int")).cast("bigint").alias("n_clicked_1h"),
         F.sum(step3.cast("int")).cast("bigint").alias("n_purchased_24h"),
-        F.round(F.sum(step2.cast("int")) / F.count(F.lit(1)), 4).alias(
-            "click_rate"
-        ),
-        F.round(F.sum(step3.cast("int")) / F.count(F.lit(1)), 4).alias(
-            "full_funnel_rate"
-        ),
+        ratio_round(
+            F.sum(step2.cast("int")), F.count(F.lit(1)), 4
+        ).alias("click_rate"),
+        ratio_round(
+            F.sum(step3.cast("int")), F.count(F.lit(1)), 4
+        ).alias("full_funnel_rate"),
     )
 
 
-_E17_SQL = """
+_E17_SQL = f"""
 WITH annotated AS (
   SELECT user_id, event_type, ts,
          min(CASE WHEN event_type = 'click' THEN ts END)
@@ -984,8 +988,8 @@ flagged AS (
 SELECT count(*) AS n_views,
        CAST(sum(step2) AS BIGINT) AS n_clicked_1h,
        CAST(sum(step3) AS BIGINT) AS n_purchased_24h,
-       round(sum(step2)::DOUBLE / count(*), 4) AS click_rate,
-       round(sum(step3)::DOUBLE / count(*), 4) AS full_funnel_rate
+       {sql_ratio_round('sum(step2)', 'count(*)', 4)} AS click_rate,
+       {sql_ratio_round('sum(step3)', 'count(*)', 4)} AS full_funnel_rate
 FROM flagged
 """
 
@@ -1101,8 +1105,8 @@ def e19_quality_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("pred_quality").cast("bigint").alias("n_quality"),
-            F.round(
-                F.sum("pred_quality") / F.count(F.lit(1)), 4
+            ratio_round(
+                F.sum("pred_quality"), F.count(F.lit(1)), 4
             ).alias("quality_rate"),
             F.sum("n_tokens").cast("bigint").alias("batch_tokens"),
         )
@@ -1126,7 +1130,7 @@ def _e19_sql() -> str:
 SELECT d.source,
        count(*) AS n_docs,
        CAST(sum(p.pred_quality) AS BIGINT) AS n_quality,
-       round(sum(p.pred_quality)::DOUBLE / count(*), 4) AS quality_rate,
+       """ + sql_ratio_round("sum(p.pred_quality)", "count(*)", 4) + """ AS quality_rate,
        CAST(sum(p.n_tokens) AS BIGINT) AS batch_tokens
 FROM pred p JOIN documents d USING (doc_id)
 GROUP BY d.source

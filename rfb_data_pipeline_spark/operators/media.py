@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rfb_data_pipeline_spark.functions.exactround import (
+    ratio_round,
+    sql_ratio_round,
+)
 from rfb_data_pipeline_spark.functions.multimodal import (
     audio_stats,
     image_header_meta,
@@ -312,9 +316,9 @@ def m06_subtitle_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_clips"),
             F.count(F.lit(1)).alias("n_cues"),
             F.sum("cue_ms").alias("total_speech_ms"),
-            F.round(F.sum("cue_ms") / F.count(F.lit(1)), 2).alias(
-                "avg_cue_ms"
-            ),
+            ratio_round(
+                F.sum("cue_ms"), F.count(F.lit(1)), 2
+            ).alias("avg_cue_ms"),
         )
     )
 
@@ -367,7 +371,7 @@ SELECT source,
        count(DISTINCT doc_id) AS n_clips,
        count(*) AS n_cues,
        CAST(sum({ms(2)} - {ms(1)}) AS BIGINT) AS total_speech_ms,
-       round(sum({ms(2)} - {ms(1)})::DOUBLE / count(*), 2) AS avg_cue_ms
+       {sql_ratio_round(f'sum({ms(2)} - {ms(1)})', 'count(*)', 2)} AS avg_cue_ms
 FROM lines
 GROUP BY source
 """

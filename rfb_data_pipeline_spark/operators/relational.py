@@ -24,6 +24,8 @@ from pyspark.sql.window import Window
 from rfb_data_pipeline_spark.catalog import load_tables
 from rfb_data_pipeline_spark.functions.exactround import (
     finish_sum,
+    ratio_round,
+    sql_ratio_round,
     money_avg,
     money_sum,
     sql_money_avg,
@@ -1059,19 +1061,16 @@ def q29_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             F.round("s_acctbal", 2).alias("acctbal"),
             ntile.cast("int").alias("quartile"),
-            (
-                F.round((rank - 1) / (F.col("_n") - 1).cast("double"), 4)
-                + F.lit(0.0)
-            ).alias("pct_rank"),
+            ratio_round(rank - 1, F.col("_n") - 1, 4).alias("pct_rank"),
         )
     )
 
 
-_Q29_SQL = """
+_Q29_SQL = f"""
 SELECT s_suppkey,
        round(s_acctbal, 2) AS acctbal,
        ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS quartile,
-       round(percent_rank() OVER (ORDER BY s_acctbal DESC, s_suppkey ASC), 4) + 0.0
+       {sql_ratio_round('rank() OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) - 1', 'count(*) OVER () - 1', 4)}
          AS pct_rank
 FROM supplier
 """

@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rfb_data_pipeline_spark.catalog import load_tables
+from rfb_data_pipeline_spark.functions.exactround import (
+    ratio_round,
+    sql_ratio_round,
+)
 from rfb_data_pipeline_spark.plans.stage import stage_boundary
 
 TRAIN_PCT = 80
@@ -73,7 +77,9 @@ def x01_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            ratio_round(
+                F.sum("n_chars"), F.count("n_chars"), 2
+            ).alias("avg_chars"),
             F.countDistinct("source").alias("n_sources"),
         )
     )
@@ -86,7 +92,7 @@ _SQL_BUCKET = (
 
 _X01_SQL = f"""
 SELECT split, count(*) AS n_docs,
-       round(avg(n_chars), 2) AS avg_chars,
+       {sql_ratio_round('sum(n_chars)', 'count(n_chars)', 2)} AS avg_chars,
        count(DISTINCT source) AS n_sources
 FROM (
   SELECT *,

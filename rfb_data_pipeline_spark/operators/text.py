@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rfb_data_pipeline_spark.catalog import load_tables
+from rfb_data_pipeline_spark.functions.exactround import (
+    ratio_round,
+    sql_ratio_round,
+)
 from rfb_data_pipeline_spark.plans.stage import stage_boundary
 
 # Tiny embedded stopword list for quality scoring / language ID.
@@ -73,24 +77,24 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-        F.round(
+        ratio_round(
             F.aggregate(
                 F.transform(toks, lambda t: F.length(t)),
                 F.lit(0),
                 lambda acc, x: acc + x,
-            )
-            / F.size(toks),
+            ),
+            F.size(toks),
             4,
         ).alias("avg_token_len"),
     )
 
 
-_T01_SQL = """
+_T01_SQL = f"""
 SELECT doc_id,
        length(text) AS n_chars,
        len(toks)    AS n_tokens,
        len(list_distinct(toks)) AS n_unique_tokens,
-       round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks), 4)
+       {sql_ratio_round("list_sum(list_transform(toks, t -> length(t)))", "len(toks)", 4)}
          AS avg_token_len
 FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
       FROM documents)
@@ -120,24 +124,25 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         n_tokens.alias("n_tokens"),
         n_stop.alias("n_stopwords"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(digit_ratio, 4).alias("digit_ratio"),
+        ratio_round(n_stop, n_tokens, 4).alias("stop_ratio"),
+        ratio_round(
+            punct, F.greatest(F.length("text"), F.lit(1)), 4
+        ).alias("punct_ratio"),
+        ratio_round(
+            digits, F.greatest(F.length("text"), F.lit(1)), 4
+        ).alias("digit_ratio"),
         quality_gate().cast("int").alias("passes_quality"),
     )
 
 
-_T02_SQL = """
+_T02_SQL = f"""
 SELECT doc_id, lang,
        len(toks) AS n_tokens,
        len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','it')))
          AS n_stopwords,
-       round(len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','it')))::DOUBLE
-             / len(toks), 4) AS stop_ratio,
-       round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
-             / greatest(length(text), 1), 4) AS punct_ratio,
-       round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
-             / greatest(length(text), 1), 4) AS digit_ratio,
+       {sql_ratio_round("len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','it')))", "len(toks)", 4)} AS stop_ratio,
+       {sql_ratio_round("length(regexp_replace(text, '[^.!?,;:]', '', 'g'))", "greatest(length(text), 1)", 4)} AS punct_ratio,
+       {sql_ratio_round("length(regexp_replace(text, '[^0-9]', '', 'g'))", "greatest(length(text), 1)", 4)} AS digit_ratio,
        CASE WHEN len(toks) >= 10
              AND len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','it')))::DOUBLE
                  / len(toks) >= 0.01
@@ -365,17 +370,19 @@ def t07_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.round(F.col("max_tok") / F.col("n_tokens"), 4).alias(
+            ratio_round(F.col("max_tok"), F.col("n_tokens"), 4).alias(
                 "top_token_frac"
             ),
-            F.round(
-                1 - F.col("n_unique_bigrams") / F.col("n_bigrams"), 4
+            ratio_round(
+                F.col("n_bigrams") - F.col("n_unique_bigrams"),
+                F.col("n_bigrams"),
+                4,
             ).alias("dup_bigram_frac"),
         )
     )
 
 
-_T07_SQL = """
+_T07_SQL = f"""
 WITH toks AS (
   SELECT doc_id, u.i AS pos, t[u.i] AS w
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
@@ -397,8 +404,8 @@ WITH toks AS (
   GROUP BY doc_id
 )
 SELECT doc_id, n_tokens,
-       round(max_tok::DOUBLE / n_tokens, 4) AS top_token_frac,
-       round(1 - n_unique_bigrams::DOUBLE / n_bigrams, 4) AS dup_bigram_frac
+       {sql_ratio_round('max_tok', 'n_tokens', 4)} AS top_token_frac,
+       {sql_ratio_round('n_bigrams - n_unique_bigrams', 'n_bigrams', 4)} AS dup_bigram_frac
 FROM per_doc JOIN bigrams USING (doc_id)
 """
 
@@ -474,19 +481,21 @@ def t09_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_bpe.cast("bigint").alias("n_bpe_tokens"),
         n_ws.cast("bigint").alias("n_ws_tokens"),
-        F.round(n_bpe / n_ws, 4).alias("bpe_per_ws"),
+        ratio_round(n_bpe, n_ws, 4).alias("bpe_per_ws"),
     )
 
 
+_T09_NUM = (
+    "len(regexp_extract_all(text,\n"
+    "    '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+'))"
+)
+_T09_DEN = "len(string_split_regex(trim(text), '\\s+'))"
 _T09_SQL = """
 SELECT doc_id,
-       len(regexp_extract_all(text,
-           '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+'))::BIGINT
+       """ + _T09_NUM + """::BIGINT
          AS n_bpe_tokens,
-       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_ws_tokens,
-       round(len(regexp_extract_all(text,
-           '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+'))::DOUBLE
-         / len(string_split_regex(trim(text), '\\s+')), 4) AS bpe_per_ws
+       """ + _T09_DEN + """::BIGINT AS n_ws_tokens,
+       """ + sql_ratio_round(_T09_NUM, _T09_DEN, 4) + """ AS bpe_per_ws
 FROM documents
 """
 
@@ -1211,20 +1220,19 @@ def t16_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(html).alias("raw_len"),
         F.length(clean).alias("text_len"),
-        (
-            F.round(F.length(clean).cast("double") / F.length(html), 4)
-            + F.lit(0.0)
-        ).alias("content_ratio"),
+        ratio_round(F.length(clean), F.length(html), 4).alias(
+            "content_ratio"
+        ),
         F.md5(clean).alias("content_fp"),
     )
 
 
-_T16_SQL = """
+_T16_SQL = f"""
 WITH wrapped AS (
   SELECT doc_id,
          '<html><head><title>Doc ' || doc_id::VARCHAR
          || '</title><script type="text/javascript">var id=' || doc_id::VARCHAR
-         || ';</script><style>.main{color:#333}</style></head><body><h1>Doc '
+         || ';</script><style>.main{{color:#333}}</style></head><body><h1>Doc '
          || doc_id::VARCHAR || '</h1><p>'
          || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
          || '</p><!-- auto-generated --><footer>&copy; 2026 Example &amp; Co</footer></body></html>'
@@ -1248,7 +1256,7 @@ extracted AS (
 SELECT doc_id,
        length(html) AS raw_len,
        length(clean) AS text_len,
-       round(length(clean)::DOUBLE / length(html), 4) + 0.0 AS content_ratio,
+       {sql_ratio_round('length(clean)', 'length(html)', 4)} AS content_ratio,
        md5(clean) AS content_fp
 FROM extracted
 """

@@ -281,3 +281,39 @@ def test_exactround_boundary_regression(spark, tmp_path):
     for _, r in o01.iterrows():
         assert q01[(r["l_returnflag"], r["l_linestatus"])] == r["sum_disc_price"]
     con.close()
+
+
+def test_ratio_round_boundary_unit(spark):
+    """ratio_round / sql_ratio_round agree on the knife-edge cases the
+    plain double round() diverges on: binary-exact ties (7/32 =
+    0.21875), binary-INEXACT decimal ties (7/40 = 0.175 — the class
+    that split .46/.45), negative numerators (ties away from zero)
+    and zero denominators (NULL, both engines)."""
+    from pyspark.sql import functions as F
+
+    from rfb_data_pipeline_spark.functions.exactround import (
+        ratio_round,
+        sql_ratio_round,
+    )
+
+    cases = [(7, 32, 4), (7, 40, 2), (-7, 40, 2), (1, 0, 4), (45, 2000, 4)]
+    rows = [(i, n, d, o) for i, (n, d, o) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, n long, d long, o int")
+    got = {}
+    for _, n, d, o in rows:
+        col = ratio_round(F.lit(n).cast("long"), F.lit(d).cast("long"), o)
+        got[(n, d, o)] = df.limit(1).select(col.alias("v")).collect()[0]["v"]
+    con = duckdb.connect()
+    for n, d, o in cases:
+        duck = con.execute(
+            f"SELECT {sql_ratio_round(str(n), str(d), o)}"
+        ).fetchone()[0]
+        assert got[(n, d, o)] == duck or (
+            got[(n, d, o)] is None and duck is None
+        ), (n, d, o, got[(n, d, o)], duck)
+    con.close()
+    assert got[(7, 32, 4)] == 0.2188   # tie HALF_UP
+    assert got[(7, 40, 2)] == 0.18     # binary-inexact tie HALF_UP
+    assert got[(-7, 40, 2)] == -0.18   # away from zero
+    assert got[(1, 0, 4)] is None      # zero denominator
+    assert got[(45, 2000, 4)] == 0.0225
