@@ -317,3 +317,36 @@ def test_ratio_round_boundary_unit(spark):
     assert got[(-7, 40, 2)] == -0.18   # away from zero
     assert got[(1, 0, 4)] is None      # zero denominator
     assert got[(45, 2000, 4)] == 0.0225
+
+
+def test_exactround_modes_agree(spark, monkeypatch):
+    """long (default) and decimal accumulator modes produce identical
+    results for the converted surface at corpus scale — the mode is a
+    pure capacity knob (the stage_boundary local/storage pattern)."""
+    from rfb_data_pipeline_spark.operators.dedup import d02_ngram_jaccard
+    from rfb_data_pipeline_spark.operators.relational import (
+        q01_pricing_summary,
+        q14_date_functions,
+    )
+    from rfb_data_pipeline_spark.operators.text import t02_quality_score
+    from tests.conftest import SF_SMALL as sf
+
+    fns = {
+        "q01": q01_pricing_summary,
+        "q14": q14_date_functions,
+        "t02": t02_quality_score,
+        "d02": d02_ngram_jaccard,
+    }
+    long_mode = {
+        n: sorted(tuple(r) for r in fn(spark, sf).collect())
+        for n, fn in fns.items()
+    }
+    monkeypatch.setenv("RFB_EXACTROUND_MODE", "decimal")
+    for n, fn in fns.items():
+        dec = sorted(tuple(r) for r in fn(spark, sf).collect())
+        assert dec == long_mode[n], n
+
+
+def test_ratio_round_boundary_unit_decimal_mode(spark, monkeypatch):
+    monkeypatch.setenv("RFB_EXACTROUND_MODE", "decimal")
+    test_ratio_round_boundary_unit(spark)
