@@ -77,12 +77,20 @@ def _registry() -> tuple[dict, dict]:
     # All 126 entries pass tools/check_oracle.py at sf0.01 AND sf0.1
     # this round (full gate — recorded in COVERAGE.md).
     #
-    # Round 6 rotation plan (write it before you need it): promote the
-    # r05 spill — t01-t11 (11) + x01-x10 (10) + m01-m03 (3) first,
-    # then any entry whose code r06 touches, then the oldest q/e rows
-    # (r04-green q01-q35 + e01-e14/e16 fill the remaining ~26 slots;
-    # overflow to r07). After r06 every registry entry will have a
-    # driver row ≤2 rounds old.
+    # Round 6 rotation plan (write it before you need it). The r05
+    # second session's exactround conversion TOUCHED these spill
+    # entries after their last driver row: q01 q03 q04 q05 q06 q14
+    # q15 q16 q18 q29 q34 q35, e12, t01 t02 t07 t09 t16, x01 — their
+    # r03/r04 rows predate the current code, so they are first-class
+    # r06 promotions alongside the never-promoted spill. r06 window:
+    #   1-26:  t01-t11, x01-x10, s09, s10, m01-m03 (oldest rows /
+    #          rows-only; t01/t02/t07/t09/t16/x01 are ALSO touched);
+    #   27-39: the touched q-series (q01 q03-q06 q14-q16 q18 q29 q34
+    #          q35) + e12;
+    #   40-50: oldest remaining q/e rows (q02 q07-q13...; overflow to
+    #          r07, where the rest of the r04-green q/e series
+    #          rotates). After r06+r07 every entry has a driver row
+    #          that postdates its current code.
     r05_window = [
         "d14_dup_span_fraction", "d15_cc_star", "d16_incremental_minhash",
         "t12_zipf_slope", "t13_pii_redaction", "t14_bigram_surprisal",
