@@ -38,6 +38,13 @@ aggregating beyond that flip ``RFB_EXACTROUND_MODE=decimal`` for
 decimal(38,0) accumulators (no code change — same formula, wider
 ints); the DuckDB twins always run HUGEINT (native 128-bit, no speed
 penalty there). Mode equality is pinned in tests.
+
+Fail-loud guarantee: the engine runs under ANSI mode
+(``spark.sql.ansi.enabled=true``, the Spark 4 default — verified in
+session), so a long-mode sum that exceeds 2^63 raises
+ARITHMETIC_OVERFLOW instead of silently wrapping. A deployment past
+the long bound therefore gets an explicit error instructing the
+decimal flip — never a wrong rounded value.
 """
 
 from __future__ import annotations

@@ -350,3 +350,18 @@ def test_exactround_modes_agree(spark, monkeypatch):
 def test_ratio_round_boundary_unit_decimal_mode(spark, monkeypatch):
     monkeypatch.setenv("RFB_EXACTROUND_MODE", "decimal")
     test_ratio_round_boundary_unit(spark)
+
+
+def test_exactround_long_mode_fails_loud_past_bound(spark, monkeypatch):
+    """Past the long bound the engine must ERROR (ANSI overflow), not
+    silently wrap — and the decimal mode must handle the same input."""
+    from pyspark.sql import functions as F
+
+    from rfb_data_pipeline_spark.functions.exactround import money_sum
+
+    big = spark.range(4).select(F.lit(float(2**61)).alias("v"))
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        big.agg(money_sum(F.col("v"), 0, 0).alias("s")).collect()
+    monkeypatch.setenv("RFB_EXACTROUND_MODE", "decimal")
+    got = big.agg(money_sum(F.col("v"), 0, 0).alias("s")).collect()[0]["s"]
+    assert got == float(4 * 2**61)
