@@ -158,13 +158,24 @@ def sql_money_avg(expr: str, grid_decimals: int, out_decimals: int) -> str:
     )
 
 
-def ratio_round(num: Column, den: Column, out_decimals: int) -> Column:
+def ratio_round(
+    num: Column, den: Column, out_decimals: int, nonneg: bool = False
+) -> Column:
     """Engine-exact ``round(num/den, out)`` for INTEGER-valued columns
     (rates, per-token averages, percentiles). NULL when den <= 0 —
     both engines' SQL twins guard identically, so the zero-denominator
-    path can never diverge either."""
+    path can never diverge either. ``nonneg=True`` (valid whenever the
+    numerator is provably >= 0 — every count/length ratio) skips the
+    per-row abs/sign pair; measured FASTER than the old plain
+    ``round`` on the per-row text ratios, because the integer path
+    also avoids round()'s per-row BigDecimal conversion."""
     n = num.cast(_acc_type()) * F.lit(10 ** out_decimals)
     d = den.cast(_acc_type())
+    if nonneg:
+        q = _half_up_div(n, d)
+        return F.when(
+            den > 0, (q / F.lit(10 ** out_decimals)).cast("double")
+        )
     sgn = F.when(n < 0, F.lit(-1)).otherwise(F.lit(1))
     q = _half_up_div(F.abs(n), d)
     return F.when(
@@ -172,11 +183,21 @@ def ratio_round(num: Column, den: Column, out_decimals: int) -> Column:
     )
 
 
-def sql_ratio_round(num: str, den: str, out_decimals: int) -> str:
-    """DuckDB twin of ratio_round."""
+def sql_ratio_round(
+    num: str, den: str, out_decimals: int, nonneg: bool = False
+) -> str:
+    """DuckDB twin of ratio_round (``nonneg`` mirrors the Spark fast
+    path — same formula minus the abs/sign pair)."""
     op = 10 ** out_decimals
     n = f"(CAST({num} AS HUGEINT) * {op})"
     d = f"CAST({den} AS HUGEINT)"
+    if nonneg:
+        e = f"({n} * 2 + {d})"
+        q = f"(({e} - ({e} % ({d} * 2))) // ({d} * 2))"
+        return (
+            f"(CASE WHEN ({den}) > 0"
+            f" THEN CAST({q} AS DOUBLE) / {op} ELSE NULL END)"
+        )
     e = f"(abs({n}) * 2 + {d})"
     q = f"(({e} - ({e} % ({d} * 2))) // ({d} * 2))"
     sgn = f"(CASE WHEN {n} < 0 THEN -1 ELSE 1 END)"

@@ -215,7 +215,7 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("common"),
         F.col("sz_a") + F.col("sz_b") - F.col("common"),
         4,
-    )
+     nonneg=True,)
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -235,7 +235,7 @@ common AS (
 )
 SELECT * FROM (
   SELECT doc_a, doc_b,
-         {sql_ratio_round('common', 'sa.sz + sb.sz - common', 4)} AS jaccard
+         {sql_ratio_round('common', 'sa.sz + sb.sz - common', 4, nonneg=True)} AS jaccard
   FROM common
   JOIN sizes sa ON doc_a = sa.doc_id
   JOIN sizes sb ON doc_b = sb.doc_id
@@ -325,7 +325,7 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("common"),
         F.col("sz_a") + F.col("sz_b") - F.col("common"),
         4,
-    )
+     nonneg=True,)
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -372,7 +372,7 @@ cand AS (
 )
 SELECT * FROM (
   SELECT doc_a, doc_b,
-         {sql_ratio_round('len(list_intersect(sa.shingles, sb.shingles))', 'len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))', 4)} AS jaccard
+         {sql_ratio_round('len(list_intersect(sa.shingles, sb.shingles))', 'len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))', 4, nonneg=True)} AS jaccard
   FROM cand
   JOIN sh sa ON doc_a = sa.doc_id
   JOIN sh sb ON doc_b = sb.doc_id
@@ -776,7 +776,7 @@ def d08_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit").alias("n_contaminated"),
             ratio_round(
                 F.count("hit"), F.count(F.lit(1)), 4
-            ).alias("contam_rate"),
+            , nonneg=True).alias("contam_rate"),
         )
     )
 
@@ -791,7 +791,7 @@ hits AS (
 )
 SELECT source, count(*) AS n_docs,
        count(h.doc_id) AS n_contaminated,
-       {sql_ratio_round('count(h.doc_id)', 'count(*)', 4)} AS contam_rate
+       {sql_ratio_round('count(h.doc_id)', 'count(*)', 4, nonneg=True)} AS contam_rate
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % 97 <> 0
 GROUP BY source
@@ -834,7 +834,7 @@ def d09_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             ratio_round(
                 F.col("common"), F.col("sz_a"), 4
-            ).alias("containment"),
+            , nonneg=True).alias("containment"),
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
@@ -851,7 +851,7 @@ common AS (
 )
 SELECT * FROM (
   SELECT doc_a, doc_b,
-         {sql_ratio_round('common', 'sa.sz', 4)} AS containment
+         {sql_ratio_round('common', 'sa.sz', 4, nonneg=True)} AS containment
   FROM common JOIN sizes sa ON doc_a = sa.doc_id
 )
 WHERE containment >= {CONTAINMENT_THRESHOLD}
@@ -1016,7 +1016,7 @@ def d12_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(MINHASH_K):
         m = (F.col(f"a{j}") == F.col(f"b{j}")).cast("int")
         matches = m if matches is None else matches + m
-    est = ratio_round(matches, F.lit(MINHASH_K), 4)
+    est = ratio_round(matches, F.lit(MINHASH_K), 4, nonneg=True)
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -1038,7 +1038,7 @@ def _d12_sql() -> str:
     match_sum = " + ".join(
         f"(sa.h{j} = sb.h{j})::INT" for j in range(MINHASH_K)
     )
-    est_expr = sql_ratio_round(f"({match_sum})", str(MINHASH_K), 4)
+    est_expr = sql_ratio_round(f"({match_sum})", str(MINHASH_K), 4, nonneg=True)
     return f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sig AS (SELECT doc_id, {hs} FROM sh),
@@ -1202,7 +1202,7 @@ def d14_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_spans",
             n_dup.alias("n_dup_spans"),
-            ratio_round(n_dup, F.col("n_spans"), 4).alias("dup_frac"),
+            ratio_round(n_dup, F.col("n_spans"), 4, nonneg=True).alias("dup_frac"),
         )
     )
 
@@ -1224,7 +1224,7 @@ per_dup AS (
 SELECT p.doc_id,
        CAST(p.n_spans AS BIGINT) AS n_spans,
        CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
-       {sql_ratio_round('coalesce(d.n_dup, 0)', 'p.n_spans', 4)} AS dup_frac
+       {sql_ratio_round('coalesce(d.n_dup, 0)', 'p.n_spans', 4, nonneg=True)} AS dup_frac
 FROM per_doc p LEFT JOIN per_dup d USING (doc_id)
 """
 
@@ -1444,7 +1444,7 @@ def d16_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("common"),
         F.col("sz_a") + F.col("sz_b") - F.col("common"),
         4,
-    )
+     nonneg=True,)
     dup_batch_docs = (
         common.join(
             sizes.select(F.col("doc_id").alias("doc_batch"), F.col("sz").alias("sz_a")),
@@ -1471,7 +1471,7 @@ def d16_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit").alias("n_near_dup"),
             ratio_round(
                 F.count("hit"), F.count(F.lit(1)), 4
-            ).alias("dup_rate"),
+            , nonneg=True).alias("dup_rate"),
             F.min(F.when(F.col("hit") == 1, F.col("doc_id"))).alias(
                 "first_dup_doc"
             ),
@@ -1519,7 +1519,7 @@ cand AS (
 dup_docs AS (
   SELECT DISTINCT doc_batch FROM (
     SELECT doc_batch,
-           {sql_ratio_round('len(list_intersect(sa.shingles, sb.shingles))', 'len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))', 4)}
+           {sql_ratio_round('len(list_intersect(sa.shingles, sb.shingles))', 'len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))', 4, nonneg=True)}
              AS jaccard
     FROM cand
     JOIN sh sa ON doc_batch = sa.doc_id
@@ -1529,7 +1529,7 @@ dup_docs AS (
 SELECT source,
        count(*) AS n_batch_docs,
        count(h.doc_batch) AS n_near_dup,
-       {sql_ratio_round('count(h.doc_batch)', 'count(*)', 4)} AS dup_rate,
+       {sql_ratio_round('count(h.doc_batch)', 'count(*)', 4, nonneg=True)} AS dup_rate,
        min(CASE WHEN h.doc_batch IS NOT NULL THEN d.doc_id END)
          AS first_dup_doc
 FROM documents d LEFT JOIN dup_docs h ON d.doc_id = h.doc_batch

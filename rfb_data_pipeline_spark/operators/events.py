@@ -539,7 +539,7 @@ def e12_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(converted).cast("bigint").alias("n_converted_24h"),
         ratio_round(
             F.sum(converted), F.count(F.lit(1)), 4
-        ).alias("conv_rate"),
+        , nonneg=True).alias("conv_rate"),
     )
 
 
@@ -548,7 +548,7 @@ SELECT count(*) AS n_signups,
        CAST(sum(CASE WHEN next_purchase_ts IS NOT NULL
                       AND next_purchase_ts <= ts + INTERVAL 24 HOUR
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_24h,
-       {sql_ratio_round("sum(CASE WHEN next_purchase_ts IS NOT NULL AND next_purchase_ts <= ts + INTERVAL 24 HOUR THEN 1 ELSE 0 END)", "count(*)", 4)} AS conv_rate
+       {sql_ratio_round("sum(CASE WHEN next_purchase_ts IS NOT NULL AND next_purchase_ts <= ts + INTERVAL 24 HOUR THEN 1 ELSE 0 END)", "count(*)", 4, nonneg=True)} AS conv_rate
 FROM (
   SELECT event_type, ts,
          min(CASE WHEN event_type = 'purchase' THEN ts END)
@@ -941,10 +941,10 @@ def e17_multistep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(step3.cast("int")).cast("bigint").alias("n_purchased_24h"),
         ratio_round(
             F.sum(step2.cast("int")), F.count(F.lit(1)), 4
-        ).alias("click_rate"),
+        , nonneg=True).alias("click_rate"),
         ratio_round(
             F.sum(step3.cast("int")), F.count(F.lit(1)), 4
-        ).alias("full_funnel_rate"),
+        , nonneg=True).alias("full_funnel_rate"),
     )
 
 
@@ -988,8 +988,8 @@ flagged AS (
 SELECT count(*) AS n_views,
        CAST(sum(step2) AS BIGINT) AS n_clicked_1h,
        CAST(sum(step3) AS BIGINT) AS n_purchased_24h,
-       {sql_ratio_round('sum(step2)', 'count(*)', 4)} AS click_rate,
-       {sql_ratio_round('sum(step3)', 'count(*)', 4)} AS full_funnel_rate
+       {sql_ratio_round('sum(step2)', 'count(*)', 4, nonneg=True)} AS click_rate,
+       {sql_ratio_round('sum(step3)', 'count(*)', 4, nonneg=True)} AS full_funnel_rate
 FROM flagged
 """
 
@@ -1107,7 +1107,7 @@ def e19_quality_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pred_quality").cast("bigint").alias("n_quality"),
             ratio_round(
                 F.sum("pred_quality"), F.count(F.lit(1)), 4
-            ).alias("quality_rate"),
+            , nonneg=True).alias("quality_rate"),
             F.sum("n_tokens").cast("bigint").alias("batch_tokens"),
         )
     )
@@ -1130,7 +1130,7 @@ def _e19_sql() -> str:
 SELECT d.source,
        count(*) AS n_docs,
        CAST(sum(p.pred_quality) AS BIGINT) AS n_quality,
-       """ + sql_ratio_round("sum(p.pred_quality)", "count(*)", 4) + """ AS quality_rate,
+       """ + sql_ratio_round("sum(p.pred_quality)", "count(*)", 4, nonneg=True) + """ AS quality_rate,
        CAST(sum(p.n_tokens) AS BIGINT) AS batch_tokens
 FROM pred p JOIN documents d USING (doc_id)
 GROUP BY d.source

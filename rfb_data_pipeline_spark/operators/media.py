@@ -318,7 +318,7 @@ def m06_subtitle_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cue_ms").alias("total_speech_ms"),
             ratio_round(
                 F.sum("cue_ms"), F.count(F.lit(1)), 2
-            ).alias("avg_cue_ms"),
+            , nonneg=True).alias("avg_cue_ms"),
         )
     )
 
@@ -371,7 +371,7 @@ SELECT source,
        count(DISTINCT doc_id) AS n_clips,
        count(*) AS n_cues,
        CAST(sum({ms(2)} - {ms(1)}) AS BIGINT) AS total_speech_ms,
-       {sql_ratio_round(f'sum({ms(2)} - {ms(1)})', 'count(*)', 2)} AS avg_cue_ms
+       {sql_ratio_round(f'sum({ms(2)} - {ms(1)})', 'count(*)', 2, nonneg=True)} AS avg_cue_ms
 FROM lines
 GROUP BY source
 """

@@ -1061,7 +1061,7 @@ def q29_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             F.round("s_acctbal", 2).alias("acctbal"),
             ntile.cast("int").alias("quartile"),
-            ratio_round(rank - 1, F.col("_n") - 1, 4).alias("pct_rank"),
+            ratio_round(rank - 1, F.col("_n") - 1, 4, nonneg=True).alias("pct_rank"),
         )
     )
 
@@ -1070,7 +1070,7 @@ _Q29_SQL = f"""
 SELECT s_suppkey,
        round(s_acctbal, 2) AS acctbal,
        ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS quartile,
-       {sql_ratio_round('rank() OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) - 1', 'count(*) OVER () - 1', 4)}
+       {sql_ratio_round('rank() OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) - 1', 'count(*) OVER () - 1', 4, nonneg=True)}
          AS pct_rank
 FROM supplier
 """

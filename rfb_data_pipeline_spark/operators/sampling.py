@@ -79,7 +79,7 @@ def x01_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             ratio_round(
                 F.sum("n_chars"), F.count("n_chars"), 2
-            ).alias("avg_chars"),
+            , nonneg=True).alias("avg_chars"),
             F.countDistinct("source").alias("n_sources"),
         )
     )
@@ -92,7 +92,7 @@ _SQL_BUCKET = (
 
 _X01_SQL = f"""
 SELECT split, count(*) AS n_docs,
-       {sql_ratio_round('sum(n_chars)', 'count(n_chars)', 2)} AS avg_chars,
+       {sql_ratio_round('sum(n_chars)', 'count(n_chars)', 2, nonneg=True)} AS avg_chars,
        count(DISTINCT source) AS n_sources
 FROM (
   SELECT *,

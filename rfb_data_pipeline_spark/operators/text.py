@@ -85,7 +85,7 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.size(toks),
             4,
-        ).alias("avg_token_len"),
+         nonneg=True,).alias("avg_token_len"),
     )
 
 
@@ -94,7 +94,7 @@ SELECT doc_id,
        length(text) AS n_chars,
        len(toks)    AS n_tokens,
        len(list_distinct(toks)) AS n_unique_tokens,
-       {sql_ratio_round("list_sum(list_transform(toks, t -> length(t)))", "len(toks)", 4)}
+       {sql_ratio_round("list_sum(list_transform(toks, t -> length(t)))", "len(toks)", 4, nonneg=True)}
          AS avg_token_len
 FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
       FROM documents)
@@ -124,13 +124,13 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         n_tokens.alias("n_tokens"),
         n_stop.alias("n_stopwords"),
-        ratio_round(n_stop, n_tokens, 4).alias("stop_ratio"),
+        ratio_round(n_stop, n_tokens, 4, nonneg=True).alias("stop_ratio"),
         ratio_round(
             punct, F.greatest(F.length("text"), F.lit(1)), 4
-        ).alias("punct_ratio"),
+        , nonneg=True).alias("punct_ratio"),
         ratio_round(
             digits, F.greatest(F.length("text"), F.lit(1)), 4
-        ).alias("digit_ratio"),
+        , nonneg=True).alias("digit_ratio"),
         quality_gate().cast("int").alias("passes_quality"),
     )
 
@@ -140,9 +140,9 @@ SELECT doc_id, lang,
        len(toks) AS n_tokens,
        len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','it')))
          AS n_stopwords,
-       {sql_ratio_round("len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','it')))", "len(toks)", 4)} AS stop_ratio,
-       {sql_ratio_round("length(regexp_replace(text, '[^.!?,;:]', '', 'g'))", "greatest(length(text), 1)", 4)} AS punct_ratio,
-       {sql_ratio_round("length(regexp_replace(text, '[^0-9]', '', 'g'))", "greatest(length(text), 1)", 4)} AS digit_ratio,
+       {sql_ratio_round("len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','it')))", "len(toks)", 4, nonneg=True)} AS stop_ratio,
+       {sql_ratio_round("length(regexp_replace(text, '[^.!?,;:]', '', 'g'))", "greatest(length(text), 1)", 4, nonneg=True)} AS punct_ratio,
+       {sql_ratio_round("length(regexp_replace(text, '[^0-9]', '', 'g'))", "greatest(length(text), 1)", 4, nonneg=True)} AS digit_ratio,
        CASE WHEN len(toks) >= 10
              AND len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','it')))::DOUBLE
                  / len(toks) >= 0.01
@@ -370,14 +370,14 @@ def t07_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
-            ratio_round(F.col("max_tok"), F.col("n_tokens"), 4).alias(
+            ratio_round(F.col("max_tok"), F.col("n_tokens"), 4, nonneg=True).alias(
                 "top_token_frac"
             ),
             ratio_round(
                 F.col("n_bigrams") - F.col("n_unique_bigrams"),
                 F.col("n_bigrams"),
                 4,
-            ).alias("dup_bigram_frac"),
+             nonneg=True,).alias("dup_bigram_frac"),
         )
     )
 
@@ -404,8 +404,8 @@ WITH toks AS (
   GROUP BY doc_id
 )
 SELECT doc_id, n_tokens,
-       {sql_ratio_round('max_tok', 'n_tokens', 4)} AS top_token_frac,
-       {sql_ratio_round('n_bigrams - n_unique_bigrams', 'n_bigrams', 4)} AS dup_bigram_frac
+       {sql_ratio_round('max_tok', 'n_tokens', 4, nonneg=True)} AS top_token_frac,
+       {sql_ratio_round('n_bigrams - n_unique_bigrams', 'n_bigrams', 4, nonneg=True)} AS dup_bigram_frac
 FROM per_doc JOIN bigrams USING (doc_id)
 """
 
@@ -481,7 +481,7 @@ def t09_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_bpe.cast("bigint").alias("n_bpe_tokens"),
         n_ws.cast("bigint").alias("n_ws_tokens"),
-        ratio_round(n_bpe, n_ws, 4).alias("bpe_per_ws"),
+        ratio_round(n_bpe, n_ws, 4, nonneg=True).alias("bpe_per_ws"),
     )
 
 
@@ -495,7 +495,7 @@ SELECT doc_id,
        """ + _T09_NUM + """::BIGINT
          AS n_bpe_tokens,
        """ + _T09_DEN + """::BIGINT AS n_ws_tokens,
-       """ + sql_ratio_round(_T09_NUM, _T09_DEN, 4) + """ AS bpe_per_ws
+       """ + sql_ratio_round(_T09_NUM, _T09_DEN, 4, nonneg=True) + """ AS bpe_per_ws
 FROM documents
 """
 
@@ -1220,7 +1220,7 @@ def t16_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(html).alias("raw_len"),
         F.length(clean).alias("text_len"),
-        ratio_round(F.length(clean), F.length(html), 4).alias(
+        ratio_round(F.length(clean), F.length(html), 4, nonneg=True).alias(
             "content_ratio"
         ),
         F.md5(clean).alias("content_fp"),
@@ -1256,7 +1256,7 @@ extracted AS (
 SELECT doc_id,
        length(html) AS raw_len,
        length(clean) AS text_len,
-       {sql_ratio_round('length(clean)', 'length(html)', 4)} AS content_ratio,
+       {sql_ratio_round('length(clean)', 'length(html)', 4, nonneg=True)} AS content_ratio,
        md5(clean) AS content_fp
 FROM extracted
 """
