@@ -1538,6 +1538,165 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# d17 — exact-substring dedup ACTION (the second half of Lee et al.
+# 2022): d13/d14 DETECT duplicated spans; this operator executes the
+# cut. Rule: every stride-1 W-token window keeps its globally FIRST
+# occurrence (min (doc_id, position) — deterministic, no rand) and
+# every later occurrence is marked for removal; a document's removed
+# token count is the length of the UNION of its marked [s, s+W-1]
+# intervals (overlapping windows from one duplicated run must not be
+# double-counted), computed with the gaps-and-islands idiom — a
+# running max of interval ends splits islands, per-island coverage is
+# max(end)-min(start)+1. Output is the per-document dedup budget:
+# tokens removed / kept and the kept fraction (exactround ratio).
+#
+# Scale: the same single span-hash shuffle d13 pays (narrow
+# (doc_id, pos, hash64) rows), one window over the span hash for the
+# first-copy rank, then per-DOCUMENT windows bounded by document
+# length. Linear in corpus tokens; no all-pairs anywhere.
+
+
+def d17_span_dedup_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from rfb_data_pipeline_spark.operators.text import tokens_col
+
+    docs = _spread(_docs(spark, sf_dir))
+    toks = tokens_col()
+    n = F.size(toks)
+    with_t = docs.select("doc_id", toks.alias("t"), n.alias("n")).filter(
+        F.col("n") >= SPAN_TOKENS
+    )
+    starts = F.sequence(F.lit(0), F.col("n") - SPAN_TOKENS, F.lit(1))
+    sp = (
+        with_t.select("doc_id", "n", "t", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            "n",
+            "s",
+            F.xxhash64(
+                F.array_join(
+                    F.slice(F.col("t"), F.col("s") + 1, SPAN_TOKENS), " "
+                )
+            ).alias("h"),
+        )
+        .transform(stage_boundary)
+    )
+    first_rank = Window.partitionBy("h").orderBy("doc_id", "s")
+    removed = (
+        sp.withColumn("rn", F.row_number().over(first_rank))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "s", (F.col("s") + SPAN_TOKENS - 1).alias("e"))
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(
+        by_pos.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = removed.withColumn(
+        "new_island",
+        F.when(
+            prev_max_e.isNull() | (prev_max_e < F.col("s")), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "isl",
+        F.sum("new_island").over(
+            by_pos.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    cov = (
+        islands.groupBy("doc_id", "isl")
+        .agg((F.max("e") - F.min("s") + 1).alias("cov"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cov").cast("bigint").alias("tokens_removed"),
+        )
+    )
+    occ = removed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_removed_occurrences")
+    )
+    base = with_t.select("doc_id", F.col("n").cast("bigint").alias("n_tokens"))
+    out = (
+        base.join(occ, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_removed_occurrences", F.lit(0))
+            .cast("bigint")
+            .alias("n_removed_occurrences"),
+            F.coalesce("tokens_removed", F.lit(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            (F.col("n_tokens") - F.coalesce("tokens_removed", F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .withColumn(
+            "kept_frac",
+            ratio_round(
+                F.col("tokens_kept"), F.col("n_tokens"), 4, nonneg=True
+            ),
+        )
+    )
+    return out
+
+
+_D17_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, len(t) AS n, s,
+         md5(list_aggregate(list_slice(t, s + 1, s + {SPAN_TOKENS}),
+                            'string_agg', ' ')) AS h
+  FROM (SELECT doc_id, t FROM toks WHERE len(t) >= {SPAN_TOKENS}),
+       unnest(range(0, len(t) - {SPAN_TOKENS} + 1)) AS u(s)
+),
+marked AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+  FROM sp
+),
+removed AS (
+  SELECT doc_id, s, s + {SPAN_TOKENS} - 1 AS e FROM marked WHERE rn > 1
+),
+islands AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s
+              THEN 0 ELSE 1 END AS new_island
+  FROM removed
+),
+numbered AS (
+  SELECT doc_id, s, e,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY s
+             ROWS UNBOUNDED PRECEDING) AS isl
+  FROM islands
+),
+cov AS (
+  SELECT doc_id, CAST(sum(clen) AS BIGINT) AS tokens_removed
+  FROM (SELECT doc_id, isl, max(e) - min(s) + 1 AS clen
+        FROM numbered GROUP BY doc_id, isl)
+  GROUP BY doc_id
+),
+occ AS (
+  SELECT doc_id, count(*) AS n_removed FROM removed GROUP BY doc_id
+),
+base AS (SELECT DISTINCT doc_id, n FROM sp)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(coalesce(o.n_removed, 0) AS BIGINT) AS n_removed_occurrences,
+       CAST(coalesce(c.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+       CAST(b.n - coalesce(c.tokens_removed, 0) AS BIGINT) AS tokens_kept,
+       {sql_ratio_round('b.n - coalesce(c.tokens_removed, 0)', 'b.n', 4, nonneg=True)} AS kept_frac
+FROM base b
+LEFT JOIN occ o USING (doc_id)
+LEFT JOIN cov c USING (doc_id)
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1554,6 +1713,7 @@ QUERIES = {
     "d14_dup_span_fraction": d14_dup_span_fraction,
     "d15_cc_star": d15_cc_star,
     "d16_incremental_minhash": d16_incremental_minhash,
+    "d17_span_dedup_action": d17_span_dedup_action,
 }
 
 ORACLE = {
@@ -1575,4 +1735,5 @@ ORACLE = {
     # algorithm cross-check.
     "d15_cc_star": _D07_SQL,
     "d16_incremental_minhash": _d16_sql(),
+    "d17_span_dedup_action": _D17_SQL,
 }

@@ -1,0 +1,105 @@
+"""Intent tests for d17 (exact-substring dedup ACTION).
+
+The oracle-parity gate proves Spark == DuckDB on the shipped corpus;
+these fixtures pin the operator's actual guarantee independently of
+both engines:
+
+* the globally FIRST occurrence of a W-token window (min (doc_id, s))
+  is KEPT — the first document loses nothing;
+* every later occurrence is removed, and overlapping removed windows
+  from one duplicated run are union-merged (a run of W + k shared
+  tokens costs the later doc exactly W + k tokens, not (k+1) * W);
+* a shared run of W - 1 tokens triggers no removal at all.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rfb_data_pipeline_spark.operators.dedup import (
+    SPAN_TOKENS,
+    d17_span_dedup_action,
+)
+
+
+def _tokens(prefix: str, n: int) -> list[str]:
+    return [f"{prefix}{i}" for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def d17_dir(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("d17")
+    shared = [f"dup{i}" for i in range(SPAN_TOKENS + 2)]  # W + 2 tokens
+    short = [f"sub{i}" for i in range(SPAN_TOKENS - 1)]  # W - 1 tokens
+    rows = [
+        # docs 0/1 share a W+2 run at different offsets.  doc 0 is the
+        # global first occurrence of all 3 of its W-windows, so it
+        # keeps every token; doc 1 loses the union = W + 2 tokens.
+        (0, " ".join(_tokens("a", 3) + shared + _tokens("b", 9))),
+        (1, " ".join(_tokens("c", 11) + shared + _tokens("d", 7))),
+        # docs 2/3 share only W-1 tokens: below threshold, untouched.
+        (2, " ".join(_tokens("e", 6) + short + _tokens("f", 8))),
+        (3, " ".join(_tokens("g", 9) + short + _tokens("h", 6))),
+        # unrelated doc: nothing removed.
+        (4, " ".join(_tokens("i", 40))),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        str(tmp / "documents.parquet")
+    )
+    return str(tmp)
+
+
+def test_d17_first_copy_kept_union_removed(spark, d17_dir):
+    out = {
+        r["doc_id"]: r for r in d17_span_dedup_action(spark, d17_dir).collect()
+    }
+    assert len(out) == 5
+    # doc 0: first occurrence of the shared run — keeps everything.
+    assert out[0]["tokens_removed"] == 0
+    assert out[0]["n_removed_occurrences"] == 0
+    assert float(out[0]["kept_frac"]) == 1.0
+    # doc 1: 3 overlapping W-windows removed, union = W + 2 (NOT 3W).
+    assert out[1]["n_removed_occurrences"] == 3
+    assert out[1]["tokens_removed"] == SPAN_TOKENS + 2
+    assert (
+        out[1]["tokens_kept"] == out[1]["n_tokens"] - (SPAN_TOKENS + 2)
+    )
+    # sub-threshold run and the unrelated doc: untouched.
+    for d in (2, 3, 4):
+        assert out[d]["tokens_removed"] == 0
+        assert float(out[d]["kept_frac"]) == 1.0
+
+
+def test_d17_disjoint_runs_sum_not_merge(spark, tmp_path):
+    # doc 1 duplicates TWO separate runs of doc 0, far apart: two
+    # islands whose coverages ADD (2W), not one merged interval.
+    run_a = [f"p{i}" for i in range(SPAN_TOKENS)]
+    run_b = [f"q{i}" for i in range(SPAN_TOKENS)]
+    rows = [
+        (0, " ".join(run_a + _tokens("x", 5) + run_b)),
+        (1, " ".join(_tokens("y", 4) + run_a + _tokens("z", 20) + run_b)),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in d17_span_dedup_action(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["tokens_removed"] == 0
+    assert out[1]["n_removed_occurrences"] == 2
+    assert out[1]["tokens_removed"] == 2 * SPAN_TOKENS
+
+
+def test_d17_within_doc_repeat_keeps_first(spark, tmp_path):
+    # one doc repeats its own W-run: the earlier offset wins, the
+    # later occurrence is removed from the SAME document.
+    run = [f"r{i}" for i in range(SPAN_TOKENS)]
+    rows = [(0, " ".join(run + _tokens("m", 10) + run))]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    row = d17_span_dedup_action(spark, str(tmp_path)).collect()[0]
+    assert row["n_removed_occurrences"] == 1
+    assert row["tokens_removed"] == SPAN_TOKENS
+    assert row["tokens_kept"] == row["n_tokens"] - SPAN_TOKENS

@@ -34,6 +34,7 @@ _PROBED = [
     "d14_dup_span_fraction",
     "d15_cc_star",
     "d16_incremental_minhash",
+    "d17_span_dedup_action",
     "m06_subtitle_parse",
     "m07_id3_tag_parse",
     "m08_wav_header_parse",
