@@ -76,6 +76,7 @@ HEADLINE = [
     "e18_drift_replay",
     "e19_quality_replay",
     "x17_cluster_curation",
+    "d17_span_dedup_action",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

@@ -1604,21 +1604,26 @@ def d17_span_dedup_action(spark: SparkSession, sf_dir: str) -> DataFrame:
             by_pos.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    # occ folds into the island aggregation: counting removed windows
+    # alongside per-island coverage keeps the whole budget a SINGLE
+    # chain (one h-shuffle, one doc_id-shuffle — both two-level aggs
+    # reuse the doc_id partitioning), instead of a second branch
+    # re-paying the span-hash window.
     cov = (
         islands.groupBy("doc_id", "isl")
-        .agg((F.max("e") - F.min("s") + 1).alias("cov"))
+        .agg(
+            (F.max("e") - F.min("s") + 1).alias("cov"),
+            F.count(F.lit(1)).alias("occ"),
+        )
         .groupBy("doc_id")
         .agg(
             F.sum("cov").cast("bigint").alias("tokens_removed"),
+            F.sum("occ").cast("bigint").alias("n_removed_occurrences"),
         )
-    )
-    occ = removed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_removed_occurrences")
     )
     base = with_t.select("doc_id", F.col("n").cast("bigint").alias("n_tokens"))
     out = (
-        base.join(occ, "doc_id", "left")
-        .join(cov, "doc_id", "left")
+        base.join(cov, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -1676,23 +1681,22 @@ numbered AS (
   FROM islands
 ),
 cov AS (
-  SELECT doc_id, CAST(sum(clen) AS BIGINT) AS tokens_removed
-  FROM (SELECT doc_id, isl, max(e) - min(s) + 1 AS clen
+  SELECT doc_id,
+         CAST(sum(clen) AS BIGINT) AS tokens_removed,
+         CAST(sum(n_occ) AS BIGINT) AS n_removed
+  FROM (SELECT doc_id, isl, max(e) - min(s) + 1 AS clen,
+               count(*) AS n_occ
         FROM numbered GROUP BY doc_id, isl)
   GROUP BY doc_id
-),
-occ AS (
-  SELECT doc_id, count(*) AS n_removed FROM removed GROUP BY doc_id
 ),
 base AS (SELECT DISTINCT doc_id, n FROM sp)
 SELECT b.doc_id,
        CAST(b.n AS BIGINT) AS n_tokens,
-       CAST(coalesce(o.n_removed, 0) AS BIGINT) AS n_removed_occurrences,
+       CAST(coalesce(c.n_removed, 0) AS BIGINT) AS n_removed_occurrences,
        CAST(coalesce(c.tokens_removed, 0) AS BIGINT) AS tokens_removed,
        CAST(b.n - coalesce(c.tokens_removed, 0) AS BIGINT) AS tokens_kept,
        {sql_ratio_round('b.n - coalesce(c.tokens_removed, 0)', 'b.n', 4, nonneg=True)} AS kept_frac
 FROM base b
-LEFT JOIN occ o USING (doc_id)
 LEFT JOIN cov c USING (doc_id)
 """
 

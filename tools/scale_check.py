@@ -123,6 +123,7 @@ def _ops() -> dict:
         d13_duplicate_spans,
         d15_cc_star,
         d16_incremental_minhash,
+        d17_span_dedup_action,
     )
     from rfb_data_pipeline_spark.operators.events import e19_quality_replay
     from rfb_data_pipeline_spark.operators.sampling import (
@@ -147,6 +148,7 @@ def _ops() -> dict:
         "d05": d05_simhash_pairs,
         "d15": d15_cc_star,
         "d16": d16_incremental_minhash,
+        "d17": d17_span_dedup_action,
         "x09": x09_pack_sequences,
         "x15": x15_split_drift,
         "x17": x17_cluster_curation,
@@ -158,6 +160,31 @@ def _ops() -> dict:
         "s13": s13_pq_ann,
         "s15": s15_ivf_pq_ann,
     }
+
+
+def _force_full_eval(df) -> int:
+    """Row count with a checksum over every (non-map) column, NOT a
+    bare ``count()``: when an operator's row count is derivable
+    without its expensive branch, Catalyst deletes that branch from
+    the count plan and the timing is vacuous.  Concretely, d17 emits
+    one row per qualifying document via a left join against a
+    provably-unique aggregate — ``count()`` eliminated the join and
+    the whole span-window chain, timing only the base scan (flat
+    1 s / constant 1.9 KB shuffle across 1x/3x/10x).  Summing a hash
+    of all output columns makes every branch's values observable, so
+    nothing can be pruned."""
+    from pyspark.sql import functions as F
+
+    cols = [c for c, t in df.dtypes if not t.startswith("map")]
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) accumulator: summing raw 64-bit hashes ANSI-
+        # overflows a long within a handful of rows
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+        ).alias("chk"),
+    ).collect()[0]
+    return row["n"]
 
 
 def main() -> None:
@@ -211,7 +238,7 @@ def main() -> None:
                     spark.read.parquet(p).count()
             pre_bytes = shuffle_write_bytes(4055)
             t0 = time.time()
-            n_rows = fn(spark, _fixture_dir(m)).count()
+            n_rows = _force_full_eval(fn(spark, _fixture_dir(m)))
             wall = time.time() - t0
             bytes_run = shuffle_write_bytes(4055) - pre_bytes
             print(
