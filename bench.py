@@ -77,6 +77,7 @@ HEADLINE = [
     "e19_quality_replay",
     "x17_cluster_curation",
     "d17_span_dedup_action",
+    "d18_cleaned_corpus",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

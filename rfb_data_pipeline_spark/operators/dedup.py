@@ -1557,7 +1557,13 @@ GROUP BY source
 # length. Linear in corpus tokens; no all-pairs anywhere.
 
 
-def d17_span_dedup_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _span_removal_intervals(spark: SparkSession, sf_dir: str):
+    """Shared d17/d18 core: (eligible-docs frame, merged removal
+    intervals).  Returns ``with_t`` = (doc_id, t, n) for documents
+    with >= SPAN_TOKENS tokens, and ``intervals`` = one row per
+    merged removed interval (doc_id, s0, e0, occ) where occ is the
+    number of removed windows the island absorbed.  One span-hash
+    shuffle + one doc_id shuffle; linear in corpus tokens."""
     from pyspark.sql.window import Window
 
     from rfb_data_pipeline_spark.operators.text import tokens_col
@@ -1604,22 +1610,26 @@ def d17_span_dedup_action(spark: SparkSession, sf_dir: str) -> DataFrame:
             by_pos.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    intervals = islands.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("s0"),
+        F.max("e").alias("e0"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    return with_t, intervals
+
+
+def d17_span_dedup_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with_t, intervals = _span_removal_intervals(spark, sf_dir)
     # occ folds into the island aggregation: counting removed windows
     # alongside per-island coverage keeps the whole budget a SINGLE
     # chain (one h-shuffle, one doc_id-shuffle — both two-level aggs
     # reuse the doc_id partitioning), instead of a second branch
     # re-paying the span-hash window.
-    cov = (
-        islands.groupBy("doc_id", "isl")
-        .agg(
-            (F.max("e") - F.min("s") + 1).alias("cov"),
-            F.count(F.lit(1)).alias("occ"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cov").cast("bigint").alias("tokens_removed"),
-            F.sum("occ").cast("bigint").alias("n_removed_occurrences"),
-        )
+    cov = intervals.groupBy("doc_id").agg(
+        F.sum(F.col("e0") - F.col("s0") + 1)
+        .cast("bigint")
+        .alias("tokens_removed"),
+        F.sum("occ").cast("bigint").alias("n_removed_occurrences"),
     )
     base = with_t.select("doc_id", F.col("n").cast("bigint").alias("n_tokens"))
     out = (
@@ -1647,8 +1657,10 @@ def d17_span_dedup_action(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_D17_SQL = f"""
-WITH toks AS (
+# Shared d17/d18 CTE chain (the SQL twin of _span_removal_intervals):
+# tokens -> stride-1 span hashes -> first-copy rank -> removed
+# windows -> merged islands.
+_SPAN_CTES = f"""toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
   FROM documents
 ),
@@ -1680,13 +1692,18 @@ numbered AS (
              ROWS UNBOUNDED PRECEDING) AS isl
   FROM islands
 ),
+intervals AS (
+  SELECT doc_id, isl, min(s) AS s0, max(e) AS e0, count(*) AS n_occ
+  FROM numbered GROUP BY doc_id, isl
+)"""
+
+_D17_SQL = f"""
+WITH {_SPAN_CTES},
 cov AS (
   SELECT doc_id,
-         CAST(sum(clen) AS BIGINT) AS tokens_removed,
+         CAST(sum(e0 - s0 + 1) AS BIGINT) AS tokens_removed,
          CAST(sum(n_occ) AS BIGINT) AS n_removed
-  FROM (SELECT doc_id, isl, max(e) - min(s) + 1 AS clen,
-               count(*) AS n_occ
-        FROM numbered GROUP BY doc_id, isl)
+  FROM intervals
   GROUP BY doc_id
 ),
 base AS (SELECT DISTINCT doc_id, n FROM sp)
@@ -1698,6 +1715,84 @@ SELECT b.doc_id,
        {sql_ratio_round('b.n - coalesce(c.tokens_removed, 0)', 'b.n', 4, nonneg=True)} AS kept_frac
 FROM base b
 LEFT JOIN cov c USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# d18 — cleaned-corpus materialization: APPLY d17's cut. Each
+# document's kept text is its token sequence with every removed
+# interval excised (later occurrences of duplicated W-token runs);
+# documents below the span threshold — or with nothing removed —
+# pass through verbatim (whitespace-normalized). The registered
+# query returns the driver-safe summary (before/after token counts +
+# an md5 of the reconstructed text) rather than the text itself; a
+# pipeline run would write the cleaned column as the sink.
+#
+# Scale: d17's linear interval chain, then reconstruction is pure
+# per-document expression work — collect_list of merged intervals is
+# bounded by document length, and the filter-by-position lambda is
+# O(tokens x intervals) WITHIN one document only (intervals are
+# merged, so a pathological doc has at most n/2 of them). No
+# corpus-wide state, no extra shuffle beyond one broadcast-able
+# per-doc interval join.
+
+
+def d18_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.operators.text import tokens_col
+
+    docs = _spread(_docs(spark, sf_dir))
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", tokens_col().alias("t")
+    )
+    _, intervals = _span_removal_intervals(spark, sf_dir)
+    iv = intervals.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s0", "e0")).alias("iv")
+    )
+    joined = base.join(iv, "doc_id", "left").withColumn(
+        "iv",
+        F.coalesce(
+            "iv", F.array().cast("array<struct<s0:int,e0:int>>")
+        ),
+    )
+    kept = F.filter(
+        F.col("t"),
+        lambda tok, i: ~F.exists(
+            F.col("iv"), lambda v: (i >= v["s0"]) & (i <= v["e0"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens_before"),
+        F.size(kept).cast("bigint").alias("n_tokens_after"),
+        F.md5(F.array_join(kept, " ")).alias("cleaned_md5"),
+    )
+
+
+_D18_SQL = f"""
+WITH {_SPAN_CTES},
+pos AS (
+  SELECT doc_id, p, t[p + 1] AS tok
+  FROM toks, unnest(range(0, len(t))) AS u(p)
+),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.tok
+  FROM pos
+  WHERE NOT EXISTS (SELECT 1 FROM intervals i
+                    WHERE i.doc_id = pos.doc_id
+                      AND pos.p BETWEEN i.s0 AND i.e0)
+),
+cleaned AS (
+  SELECT doc_id, count(*) AS n_after,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS h
+  FROM kept GROUP BY doc_id
+),
+alldocs AS (SELECT doc_id, len(t) AS n FROM toks WHERE t IS NOT NULL)
+SELECT a.doc_id,
+       CAST(a.n AS BIGINT) AS n_tokens_before,
+       CAST(coalesce(c.n_after, 0) AS BIGINT) AS n_tokens_after,
+       coalesce(c.h, md5('')) AS cleaned_md5
+FROM alldocs a
+LEFT JOIN cleaned c USING (doc_id)
 """
 
 
@@ -1718,6 +1813,7 @@ QUERIES = {
     "d15_cc_star": d15_cc_star,
     "d16_incremental_minhash": d16_incremental_minhash,
     "d17_span_dedup_action": d17_span_dedup_action,
+    "d18_cleaned_corpus": d18_cleaned_corpus,
 }
 
 ORACLE = {
@@ -1740,4 +1836,5 @@ ORACLE = {
     "d15_cc_star": _D07_SQL,
     "d16_incremental_minhash": _d16_sql(),
     "d17_span_dedup_action": _D17_SQL,
+    "d18_cleaned_corpus": _D18_SQL,
 }

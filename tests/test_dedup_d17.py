@@ -16,9 +16,12 @@ from __future__ import annotations
 
 import pytest
 
+import hashlib
+
 from rfb_data_pipeline_spark.operators.dedup import (
     SPAN_TOKENS,
     d17_span_dedup_action,
+    d18_cleaned_corpus,
 )
 
 
@@ -89,6 +92,45 @@ def test_d17_disjoint_runs_sum_not_merge(spark, tmp_path):
     assert out[0]["tokens_removed"] == 0
     assert out[1]["n_removed_occurrences"] == 2
     assert out[1]["tokens_removed"] == 2 * SPAN_TOKENS
+
+
+def test_d18_reconstructs_exact_kept_text(spark, d17_dir):
+    """d18 must emit the md5 of EXACTLY the tokens outside the
+    removed intervals, in original order — computed here by an
+    independent python model of the same rule."""
+    out = {
+        r["doc_id"]: r for r in d18_cleaned_corpus(spark, d17_dir).collect()
+    }
+    assert len(out) == 5
+    shared = [f"dup{i}" for i in range(SPAN_TOKENS + 2)]
+    # doc 1's expected cleaned text: its own prefix/suffix with the
+    # whole shared run excised (the union interval covers it fully).
+    doc1_kept = _tokens("c", 11) + _tokens("d", 7)
+    expect1 = hashlib.md5(" ".join(doc1_kept).encode()).hexdigest()
+    assert out[1]["n_tokens_after"] == len(doc1_kept)
+    assert out[1]["cleaned_md5"] == expect1
+    # doc 0 (first copy) and the sub-threshold docs: verbatim text.
+    doc0_full = _tokens("a", 3) + shared + _tokens("b", 9)
+    expect0 = hashlib.md5(" ".join(doc0_full).encode()).hexdigest()
+    assert out[0]["n_tokens_after"] == out[0]["n_tokens_before"]
+    assert out[0]["cleaned_md5"] == expect0
+
+
+def test_d18_fully_duplicated_doc_empties(spark, tmp_path):
+    # doc 1 IS doc 0 (token-for-token): every window is a later
+    # occurrence, the union covers the whole doc, cleaned text is ''.
+    run = [f"z{i}" for i in range(SPAN_TOKENS + 4)]
+    rows = [(0, " ".join(run)), (1, " ".join(run))]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in d18_cleaned_corpus(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["n_tokens_after"] == 0
+    assert out[1]["cleaned_md5"] == hashlib.md5(b"").hexdigest()
+    assert out[0]["n_tokens_after"] == len(run)
 
 
 def test_d17_within_doc_repeat_keeps_first(spark, tmp_path):

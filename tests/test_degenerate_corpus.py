@@ -35,6 +35,7 @@ _PROBED = [
     "d15_cc_star",
     "d16_incremental_minhash",
     "d17_span_dedup_action",
+    "d18_cleaned_corpus",
     "m06_subtitle_parse",
     "m07_id3_tag_parse",
     "m08_wav_header_parse",

@@ -124,6 +124,7 @@ def _ops() -> dict:
         d15_cc_star,
         d16_incremental_minhash,
         d17_span_dedup_action,
+        d18_cleaned_corpus,
     )
     from rfb_data_pipeline_spark.operators.events import e19_quality_replay
     from rfb_data_pipeline_spark.operators.sampling import (
@@ -149,6 +150,7 @@ def _ops() -> dict:
         "d15": d15_cc_star,
         "d16": d16_incremental_minhash,
         "d17": d17_span_dedup_action,
+        "d18": d18_cleaned_corpus,
         "x09": x09_pack_sequences,
         "x15": x15_split_drift,
         "x17": x17_cluster_curation,
