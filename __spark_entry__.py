@@ -74,7 +74,7 @@ def _registry() -> tuple[dict, dict]:
     # Spill to r06 (code unchanged since r03 green rows): t01-t11,
     # x01-x10, s09, s10; then the r04-green q/e series and rows-only
     # m01-m03.
-    # All 128 entries pass tools/check_oracle.py at sf0.01 AND sf0.1
+    # All 129 entries pass tools/check_oracle.py at sf0.01 AND sf0.1
     # this round (full gate — recorded in COVERAGE.md).
     #
     # Round 6 rotation plan (write it before you need it). The r05
@@ -119,8 +119,9 @@ def _registry() -> tuple[dict, dict]:
         [f"t{i:02d}" for i in range(1, 12)]
         + [f"x{i:02d}" for i in range(1, 11)]
         + ["s09_vector_stats", "s10_semantic_dedup",
-           # NEW r05 late — r06 promotes both
-           "d17_span_dedup_action", "d18_cleaned_corpus"]
+           # NEW r05 late — r06 promotes all three
+           "d17_span_dedup_action", "d18_cleaned_corpus",
+           "d19_decontaminate_action"]
         + [n for n in queries if n.startswith("q")]
         + [n for n in queries if n.startswith("e")]
         + ["m01_image_metadata", "m02_media_stats", "m03_frame_sample"]

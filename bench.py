@@ -78,6 +78,7 @@ HEADLINE = [
     "x17_cluster_curation",
     "d17_span_dedup_action",
     "d18_cleaned_corpus",
+    "d19_decontaminate_action",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

@@ -1557,44 +1557,13 @@ GROUP BY source
 # length. Linear in corpus tokens; no all-pairs anywhere.
 
 
-def _span_removal_intervals(spark: SparkSession, sf_dir: str):
-    """Shared d17/d18 core: (eligible-docs frame, merged removal
-    intervals).  Returns ``with_t`` = (doc_id, t, n) for documents
-    with >= SPAN_TOKENS tokens, and ``intervals`` = one row per
-    merged removed interval (doc_id, s0, e0, occ) where occ is the
-    number of removed windows the island absorbed.  One span-hash
-    shuffle + one doc_id shuffle; linear in corpus tokens."""
+def _merge_islands(removed: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of marked windows: (doc_id, s, e) rows
+    -> one row per merged removal interval (doc_id, isl, s0, e0,
+    occ), where occ is the number of windows the island absorbed.
+    Per-DOCUMENT windows only — bounded by document length."""
     from pyspark.sql.window import Window
 
-    from rfb_data_pipeline_spark.operators.text import tokens_col
-
-    docs = _spread(_docs(spark, sf_dir))
-    toks = tokens_col()
-    n = F.size(toks)
-    with_t = docs.select("doc_id", toks.alias("t"), n.alias("n")).filter(
-        F.col("n") >= SPAN_TOKENS
-    )
-    starts = F.sequence(F.lit(0), F.col("n") - SPAN_TOKENS, F.lit(1))
-    sp = (
-        with_t.select("doc_id", "n", "t", F.explode(starts).alias("s"))
-        .select(
-            "doc_id",
-            "n",
-            "s",
-            F.xxhash64(
-                F.array_join(
-                    F.slice(F.col("t"), F.col("s") + 1, SPAN_TOKENS), " "
-                )
-            ).alias("h"),
-        )
-        .transform(stage_boundary)
-    )
-    first_rank = Window.partitionBy("h").orderBy("doc_id", "s")
-    removed = (
-        sp.withColumn("rn", F.row_number().over(first_rank))
-        .filter(F.col("rn") > 1)
-        .select("doc_id", "s", (F.col("s") + SPAN_TOKENS - 1).alias("e"))
-    )
     by_pos = Window.partitionBy("doc_id").orderBy("s")
     prev_max_e = F.max("e").over(
         by_pos.rowsBetween(Window.unboundedPreceding, -1)
@@ -1610,12 +1579,63 @@ def _span_removal_intervals(spark: SparkSession, sf_dir: str):
             by_pos.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    intervals = islands.groupBy("doc_id", "isl").agg(
+    return islands.groupBy("doc_id", "isl").agg(
         F.min("s").alias("s0"),
         F.max("e").alias("e0"),
         F.count(F.lit(1)).alias("occ"),
     )
-    return with_t, intervals
+
+
+def _doc_spans(docs: DataFrame, *cols: str) -> DataFrame:
+    """Stride-1 W-token span hashes for every eligible document:
+    one narrow row (doc_id, *cols, n, s, h) per window."""
+    from rfb_data_pipeline_spark.operators.text import tokens_col
+
+    toks = tokens_col()
+    n = F.size(toks)
+    with_t = docs.select(
+        "doc_id", *cols, toks.alias("t"), n.alias("n")
+    ).filter(F.col("n") >= SPAN_TOKENS)
+    starts = F.sequence(F.lit(0), F.col("n") - SPAN_TOKENS, F.lit(1))
+    return with_t.select(
+        "doc_id", *cols, "n", "t", F.explode(starts).alias("s")
+    ).select(
+        "doc_id",
+        *cols,
+        "n",
+        "s",
+        F.xxhash64(
+            F.array_join(
+                F.slice(F.col("t"), F.col("s") + 1, SPAN_TOKENS), " "
+            )
+        ).alias("h"),
+    )
+
+
+def _span_removal_intervals(spark: SparkSession, sf_dir: str):
+    """Shared d17/d18 core: (eligible-docs frame, merged removal
+    intervals).  Returns ``with_t`` = (doc_id, t, n) for documents
+    with >= SPAN_TOKENS tokens, and ``intervals`` = one row per
+    merged removed interval (doc_id, s0, e0, occ).  One span-hash
+    shuffle + one doc_id shuffle; linear in corpus tokens."""
+    from pyspark.sql.window import Window
+
+    from rfb_data_pipeline_spark.operators.text import tokens_col
+
+    docs = _spread(_docs(spark, sf_dir))
+    toks = tokens_col()
+    n = F.size(toks)
+    with_t = docs.select("doc_id", toks.alias("t"), n.alias("n")).filter(
+        F.col("n") >= SPAN_TOKENS
+    )
+    sp = _doc_spans(docs).transform(stage_boundary)
+    first_rank = Window.partitionBy("h").orderBy("doc_id", "s")
+    removed = (
+        sp.withColumn("rn", F.row_number().over(first_rank))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "s", (F.col("s") + SPAN_TOKENS - 1).alias("e"))
+    )
+    return with_t, _merge_islands(removed)
 
 
 def d17_span_dedup_action(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1657,6 +1677,27 @@ def d17_span_dedup_action(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# SQL twin of _merge_islands: marked windows (a `removed` CTE with
+# doc_id, s, e) -> merged removal intervals. One copy, three
+# consumers (d17/d18 via _SPAN_CTES, d19 with its own `removed`).
+_ISLAND_SQL = """islands AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s
+              THEN 0 ELSE 1 END AS new_island
+  FROM removed
+),
+numbered AS (
+  SELECT doc_id, s, e,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY s
+             ROWS UNBOUNDED PRECEDING) AS isl
+  FROM islands
+),
+intervals AS (
+  SELECT doc_id, isl, min(s) AS s0, max(e) AS e0, count(*) AS n_occ
+  FROM numbered GROUP BY doc_id, isl
+)"""
+
 # Shared d17/d18 CTE chain (the SQL twin of _span_removal_intervals):
 # tokens -> stride-1 span hashes -> first-copy rank -> removed
 # windows -> merged islands.
@@ -1679,23 +1720,7 @@ marked AS (
 removed AS (
   SELECT doc_id, s, s + {SPAN_TOKENS} - 1 AS e FROM marked WHERE rn > 1
 ),
-islands AS (
-  SELECT doc_id, s, e,
-         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s
-              THEN 0 ELSE 1 END AS new_island
-  FROM removed
-),
-numbered AS (
-  SELECT doc_id, s, e,
-         sum(new_island) OVER (PARTITION BY doc_id ORDER BY s
-             ROWS UNBOUNDED PRECEDING) AS isl
-  FROM islands
-),
-intervals AS (
-  SELECT doc_id, isl, min(s) AS s0, max(e) AS e0, count(*) AS n_occ
-  FROM numbered GROUP BY doc_id, isl
-)"""
+{_ISLAND_SQL}"""
 
 _D17_SQL = f"""
 WITH {_SPAN_CTES},
@@ -1796,6 +1821,122 @@ LEFT JOIN cleaned c USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# d19 — span-level decontamination ACTION: d08 flags documents that
+# share shingles with the held-out eval set; d19 removes the
+# overlapping SPANS (the GPT-3/Lee et al. decontamination rule —
+# excise benchmark text from training documents instead of dropping
+# whole documents). The eval set models how benchmarks actually
+# arise: an EXCERPT (the first EXCERPT_TOKENS tokens) of every
+# doc_id % 97 == 0 page — benchmark text is web text, and the pages
+# it was excerpted from are still in the crawl, so every source page
+# is contaminated by construction (non-vacuous oracle, the t13
+# injected-PII discipline) and so is any OTHER page sharing the run.
+# Every W-token window of every training doc whose hash appears in
+# the eval excerpts is marked; marks merge via the shared island
+# helper; output is the per-source decontamination budget.
+#
+# Scale: the eval side of a real pipeline is a benchmark suite (MBs,
+# not TBs), so the distinct eval-span frame is broadcast — same
+# justification as d08's broadcast shingle semi-join. The train side
+# is one narrow span scan; marks merge per-document; the rollup is
+# one partial-aggregated groupBy(source). No all-pairs anywhere.
+
+EXCERPT_TOKENS = 48
+
+
+def d19_decontaminate_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.operators.text import tokens_col
+
+    docs = _spread(_docs(spark, sf_dir))
+    sp = _doc_spans(docs).transform(stage_boundary)
+    eval_h = (
+        sp.filter(
+            (F.col("doc_id") % 97 == 0)
+            & (F.col("s") <= EXCERPT_TOKENS - SPAN_TOKENS)
+        )
+        .select("h")
+        .distinct()
+    )
+    removed = (
+        sp.join(F.broadcast(eval_h), "h", "left_semi")
+        .select("doc_id", "s", (F.col("s") + SPAN_TOKENS - 1).alias("e"))
+    )
+    cov = (
+        _merge_islands(removed)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("e0") - F.col("s0") + 1)
+            .cast("bigint")
+            .alias("removed")
+        )
+    )
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "source", F.size(tokens_col()).alias("n")
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("removed").alias("n_docs_touched"),
+            F.sum("n").cast("bigint").alias("tokens_total"),
+            F.sum(F.coalesce("removed", F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            ratio_round(
+                F.sum(F.coalesce("removed", F.lit(0))),
+                F.sum("n"),
+                6,
+                nonneg=True,
+            ).alias("removed_frac"),
+        )
+    )
+
+
+_D19_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, len(t) AS n, s,
+         md5(list_aggregate(list_slice(t, s + 1, s + {SPAN_TOKENS}),
+                            'string_agg', ' ')) AS h
+  FROM (SELECT doc_id, t FROM toks WHERE len(t) >= {SPAN_TOKENS}),
+       unnest(range(0, len(t) - {SPAN_TOKENS} + 1)) AS u(s)
+),
+eval_h AS (
+  SELECT DISTINCT h FROM sp
+  WHERE doc_id % 97 = 0 AND s <= {EXCERPT_TOKENS} - {SPAN_TOKENS}
+),
+removed AS (
+  SELECT doc_id, s, s + {SPAN_TOKENS} - 1 AS e
+  FROM sp
+  WHERE h IN (SELECT h FROM eval_h)
+),
+{_ISLAND_SQL},
+cov AS (
+  SELECT doc_id, CAST(sum(e0 - s0 + 1) AS BIGINT) AS removed
+  FROM intervals GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, source, len(t) AS n
+  FROM toks
+  WHERE t IS NOT NULL
+)
+SELECT b.source,
+       count(*) AS n_docs,
+       count(c.removed) AS n_docs_touched,
+       CAST(sum(b.n) AS BIGINT) AS tokens_total,
+       CAST(sum(coalesce(c.removed, 0)) AS BIGINT) AS tokens_removed,
+       {sql_ratio_round('sum(coalesce(c.removed, 0))', 'sum(b.n)', 6, nonneg=True)} AS removed_frac
+FROM base b
+LEFT JOIN cov c USING (doc_id)
+GROUP BY b.source
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1814,6 +1955,7 @@ QUERIES = {
     "d16_incremental_minhash": d16_incremental_minhash,
     "d17_span_dedup_action": d17_span_dedup_action,
     "d18_cleaned_corpus": d18_cleaned_corpus,
+    "d19_decontaminate_action": d19_decontaminate_action,
 }
 
 ORACLE = {
@@ -1837,4 +1979,5 @@ ORACLE = {
     "d16_incremental_minhash": _d16_sql(),
     "d17_span_dedup_action": _D17_SQL,
     "d18_cleaned_corpus": _D18_SQL,
+    "d19_decontaminate_action": _D19_SQL,
 }

@@ -19,9 +19,11 @@ import pytest
 import hashlib
 
 from rfb_data_pipeline_spark.operators.dedup import (
+    EXCERPT_TOKENS,
     SPAN_TOKENS,
     d17_span_dedup_action,
     d18_cleaned_corpus,
+    d19_decontaminate_action,
 )
 
 
@@ -131,6 +133,38 @@ def test_d18_fully_duplicated_doc_empties(spark, tmp_path):
     assert out[1]["n_tokens_after"] == 0
     assert out[1]["cleaned_md5"] == hashlib.md5(b"").hexdigest()
     assert out[0]["n_tokens_after"] == len(run)
+
+
+def test_d19_excises_eval_excerpt_from_carrier_and_source(spark, tmp_path):
+    """The eval set is the first EXCERPT_TOKENS tokens of every
+    doc_id % 97 == 0 page.  Both the source page itself (self-hit by
+    construction) and any other page carrying the excerpt must lose
+    exactly the excerpt run; clean pages lose nothing."""
+    ev = [f"ev{i}" for i in range(60)]  # eval page: 60 unique tokens
+    carrier = _tokens("c", 7) + ev[:EXCERPT_TOKENS] + _tokens("d", 9)
+    rows = [
+        # doc 0 (0 % 97 == 0): the benchmark's source page
+        (0, " ".join(ev), "src_eval"),
+        # doc 5: a training page that embeds the excerpt at offset 7
+        (5, " ".join(carrier), "src_carrier"),
+        # doc 6: clean
+        (6, " ".join(_tokens("x", 40)), "src_clean"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in d19_decontaminate_action(spark, str(tmp_path)).collect()
+    }
+    # source page: windows s=0..E-W of itself match -> union = E tokens
+    assert out["src_eval"]["tokens_removed"] == EXCERPT_TOKENS
+    assert out["src_eval"]["n_docs_touched"] == 1
+    # carrier: the embedded E-token run excised, nothing else
+    assert out["src_carrier"]["tokens_removed"] == EXCERPT_TOKENS
+    assert out["src_carrier"]["n_docs_touched"] == 1
+    assert out["src_clean"]["tokens_removed"] == 0
+    assert out["src_clean"]["n_docs_touched"] == 0
 
 
 def test_d17_within_doc_repeat_keeps_first(spark, tmp_path):

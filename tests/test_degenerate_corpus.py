@@ -36,6 +36,7 @@ _PROBED = [
     "d16_incremental_minhash",
     "d17_span_dedup_action",
     "d18_cleaned_corpus",
+    "d19_decontaminate_action",
     "m06_subtitle_parse",
     "m07_id3_tag_parse",
     "m08_wav_header_parse",

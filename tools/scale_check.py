@@ -125,6 +125,7 @@ def _ops() -> dict:
         d16_incremental_minhash,
         d17_span_dedup_action,
         d18_cleaned_corpus,
+        d19_decontaminate_action,
     )
     from rfb_data_pipeline_spark.operators.events import e19_quality_replay
     from rfb_data_pipeline_spark.operators.sampling import (
@@ -151,6 +152,7 @@ def _ops() -> dict:
         "d16": d16_incremental_minhash,
         "d17": d17_span_dedup_action,
         "d18": d18_cleaned_corpus,
+        "d19": d19_decontaminate_action,
         "x09": x09_pack_sequences,
         "x15": x15_split_drift,
         "x17": x17_cluster_curation,
