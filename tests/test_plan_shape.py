@@ -386,6 +386,13 @@ def test_exchange_budgets_headline(spark):
         # token/bigram aggs + doc-keyed joins + per-source agg
         "s12_embedding_outliers": 6,  # dim-explode centroid agg + dim
         # join + per-vec reduce + label moments (stats broadcast back)
+        "d17_span_dedup_action": 3,  # span-hash window + doc window +
+        # island agg reusing doc_id partitioning (single chain — the
+        # folded-occ form; a second window branch would exceed this)
+        "d18_cleaned_corpus": 3,  # d17's chain; reconstruction joins
+        # the per-doc interval array by broadcast (zero extra shuffle)
+        "d19_decontaminate_action": 4,  # span marks (eval side
+        # broadcast) + island merge + per-doc cov + source rollup
     }
     over = {}
     for name, budget in budgets.items():
