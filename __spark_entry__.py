@@ -83,11 +83,13 @@ def _registry() -> tuple[dict, dict]:
     # q15 q16 q18 q29 q34 q35, e12, t01 t02 t07 t09 t16, x01 — their
     # r03/r04 rows predate the current code, so they are first-class
     # r06 promotions alongside the never-promoted spill. r06 window:
-    #   1-26:  t01-t11, x01-x10, s09, s10, m01-m03 (oldest rows /
+    #   1-3:   d17 d18 d19 (r05-late span-ACTION tier — the only
+    #          entries with NO driver row of any kind);
+    #   4-29:  t01-t11, x01-x10, s09, s10, m01-m03 (oldest rows /
     #          rows-only; t01/t02/t07/t09/t16/x01 are ALSO touched);
-    #   27-39: the touched q-series (q01 q03-q06 q14-q16 q18 q29 q34
+    #   30-42: the touched q-series (q01 q03-q06 q14-q16 q18 q29 q34
     #          q35) + e12;
-    #   40-50: oldest remaining q/e rows (q02 q07-q13...; overflow to
+    #   43-50: oldest remaining q/e rows (q02 q07-q13...; overflow to
     #          r07, where the rest of the r04-green q/e series
     #          rotates). After r06+r07 every entry has a driver row
     #          that postdates its current code.
