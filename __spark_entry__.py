@@ -74,7 +74,7 @@ def _registry() -> tuple[dict, dict]:
     # Spill to r06 (code unchanged since r03 green rows): t01-t11,
     # x01-x10, s09, s10; then the r04-green q/e series and rows-only
     # m01-m03.
-    # All 129 entries pass tools/check_oracle.py at sf0.01 AND sf0.1
+    # All 130 entries pass tools/check_oracle.py at sf0.01 AND sf0.1
     # this round (full gate — recorded in COVERAGE.md).
     #
     # Round 6 rotation plan (write it before you need it). The r05
@@ -83,9 +83,9 @@ def _registry() -> tuple[dict, dict]:
     # q15 q16 q18 q29 q34 q35, e12, t01 t02 t07 t09 t16, x01 — their
     # r03/r04 rows predate the current code, so they are first-class
     # r06 promotions alongside the never-promoted spill. r06 window:
-    #   1-3:   d17 d18 d19 (r05-late span-ACTION tier — the only
+    #   1-4:   d17 d18 d19 d20 (r05-late span-ACTION tier — the only
     #          entries with NO driver row of any kind);
-    #   4-29:  t01-t11, x01-x10, s09, s10, m01-m03 (oldest rows /
+    #   5-30:  t01-t11, x01-x10, s09, s10, m01-m03 (oldest rows /
     #          rows-only; t01/t02/t07/t09/t16/x01 are ALSO touched);
     #   30-42: the touched q-series (q01 q03-q06 q14-q16 q18 q29 q34
     #          q35) + e12;
@@ -121,9 +121,9 @@ def _registry() -> tuple[dict, dict]:
         [f"t{i:02d}" for i in range(1, 12)]
         + [f"x{i:02d}" for i in range(1, 11)]
         + ["s09_vector_stats", "s10_semantic_dedup",
-           # NEW r05 late — r06 promotes all three
+           # NEW r05 late — r06 promotes all four
            "d17_span_dedup_action", "d18_cleaned_corpus",
-           "d19_decontaminate_action"]
+           "d19_decontaminate_action", "d20_incremental_span_dedup"]
         + [n for n in queries if n.startswith("q")]
         + [n for n in queries if n.startswith("e")]
         + ["m01_image_metadata", "m02_media_stats", "m03_frame_sample"]

@@ -79,6 +79,7 @@ HEADLINE = [
     "d17_span_dedup_action",
     "d18_cleaned_corpus",
     "d19_decontaminate_action",
+    "d20_incremental_span_dedup",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

@@ -1937,6 +1937,136 @@ GROUP BY b.source
 """
 
 
+# --------------------------------------------------------------------------
+# d20 — incremental exact-substring dedup: d17's corpus-wins rule at
+# recrawl time. The existing corpus owns every span it contains
+# (its occurrences all precede the batch), so a batch document's
+# W-token window is removed iff its hash EXISTS in the corpus —
+# membership, not ranks — plus d17's first-copy rule WITHIN the
+# batch for spans the corpus has never seen (a batch that
+# re-crawls the same new page twice must also dedup against
+# itself). Output is the d17-shaped per-batch-doc budget. Corpus =
+# doc_id % 2 == 0, batch = % 2 == 1 (the d06/d16 split).
+#
+# Scale: the registered query computes the corpus side inline (the
+# driver contract); pipeline/ann_index.py::write_span_index
+# materializes the DISTINCT corpus span hashes partitioned by
+# pmod(h, SPAN_INDEX_SHARDS) and probe_span_index reproduces this
+# query's removal budget from the index with the batch's shard set
+# as a LITERAL partition predicate — pinned equal, and
+# partition-pruning asserted, in tests/test_ann_index.py. Batch
+# self-dedup is one window over batch-only span hashes.
+
+
+def d20_incremental_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from rfb_data_pipeline_spark.operators.text import tokens_col
+
+    docs = _spread(_docs(spark, sf_dir))
+    sp = _doc_spans(docs).transform(stage_boundary)
+    corpus_h = sp.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
+    batch_sp = sp.filter(F.col("doc_id") % 2 == 1)
+    vs_corpus = batch_sp.join(corpus_h, "h", "left_semi").select(
+        "doc_id", "s"
+    )
+    # batch-internal first-copy rule for corpus-unseen spans
+    first_rank = Window.partitionBy("h").orderBy("doc_id", "s")
+    within_batch = (
+        batch_sp.join(corpus_h, "h", "left_anti")
+        .withColumn("rn", F.row_number().over(first_rank))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "s")
+    )
+    removed = (
+        vs_corpus.unionByName(within_batch)
+        .select("doc_id", "s", (F.col("s") + SPAN_TOKENS - 1).alias("e"))
+    )
+    cov = (
+        _merge_islands(removed)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("e0") - F.col("s0") + 1)
+            .cast("bigint")
+            .alias("tokens_removed")
+        )
+    )
+    base = (
+        docs.filter(F.col("text").isNotNull())
+        .filter(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id", F.size(tokens_col()).cast("bigint").alias("n_tokens")
+        )
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("tokens_removed", F.lit(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            (F.col("n_tokens") - F.coalesce("tokens_removed", F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .withColumn(
+            "kept_frac",
+            ratio_round(
+                F.col("tokens_kept"), F.col("n_tokens"), 4, nonneg=True
+            ),
+        )
+    )
+
+
+_D20_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, len(t) AS n, s,
+         md5(list_aggregate(list_slice(t, s + 1, s + {SPAN_TOKENS}),
+                            'string_agg', ' ')) AS h
+  FROM (SELECT doc_id, t FROM toks WHERE len(t) >= {SPAN_TOKENS}),
+       unnest(range(0, len(t) - {SPAN_TOKENS} + 1)) AS u(s)
+),
+corpus_h AS (SELECT DISTINCT h FROM sp WHERE doc_id % 2 = 0),
+batch_sp AS (SELECT doc_id, s, h FROM sp WHERE doc_id % 2 = 1),
+vs_corpus AS (
+  SELECT doc_id, s FROM batch_sp WHERE h IN (SELECT h FROM corpus_h)
+),
+within_batch AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+    FROM batch_sp WHERE h NOT IN (SELECT h FROM corpus_h)
+  ) WHERE rn > 1
+),
+removed AS (
+  SELECT doc_id, s, s + {SPAN_TOKENS} - 1 AS e FROM vs_corpus
+  UNION ALL
+  SELECT doc_id, s, s + {SPAN_TOKENS} - 1 AS e FROM within_batch
+),
+{_ISLAND_SQL},
+cov AS (
+  SELECT doc_id, CAST(sum(e0 - s0 + 1) AS BIGINT) AS tokens_removed
+  FROM intervals GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, len(t) AS n FROM toks
+  WHERE t IS NOT NULL AND doc_id % 2 = 1
+)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+       CAST(b.n - coalesce(c.tokens_removed, 0) AS BIGINT) AS tokens_kept,
+       {sql_ratio_round('b.n - coalesce(c.tokens_removed, 0)', 'b.n', 4, nonneg=True)} AS kept_frac
+FROM base b
+LEFT JOIN cov c USING (doc_id)
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1956,6 +2086,7 @@ QUERIES = {
     "d17_span_dedup_action": d17_span_dedup_action,
     "d18_cleaned_corpus": d18_cleaned_corpus,
     "d19_decontaminate_action": d19_decontaminate_action,
+    "d20_incremental_span_dedup": d20_incremental_span_dedup,
 }
 
 ORACLE = {
@@ -1980,4 +2111,5 @@ ORACLE = {
     "d17_span_dedup_action": _D17_SQL,
     "d18_cleaned_corpus": _D18_SQL,
     "d19_decontaminate_action": _D19_SQL,
+    "d20_incremental_span_dedup": _D20_SQL,
 }

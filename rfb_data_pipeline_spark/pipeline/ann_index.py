@@ -413,3 +413,103 @@ def probe_minhash_index(
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring span index: the materialized corpus half of d20
+# (incremental exact-substring dedup). d17's corpus-wins rule needs
+# only MEMBERSHIP of a batch window's hash in the corpus — every
+# corpus occurrence precedes the batch — so the index is the
+# DISTINCT corpus span-hash set, partitioned by pmod(h, shards) for
+# partition-pruned probes. At 100 TB the index is ~one 8-byte hash
+# per corpus token (deduplicated), refreshed per crawl by appending
+# the accepted batch's unseen hashes.
+
+SPAN_INDEX_SHARDS = 64
+
+
+def _span_shard(h_col) -> F.Column:
+    return F.pmod(h_col, F.lit(SPAN_INDEX_SHARDS)).cast("int")
+
+
+def write_span_index(
+    spark: SparkSession, corpus_docs: DataFrame, path: str
+) -> None:
+    """Materialize the shard-partitioned distinct span-hash index for
+    ``corpus_docs`` (doc_id, text)."""
+    from rfb_data_pipeline_spark.operators.dedup import _doc_spans
+
+    (
+        _doc_spans(corpus_docs)
+        .select("h")
+        .distinct()
+        .withColumn("shard", _span_shard(F.col("h")))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{path}/spans")
+    )
+
+
+def probe_span_index(
+    spark: SparkSession, path: str, batch_docs: DataFrame
+) -> DataFrame:
+    """Per-batch-doc removal budget vs the materialized corpus index:
+    reproduces d20's corpus-side marks (plus its batch-internal
+    first-copy rule) from the index instead of the corpus text.
+
+    The batch's shard set is collected driver-side (a control-plane
+    frame bounded by SPAN_INDEX_SHARDS rows) and becomes a LITERAL
+    partition predicate, so the index scan touches only the batch's
+    shard directories — the LSH/IVF pruning pattern."""
+    from pyspark.sql.window import Window
+
+    from rfb_data_pipeline_spark.operators.dedup import (
+        SPAN_TOKENS,
+        _doc_spans,
+        _merge_islands,
+    )
+    from rfb_data_pipeline_spark.operators.text import tokens_col
+
+    b_sp = (
+        _doc_spans(batch_docs)
+        .withColumn("shard", _span_shard(F.col("h")))
+        .transform(stage_boundary)
+    )
+    touched = sorted(
+        r["shard"] for r in b_sp.select("shard").distinct().collect()
+    )
+    idx = (
+        spark.read.parquet(f"{path}/spans")
+        .where(F.col("shard").isin([int(s) for s in touched]))
+        .select("h")
+    )
+    vs_corpus = b_sp.join(idx, "h", "left_semi").select("doc_id", "s")
+    first_rank = Window.partitionBy("h").orderBy("doc_id", "s")
+    within_batch = (
+        b_sp.join(idx, "h", "left_anti")
+        .withColumn("rn", F.row_number().over(first_rank))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "s")
+    )
+    removed = vs_corpus.unionByName(within_batch).select(
+        "doc_id", "s", (F.col("s") + SPAN_TOKENS - 1).alias("e")
+    )
+    cov = (
+        _merge_islands(removed)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("e0") - F.col("s0") + 1)
+            .cast("bigint")
+            .alias("tokens_removed")
+        )
+    )
+    base = batch_docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.size(tokens_col()).cast("bigint").alias("n_tokens")
+    )
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("tokens_removed", F.lit(0))
+        .cast("bigint")
+        .alias("tokens_removed"),
+    )

@@ -223,3 +223,70 @@ def test_minhash_probe_scan_is_partition_pruned(spark, tmp_path):
                 if sd.startswith("shard=")
             )
     assert len(touched) < all_dirs, (len(touched), all_dirs)
+
+
+def test_span_probe_matches_d20(spark, tmp_path):
+    """The materialized span-index probe must reproduce d20's removal
+    budget exactly: corpus membership marks + the batch-internal
+    first-copy rule, island-merged."""
+    from rfb_data_pipeline_spark.operators.dedup import (
+        d20_incremental_span_dedup,
+    )
+    from rfb_data_pipeline_spark.pipeline.ann_index import (
+        probe_span_index,
+        write_span_index,
+    )
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "span_idx")
+    write_span_index(spark, corpus, path)
+    probed = {
+        r["doc_id"]: (r["n_tokens"], r["tokens_removed"])
+        for r in probe_span_index(spark, path, batch).collect()
+    }
+    direct = {
+        r["doc_id"]: (r["n_tokens"], r["tokens_removed"])
+        for r in d20_incremental_span_dedup(spark, SF).collect()
+    }
+    assert probed == direct
+    assert sum(v[1] for v in direct.values()) > 0  # non-vacuous
+
+
+def test_span_probe_scan_is_partition_pruned(spark, tmp_path):
+    """A SMALL batch must prune the index scan to its own shard
+    directories — plan predicate AND touched-directory fraction."""
+    import os as _os
+
+    from rfb_data_pipeline_spark.operators.dedup import _doc_spans
+    from rfb_data_pipeline_spark.pipeline.ann_index import (
+        _span_shard,
+        probe_span_index,
+        write_span_index,
+    )
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    # a tiny batch: ONE document's worth of spans
+    batch = docs.filter(F.col("doc_id") % 2 == 1).orderBy("doc_id").limit(1)
+    path = str(tmp_path / "span_idx2")
+    write_span_index(spark, corpus, path)
+    probe = probe_span_index(spark, path, batch)
+    plan = pi.explain_string(probe, "formatted")
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "shard" in seg
+    touched = {
+        r["shard"]
+        for r in _doc_spans(batch)
+        .select(_span_shard(F.col("h")).alias("shard"))
+        .distinct()
+        .collect()
+    }
+    all_dirs = sum(
+        1
+        for sd in _os.listdir(f"{path}/spans")
+        if sd.startswith("shard=")
+    )
+    assert len(touched) < all_dirs, (len(touched), all_dirs)

@@ -24,6 +24,7 @@ from rfb_data_pipeline_spark.operators.dedup import (
     d17_span_dedup_action,
     d18_cleaned_corpus,
     d19_decontaminate_action,
+    d20_incremental_span_dedup,
 )
 
 
@@ -165,6 +166,37 @@ def test_d19_excises_eval_excerpt_from_carrier_and_source(spark, tmp_path):
     assert out["src_carrier"]["n_docs_touched"] == 1
     assert out["src_clean"]["tokens_removed"] == 0
     assert out["src_clean"]["n_docs_touched"] == 0
+
+
+def test_d20_corpus_wins_and_batch_self_dedups(spark, tmp_path):
+    """d20's two removal tiers: a batch window matching the CORPUS is
+    removed regardless of batch order (corpus-wins), and a
+    corpus-unseen run duplicated WITHIN the batch keeps only its
+    first batch copy."""
+    corpus_run = [f"cr{i}" for i in range(SPAN_TOKENS)]
+    novel_run = [f"nv{i}" for i in range(SPAN_TOKENS)]
+    rows = [
+        # doc 0 (corpus): owns corpus_run
+        (0, " ".join(corpus_run + _tokens("a", 5))),
+        # doc 1 (batch): carries corpus_run -> removed even though
+        # doc 1 precedes doc 3 in the batch
+        (1, " ".join(_tokens("b", 4) + corpus_run)),
+        # docs 3 & 5 (batch): share novel_run the corpus never saw;
+        # doc 3 (first) keeps it, doc 5 loses it
+        (3, " ".join(novel_run + _tokens("c", 6))),
+        (5, " ".join(_tokens("d", 8) + novel_run)),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in d20_incremental_span_dedup(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 3, 5}  # batch side only
+    assert out[1]["tokens_removed"] == SPAN_TOKENS  # corpus-wins
+    assert out[3]["tokens_removed"] == 0  # first batch copy kept
+    assert out[5]["tokens_removed"] == SPAN_TOKENS  # batch self-dedup
 
 
 def test_d17_within_doc_repeat_keeps_first(spark, tmp_path):

@@ -37,6 +37,7 @@ _PROBED = [
     "d17_span_dedup_action",
     "d18_cleaned_corpus",
     "d19_decontaminate_action",
+    "d20_incremental_span_dedup",
     "m06_subtitle_parse",
     "m07_id3_tag_parse",
     "m08_wav_header_parse",

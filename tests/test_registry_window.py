@@ -57,10 +57,10 @@ def test_every_query_has_unique_name_and_oracle_subset():
     o = entry_mod.oracle_sql()
     # 121 at the r04 gate + e18/e19 (stream batch replays) + x17
     # (cluster-aware curation) + m07/m08 (ID3v1 + WAV header parses)
-    # + d17/d18/d19 (span-dedup action, cleaned-corpus
-    # materialization, span decontamination action — r05 late,
-    # first driver rows r06)
-    assert len(q) == 129
+    # + d17/d18/d19/d20 (span-dedup action, cleaned-corpus
+    # materialization, span decontamination action, incremental
+    # span dedup — r05 late, first driver rows r06)
+    assert len(q) == 130
     assert set(o) <= set(q)
     # rows-only tier is exactly the sketches + media decode
     rows_only = set(q) - set(o)

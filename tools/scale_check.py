@@ -126,6 +126,7 @@ def _ops() -> dict:
         d17_span_dedup_action,
         d18_cleaned_corpus,
         d19_decontaminate_action,
+        d20_incremental_span_dedup,
     )
     from rfb_data_pipeline_spark.operators.events import e19_quality_replay
     from rfb_data_pipeline_spark.operators.sampling import (
@@ -153,6 +154,7 @@ def _ops() -> dict:
         "d17": d17_span_dedup_action,
         "d18": d18_cleaned_corpus,
         "d19": d19_decontaminate_action,
+        "d20": d20_incremental_span_dedup,
         "x09": x09_pack_sequences,
         "x15": x15_split_drift,
         "x17": x17_cluster_curation,
