@@ -314,3 +314,69 @@ def test_x10_custom_mixture_weights(spark):
     assert out["de"]["quota"] == t_max // 4
     for r in out.values():
         assert r["n_selected"] == r["quota"]
+
+
+# ---------------------------------------------------------------------------
+# _merge_islands (the shared d17/d18/d19/d20 interval-union core)
+
+
+def _py_union_len(windows: list[int], w: int) -> tuple[int, int]:
+    """Independent model: (n_islands, union length) of the intervals
+    [s, s+w-1] for the given start positions."""
+    if not windows:
+        return 0, 0
+    ivs = sorted((s, s + w - 1) for s in windows)
+    merged = [list(ivs[0])]
+    for s, e in ivs[1:]:
+        if s <= merged[-1][1]:  # overlap or touch-inside
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    return len(merged), sum(e - s + 1 for s, e in merged)
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # doc_id
+            st.lists(
+                st.integers(min_value=0, max_value=60),
+                min_size=0,
+                max_size=12,
+                unique=True,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=16),  # interval width
+)
+def test_merge_islands_matches_python_union(spark, docs_windows, width):
+    from rfb_data_pipeline_spark.operators.dedup import _merge_islands
+
+    rows = [
+        (doc_id, s, s + width - 1)
+        for doc_id, windows in docs_windows
+        for s in windows
+    ]
+    if not rows:
+        return
+    removed = spark.createDataFrame(rows, "doc_id bigint, s int, e int")
+    got = {
+        r["doc_id"]: (r["n_islands"], r["union_len"])
+        for r in _merge_islands(removed)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("e0") - F.col("s0") + 1).alias("union_len"),
+        )
+        .collect()
+    }
+    want = {
+        doc_id: _py_union_len(windows, width)
+        for doc_id, windows in docs_windows
+        if windows
+    }
+    assert got == want
