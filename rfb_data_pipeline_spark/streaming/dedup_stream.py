@@ -102,3 +102,96 @@ def run_incremental_dedup(
     )
     q.awaitTermination()
     return q
+
+
+# ---------------------------------------------------------------------------
+# Span tier: the streaming half of the d20 lifecycle (exact-substring
+# incremental dedup). The corpus span-hash index is materialized in
+# batch (pipeline/ann_index.py::write_span_index); newly crawled
+# documents stream in, every micro-batch's removal budget is computed
+# through the ONE shared probe (probe_span_index — the same
+# corpus-wins + batch-first-copy rules the oracle-checked d20 query
+# runs), and the batch's corpus-UNSEEN hashes are then appended to
+# the index so the NEXT micro-batch deduplicates against everything
+# that arrived before it: arrival-order-wins, which equals d20's
+# global (doc_id, s) first-copy rule whenever the crawl feed is
+# doc-id-ordered (the parity test's drop discipline).
+#
+# Idempotency: the budget sink is batch-id-keyed (replay overwrites
+# exactly its own partition). The index append is a SET union —
+# replaying a batch re-appends hashes it already contributed, which
+# is harmless (the probe consumes the index through semi/anti joins,
+# so duplicate hash rows cannot change any verdict); a periodic
+# batch refresh (write_span_index) compacts them away.
+
+
+def append_unseen_spans(
+    spark: SparkSession, index_path: str, batch_docs: DataFrame
+) -> None:
+    """Append the batch's corpus-unseen distinct span hashes to the
+    shard-partitioned index (the accepted-crawl index refresh)."""
+    from rfb_data_pipeline_spark.operators.dedup import _doc_spans
+    from rfb_data_pipeline_spark.pipeline.ann_index import _span_shard
+    from rfb_data_pipeline_spark.plans.stage import stage_boundary
+
+    b_h = (
+        _doc_spans(batch_docs)
+        .select("h")
+        .distinct()
+        .withColumn("shard", _span_shard(F.col("h")))
+    )
+    idx = spark.read.parquet(f"{index_path}/spans")
+    # stage_boundary materializes the anti-join BEFORE the append so
+    # the write never scans the path it is appending to
+    unseen = b_h.join(idx.select("h"), "h", "left_anti").transform(
+        stage_boundary
+    )
+    unseen.write.mode("append").partitionBy("shard").parquet(
+        f"{index_path}/spans"
+    )
+
+
+def run_incremental_span_dedup(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_path: str,
+    max_files_per_trigger: int = 1,
+):
+    """Drain the crawl backlog through the span-index probe into a
+    batch-id-keyed idempotent budget sink, growing the index with
+    each accepted batch's unseen spans."""
+    from rfb_data_pipeline_spark.pipeline.ann_index import (
+        probe_span_index,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_dir)
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        budgets = probe_span_index(spark, index_path, batch_df).withColumn(
+            "_batch_id", F.lit(batch_id)
+        )
+        (
+            budgets.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+        append_unseen_spans(spark, index_path, batch_df)
+
+    q = (
+        stream.writeStream.option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -54,3 +54,48 @@ def test_stream_verdicts_match_batch_probe(spark, tmp_path):
     # two micro-batches ran (one file per trigger)
     n_batches = spark.read.parquet(out_dir).select("_batch_id").distinct().count()
     assert n_batches == 2
+
+
+def test_span_stream_budgets_match_d20(spark, tmp_path):
+    """Two doc-id-ordered micro-batches of new crawl probed against
+    the materialized even-doc span index — with the index absorbing
+    each batch's unseen hashes — must union to EXACTLY d20's global
+    removal budgets over the same odd/even split (arrival-order-wins
+    == global first-copy when the feed is doc-id-ordered), and the
+    budgets must be non-trivial."""
+    from rfb_data_pipeline_spark.operators.dedup import (
+        d20_incremental_span_dedup,
+    )
+    from rfb_data_pipeline_spark.pipeline.ann_index import write_span_index
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index_path = str(tmp_path / "span_idx")
+    write_span_index(spark, corpus, index_path)
+
+    median = batch.approxQuantile("doc_id", [0.5], 0.0)[0]
+    in_dir = tmp_path / "in"
+    _drop(batch.filter(F.col("doc_id") <= median), in_dir, "b0")
+    _drop(batch.filter(F.col("doc_id") > median), in_dir, "b1")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    dds.run_incremental_span_dedup(
+        spark, str(in_dir), out_dir, ckpt, index_path, max_files_per_trigger=1
+    )
+
+    streamed = {
+        r["doc_id"]: (r["n_tokens"], r["tokens_removed"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    direct = {
+        r["doc_id"]: (r["n_tokens"], r["tokens_removed"])
+        for r in d20_incremental_span_dedup(spark, SF_SMALL).collect()
+    }
+    assert streamed == direct
+    assert sum(v[1] for v in direct.values()) > 0, "vacuous fixture"
+    n_batches = (
+        spark.read.parquet(out_dir).select("_batch_id").distinct().count()
+    )
+    assert n_batches == 2
