@@ -32,6 +32,7 @@ def _registry() -> tuple[dict, dict]:
     from rfb_data_pipeline_spark.operators import (
         dedup,
         events,
+        graph,
         media,
         relational,
         sampling,
@@ -41,7 +42,7 @@ def _registry() -> tuple[dict, dict]:
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
-    for mod in (relational, events, dedup, text, similarity, sampling, media):
+    for mod in (relational, events, dedup, text, similarity, sampling, media, graph):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)
     # Registry ORDER matters: the driver's correctness harness records
@@ -121,9 +122,10 @@ def _registry() -> tuple[dict, dict]:
         [f"t{i:02d}" for i in range(1, 12)]
         + [f"x{i:02d}" for i in range(1, 11)]
         + ["s09_vector_stats", "s10_semantic_dedup",
-           # NEW r05 late — r06 promotes all four
+           # NEW r05 late — r06 promotes all six
            "d17_span_dedup_action", "d18_cleaned_corpus",
-           "d19_decontaminate_action", "d20_incremental_span_dedup"]
+           "d19_decontaminate_action", "d20_incremental_span_dedup",
+           "g01_item_pagerank", "g02_item_triangles"]
         + [n for n in queries if n.startswith("q")]
         + [n for n in queries if n.startswith("e")]
         + ["m01_image_metadata", "m02_media_stats", "m03_frame_sample"]

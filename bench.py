@@ -80,6 +80,8 @@ HEADLINE = [
     "d18_cleaned_corpus",
     "d19_decontaminate_action",
     "d20_incremental_span_dedup",
+    "g01_item_pagerank",
+    "g02_item_triangles",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

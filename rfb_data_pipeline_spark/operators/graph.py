@@ -1,0 +1,359 @@
+"""Graph analytics over the user-item co-engagement graph.
+
+The ``events`` table is the edge source: ``props.k`` is the item a
+user engaged with (the e07 JSON idiom), and two items are connected
+when at least one user engaged with both. This is the standard
+recsys/curation substrate — item centrality (PageRank) weights
+catalog curation the way CommonCrawl-style pipelines weight domains
+by link centrality, and triangle counts/clustering coefficients are
+the classic cohesion signals.
+
+Scale design (the 100 TB story):
+- Per-user top-K engagement cap (``_USER_ITEM_CAP``): the within-user
+  pair join is quadratic in a user's distinct items, so a bot with
+  10^6 items would emit 10^12 pairs. The cap is the df-cap discipline
+  from the dedup shingle tiers — deterministic (engagement count desc,
+  item asc), mirrored in the DuckDB twin, and it BINDS on stock data
+  (~half the users exceed 48 items), so the oracle row exercises it.
+- PageRank is the Pregel-on-DataFrames shape: each iteration is one
+  equi-join (ranks × arcs) + one groupBy(sum), with a stage boundary
+  cutting lineage between iterations — |V|-row state, never more.
+- Triangle counting uses degree-ordered orientation (each undirected
+  edge directed low→high by (degree, id)), which bounds the wedge
+  join by the graph's arboricity — the Suri–Vassilvitskii MapReduce
+  algorithm — instead of the naive high-degree wedge blowup.
+
+Cross-engine determinism: PageRank is float-iterative, so every
+iteration quantizes the neighbor contributions to integer 1e-12 units
+(``floor(rank*w/s*1e12)`` as BIGINT) before summing — integer sums are
+order-independent, and rebuilding the next rank from the integer sum
+keeps both engines on bit-identical doubles (the s08/e14 decimal
+discipline, in integer form). The SQL twins use scientific-notation
+literals (``0.85e0``) because bare decimal literals are DECIMAL-typed
+in DuckDB and would silently switch the twin to decimal arithmetic.
+
+Reference parity note: the reference pipeline (src/main.py) has no
+graph surface; this family is part of the north-star training-data
+capabilities (SURVEY.md §2.2 "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rfb_data_pipeline_spark.catalog import load_tables
+from rfb_data_pipeline_spark.functions.exactround import (
+    ratio_round,
+    sql_ratio_round,
+)
+from rfb_data_pipeline_spark.plans.stage import stage_boundary
+
+_USER_ITEM_CAP = 48  # binds on stock data (max distinct items/user ~67)
+_PR_ITERS = 5
+_PR_SCALE = 1e12  # contribution quantization: integer 1e-12 units
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, tables=("events",), register_views=False)[
+        "events"
+    ]
+
+
+def engagement(ev: DataFrame) -> DataFrame:
+    """Distinct (user_id, item) pairs, capped at the top
+    ``_USER_ITEM_CAP`` items per user by engagement count (ties by
+    item asc). The cap is what makes the downstream within-user pair
+    join safe against hyper-engaged users at corpus scale."""
+    item = F.from_json("props", "struct<k:int>").getField("k")
+    per_ui = (
+        ev.select("user_id", item.alias("item"))
+        .where(F.col("item").isNotNull())
+        .groupBy("user_id", "item")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_ev").desc(), F.col("item").asc()
+    )
+    return (
+        per_ui.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _USER_ITEM_CAP)
+        .select("user_id", "item")
+    )
+
+
+def co_engagement_edges(ev: DataFrame) -> DataFrame:
+    """Undirected weighted edges (src < dst, w = co-engaged users).
+
+    One equi-join on user_id (never a cartesian); the per-user cap
+    bounds each user's contribution to C(cap, 2) pairs, and map-side
+    partial aggregation collapses the pair stream before the shuffle
+    (distinct item pairs <= C(|items|, 2), independent of user count).
+    """
+    eng = engagement(ev)
+    a, b = eng.alias("a"), eng.alias("b")
+    return (
+        a.join(b, "user_id")
+        .where(F.col("a.item") < F.col("b.item"))
+        .groupBy(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+# The shared CTE prefix of both SQL twins — the e07 JSON-validity
+# guard (DuckDB CAST on malformed JSON errors where from_json NULLs),
+# the capped engagement set, and the weighted undirected edge list.
+_EDGES_CTE = f"""
+eng AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item, count(*) AS n_ev,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY count(*) DESC, item ASC
+           ) AS rn
+    FROM (
+      SELECT user_id,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN CAST(json_extract(props, '$.k') AS INTEGER)
+             END AS item
+      FROM events
+    )
+    WHERE item IS NOT NULL
+    GROUP BY user_id, item
+  )
+  WHERE rn <= {_USER_ITEM_CAP}
+),
+edges AS (
+  SELECT a.item AS src, b.item AS dst, count(*) AS w
+  FROM eng a JOIN eng b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# g01 — item PageRank over the co-engagement graph (weighted, damping
+# 0.85, 5 iterations). Integer-unit quantized contributions keep the
+# iterated doubles bit-identical across engines; the output emits the
+# final rank in 1e-12 units (BIGINT) so no float ever reaches the
+# hash compare.
+
+
+def g01_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = co_engagement_edges(_events(spark, sf_dir)).transform(stage_boundary)
+    arcs = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    strength = arcs.groupBy(F.col("src").alias("item")).agg(
+        F.sum("w").alias("s")
+    )
+    # Node universe = every engaged item (isolated items keep the
+    # teleport mass); n arrives as a broadcast 1-row frame, never a
+    # driver-side collect (the q34 idiom).
+    eng_items = (
+        engagement(_events(spark, sf_dir)).select("item").distinct()
+    )
+    nodes = (
+        eng_items.join(strength, "item", "left")
+        .select("item", F.coalesce(F.col("s"), F.lit(0)).alias("s"))
+        .crossJoin(F.broadcast(eng_items.agg(F.count(F.lit(1)).alias("n"))))
+        .transform(stage_boundary)
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0) / F.col("n"))
+    for _ in range(_PR_ITERS):
+        units = (
+            ranks.join(arcs, ranks["item"] == arcs["src"])
+            .select(
+                F.col("dst").alias("item"),
+                F.floor(
+                    F.col("rank") * F.col("w") / F.col("s") * F.lit(_PR_SCALE)
+                ).alias("u"),
+            )
+            .groupBy("item")
+            .agg(F.sum("u").alias("u"))
+        )
+        ranks = (
+            nodes.join(units, "item", "left")
+            .select(
+                "item",
+                "s",
+                "n",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85)
+                    * (F.coalesce(F.col("u"), F.lit(0)) / F.lit(_PR_SCALE))
+                ).alias("rank"),
+            )
+            .transform(stage_boundary)
+        )
+    return ranks.select(
+        "item",
+        F.col("s").alias("strength"),
+        F.floor(F.col("rank") * F.lit(_PR_SCALE)).alias("rank_units"),
+    )
+
+
+def _g01_sql() -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT n.item, n.s, 0.15e0 / (SELECT n FROM nn)
+         + 0.85e0 * (COALESCE(c.u, 0) / 1e12) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT d.dst AS item,
+           SUM(CAST(floor(r.rank * d.w / r.s * 1e12) AS BIGINT)) AS u
+    FROM {prev} r JOIN dir d ON r.item = d.src
+    GROUP BY 1
+  ) c ON n.item = c.item
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH {_EDGES_CTE},
+dir AS (
+  SELECT src, dst, w FROM edges
+  UNION ALL
+  SELECT dst, src, w FROM edges
+),
+nodes AS (
+  SELECT i.item, COALESCE(st.s, 0) AS s
+  FROM (SELECT DISTINCT item FROM eng) i
+  LEFT JOIN (SELECT src AS item, SUM(w) AS s FROM dir GROUP BY 1) st
+    ON i.item = st.item
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT item, s, 1.0e0 / (SELECT n FROM nn) AS rank FROM nodes),
+{chain}
+SELECT item, CAST(s AS BIGINT) AS strength,
+       CAST(floor(rank * 1e12) AS BIGINT) AS rank_units
+FROM {prev}
+"""
+
+
+# --------------------------------------------------------------------------
+# g02 — per-item triangle count + clustering coefficient via
+# degree-ordered orientation: every undirected edge becomes one arc
+# low→high in the (degree, item) total order, a triangle a<b<c in
+# that order is found exactly once as arcs a→b, a→c closed by b→c.
+# All-integer outputs except the clustering ratio, which goes through
+# the engine-exact ratio_round (NULL for deg <= 1 on both sides).
+
+
+def g02_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = co_engagement_edges(_events(spark, sf_dir)).transform(stage_boundary)
+    deg = (
+        edges.select(F.col("src").alias("item"))
+        .union(edges.select(F.col("dst").alias("item")))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        edges.join(
+            deg.select(F.col("item").alias("src"), F.col("deg").alias("ds")),
+            "src",
+        ).join(
+            deg.select(F.col("item").alias("dst"), F.col("deg").alias("dd")),
+            "dst",
+        )
+    )
+    fwd = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    arcs = e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(fwd, F.col("dd")).otherwise(F.col("ds")).alias("dv"),
+    ).transform(stage_boundary)
+    x = arcs.alias("x")
+    y = arcs.select(
+        F.col("u").alias("u2"), F.col("v").alias("w2"), F.col("dv").alias("dw")
+    ).alias("y")
+    z = arcs.select(F.col("u").alias("zb"), F.col("v").alias("zc")).alias("z")
+    wedge_order = (F.col("x.dv") < F.col("y.dw")) | (
+        (F.col("x.dv") == F.col("y.dw")) & (F.col("x.v") < F.col("y.w2"))
+    )
+    tri = (
+        x.join(y, (F.col("x.u") == F.col("y.u2")) & wedge_order)
+        .join(z, (F.col("z.zb") == F.col("x.v")) & (F.col("z.zc") == F.col("y.w2")))
+        .select(
+            F.col("x.u").alias("a"), F.col("x.v").alias("b"), F.col("y.w2").alias("c")
+        )
+    )
+    per_node = (
+        tri.select(F.col("a").alias("item"))
+        .union(tri.select("b"))
+        .union(tri.select("c"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return deg.join(per_node, "item", "left").select(
+        "item",
+        "deg",
+        F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+        ratio_round(
+            F.lit(2) * F.coalesce(F.col("n_tri"), F.lit(0)),
+            F.col("deg") * (F.col("deg") - F.lit(1)),
+            6,
+            nonneg=True,
+        ).alias("clustering"),
+    )
+
+
+def _g02_sql() -> str:
+    clustering = sql_ratio_round(
+        "2 * COALESCE(p.n_tri, 0)", "d.deg * (d.deg - 1)", 6, nonneg=True
+    )
+    return f"""
+WITH {_EDGES_CTE},
+deg AS (
+  SELECT item, count(*) AS deg FROM (
+    SELECT src AS item FROM edges UNION ALL SELECT dst FROM edges
+  ) GROUP BY 1
+),
+arcs AS (
+  SELECT CASE WHEN (da.deg < db.deg)
+                OR (da.deg = db.deg AND e.src < e.dst)
+              THEN e.src ELSE e.dst END AS u,
+         CASE WHEN (da.deg < db.deg)
+                OR (da.deg = db.deg AND e.src < e.dst)
+              THEN e.dst ELSE e.src END AS v,
+         CASE WHEN (da.deg < db.deg)
+                OR (da.deg = db.deg AND e.src < e.dst)
+              THEN db.deg ELSE da.deg END AS dv
+  FROM edges e
+  JOIN deg da ON e.src = da.item
+  JOIN deg db ON e.dst = db.item
+),
+tri AS (
+  SELECT x.u AS a, x.v AS b, y.v AS c
+  FROM arcs x
+  JOIN arcs y ON x.u = y.u
+             AND ((x.dv < y.dv) OR (x.dv = y.dv AND x.v < y.v))
+  JOIN arcs z ON z.u = x.v AND z.v = y.v
+),
+pern AS (
+  SELECT item, count(*) AS n_tri FROM (
+    SELECT a AS item FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+)
+SELECT d.item, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_triangles,
+       {clustering} AS clustering
+FROM deg d LEFT JOIN pern p ON d.item = p.item
+"""
+
+
+QUERIES = {
+    "g01_item_pagerank": g01_item_pagerank,
+    "g02_item_triangles": g02_item_triangles,
+}
+
+ORACLE: dict[str, str] = {
+    "g01_item_pagerank": _g01_sql(),
+    "g02_item_triangles": _g02_sql(),
+}

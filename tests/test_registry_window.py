@@ -60,7 +60,9 @@ def test_every_query_has_unique_name_and_oracle_subset():
     # + d17/d18/d19/d20 (span-dedup action, cleaned-corpus
     # materialization, span decontamination action, incremental
     # span dedup — r05 late, first driver rows r06)
-    assert len(q) == 130
+    # + g01/g02 (graph analytics: co-engagement PageRank + triangles
+    # — r05 late, first driver rows r06)
+    assert len(q) == 132
     assert set(o) <= set(q)
     # rows-only tier is exactly the sketches + media decode
     rows_only = set(q) - set(o)

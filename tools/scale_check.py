@@ -129,6 +129,10 @@ def _ops() -> dict:
         d20_incremental_span_dedup,
     )
     from rfb_data_pipeline_spark.operators.events import e19_quality_replay
+    from rfb_data_pipeline_spark.operators.graph import (
+        g01_item_pagerank,
+        g02_item_triangles,
+    )
     from rfb_data_pipeline_spark.operators.sampling import (
         x09_pack_sequences,
         x15_split_drift,
@@ -155,6 +159,8 @@ def _ops() -> dict:
         "d18": d18_cleaned_corpus,
         "d19": d19_decontaminate_action,
         "d20": d20_incremental_span_dedup,
+        "g01": g01_item_pagerank,
+        "g02": g02_item_triangles,
         "x09": x09_pack_sequences,
         "x15": x15_split_drift,
         "x17": x17_cluster_curation,
