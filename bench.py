@@ -82,6 +82,7 @@ HEADLINE = [
     "d20_incremental_span_dedup",
     "g01_item_pagerank",
     "g02_item_triangles",
+    "g03_bfs_hops",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

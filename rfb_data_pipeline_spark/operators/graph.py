@@ -348,12 +348,122 @@ FROM deg d LEFT JOIN pern p ON d.item = p.item
 """
 
 
+# --------------------------------------------------------------------------
+# g03 — BFS hop distances from the strongest item (highest weighted
+# degree, ties by item asc): frontier relaxation, one equi-join + one
+# groupBy(min) per round over |V|-row state — the reachability member
+# of the family (g01 centrality / g02 cohesion / g03 traversal).
+# Rounds are FIXED at 4 so the oracle unrolls exactly (the s08
+# fixed-iteration discipline); items beyond 4 hops keep NULL. All
+# integer state — no float crosses the engines.
+
+_BFS_ROUNDS = 4
+
+
+def g03_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = co_engagement_edges(_events(spark, sf_dir)).transform(stage_boundary)
+    arcs = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    strength = arcs.groupBy(F.col("src").alias("item")).agg(
+        F.sum("w").alias("s")
+    )
+    nodes = engagement(_events(spark, sf_dir)).select("item").distinct()
+    root = (
+        nodes.join(strength, "item", "left")
+        .orderBy(F.coalesce(F.col("s"), F.lit(0)).desc(), F.col("item").asc())
+        .limit(1)
+        .select(F.col("item").alias("root_item"))
+    )
+    dist = (
+        nodes.crossJoin(F.broadcast(root))
+        .select(
+            "item",
+            "root_item",
+            F.when(F.col("item") == F.col("root_item"), F.lit(0))
+            .cast("int")
+            .alias("dist"),
+        )
+        .transform(stage_boundary)
+    )
+    for _ in range(_BFS_ROUNDS):
+        cand = (
+            dist.where(F.col("dist").isNotNull())
+            .join(arcs, dist["item"] == arcs["src"])
+            .groupBy(F.col("dst").alias("item"))
+            .agg((F.min("dist") + F.lit(1)).alias("m"))
+        )
+        dist = (
+            dist.join(cand, "item", "left")
+            .select(
+                "item",
+                "root_item",
+                F.when(
+                    F.col("dist").isNotNull()
+                    & (F.col("m").isNull() | (F.col("dist") <= F.col("m"))),
+                    F.col("dist"),
+                )
+                .otherwise(F.col("m"))
+                .cast("int")
+                .alias("dist"),
+            )
+            .transform(stage_boundary)
+        )
+    return dist.select("item", "root_item", F.col("dist").alias("hops"))
+
+
+def _g03_sql() -> str:
+    prev = "d0"
+    rounds = []
+    for i in range(1, _BFS_ROUNDS + 1):
+        rounds.append(
+            f"""d{i} AS (
+  SELECT p.item,
+         CASE WHEN p.dist IS NOT NULL AND (c.m IS NULL OR p.dist <= c.m)
+              THEN p.dist ELSE c.m END AS dist
+  FROM {prev} p LEFT JOIN (
+    SELECT d.dst AS item, MIN(q.dist) + 1 AS m
+    FROM {prev} q JOIN dir d ON q.item = d.src
+    WHERE q.dist IS NOT NULL
+    GROUP BY 1
+  ) c ON p.item = c.item
+)"""
+        )
+        prev = f"d{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_EDGES_CTE},
+dir AS (
+  SELECT src, dst, w FROM edges
+  UNION ALL
+  SELECT dst, src, w FROM edges
+),
+nodes AS (SELECT DISTINCT item FROM eng),
+st AS (SELECT src AS item, SUM(w) AS s FROM dir GROUP BY 1),
+root AS (
+  SELECT n.item FROM nodes n LEFT JOIN st ON n.item = st.item
+  ORDER BY COALESCE(st.s, 0) DESC, n.item ASC LIMIT 1
+),
+d0 AS (
+  SELECT item,
+         CASE WHEN item = (SELECT item FROM root) THEN 0 END AS dist
+  FROM nodes
+),
+{chain}
+SELECT item, (SELECT item FROM root) AS root_item,
+       CAST(dist AS INT) AS hops
+FROM {prev}
+"""
+
+
 QUERIES = {
     "g01_item_pagerank": g01_item_pagerank,
     "g02_item_triangles": g02_item_triangles,
+    "g03_bfs_hops": g03_bfs_hops,
 }
 
 ORACLE: dict[str, str] = {
     "g01_item_pagerank": _g01_sql(),
     "g02_item_triangles": _g02_sql(),
+    "g03_bfs_hops": _g03_sql(),
 }

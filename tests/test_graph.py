@@ -38,6 +38,7 @@ def _synthetic_rows():
         4: [20, 21],
         5: list(range(30)),  # high-degree hub user
         6: [10, 12],
+        7: [50, 51],  # disconnected component (g03's unreachable path)
     }
     for user, items in engagements.items():
         for rep, item in enumerate(items):
@@ -85,6 +86,19 @@ def _py_graph(engagements):
             tri[a] += 1
             tri[b] += 1
             tri[c] += 1
+    # BFS from the strongest item (ties by item asc), 4 rounds max
+    root = min(nodes, key=lambda v: (-strength[v], v))
+    hops = {v: None for v in nodes}
+    hops[root] = 0
+    frontier = {root}
+    for depth in range(1, 5):
+        frontier = {
+            nb for v in frontier for nb in adj[v] if hops[nb] is None
+        }
+        for nb in frontier:
+            hops[nb] = depth
+        if not frontier:
+            break
     n = len(nodes)
     rank = {v: 1.0 / n for v in nodes}
     for _ in range(5):
@@ -99,6 +113,8 @@ def _py_graph(engagements):
             "rank_units": math.floor(rank[v] * _SCALE),
             "deg": deg[v],
             "tri": tri[v],
+            "root": root,
+            "hops": hops[v],
         }
         for v in nodes
     }
@@ -155,6 +171,24 @@ def test_g02_matches_python_model(spark, graph_dir):
             q = (2 * m["tri"] * 10**6 * 2 + den) // (2 * den)  # HALF_UP
             assert r["clustering"] == q / 10**6, item
     assert sum(r["n_triangles"] for r in got.values()) > 0
+
+
+def test_g03_matches_python_model(spark, graph_dir):
+    from rfb_data_pipeline_spark.operators.graph import g03_bfs_hops
+
+    sf_dir, engagements = graph_dir
+    got = {r["item"]: r for r in g03_bfs_hops(spark, sf_dir).collect()}
+    model = _py_graph(engagements)
+    assert set(got) == set(model)
+    for item, m in model.items():
+        assert got[item]["root_item"] == m["root"], item
+        assert got[item]["hops"] == m["hops"], item
+    # the disconnected component must actually be unreachable
+    assert got[50]["hops"] is None and got[51]["hops"] is None
+    # and multi-hop structure must exist (depth >= 1 beyond the root)
+    assert any(
+        r["hops"] is not None and r["hops"] >= 1 for r in got.values()
+    )
 
 
 def test_cap_binds_on_stock_corpus(spark):

@@ -60,9 +60,9 @@ def test_every_query_has_unique_name_and_oracle_subset():
     # + d17/d18/d19/d20 (span-dedup action, cleaned-corpus
     # materialization, span decontamination action, incremental
     # span dedup — r05 late, first driver rows r06)
-    # + g01/g02 (graph analytics: co-engagement PageRank + triangles
-    # — r05 late, first driver rows r06)
-    assert len(q) == 132
+    # + g01/g02/g03 (graph analytics: co-engagement PageRank,
+    # triangles, BFS hops — r05 late, first driver rows r06)
+    assert len(q) == 133
     assert set(o) <= set(q)
     # rows-only tier is exactly the sketches + media decode
     rows_only = set(q) - set(o)

@@ -71,11 +71,43 @@ def build_embeddings_fixture(spark, mult: int) -> None:
     df.repartition(32).write.mode("overwrite").parquet(dest)
 
 
+def build_events_fixture(spark, mult: int) -> None:
+    """Replica k shifts user_id/event_id by k*max: the USER population
+    multiplies while the item catalog (props.k) stays fixed — the
+    realistic growth axis for the co-engagement graph ops (g01/g02),
+    whose per-user capped pair join must scale with users, not
+    items."""
+    from pyspark.sql import functions as F
+
+    dest = os.path.join(_fixture_dir(mult), "events.parquet")
+    if os.path.exists(dest):
+        return
+    base = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    nu = base.agg(F.max("user_id")).collect()[0][0] + 1
+    ne = base.agg(F.max("event_id")).collect()[0][0] + 1
+    reps = [
+        base.select(
+            (F.col("event_id") + F.lit(k * ne)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(k * nu)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(mult)
+    ]
+    df = reps[0]
+    for r in reps[1:]:
+        df = df.unionByName(r)
+    df.repartition(32).write.mode("overwrite").parquet(dest)
+
+
 def build_fixture(spark, mult: int) -> str:
     from pyspark.sql import functions as F
 
     out = _fixture_dir(mult)
     build_embeddings_fixture(spark, mult)
+    build_events_fixture(spark, mult)
     dest = os.path.join(out, "documents.parquet")
     if os.path.exists(dest):
         return out
@@ -132,6 +164,7 @@ def _ops() -> dict:
     from rfb_data_pipeline_spark.operators.graph import (
         g01_item_pagerank,
         g02_item_triangles,
+        g03_bfs_hops,
     )
     from rfb_data_pipeline_spark.operators.sampling import (
         x09_pack_sequences,
@@ -161,6 +194,7 @@ def _ops() -> dict:
         "d20": d20_incremental_span_dedup,
         "g01": g01_item_pagerank,
         "g02": g02_item_triangles,
+        "g03": g03_bfs_hops,
         "x09": x09_pack_sequences,
         "x15": x15_split_drift,
         "x17": x17_cluster_curation,
@@ -244,7 +278,7 @@ def main() -> None:
                 .getOrCreate()
             )
             # warm
-            for t in ("documents.parquet", "embeddings.parquet"):
+            for t in ("documents.parquet", "embeddings.parquet", "events.parquet"):
                 p = os.path.join(_fixture_dir(m), t)
                 if os.path.exists(p):
                     spark.read.parquet(p).count()
