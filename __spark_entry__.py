@@ -84,8 +84,9 @@ def _registry() -> tuple[dict, dict]:
     # q15 q16 q18 q29 q34 q35, e12, t01 t02 t07 t09 t16, x01 — their
     # r03/r04 rows predate the current code, so they are first-class
     # r06 promotions alongside the never-promoted spill. r06 window:
-    #   1-4:   d17 d18 d19 d20 (r05-late span-ACTION tier — the only
-    #          entries with NO driver row of any kind);
+    #   1-7:   d17 d18 d19 d20 + g01 g02 g03 (r05-late span-ACTION
+    #          tier and graph family — the only entries with NO
+    #          driver row of any kind);
     #   5-30:  t01-t11, x01-x10, s09, s10, m01-m03 (oldest rows /
     #          rows-only; t01/t02/t07/t09/t16/x01 are ALSO touched);
     #   30-42: the touched q-series (q01 q03-q06 q14-q16 q18 q29 q34
@@ -122,7 +123,7 @@ def _registry() -> tuple[dict, dict]:
         [f"t{i:02d}" for i in range(1, 12)]
         + [f"x{i:02d}" for i in range(1, 11)]
         + ["s09_vector_stats", "s10_semantic_dedup",
-           # NEW r05 late — r06 promotes all six
+           # NEW r05 late — r06 promotes all seven
            "d17_span_dedup_action", "d18_cleaned_corpus",
            "d19_decontaminate_action", "d20_incremental_span_dedup",
            "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops"]

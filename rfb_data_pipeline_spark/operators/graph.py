@@ -61,18 +61,26 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
 
-def engagement(ev: DataFrame) -> DataFrame:
-    """Distinct (user_id, item) pairs, capped at the top
-    ``_USER_ITEM_CAP`` items per user by engagement count (ties by
-    item asc). The cap is what makes the downstream within-user pair
-    join safe against hyper-engaged users at corpus scale."""
+def per_user_item_counts(ev: DataFrame) -> DataFrame:
+    """(user_id, item, n_ev) engagement counts — the e07 JSON guard
+    on ``props.k``. The streaming twin runs this on each micro-batch
+    frame (its log stores exactly these rows, batch-keyed)."""
     item = F.from_json("props", "struct<k:int>").getField("k")
-    per_ui = (
+    return (
         ev.select("user_id", item.alias("item"))
         .where(F.col("item").isNotNull())
         .groupBy("user_id", "item")
         .agg(F.count(F.lit(1)).alias("n_ev"))
     )
+
+
+def capped_engagement(per_ui: DataFrame) -> DataFrame:
+    """Top-``_USER_ITEM_CAP`` items per user by engagement count
+    (ties by item asc) from a (user_id, item, n_ev) frame. The cap is
+    what makes the downstream within-user pair join safe against
+    hyper-engaged users at corpus scale — and it is deliberately
+    NON-monotone (an item can fall out of a user's top-K as counts
+    grow), which the streaming twin's delta maintenance handles."""
     w = Window.partitionBy("user_id").orderBy(
         F.col("n_ev").desc(), F.col("item").asc()
     )
@@ -83,21 +91,36 @@ def engagement(ev: DataFrame) -> DataFrame:
     )
 
 
-def co_engagement_edges(ev: DataFrame) -> DataFrame:
-    """Undirected weighted edges (src < dst, w = co-engaged users).
+def engagement(ev: DataFrame) -> DataFrame:
+    """Distinct capped (user_id, item) pairs straight from events."""
+    return capped_engagement(per_user_item_counts(ev))
+
+
+def user_item_pairs(eng: DataFrame) -> DataFrame:
+    """Per-user co-engaged item pairs (user_id, src, dst), src < dst.
 
     One equi-join on user_id (never a cartesian); the per-user cap
-    bounds each user's contribution to C(cap, 2) pairs, and map-side
-    partial aggregation collapses the pair stream before the shuffle
-    (distinct item pairs <= C(|items|, 2), independent of user count).
-    """
-    eng = engagement(ev)
+    bounds each user's contribution to C(cap, 2) pairs."""
     a, b = eng.alias("a"), eng.alias("b")
     return (
         a.join(b, "user_id")
         .where(F.col("a.item") < F.col("b.item"))
-        .groupBy(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            "user_id",
+            F.col("a.item").alias("src"),
+            F.col("b.item").alias("dst"),
+        )
+    )
+
+
+def co_engagement_edges(ev: DataFrame) -> DataFrame:
+    """Undirected weighted edges (src < dst, w = co-engaged users).
+
+    Map-side partial aggregation collapses the per-user pair stream
+    before the shuffle (distinct item pairs <= C(|items|, 2),
+    independent of user count)."""
+    return user_item_pairs(engagement(ev)).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("w")
     )
 
 

@@ -1,0 +1,84 @@
+"""Streaming incremental co-engagement graph maintenance: the
+maintained edge table must EQUAL the batch recompute over the full
+replayed history, survive batch replay unchanged, and emit negative
+deltas when the non-monotone per-user cap evicts an item."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+from pyspark.sql import functions as F
+
+from rfb_data_pipeline_spark.operators.graph import co_engagement_edges
+from rfb_data_pipeline_spark.streaming import graph_stream as gs
+from tests.conftest import SF_SMALL
+
+
+def _drop(df, in_dir, name):
+    in_dir.mkdir(exist_ok=True)
+    stage = in_dir.parent / f"stage_{name}"
+    df.coalesce(1).write.parquet(str(stage))
+    (src,) = glob.glob(str(stage / "*.parquet"))
+    shutil.copy(src, in_dir / f"{name}.parquet")
+
+
+def _edge_set(df):
+    return {(r["src"], r["dst"]): r["w"] for r in df.collect()}
+
+
+def test_stream_edges_match_batch(spark, tmp_path):
+    ev = spark.read.parquet(SF_SMALL + "/events.parquet")
+    lo, hi = ev.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    in_dir = tmp_path / "in"
+    _drop(ev.where(F.col("event_id") <= lo), in_dir, "b0")
+    _drop(
+        ev.where((F.col("event_id") > lo) & (F.col("event_id") <= hi)),
+        in_dir,
+        "b1",
+    )
+    _drop(ev.where(F.col("event_id") > hi), in_dir, "b2")
+    log_dir = str(tmp_path / "log")
+    delta_dir = str(tmp_path / "delta")
+    gs.run_incremental_graph(
+        spark, str(in_dir), log_dir, delta_dir, str(tmp_path / "ckpt")
+    )
+    got = _edge_set(gs.current_edges(spark, delta_dir))
+    want = _edge_set(co_engagement_edges(ev))
+    assert got == want
+    n_batches = (
+        spark.read.parquet(delta_dir).select("_batch_id").distinct().count()
+    )
+    assert n_batches == 3
+    # replay idempotence: re-apply the LAST batch verbatim
+    last = ev.where(F.col("event_id") > hi)
+    gs.apply_batch(spark, log_dir, delta_dir, last, 2)
+    assert _edge_set(gs.current_edges(spark, delta_dir)) == want
+
+
+def test_cap_eviction_emits_negative_deltas(spark, tmp_path, monkeypatch):
+    """Batch 2 makes item 3 the user's hottest: with cap=2 it EVICTS
+    item 2 from the top-K, so maintenance must retract edge (1,2) and
+    create (1,3) — and still land exactly on the batch recompute."""
+    import rfb_data_pipeline_spark.operators.graph as g
+
+    monkeypatch.setattr(g, "_USER_ITEM_CAP", 2)
+    mk = lambda pairs: spark.createDataFrame(  # noqa: E731
+        [(u, '{"k": %d}' % k) for u, k in pairs],
+        "user_id bigint, props string",
+    )
+    b0 = mk([(1, 1)] * 3 + [(1, 2)] * 2)  # counts {1:3, 2:2} → top2 {1,2}
+    b1 = mk([(1, 3)] * 5)  # counts {1:3, 2:2, 3:5} → top2 {3, 1}
+    log_dir, delta_dir = str(tmp_path / "log"), str(tmp_path / "delta")
+    gs.apply_batch(spark, log_dir, delta_dir, b0, 0)
+    gs.apply_batch(spark, log_dir, delta_dir, b1, 1)
+    d1 = {
+        (r["src"], r["dst"]): r["d"]
+        for r in spark.read.parquet(delta_dir)
+        .where(F.col("_batch_id") == 1)
+        .collect()
+    }
+    assert d1 == {(1, 2): -1, (1, 3): 1}
+    got = _edge_set(gs.current_edges(spark, delta_dir))
+    want = _edge_set(co_engagement_edges(b0.unionByName(b1)))
+    assert got == want == {(1, 3): 1}
