@@ -83,6 +83,7 @@ HEADLINE = [
     "g01_item_pagerank",
     "g02_item_triangles",
     "g03_bfs_hops",
+    "e20_ewma_baseline",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

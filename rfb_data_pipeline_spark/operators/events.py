@@ -1138,6 +1138,143 @@ GROUP BY d.source
     )
 
 
+# --------------------------------------------------------------------------
+# e20 — EWMA hourly-load baseline + load ratio (the anomaly-detection
+# smoothing e11's trailing z-score does not cover): per event_type,
+# the exponentially-weighted moving average of hourly event counts,
+# alpha = 0.3 over a 24-hour truncated tail. Engine-exact by the g01
+# discipline: the 24 weights alpha*(1-alpha)^k are computed ONCE in
+# Python by repeated multiplication and embedded as the SAME double
+# literals in both engines (pow() is not correctly-rounded and may
+# differ across libm implementations — never call it in either
+# engine), each term is quantized to integer 1e-9 units before the
+# order-independent integer sum, and the published baseline is the
+# BIGINT unit value. load_ratio = n_events / ewma goes through
+# ratio_round (NULL where the baseline is zero, mirrored).
+#
+# Shape: hourly counts (one shuffle) are EXPLODED k=0..23 into the
+# target hours they influence (a 24x map-side fan-out, no window, no
+# self-join), then one groupBy(target) sum — linear in hours, never
+# a per-row 24-hour lookback join. The spine is e15's per-type
+# sequence (empty input → empty spine, fuzz-safe).
+
+_EWMA_ALPHA = 0.3
+_EWMA_TAIL = 24
+_EWMA_SCALE = 1e9
+
+
+def _ewma_weights() -> list:
+    decay, out = 1.0, []
+    for _ in range(_EWMA_TAIL):
+        out.append(_EWMA_ALPHA * decay)
+        decay *= 1.0 - _EWMA_ALPHA
+    return out
+
+
+def e20_ewma_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    weights = F.array(*[F.lit(w) for w in _ewma_weights()])
+    contrib = (
+        hourly.select(
+            "event_type",
+            "hour",
+            "c",
+            F.explode(F.sequence(F.lit(0), F.lit(_EWMA_TAIL - 1))).alias("k"),
+        )
+        .select(
+            "event_type",
+            F.expr("timestampadd(HOUR, k, hour)").alias("hour"),
+            F.floor(
+                F.col("c")
+                * F.element_at(weights, F.col("k") + 1)
+                * F.lit(_EWMA_SCALE)
+            ).alias("u"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.sum("u").alias("ewma_units"))
+    )
+    spine = (
+        ev.groupBy("event_type")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .join(contrib, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce("ewma_units", F.lit(0)).cast("bigint").alias(
+                "ewma_units"
+            ),
+            ratio_round(
+                F.coalesce("c", F.lit(0)) * F.lit(10**9),
+                F.coalesce("ewma_units", F.lit(0)),
+                4,
+                nonneg=True,
+            ).alias("load_ratio"),
+        )
+    )
+
+
+def _e20_sql() -> str:
+    # CAST AS DOUBLE per row: a bare 0.3 literal is DECIMAL-typed in
+    # DuckDB, and decimal-exact c*w arithmetic would diverge from
+    # Spark's double path; repr() round-trips each double exactly
+    # through the decimal parse + cast.
+    rows = ",".join(
+        f"({k}, CAST({w!r} AS DOUBLE))" for k, w in enumerate(_ewma_weights())
+    )
+    ratio = sql_ratio_round(
+        "coalesce(h.c, 0) * 1000000000", "coalesce(ct.ewma_units, 0)", 4,
+        nonneg=True,
+    )
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+wt(k, w) AS (VALUES {rows}),
+contrib AS (
+  SELECT h.event_type,
+         h.hour + wt.k * INTERVAL 1 HOUR AS hour,
+         SUM(CAST(floor(h.c * wt.w * 1e9) AS BIGINT)) AS ewma_units
+  FROM hourly h CROSS JOIN wt
+  GROUP BY 1, 2
+),
+rng AS (
+  SELECT event_type,
+         date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM rng
+)
+SELECT s.event_type, s.hour,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(ct.ewma_units, 0) AS BIGINT) AS ewma_units,
+       {ratio} AS load_ratio
+FROM spine s
+LEFT JOIN hourly h USING (event_type, hour)
+LEFT JOIN contrib ct USING (event_type, hour)
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_window": e02_sliding_window,
@@ -1165,6 +1302,7 @@ QUERIES = {
     "e17_multistep_funnel": e17_multistep_funnel,
     "e18_drift_replay": e18_drift_replay,
     "e19_quality_replay": e19_quality_replay,
+    "e20_ewma_baseline": e20_ewma_baseline,
 }
 
 ORACLE = {
@@ -1187,4 +1325,5 @@ ORACLE = {
     "e17_multistep_funnel": _E17_SQL,
     "e18_drift_replay": _e18_sql(),
     "e19_quality_replay": _e19_sql(),
+    "e20_ewma_baseline": _e20_sql(),
 }

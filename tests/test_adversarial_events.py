@@ -23,7 +23,9 @@ _ORACLES = entry_mod.oracle_sql()
 
 # e01-e15 + e17 (e16 is the corpus-funnel replay over documents — it
 # has no events surface to probe here)
-_E_PROBED = [f"e{i:02d}" for i in range(1, 16)] + ["e17"]
+_E_PROBED = [f"e{i:02d}" for i in range(1, 16)] + [
+    "e17", "e20", "g01", "g02", "g03",
+]
 
 
 def _t(h, m=0, s=0, us=0):

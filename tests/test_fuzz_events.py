@@ -23,7 +23,9 @@ import pytest
 from tests.test_degenerate_corpus import _ORACLES, _QUERIES
 from tools.check_oracle import _normalize, value_hash
 
-_E_PROBED = [f"e{i:02d}" for i in range(1, 16)] + ["e17", "g01", "g02", "g03"]
+_E_PROBED = [f"e{i:02d}" for i in range(1, 16)] + [
+    "e17", "e20", "g01", "g02", "g03",
+]
 
 _BASE = dt.datetime(2024, 3, 10, 0, 0, 0)
 _TYPES = ["view", "view", "view", "click", "click", "signup", "purchase", "error"]

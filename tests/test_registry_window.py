@@ -62,7 +62,8 @@ def test_every_query_has_unique_name_and_oracle_subset():
     # span dedup — r05 late, first driver rows r06)
     # + g01/g02/g03 (graph analytics: co-engagement PageRank,
     # triangles, BFS hops — r05 late, first driver rows r06)
-    assert len(q) == 133
+    # + e20 (EWMA hourly-load baseline — r05 late)
+    assert len(q) == 134
     assert set(o) <= set(q)
     # rows-only tier is exactly the sketches + media decode
     rows_only = set(q) - set(o)
