@@ -162,26 +162,44 @@ edges AS (
 # hash compare.
 
 
-def g01_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = co_engagement_edges(_events(spark, sf_dir)).transform(stage_boundary)
+def _graph_base(spark: SparkSession, sf_dir: str):
+    """(arcs, nodes) shared by g01/g03: ONE materialized engagement
+    frame feeds both the edge build and the node universe (isolated
+    items keep their rank/teleport mass); n arrives as a broadcast
+    1-row frame, never a driver-side collect (the q34 idiom)."""
+    eng = engagement(_events(spark, sf_dir)).transform(stage_boundary)
+    edges = (
+        user_item_pairs(eng)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
     arcs = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     strength = arcs.groupBy(F.col("src").alias("item")).agg(
         F.sum("w").alias("s")
     )
-    # Node universe = every engaged item (isolated items keep the
-    # teleport mass); n arrives as a broadcast 1-row frame, never a
-    # driver-side collect (the q34 idiom).
-    eng_items = (
-        engagement(_events(spark, sf_dir)).select("item").distinct()
-    )
+    eng_items = eng.select("item").distinct()
     nodes = (
         eng_items.join(strength, "item", "left")
         .select("item", F.coalesce(F.col("s"), F.lit(0)).alias("s"))
         .crossJoin(F.broadcast(eng_items.agg(F.count(F.lit(1)).alias("n"))))
         .transform(stage_boundary)
     )
+    return arcs, nodes
+
+
+def g01_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arcs, nodes = _graph_base(spark, sf_dir)
+    # The FIXED-depth iteration chains declaratively — each round's
+    # groupBy is a shuffle stage whose output is already persisted by
+    # the engine, which on a real cluster is a stronger recovery story
+    # than executor-local checkpoints (shuffle files survive an
+    # executor loss; localCheckpoint does not). stage_boundary is
+    # reserved for UNBOUNDED iterative growth (d07/cc_star); a
+    # depth-5 plan is not that. Wall time at test SFs is unchanged
+    # either way (~3 s, dominated by scheduling ~15 stages over a
+    # 100-node state — overhead that vanishes against real data).
     ranks = nodes.withColumn("rank", F.lit(1.0) / F.col("n"))
     for _ in range(_PR_ITERS):
         units = (
@@ -195,19 +213,15 @@ def g01_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("item")
             .agg(F.sum("u").alias("u"))
         )
-        ranks = (
-            nodes.join(units, "item", "left")
-            .select(
-                "item",
-                "s",
-                "n",
-                (
-                    F.lit(0.15) / F.col("n")
-                    + F.lit(0.85)
-                    * (F.coalesce(F.col("u"), F.lit(0)) / F.lit(_PR_SCALE))
-                ).alias("rank"),
-            )
-            .transform(stage_boundary)
+        ranks = nodes.join(units, "item", "left").select(
+            "item",
+            "s",
+            "n",
+            (
+                F.lit(0.15) / F.col("n")
+                + F.lit(0.85)
+                * (F.coalesce(F.col("u"), F.lit(0)) / F.lit(_PR_SCALE))
+            ).alias("rank"),
         )
     return ranks.select(
         "item",
@@ -384,31 +398,20 @@ _BFS_ROUNDS = 4
 
 
 def g03_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = co_engagement_edges(_events(spark, sf_dir)).transform(stage_boundary)
-    arcs = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
-    strength = arcs.groupBy(F.col("src").alias("item")).agg(
-        F.sum("w").alias("s")
-    )
-    nodes = engagement(_events(spark, sf_dir)).select("item").distinct()
+    arcs, nodes = _graph_base(spark, sf_dir)
     root = (
-        nodes.join(strength, "item", "left")
-        .orderBy(F.coalesce(F.col("s"), F.lit(0)).desc(), F.col("item").asc())
+        nodes.orderBy(F.col("s").desc(), F.col("item").asc())
         .limit(1)
         .select(F.col("item").alias("root_item"))
     )
-    dist = (
-        nodes.crossJoin(F.broadcast(root))
-        .select(
-            "item",
-            "root_item",
-            F.when(F.col("item") == F.col("root_item"), F.lit(0))
-            .cast("int")
-            .alias("dist"),
-        )
-        .transform(stage_boundary)
+    dist = nodes.crossJoin(F.broadcast(root)).select(
+        "item",
+        "root_item",
+        F.when(F.col("item") == F.col("root_item"), F.lit(0))
+        .cast("int")
+        .alias("dist"),
     )
+    # Fixed-depth declarative chain — the g01 boundary rationale.
     for _ in range(_BFS_ROUNDS):
         cand = (
             dist.where(F.col("dist").isNotNull())
@@ -416,21 +419,17 @@ def g03_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("item"))
             .agg((F.min("dist") + F.lit(1)).alias("m"))
         )
-        dist = (
-            dist.join(cand, "item", "left")
-            .select(
-                "item",
-                "root_item",
-                F.when(
-                    F.col("dist").isNotNull()
-                    & (F.col("m").isNull() | (F.col("dist") <= F.col("m"))),
-                    F.col("dist"),
-                )
-                .otherwise(F.col("m"))
-                .cast("int")
-                .alias("dist"),
+        dist = dist.join(cand, "item", "left").select(
+            "item",
+            "root_item",
+            F.when(
+                F.col("dist").isNotNull()
+                & (F.col("m").isNull() | (F.col("dist") <= F.col("m"))),
+                F.col("dist"),
             )
-            .transform(stage_boundary)
+            .otherwise(F.col("m"))
+            .cast("int")
+            .alias("dist"),
         )
     return dist.select("item", "root_item", F.col("dist").alias("hops"))
 

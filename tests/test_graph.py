@@ -227,3 +227,65 @@ def test_g01_ranks_are_differentiated(spark):
         for r in g01_item_pagerank(spark, SF_SMALL).collect()
     ]
     assert len(set(units)) > 1, "degenerate uniform ranks"
+
+
+# ---------------------------------------------------------------------------
+# Property test: arbitrary small engagement maps, not just the hand
+# fixture — the degree-ordered orientation and the quantized power
+# iteration must match the Python model on EVERY graph shape
+# hypothesis finds (stars, cliques, chains, isolated edges).
+
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ENG = st.dictionaries(
+    st.integers(min_value=1, max_value=6),
+    st.sets(st.integers(min_value=0, max_value=9), min_size=1, max_size=6),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_ENG)
+def test_graph_family_matches_model_on_random_graphs(spark, eng):
+    from rfb_data_pipeline_spark.operators.graph import (
+        g01_item_pagerank,
+        g02_item_triangles,
+    )
+
+    engagements = {u: sorted(items) for u, items in eng.items()}
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (1000 * u + i, base, u, "view", 1.0, '{"k": %d}' % item)
+        for u, items in engagements.items()
+        for i, item in enumerate(items)
+    ]
+    tmp = tempfile.mkdtemp(prefix="graphprop_")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp + "/events.parquet")
+    model = _py_graph(engagements)
+    got1 = {r["item"]: r for r in g01_item_pagerank(spark, tmp).collect()}
+    assert {v: m["rank_units"] for v, m in model.items()} == {
+        i: r["rank_units"] for i, r in got1.items()
+    }
+    assert {v: m["strength"] for v, m in model.items()} == {
+        i: r["strength"] for i, r in got1.items()
+    }
+    got2 = {r["item"]: r for r in g02_item_triangles(spark, tmp).collect()}
+    expected2 = {v: m for v, m in model.items() if m["deg"] > 0}
+    assert {v: m["tri"] for v, m in expected2.items()} == {
+        i: r["n_triangles"] for i, r in got2.items()
+    }
+    assert {v: m["deg"] for v, m in expected2.items()} == {
+        i: r["deg"] for i, r in got2.items()
+    }
