@@ -84,6 +84,7 @@ HEADLINE = [
     "g02_item_triangles",
     "g03_bfs_hops",
     "e20_ewma_baseline",
+    "t18_posting_lists",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

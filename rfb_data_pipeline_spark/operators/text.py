@@ -1372,6 +1372,76 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# t18 — positional posting lists for the corpus's top-20 terms: the
+# inverted-index construction shape retrieval infrastructure builds
+# from a curated corpus (term → sorted doc postings with in-document
+# token positions). One posexplode (no window), the t05 deterministic
+# top-k (count desc, term asc) broadcast into the postings scan, one
+# (term, doc) aggregate with a sorted position list. Positions index
+# the RAW whitespace token array (0-based) — both engines filter
+# empty tokens AFTER position assignment, so offsets stay aligned
+# with the original text on either side.
+#
+# Scale: postings shuffle once on (term, doc_id); per-key lists are
+# bounded by document length, the top-k frame is 20 rows (broadcast).
+# At 100 TB the same plan writes the index partitioned by term range.
+
+
+def t18_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "term")
+    ).filter(F.length("term") > 0)
+    top = (
+        pos.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+        .select("term")
+    )
+    return (
+        pos.join(F.broadcast(top), "term")
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            # ','-joined sorted string, not a raw array — the driver's
+            # pandas canonicalizer cannot hash list cells (the q25
+            # lesson); sort NUMERICALLY first, then stringify.
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.col("pos").cast("int"))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("positions"),
+        )
+    )
+
+
+_T18_SQL = """
+WITH pos AS (
+  SELECT doc_id,
+         unnest(toks) AS term,
+         CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents)
+),
+filtered AS (SELECT * FROM pos WHERE length(term) > 0),
+top AS (
+  SELECT term FROM filtered
+  GROUP BY term
+  ORDER BY count(*) DESC, term ASC
+  LIMIT 20
+)
+SELECT f.term, f.doc_id,
+       count(*) AS tf,
+       list_aggregate(list_sort(list(f.pos)), 'string_agg', ',') AS positions
+FROM filtered f JOIN top USING (term)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -1390,6 +1460,7 @@ QUERIES = {
     "t15_quality_classifier": t15_quality_classifier,
     "t16_html_extract": t16_html_extract,
     "t17_url_filter": t17_url_filter,
+    "t18_posting_lists": t18_posting_lists,
 }
 
 ORACLE = {
@@ -1410,4 +1481,5 @@ ORACLE = {
     "t15_quality_classifier": _T15_SQL,
     "t16_html_extract": _T16_SQL,
     "t17_url_filter": _t17_sql(),
+    "t18_posting_lists": _T18_SQL,
 }

@@ -58,6 +58,7 @@ _PROBED = [
     "t15_quality_classifier",  # NULL-text seed asymmetry pre-fix
     "t16_html_extract",
     "t17_url_filter",
+    "t18_posting_lists",
     "x01_split_assign",
     "x02_cap_per_group",
     "x03_stratified_sample",

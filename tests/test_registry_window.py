@@ -63,7 +63,8 @@ def test_every_query_has_unique_name_and_oracle_subset():
     # + g01/g02/g03 (graph analytics: co-engagement PageRank,
     # triangles, BFS hops — r05 late, first driver rows r06)
     # + e20 (EWMA hourly-load baseline — r05 late)
-    assert len(q) == 134
+    # + t18 (positional posting lists — r05 late)
+    assert len(q) == 135
     assert set(o) <= set(q)
     # rows-only tier is exactly the sketches + media decode
     rows_only = set(q) - set(o)
