@@ -85,6 +85,7 @@ HEADLINE = [
     "g03_bfs_hops",
     "e20_ewma_baseline",
     "t18_posting_lists",
+    "e21_transition_matrix",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

@@ -1275,6 +1275,71 @@ LEFT JOIN contrib ct USING (event_type, hour)
 """
 
 
+# --------------------------------------------------------------------------
+# e21 — behavioral Markov transition matrix: per-user event streams
+# ordered by (ts, event_id) — the tie-break matters: the fuzz corpus
+# mass-places exact-timestamp ties and verbatim re-deliveries, and a
+# bare ORDER BY ts would leave the lag value engine-dependent.
+# (Verbatim duplicates still tie on the full key, but their payloads
+# are identical, so the lag result is order-invariant.) Transition
+# probability = count / outgoing-total via the engine-exact ratio
+# rounding. One user-keyed window shuffle + one (prev, curr) hash
+# aggregate + one |event_types|-partition total window — the
+# post-agg frame is vocabulary-sized, not corpus-sized.
+
+
+def e21_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"), "event_type"
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        ratio_round(
+            F.col("n_transitions"),
+            F.sum("n_transitions").over(tot),
+            4,
+            nonneg=True,
+        ).alias("p_transition"),
+    )
+
+
+_E21_SQL = (
+    """
+WITH ordered AS (
+  SELECT event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type, count(*) AS n_transitions
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+with_tot AS (
+  SELECT *, sum(n_transitions) OVER (PARTITION BY prev_type) AS tot
+  FROM trans
+)
+SELECT prev_type, event_type, n_transitions,
+       """
+    + sql_ratio_round("n_transitions", "tot", 4, nonneg=True)
+    + """ AS p_transition
+FROM with_tot
+"""
+)
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_window": e02_sliding_window,
@@ -1303,6 +1368,7 @@ QUERIES = {
     "e18_drift_replay": e18_drift_replay,
     "e19_quality_replay": e19_quality_replay,
     "e20_ewma_baseline": e20_ewma_baseline,
+    "e21_transition_matrix": e21_transition_matrix,
 }
 
 ORACLE = {
@@ -1326,4 +1392,5 @@ ORACLE = {
     "e18_drift_replay": _e18_sql(),
     "e19_quality_replay": _e19_sql(),
     "e20_ewma_baseline": _e20_sql(),
+    "e21_transition_matrix": _E21_SQL,
 }

@@ -64,7 +64,8 @@ def test_every_query_has_unique_name_and_oracle_subset():
     # triangles, BFS hops — r05 late, first driver rows r06)
     # + e20 (EWMA hourly-load baseline — r05 late)
     # + t18 (positional posting lists — r05 late)
-    assert len(q) == 135
+    # + e21 (Markov transition matrix — r05 late)
+    assert len(q) == 136
     assert set(o) <= set(q)
     # rows-only tier is exactly the sketches + media decode
     rows_only = set(q) - set(o)
