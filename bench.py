@@ -86,6 +86,7 @@ HEADLINE = [
     "e20_ewma_baseline",
     "t18_posting_lists",
     "e21_transition_matrix",
+    "g04_item_similarity",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

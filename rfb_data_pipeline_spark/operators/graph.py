@@ -478,14 +478,76 @@ FROM {prev}
 """
 
 
+# --------------------------------------------------------------------------
+# g04 — item-item cosine similarity over co-engagement (the
+# item-based collaborative-filtering score): sim(i, j) =
+# w_ij / sqrt(s_i * s_j), published as floor(sim * 1e6) integer
+# units. floor, not round: sqrt/divide are correctly-rounded IEEE
+# ops, so both engines compute the identical double, and floor of an
+# identical double cannot diverge — while round() at a terminating
+# boundary can (1/32 = 0.03125 rounds .0313 vs .0312 across engines,
+# the exactround class; no sqrt-free rewrite exists here, so the
+# output stays in floor units). Top-20 pairs by (units desc, src,
+# dst) — deterministic total order, TakeOrdered.
+
+
+def g04_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arcs, nodes = _graph_base(spark, sf_dir)
+    edges = arcs.where(F.col("src") < F.col("dst"))
+    sim = (
+        edges.join(
+            nodes.select(F.col("item").alias("src"), F.col("s").alias("si")),
+            "src",
+        )
+        .join(
+            nodes.select(F.col("item").alias("dst"), F.col("s").alias("sj")),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            "w",
+            F.floor(
+                F.col("w")
+                * F.lit(1e6)
+                / F.sqrt(F.col("si") * F.col("sj"))
+            ).alias("sim_units"),
+        )
+    )
+    return sim.orderBy(
+        F.desc("sim_units"), F.asc("src"), F.asc("dst")
+    ).limit(20)
+
+
+def _g04_sql() -> str:
+    return f"""
+WITH {_EDGES_CTE},
+dir AS (
+  SELECT src, dst, w FROM edges
+  UNION ALL
+  SELECT dst, src, w FROM edges
+),
+st AS (SELECT src AS item, SUM(w) AS s FROM dir GROUP BY 1)
+SELECT e.src, e.dst, e.w,
+       CAST(floor(e.w * 1e6 / sqrt(si.s * sj.s)) AS BIGINT) AS sim_units
+FROM edges e
+JOIN st si ON e.src = si.item
+JOIN st sj ON e.dst = sj.item
+ORDER BY sim_units DESC, e.src ASC, e.dst ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "g01_item_pagerank": g01_item_pagerank,
     "g02_item_triangles": g02_item_triangles,
     "g03_bfs_hops": g03_bfs_hops,
+    "g04_item_similarity": g04_item_similarity,
 }
 
 ORACLE: dict[str, str] = {
     "g01_item_pagerank": _g01_sql(),
     "g02_item_triangles": _g02_sql(),
     "g03_bfs_hops": _g03_sql(),
+    "g04_item_similarity": _g04_sql(),
 }

@@ -173,6 +173,42 @@ def test_g02_matches_python_model(spark, graph_dir):
     assert sum(r["n_triangles"] for r in got.values()) > 0
 
 
+def test_g04_matches_python_model(spark, graph_dir):
+    from collections import Counter
+
+    from rfb_data_pipeline_spark.operators.graph import g04_item_similarity
+
+    sf_dir, engagements = graph_dir
+    eng = {u: sorted(items)[:_CAP] for u, items in engagements.items()}
+    w: Counter = Counter()
+    for items in eng.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            w[(a, b)] += 1
+    strength = Counter()
+    for (a, b), wt in w.items():
+        strength[a] += wt
+        strength[b] += wt
+    sims = sorted(
+        (
+            (
+                -math.floor(
+                    wt * 1e6 / math.sqrt(strength[a] * strength[b])
+                ),
+                a,
+                b,
+                wt,
+            )
+            for (a, b), wt in w.items()
+        )
+    )[:20]
+    want = [(a, b, wt, -neg) for neg, a, b, wt in sims]
+    got = [
+        (r["src"], r["dst"], r["w"], r["sim_units"])
+        for r in g04_item_similarity(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
 def test_g03_matches_python_model(spark, graph_dir):
     from rfb_data_pipeline_spark.operators.graph import g03_bfs_hops
 
