@@ -87,6 +87,7 @@ HEADLINE = [
     "t18_posting_lists",
     "e21_transition_matrix",
     "g04_item_similarity",
+    "g05_graph_summary",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

@@ -279,14 +279,18 @@ FROM {prev}
 # the engine-exact ratio_round (NULL for deg <= 1 on both sides).
 
 
-def g02_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = co_engagement_edges(_events(spark, sf_dir)).transform(stage_boundary)
-    deg = (
+def _degrees(edges: DataFrame) -> DataFrame:
+    return (
         edges.select(F.col("src").alias("item"))
         .union(edges.select(F.col("dst").alias("item")))
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def oriented_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """(a, b, c) triangle rows via degree-ordered orientation — shared
+    by g02 (per-item counts) and g05 (global total)."""
     e = (
         edges.join(
             deg.select(F.col("item").alias("src"), F.col("deg").alias("ds")),
@@ -319,6 +323,13 @@ def g02_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.u").alias("a"), F.col("x.v").alias("b"), F.col("y.w2").alias("c")
         )
     )
+    return tri
+
+
+def g02_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = co_engagement_edges(_events(spark, sf_dir)).transform(stage_boundary)
+    deg = _degrees(edges)
+    tri = oriented_triangles(edges, deg)
     per_node = (
         tri.select(F.col("a").alias("item"))
         .union(tri.select("b"))
@@ -538,11 +549,136 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# g05 — one-row graph health card: node/edge/weight totals, max
+# degree, isolated count, CONNECTED COMPONENTS (the d15 cc_star
+# machinery re-used on a second graph — isolated items count as their
+# own components), global triangle total, and density through the
+# engine-exact ratio rounding. The DuckDB twin derives components
+# with d07's recursive reachability CTE — a third, structurally
+# different CC implementation cross-checking cc_star once more.
+
+
+def g05_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.operators.dedup import cc_star
+
+    arcs, nodes = _graph_base(spark, sf_dir)
+    edges = arcs.where(F.col("src") < F.col("dst"))
+    deg = _degrees(edges)
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    e_stats = edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.coalesce(F.sum("w"), F.lit(0)).alias("total_weight"),
+    )
+    d_stats = deg.agg(
+        F.coalesce(F.max("deg"), F.lit(0)).alias("max_degree"),
+        F.count(F.lit(1)).alias("n_connected"),
+    )
+    comp = cc_star(
+        edges.select(
+            F.col("src").cast("bigint").alias("u"),
+            F.col("dst").cast("bigint").alias("v"),
+        )
+    ).agg(F.countDistinct("label").alias("n_edge_components"))
+    tri = oriented_triangles(edges, deg).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return (
+        n_nodes.crossJoin(F.broadcast(e_stats))
+        .crossJoin(F.broadcast(d_stats))
+        .crossJoin(F.broadcast(comp))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("total_weight").cast("bigint").alias("total_weight"),
+            F.col("max_degree").cast("bigint").alias("max_degree"),
+            (F.col("n_nodes") - F.col("n_connected"))
+            .cast("bigint")
+            .alias("n_isolated"),
+            (
+                F.col("n_edge_components")
+                + (F.col("n_nodes") - F.col("n_connected"))
+            )
+            .cast("bigint")
+            .alias("n_components"),
+            "n_triangles",
+            ratio_round(
+                F.lit(2) * F.col("n_edges"),
+                F.col("n_nodes") * (F.col("n_nodes") - F.lit(1)),
+                6,
+                nonneg=True,
+            ).alias("density"),
+        )
+    )
+
+
+def _g05_sql() -> str:
+    density = sql_ratio_round(
+        "2 * (SELECT count(*) FROM edges)",
+        "(SELECT n FROM nn) * ((SELECT n FROM nn) - 1)",
+        6,
+        nonneg=True,
+    )
+    return f"""
+WITH RECURSIVE {_EDGES_CTE},
+nodes AS (SELECT DISTINCT item FROM eng),
+nn AS (SELECT count(*) AS n FROM nodes),
+sym AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS item, count(*) AS deg FROM sym GROUP BY 1),
+reach(node, lbl) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN sym e ON e.src = r.node
+),
+comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+arcs AS (
+  SELECT CASE WHEN (da.deg < db.deg)
+                OR (da.deg = db.deg AND e.src < e.dst)
+              THEN e.src ELSE e.dst END AS u,
+         CASE WHEN (da.deg < db.deg)
+                OR (da.deg = db.deg AND e.src < e.dst)
+              THEN e.dst ELSE e.src END AS v,
+         CASE WHEN (da.deg < db.deg)
+                OR (da.deg = db.deg AND e.src < e.dst)
+              THEN db.deg ELSE da.deg END AS dv
+  FROM edges e
+  JOIN deg da ON e.src = da.item
+  JOIN deg db ON e.dst = db.item
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM arcs x
+  JOIN arcs y ON x.u = y.u
+             AND ((x.dv < y.dv) OR (x.dv = y.dv AND x.v < y.v))
+  JOIN arcs z ON z.u = x.v AND z.v = y.v
+)
+SELECT (SELECT n FROM nn) AS n_nodes,
+       (SELECT count(*) FROM edges) AS n_edges,
+       CAST((SELECT coalesce(sum(w), 0) FROM edges) AS BIGINT)
+         AS total_weight,
+       CAST((SELECT coalesce(max(deg), 0) FROM deg) AS BIGINT)
+         AS max_degree,
+       CAST((SELECT n FROM nn) - (SELECT count(*) FROM deg) AS BIGINT)
+         AS n_isolated,
+       CAST((SELECT count(DISTINCT lbl) FROM comp)
+            + (SELECT n FROM nn) - (SELECT count(*) FROM deg) AS BIGINT)
+         AS n_components,
+       CAST((SELECT n_triangles FROM tri) AS BIGINT) AS n_triangles,
+       {density} AS density
+"""
+
+
 QUERIES = {
     "g01_item_pagerank": g01_item_pagerank,
     "g02_item_triangles": g02_item_triangles,
     "g03_bfs_hops": g03_bfs_hops,
     "g04_item_similarity": g04_item_similarity,
+    "g05_graph_summary": g05_graph_summary,
 }
 
 ORACLE: dict[str, str] = {
@@ -550,4 +686,5 @@ ORACLE: dict[str, str] = {
     "g02_item_triangles": _g02_sql(),
     "g03_bfs_hops": _g03_sql(),
     "g04_item_similarity": _g04_sql(),
+    "g05_graph_summary": _g05_sql(),
 }

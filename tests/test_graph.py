@@ -227,6 +227,52 @@ def test_g03_matches_python_model(spark, graph_dir):
     )
 
 
+def test_g05_matches_python_model(spark, graph_dir):
+    from collections import Counter
+
+    from rfb_data_pipeline_spark.operators.graph import g05_graph_summary
+
+    sf_dir, engagements = graph_dir
+    eng = {u: sorted(items)[:_CAP] for u, items in engagements.items()}
+    w: Counter = Counter()
+    for items in eng.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            w[(a, b)] += 1
+    nodes = sorted({i for items in eng.values() for i in items})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in w:
+        parent[find(a)] = find(b)
+    deg = Counter()
+    for a, b in w:
+        deg[a] += 1
+        deg[b] += 1
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in w and (a, c) in w and (b, c) in w
+    )
+    row = g05_graph_summary(spark, sf_dir).collect()[0]
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(w)
+    assert row["total_weight"] == sum(w.values())
+    assert row["max_degree"] == max(deg.values())
+    assert row["n_isolated"] == len(nodes) - len(deg)
+    assert row["n_components"] == len({find(n) for n in nodes})
+    assert row["n_triangles"] == tri
+    den = len(nodes) * (len(nodes) - 1)
+    q = (2 * len(w) * 10**6 * 2 + den) // (2 * den)
+    assert row["density"] == q / 10**6
+    # the planted disconnected pair must be visible in the card
+    assert row["n_components"] >= 2
+
+
 def test_cap_binds_on_stock_corpus(spark):
     """The per-user top-K cap must BIND on stock data, otherwise its
     oracle mirroring is vacuous (the d19 lesson)."""

@@ -317,6 +317,7 @@ _SINGLE_PARTITION_OK = {
     "e14_max_concurrency",  # banded prefix sum's band-offset frame
     "e15_gap_fill_locf",  # calendar-bounded resample grid
     "d01_exact_dedup",  # 1-row dedup summary
+    "g05_graph_summary",  # 1-row graph health card (cc_star fixpoint frames)
     "m01_image_metadata",  # per-format summary over a 96-row media table
     "m02_media_stats",  # 2-row per-kind decode summary
     "d12_minhash_calibration",  # 1-row calibration summary

@@ -66,7 +66,8 @@ def test_every_query_has_unique_name_and_oracle_subset():
     # + t18 (positional posting lists — r05 late)
     # + e21 (Markov transition matrix — r05 late)
     # + g04 (item-item cosine similarity — r05 late)
-    assert len(q) == 137
+    # + g05 (one-row graph health card — r05 late)
+    assert len(q) == 138
     assert set(o) <= set(q)
     # rows-only tier is exactly the sketches + media decode
     rows_only = set(q) - set(o)
