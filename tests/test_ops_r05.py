@@ -218,3 +218,60 @@ def test_m08_payload_is_valid_wav_header_per_struct(spark):
         assert brate == rate * ch * 2 and blk == ch * 2
         assert dsize == (400 + did % 200) * ch * 2
         assert riff_size == 36 + dsize
+
+
+def test_e20_matches_python_ewma_model(spark, tmp_path):
+    """Third implementation for the EWMA math: the oracle gate proves
+    Spark==DuckDB; this proves BOTH match an independent dict-based
+    EWMA (same weights, same quantization) on a hand-placed stream —
+    including an empty-hour gap inside the spine and a count landing
+    exactly where truncation matters."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rfb_data_pipeline_spark.operators.events import (
+        _EWMA_SCALE,
+        _EWMA_TAIL,
+        _ewma_weights,
+        e20_ewma_baseline,
+    )
+
+    base = dt.datetime(2024, 4, 1, 0, 0, 0)
+    # counts per hour offset: gap at hour 2; burst at hour 3
+    placed = {0: 3, 1: 1, 3: 7, 30: 2}  # 30 > tail: exercises truncation
+    rows = []
+    eid = 0
+    for off, n in placed.items():
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(hours=off, minutes=5), 7, "view",
+                 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    w = _ewma_weights()
+    want = {}
+    for h in range(31):
+        units = sum(
+            math.floor(placed.get(h - k, 0) * w[k] * _EWMA_SCALE)
+            for k in range(_EWMA_TAIL)
+            if (h - k) in placed
+        )
+        want[base + dt.timedelta(hours=h)] = (placed.get(h, 0), units)
+    got = {
+        r["hour"]: (r["n_events"], r["ewma_units"])
+        for r in e20_ewma_baseline(spark, str(tmp_path))
+        .where(F.col("event_type") == "view")
+        .collect()
+    }
+    assert got == want
+    # hour 28 is beyond every earlier placed hour's 24-hour reach and
+    # before hour 30 — a zero baseline proves the tail truncates
+    assert got[base + dt.timedelta(hours=28)][1] == 0, "truncation broken"
