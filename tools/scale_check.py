@@ -165,6 +165,8 @@ def _ops() -> dict:
         g01_item_pagerank,
         g02_item_triangles,
         g03_bfs_hops,
+        g04_item_similarity,
+        g05_graph_summary,
     )
     from rfb_data_pipeline_spark.operators.sampling import (
         x09_pack_sequences,
@@ -195,6 +197,8 @@ def _ops() -> dict:
         "g01": g01_item_pagerank,
         "g02": g02_item_triangles,
         "g03": g03_bfs_hops,
+        "g04": g04_item_similarity,
+        "g05": g05_graph_summary,
         "x09": x09_pack_sequences,
         "x15": x15_split_drift,
         "x17": x17_cluster_curation,
