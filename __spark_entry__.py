@@ -75,7 +75,7 @@ def _registry() -> tuple[dict, dict]:
     # Spill to r06 (code unchanged since r03 green rows): t01-t11,
     # x01-x10, s09, s10; then the r04-green q/e series and rows-only
     # m01-m03.
-    # All 130 entries pass tools/check_oracle.py at sf0.01 AND sf0.1
+    # All 138 entries pass tools/check_oracle.py at sf0.01 AND sf0.1
     # this round (full gate — recorded in COVERAGE.md).
     #
     # Round 6 rotation plan (write it before you need it). The r05
@@ -84,17 +84,18 @@ def _registry() -> tuple[dict, dict]:
     # q15 q16 q18 q29 q34 q35, e12, t01 t02 t07 t09 t16, x01 — their
     # r03/r04 rows predate the current code, so they are first-class
     # r06 promotions alongside the never-promoted spill. r06 window:
-    #   1-7:   d17 d18 d19 d20 + g01 g02 g03 (r05-late span-ACTION
-    #          tier and graph family — the only entries with NO
-    #          driver row of any kind);
-    #   5-30:  t01-t11, x01-x10, s09, s10, m01-m03 (oldest rows /
-    #          rows-only; t01/t02/t07/t09/t16/x01 are ALSO touched);
-    #   30-42: the touched q-series (q01 q03-q06 q14-q16 q18 q29 q34
+    #   1-13:  d17 d18 d19 d20 + g01 g02 g03 g04 g05 + e20 e21 + t18
+    #          (r05-late span-ACTION tier, graph family, EWMA,
+    #          transition matrix, posting lists — the only entries
+    #          with NO driver row of any kind);
+    #   14-36: t01-t11, x01-x10, s09, s10 (oldest rows;
+    #          t01/t02/t07/t09/t16/x01 are ALSO exactround-touched);
+    #   37-49: the touched q-series (q01 q03-q06 q14-q16 q18 q29 q34
     #          q35) + e12;
-    #   43-50: oldest remaining q/e rows (q02 q07-q13...; overflow to
-    #          r07, where the rest of the r04-green q/e series
-    #          rotates). After r06+r07 every entry has a driver row
-    #          that postdates its current code.
+    #   50:    m01 (rows-only, oldest media row; m02/m03 + remaining
+    #          q/e overflow to r07, where the rest of the r04-green
+    #          q/e series rotates). After r06+r07 every entry has a
+    #          driver row that postdates its current code.
     r05_window = [
         "d14_dup_span_fraction", "d15_cc_star", "d16_incremental_minhash",
         "t12_zipf_slope", "t13_pii_redaction", "t14_bigram_surprisal",

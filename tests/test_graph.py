@@ -371,3 +371,58 @@ def test_graph_family_matches_model_on_random_graphs(spark, eng):
     assert {v: m["deg"] for v, m in expected2.items()} == {
         i: r["deg"] for i, r in got2.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Negative item ids: props.k < 0 must flow through every graph query
+# identically in both engines (the test_negative_ids discipline for
+# the events axis — no pmod/element_at in this family, but the sweep
+# keeps it that way).
+
+import duckdb as _duckdb
+
+from tools.check_oracle import _normalize, value_hash
+
+
+def test_graph_family_parity_with_negative_items(spark, tmp_path):
+    import __spark_entry__ as entry_mod
+
+    rows = []
+    eid = 0
+    for u, items in {
+        1: [-5, -3, -1],
+        2: [-3, -1, 0],
+        3: [0, 2, -5],
+        4: [-9],
+    }.items():
+        for item in items:
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 6, 1) + dt.timedelta(minutes=eid),
+                    u,
+                    "view",
+                    1.0,
+                    '{"k": %d}' % item,
+                )
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('%s/*.parquet')"
+        % str(tmp_path / "events.parquet")
+    )
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    for name in sorted(n for n in q if n.startswith("g")):
+        spdf = q[name](spark, str(tmp_path)).toPandas()
+        opdf = con.execute(o[name]).fetchdf()
+        assert len(spdf) == len(opdf), (name, len(spdf), len(opdf))
+        assert value_hash(_normalize(spdf)) == value_hash(
+            _normalize(opdf)
+        ), name
+    con.close()
