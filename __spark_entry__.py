@@ -130,7 +130,7 @@ def _registry() -> tuple[dict, dict]:
            "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
            "e20_ewma_baseline", "t18_posting_lists",
            "e21_transition_matrix", "g04_item_similarity",
-           "g05_graph_summary"]
+           "g05_graph_summary", "g06_lpa_communities"]
         + [n for n in queries if n.startswith("q")]
         + [n for n in queries if n.startswith("e")]
         + ["m01_image_metadata", "m02_media_stats", "m03_frame_sample"]

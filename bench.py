@@ -88,6 +88,7 @@ HEADLINE = [
     "e21_transition_matrix",
     "g04_item_similarity",
     "g05_graph_summary",
+    "g06_lpa_communities",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

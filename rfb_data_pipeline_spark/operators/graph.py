@@ -673,12 +673,107 @@ SELECT (SELECT n FROM nn) AS n_nodes,
 """
 
 
+# --------------------------------------------------------------------------
+# g06 — weighted label propagation communities (synchronous LPA,
+# 3 FIXED rounds): labels start as item ids; each round every node
+# adopts the label with the LARGEST total edge weight among its
+# neighbors' current labels (ties → smallest label; isolated nodes
+# keep their own). Algorithmically distinct from the min-label CC
+# family (d07/cc_star/g05): LPA finds denser-than-connectivity
+# community structure via weighted argmax, not reachability.
+# Determinism: integer vote sums, explicit (sum DESC, label ASC)
+# row_number tie-break in BOTH engines — never arg_max, whose
+# tie-breaking is unspecified. Fixed rounds keep the oracle an
+# unrolled CTE chain (the s08/g01/g03 discipline); synchronous LPA
+# can oscillate on bipartite structure, but with fixed rounds and
+# total-order tie-breaks the output is deterministic regardless.
+# Per round: one equi-join + one (node, label) aggregate + one
+# node-partitioned window — all key-partitioned, |V|-row state.
+
+_LPA_ROUNDS = 3
+
+
+def g06_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arcs, nodes = _graph_base(spark, sf_dir)
+    labels = nodes.select("item", F.col("item").alias("lbl"))
+    rn_w = Window.partitionBy("item").orderBy(
+        F.col("s").desc(), F.col("lbl").asc()
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            labels.join(arcs, labels["item"] == arcs["src"])
+            .groupBy(F.col("dst").alias("item"), "lbl")
+            .agg(F.sum("w").alias("s"))
+            .withColumn("rn", F.row_number().over(rn_w))
+            .where(F.col("rn") == 1)
+            .select("item", F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(votes, "item", "left")
+            .select(
+                "item",
+                F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
+            )
+        )
+    out = labels.select("item", F.col("lbl").alias("community"))
+    # size via groupBy + equi-join, NOT a community-partitioned
+    # window: a giant community would land in one window task, while
+    # the aggregate keeps map-side partial combining.
+    sizes = out.groupBy("community").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return out.join(sizes, "community").select(
+        "item", "community", "community_size"
+    )
+
+
+def _g06_sql() -> str:
+    prev = "l0"
+    rounds = []
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""v{i} AS (
+  SELECT item, lbl FROM (
+    SELECT d.dst AS item, l.lbl, SUM(d.w) AS s
+    FROM {prev} l JOIN dir d ON l.item = d.src
+    GROUP BY 1, 2
+  )
+  QUALIFY row_number() OVER (
+    PARTITION BY item ORDER BY s DESC, lbl ASC
+  ) = 1
+),
+l{i} AS (
+  SELECT p.item, COALESCE(v.lbl, p.lbl) AS lbl
+  FROM {prev} p LEFT JOIN v{i} v ON p.item = v.item
+)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_EDGES_CTE},
+dir AS (
+  SELECT src, dst, w FROM edges
+  UNION ALL
+  SELECT dst, src, w FROM edges
+),
+nodes AS (SELECT DISTINCT item FROM eng),
+l0 AS (SELECT item, item AS lbl FROM nodes),
+{chain}
+SELECT f.item, f.lbl AS community, sz.community_size
+FROM {prev} f
+JOIN (
+  SELECT lbl, count(*) AS community_size FROM {prev} GROUP BY 1
+) sz ON f.lbl = sz.lbl
+"""
+
+
 QUERIES = {
     "g01_item_pagerank": g01_item_pagerank,
     "g02_item_triangles": g02_item_triangles,
     "g03_bfs_hops": g03_bfs_hops,
     "g04_item_similarity": g04_item_similarity,
     "g05_graph_summary": g05_graph_summary,
+    "g06_lpa_communities": g06_lpa_communities,
 }
 
 ORACLE: dict[str, str] = {
@@ -687,4 +782,5 @@ ORACLE: dict[str, str] = {
     "g03_bfs_hops": _g03_sql(),
     "g04_item_similarity": _g04_sql(),
     "g05_graph_summary": _g05_sql(),
+    "g06_lpa_communities": _g06_sql(),
 }

@@ -426,3 +426,45 @@ def test_graph_family_parity_with_negative_items(spark, tmp_path):
             _normalize(opdf)
         ), name
     con.close()
+
+
+def test_g06_matches_python_model(spark, graph_dir):
+    from collections import Counter
+
+    from rfb_data_pipeline_spark.operators.graph import g06_lpa_communities
+
+    sf_dir, engagements = graph_dir
+    eng = {u: sorted(items)[:_CAP] for u, items in engagements.items()}
+    w: Counter = Counter()
+    for items in eng.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            w[(a, b)] += 1
+    nodes = sorted({i for items in eng.values() for i in items})
+    adj = {n: set() for n in nodes}
+    for a, b in w:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {v: v for v in nodes}
+    for _ in range(3):
+        new = {}
+        for v in nodes:
+            votes: dict = {}
+            for nb in adj[v]:
+                k = (min(v, nb), max(v, nb))
+                votes[labels[nb]] = votes.get(labels[nb], 0) + w[k]
+            new[v] = (
+                min(votes, key=lambda l: (-votes[l], l))
+                if votes
+                else labels[v]
+            )
+        labels = new
+    sizes = Counter(labels.values())
+    want = {v: (labels[v], sizes[labels[v]]) for v in nodes}
+    got = {
+        r["item"]: (r["community"], r["community_size"])
+        for r in g06_lpa_communities(spark, sf_dir).collect()
+    }
+    assert got == want
+    # community structure must be non-trivial: more than one
+    # community, and at least one multi-node community
+    assert len(sizes) > 1 and max(sizes.values()) > 1

@@ -67,7 +67,8 @@ def test_every_query_has_unique_name_and_oracle_subset():
     # + e21 (Markov transition matrix — r05 late)
     # + g04 (item-item cosine similarity — r05 late)
     # + g05 (one-row graph health card — r05 late)
-    assert len(q) == 138
+    # + g06 (weighted label-propagation communities — r05 late)
+    assert len(q) == 139
     assert set(o) <= set(q)
     # rows-only tier is exactly the sketches + media decode
     rows_only = set(q) - set(o)

@@ -167,6 +167,7 @@ def _ops() -> dict:
         g03_bfs_hops,
         g04_item_similarity,
         g05_graph_summary,
+        g06_lpa_communities,
     )
     from rfb_data_pipeline_spark.operators.sampling import (
         x09_pack_sequences,
@@ -199,6 +200,7 @@ def _ops() -> dict:
         "g03": g03_bfs_hops,
         "g04": g04_item_similarity,
         "g05": g05_graph_summary,
+        "g06": g06_lpa_communities,
         "x09": x09_pack_sequences,
         "x15": x15_split_drift,
         "x17": x17_cluster_curation,
