@@ -75,7 +75,7 @@ def _registry() -> tuple[dict, dict]:
     # Spill to r06 (code unchanged since r03 green rows): t01-t11,
     # x01-x10, s09, s10; then the r04-green q/e series and rows-only
     # m01-m03.
-    # All 138 entries pass tools/check_oracle.py at sf0.01 AND sf0.1
+    # All 139 entries pass tools/check_oracle.py at sf0.01 AND sf0.1
     # this round (full gate — recorded in COVERAGE.md).
     #
     # Round 6 rotation plan (write it before you need it). The r05
@@ -84,7 +84,7 @@ def _registry() -> tuple[dict, dict]:
     # q15 q16 q18 q29 q34 q35, e12, t01 t02 t07 t09 t16, x01 — their
     # r03/r04 rows predate the current code, so they are first-class
     # r06 promotions alongside the never-promoted spill. r06 window:
-    #   1-13:  d17 d18 d19 d20 + g01 g02 g03 g04 g05 + e20 e21 + t18
+    #   1-13:  d17 d18 d19 d20 + g01-g06 + e20 e21 + t18
     #          (r05-late span-ACTION tier, graph family, EWMA,
     #          transition matrix, posting lists — the only entries
     #          with NO driver row of any kind);
@@ -124,7 +124,7 @@ def _registry() -> tuple[dict, dict]:
         [f"t{i:02d}" for i in range(1, 12)]
         + [f"x{i:02d}" for i in range(1, 11)]
         + ["s09_vector_stats", "s10_semantic_dedup",
-           # NEW r05 late — r06 promotes all seven
+           # NEW r05 late (13 entries) — r06 promotes them all
            "d17_span_dedup_action", "d18_cleaned_corpus",
            "d19_decontaminate_action", "d20_incremental_span_dedup",
            "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
