@@ -82,3 +82,31 @@ def test_cap_eviction_emits_negative_deltas(spark, tmp_path, monkeypatch):
     got = _edge_set(gs.current_edges(spark, delta_dir))
     want = _edge_set(co_engagement_edges(b0.unionByName(b1)))
     assert got == want == {(1, 3): 1}
+
+
+def test_random_batch_partitions_match_batch(spark, tmp_path):
+    """Seeded fuzz over the BATCHING AXIS: the stock event stream cut
+    into K randomly-assigned micro-batches (not contiguous ranges —
+    each batch touches most users, maximizing cap-recompute overlap)
+    must still land exactly on the batch recompute. Two fixed seeds."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(SF_SMALL + "/events.parquet")
+    want = _edge_set(co_engagement_edges(ev))
+    for seed in (13, 47):
+        rng = random.Random(seed)
+        k = rng.randint(3, 5)
+        # deterministic pseudo-random assignment computable in Spark:
+        # batch = xxhash64(event_id, seed) mod k
+        log_dir = str(tmp_path / f"log{seed}")
+        delta_dir = str(tmp_path / f"delta{seed}")
+        for b in range(k):
+            batch = ev.where(
+                F.pmod(F.xxhash64(F.col("event_id"), F.lit(seed)), F.lit(k))
+                == b
+            )
+            gs.apply_batch(spark, log_dir, delta_dir, batch, b)
+        got = _edge_set(gs.current_edges(spark, delta_dir))
+        assert got == want, f"seed {seed} (k={k}) diverged"
