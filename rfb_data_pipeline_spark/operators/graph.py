@@ -16,8 +16,10 @@ Scale design (the 100 TB story):
   item asc), mirrored in the DuckDB twin, and it BINDS on stock data
   (~half the users exceed 48 items), so the oracle row exercises it.
 - PageRank is the Pregel-on-DataFrames shape: each iteration is one
-  equi-join (ranks × arcs) + one groupBy(sum), with a stage boundary
-  cutting lineage between iterations — |V|-row state, never more.
+  equi-join (ranks × arcs) + one groupBy(sum) over |V|-row state;
+  the FIXED-depth loop chains declaratively (shuffle-stage outputs
+  persist and survive executor loss), with stage boundaries only on
+  the shared materialized base — see g01's in-function rationale.
 - Triangle counting uses degree-ordered orientation (each undirected
   edge directed low→high by (degree, id)), which bounds the wedge
   join by the graph's arboricity — the Suri–Vassilvitskii MapReduce
