@@ -1,0 +1,176 @@
+"""Correctness-window rotation ledger (VERDICT r05 item 2).
+
+The driver records CORRECTNESS rows for only the FIRST 50
+``queries()`` entries per round, so the registry order IS the audit
+schedule. Through r05 the order was a hand-maintained list + comment;
+that process let 13 brand-new operators ship with no driver row while
+18 slots re-confirmed unchanged r03-green entries. This module makes
+the schedule data-driven:
+
+Priority (``window_order``):
+
+1. **never-checked** — no driver CORRECTNESS row of any kind;
+2. **touched-since-row** — code/oracle changed in a round LATER than
+   the query's newest driver row (the row predates the current code);
+3. **green** — oldest row first; within a round, oracle-paired before
+   rows-only (a hash row is stronger evidence than a rows-only row,
+   so rows-only entries yield slots when a round is tight).
+
+Ties inside each tier break by name (deterministic).
+
+Maintenance contract (enforced by tests/test_registry_window.py):
+
+- When the driver lands ``CORRECTNESS_r{N}.json``, fold it in:
+  every name in that file moves to ``LAST_DRIVER_ROW[name] = N``.
+- When a round's work changes a query's Spark code OR oracle SQL,
+  record ``LAST_TOUCHED[name] = CURRENT_ROUND``; brand-new queries
+  need no entry (absence from LAST_DRIVER_ROW puts them in tier 1).
+- Bump ``CURRENT_ROUND`` at the start of each round.
+- Invariant: no registered query's newest driver row may be older
+  than ``CURRENT_ROUND - 3`` unless it is inside the current window
+  (139 entries / 50 slots = a full cycle every 3 rounds; the ledger
+  keeps every entry inside that cycle, and tiers 1-2 can never be
+  deferred at all).
+"""
+
+from __future__ import annotations
+
+CURRENT_ROUND = 6
+
+# name -> newest driver CORRECTNESS round containing the name
+# (union of CORRECTNESS_r01..r05; absent = never driver-checked).
+LAST_DRIVER_ROW: dict[str, int] = {}
+LAST_DRIVER_ROW.update(
+    dict.fromkeys(
+        (
+            "m01_image_metadata", "m02_media_stats", "m03_frame_sample",
+            "s09_vector_stats", "s10_semantic_dedup",
+            "t01_token_stats", "t02_quality_score", "t03_langid",
+            "t04_fingerprint", "t05_top_terms", "t06_tfidf_top_terms",
+            "t07_repetition", "t08_top_bigrams", "t09_bpe_token_count",
+            "t10_cms_heavy_hitters", "t11_unigram_surprisal",
+            "x01_split_assign", "x02_cap_per_group",
+            "x03_stratified_sample", "x04_chunk_documents",
+            "x05_corpus_curation", "x06_shuffle_shard",
+            "x07_upsert_merge", "x08_split_leakage",
+            "x09_pack_sequences", "x10_domain_mixture",
+        ),
+        3,
+    )
+)
+LAST_DRIVER_ROW.update(
+    dict.fromkeys(
+        (
+            "e01_tumbling_hourly", "e02_sliding_window", "e03_sessionize",
+            "e04_dedup_first", "e05_funnel", "e06_event_gaps",
+            "e07_json_extract", "e08_pivot_event_types", "e09_asof_join",
+            "e10_retention_cohorts", "e11_spike_detection",
+            "e12_sequence_match", "e13_variant_extract",
+            "e14_max_concurrency", "e16_stream_replay",
+            "q01_pricing_summary", "q02_argmin_supplier",
+            "q03_topk_revenue", "q04_revenue_by_nation",
+            "q05_region_revenue", "q06_forecast_revenue", "q07_semi_join",
+            "q08_anti_join", "q09_topk_per_group", "q10_monthly_lag",
+            "q11_rollup_report", "q12_set_ops", "q13_string_functions",
+            "q14_date_functions", "q15_conditional_agg", "q16_having",
+            "q17_distinct_agg", "q18_range_join", "q19_cube",
+            "q20_running_total", "q21_rank_suppliers", "q22_union_parts",
+            "q23_median_stats", "q24_approx_distinct", "q25_collect_set",
+            "q26_intersect", "q27_above_nation_avg", "q28_grouping_sets",
+            "q29_ntile_percentile", "q30_moving_range_sum",
+            "q31_stats_agg", "q32_window_values", "q33_approx_quantiles",
+            "q34_histogram", "q35_unpivot",
+        ),
+        4,
+    )
+)
+LAST_DRIVER_ROW.update(
+    dict.fromkeys(
+        (
+            "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_lsh",
+            "d04_simhash", "d05_simhash_pairs", "d06_incremental_dedup",
+            "d07_dedup_clusters", "d08_decontaminate", "d09_containment",
+            "d10_fuzzy_pairs", "d12_minhash_calibration",
+            "d13_duplicate_spans", "d14_dup_span_fraction", "d15_cc_star",
+            "d16_incremental_minhash",
+            "e15_gap_fill_locf", "e17_multistep_funnel",
+            "e18_drift_replay", "e19_quality_replay",
+            "m04_audio_frames", "m05_header_parse", "m06_subtitle_parse",
+            "m07_id3_tag_parse", "m08_wav_header_parse",
+            "s01_knn_bruteforce", "s02_ann_lsh", "s03_near_dup_pairs",
+            "s04_label_centroids", "s05_ann_ivf",
+            "s06_near_dup_pairs_banded", "s07_quantized_knn",
+            "s08_kmeans_lloyd", "s11_batch_knn", "s12_embedding_outliers",
+            "s13_pq_ann", "s14_embedding_validation", "s15_ivf_pq_ann",
+            "t12_zipf_slope", "t13_pii_redaction", "t14_bigram_surprisal",
+            "t15_quality_classifier", "t16_html_extract", "t17_url_filter",
+            "x11_curriculum_buckets", "x12_repetition_gate",
+            "x13_weighted_sample", "x14_epoch_plan", "x15_split_drift",
+            "x16_quality_mixture", "x17_cluster_curation",
+        ),
+        5,
+    )
+)
+
+# name -> latest round whose work changed the query's Spark code or
+# oracle SQL. Only entries that were touched AFTER a driver row
+# matter for ordering (tier 1); keeping same-round touches (e.g.
+# t16: touched r05, row r05) is harmless and documents history.
+LAST_TOUCHED: dict[str, int] = {}
+LAST_TOUCHED.update(
+    # r05 second-session exactround conversion (functions/exactround.py
+    # class-wide HALF_UP rounding) rewrote these queries' rounded money
+    # aggregates + SQL twins after their newest driver row.
+    dict.fromkeys(
+        (
+            "q01_pricing_summary", "q03_topk_revenue",
+            "q04_revenue_by_nation", "q05_region_revenue",
+            "q06_forecast_revenue", "q14_date_functions",
+            "q15_conditional_agg", "q16_having", "q18_range_join",
+            "q29_ntile_percentile", "q34_histogram", "q35_unpivot",
+            "e12_sequence_match",
+            "t01_token_stats", "t02_quality_score", "t07_repetition",
+            "t09_bpe_token_count", "t16_html_extract",
+            "x01_split_assign",
+        ),
+        5,
+    )
+)
+
+
+def window_order(
+    names: list[str], oracle_names: set[str], window: int = 50
+) -> list[str]:
+    """Full registry order under the rotation priority; the first
+    ``window`` entries are the round's correctness window."""
+
+    def key(n: str):
+        dr = LAST_DRIVER_ROW.get(n)
+        if dr is None:
+            return (0, 0, 0, n)  # never driver-checked
+        if LAST_TOUCHED.get(n, 0) > dr:
+            return (1, dr, 0, n)  # row predates current code
+        return (2, dr, n not in oracle_names, n)  # green, oldest first
+
+    return sorted(names, key=key)
+
+
+def assert_ledger_invariants(
+    names: list[str], oracle_names: set[str], window: int = 50
+) -> None:
+    """The window-freshness contract (cheap; callable from tests)."""
+    order = window_order(names, oracle_names, window)
+    in_window = set(order[:window])
+    for n in names:
+        dr = LAST_DRIVER_ROW.get(n)
+        if n in in_window:
+            continue
+        assert dr is not None, f"{n}: never driver-checked yet outside window"
+        assert LAST_TOUCHED.get(n, 0) <= dr, (
+            f"{n}: touched in r{LAST_TOUCHED[n]} after its r{dr} row, "
+            "yet outside the window"
+        )
+        assert dr >= CURRENT_ROUND - 3, (
+            f"{n}: newest driver row r{dr} is older than the 3-round "
+            f"cycle at r{CURRENT_ROUND} and it missed the window"
+        )

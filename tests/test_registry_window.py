@@ -2,54 +2,101 @@
 first 50 ``queries()`` entries, so their composition is load-bearing —
 an innocent dict reorder could silently rotate a never-verified query
 out of (or a stale one into) the round's window.
+
+Since r06 the order is COMPUTED from the rotation ledger
+(rfb_data_pipeline_spark/rotation.py): never-driver-checked first,
+then touched-since-their-row, then green oldest-first. These tests pin
+the r06 composition the ledger must produce AND the ledger's own
+freshness invariants, so a ledger edit that starves an entry fails
+loudly.
 """
 
 from __future__ import annotations
 
 import __spark_entry__ as entry_mod
+from rfb_data_pipeline_spark import rotation
 
 
-def test_r05_window_composition():
-    names = list(entry_mod.queries())
+def _names():
+    return list(entry_mod.queries())
+
+
+def test_r06_window_composition():
+    names = _names()
     window = set(names[:50])
-    # slots 1-23: the 23 entries that had never been driver-checked
+    # Tier 0 — the entries with NO driver row of any kind (r05-late
+    # span-ACTION tier, graph family, EWMA, transition matrix,
+    # posting lists + anything new this round). VERDICT r05 item 1.
     never_checked = {
-        "d14_dup_span_fraction", "d15_cc_star", "d16_incremental_minhash",
-        "t12_zipf_slope", "t13_pii_redaction", "t14_bigram_surprisal",
-        "t15_quality_classifier", "t16_html_extract", "t17_url_filter",
-        "s11_batch_knn", "s12_embedding_outliers", "s13_pq_ann",
-        "s14_embedding_validation", "s15_ivf_pq_ann",
-        "x11_curriculum_buckets", "x12_repetition_gate",
-        "x13_weighted_sample", "x14_epoch_plan", "x15_split_drift",
-        "x16_quality_mixture", "m05_header_parse", "m06_subtitle_parse",
-        "e17_multistep_funnel",
+        n for n in names if n not in rotation.LAST_DRIVER_ROW
     }
-    assert never_checked <= window
-    # the NEW r05 queries (e18/e19/x17), the only no-record-at-all
-    # entry, the four r05-touched dedup entries, and the r02-vintage
-    # e15
     assert {
-        "e18_drift_replay",
-        "e19_quality_replay",
-        "x17_cluster_curation",
-        "m07_id3_tag_parse",
-        "m08_wav_header_parse",
-        "m04_audio_frames",
-        "d02_ngram_jaccard",
-        "d07_dedup_clusters",
-        "d09_containment",
-        "d12_minhash_calibration",
-        "e15_gap_fill_locf",
+        "d17_span_dedup_action", "d18_cleaned_corpus",
+        "d19_decontaminate_action", "d20_incremental_span_dedup",
+        "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
+        "g04_item_similarity", "g05_graph_summary",
+        "g06_lpa_communities", "e20_ewma_baseline",
+        "e21_transition_matrix", "t18_posting_lists",
+    } <= never_checked <= window
+    # Tier 1 — rows that predate the r05 exactround conversion.
+    touched_stale = {
+        n
+        for n in names
+        if rotation.LAST_TOUCHED.get(n, 0)
+        > rotation.LAST_DRIVER_ROW.get(n, 99)
+    }
+    assert touched_stale == {
+        "q01_pricing_summary", "q03_topk_revenue",
+        "q04_revenue_by_nation", "q05_region_revenue",
+        "q06_forecast_revenue", "q14_date_functions",
+        "q15_conditional_agg", "q16_having", "q18_range_join",
+        "q29_ntile_percentile", "q34_histogram", "q35_unpivot",
+        "e12_sequence_match",
+        "t01_token_stats", "t02_quality_score", "t07_repetition",
+        "t09_bpe_token_count", "x01_split_assign",
+    }
+    assert touched_stale <= window
+    # Tier 2 — remaining slots go to the oldest green rows (r03),
+    # oracle-paired first: s09/s10, the untouched t/x series.
+    assert {
+        "s09_vector_stats", "s10_semantic_dedup",
+        "t03_langid", "t04_fingerprint", "t05_top_terms",
+        "t06_tfidf_top_terms", "t08_top_bigrams",
+        "t10_cms_heavy_hitters", "t11_unigram_surprisal",
+        "x02_cap_per_group", "x03_stratified_sample",
+        "x04_chunk_documents", "x05_corpus_curation",
+        "x06_shuffle_shard", "x07_upsert_merge", "x08_split_leakage",
+        "x09_pack_sequences", "x10_domain_mixture",
     } <= window
-    # remaining slots are r03-green d/s fills (s09/s10 yielded to
-    # m07/m08):
-    assert sum(n.startswith("d") for n in window) == 15
-    assert sum(n.startswith("s") for n in window) == 13
-    # NONE of the r04-green q-series burns an r05 slot
-    assert not any(n.startswith("q") for n in window)
-    # first spill position: t01 (r03-green, unchanged code — t01/t02
-    # yielded their r05 slots to e19/x17)
-    assert names[50] == "t01_token_stats"
+    # NO slot burns on r04/r05-green, untouched code: every q-series
+    # name in the window is exactround-touched, no d/e-series beyond
+    # the tiers above, no media row before slot 50.
+    assert not (window & {"d01_exact_dedup", "s01_knn_bruteforce",
+                          "e01_tumbling_hourly", "q02_argmin_supplier",
+                          "q17_distinct_agg", "x11_curriculum_buckets"})
+    # m02/m03 (rows-only r03) spill to r07 — first spill entries.
+    spill_head = set(names[50:53])
+    assert {"m02_media_stats", "m03_frame_sample"} <= spill_head | window
+
+
+def test_ledger_invariants_hold():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    # ledger covers exactly the registered surface (minus brand-new
+    # never-checked entries, which need no row)
+    assert set(rotation.LAST_DRIVER_ROW) <= set(q), (
+        sorted(set(rotation.LAST_DRIVER_ROW) - set(q))
+    )
+    assert set(rotation.LAST_TOUCHED) <= set(q)
+    rotation.assert_ledger_invariants(list(q), set(o))
+    # the freshness rule is strict enough: anything never-checked or
+    # touched-after-row MUST be inside the window, full stop
+    names = list(q)
+    window = set(names[:50])
+    for n in names:
+        dr = rotation.LAST_DRIVER_ROW.get(n)
+        if dr is None or rotation.LAST_TOUCHED.get(n, 0) > dr:
+            assert n in window, n
 
 
 def test_every_query_has_unique_name_and_oracle_subset():
@@ -57,17 +104,9 @@ def test_every_query_has_unique_name_and_oracle_subset():
     o = entry_mod.oracle_sql()
     # 121 at the r04 gate + e18/e19 (stream batch replays) + x17
     # (cluster-aware curation) + m07/m08 (ID3v1 + WAV header parses)
-    # + d17/d18/d19/d20 (span-dedup action, cleaned-corpus
-    # materialization, span decontamination action, incremental
-    # span dedup — r05 late, first driver rows r06)
-    # + g01/g02/g03 (graph analytics: co-engagement PageRank,
-    # triangles, BFS hops — r05 late, first driver rows r06)
-    # + e20 (EWMA hourly-load baseline — r05 late)
-    # + t18 (positional posting lists — r05 late)
-    # + e21 (Markov transition matrix — r05 late)
-    # + g04 (item-item cosine similarity — r05 late)
-    # + g05 (one-row graph health card — r05 late)
-    # + g06 (weighted label-propagation communities — r05 late)
+    # + d17/d18/d19/d20 (span-dedup action tier) + g01-g06 (graph
+    # analytics) + e20 (EWMA) + e21 (transition matrix) + t18
+    # (posting lists)
     assert len(q) == 139
     assert set(o) <= set(q)
     # rows-only tier is exactly the sketches + media decode
