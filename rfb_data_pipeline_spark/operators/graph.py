@@ -769,6 +769,71 @@ JOIN (
 """
 
 
+# --------------------------------------------------------------------------
+# g07 — incremental edge-maintenance batch replay: the driver-visible
+# twin of streaming/graph_stream.py (VERDICT r05 item 4; the
+# e16/e18/e19 batch-replay pattern). Events replay as K ordered
+# micro-batches (batch id = pmod(event_id, K) — the availableNow
+# drain order); each batch's ±1 edge deltas come from the ONE shared
+# ``edge_deltas_core`` the live foreachBatch path runs, with the
+# pre-batch state taken from the same batch-keyed engagement-log
+# layout the stream materializes (here a static batch-id column
+# instead of a `_batch_id` parquet partition). The returned edge
+# table is the delta sum with w > 0 — the stream's ``current_edges``
+# — and the oracle is the batch recompute (`_EDGES_CTE` reshaped),
+# so the driver row pins replay == batch INCLUDING the non-monotone
+# top-K cap evictions (negative deltas) the cap induces on stock
+# data. Per batch the work is touched-users × C(cap, 2) pairs — the
+# stream's own bound — and K is fixed, so the plan is a fixed-depth
+# declarative chain like g01's.
+
+_REPLAY_BATCHES = 4
+
+
+def g07_edge_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.streaming.graph_stream import (
+        edge_deltas_core,
+    )
+
+    ev = _events(spark, sf_dir)
+    item = F.from_json("props", "struct<k:int>").getField("k")
+    per_bui = (
+        ev.select(
+            F.pmod(F.col("event_id"), F.lit(_REPLAY_BATCHES)).alias("b"),
+            "user_id",
+            item.alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .groupBy("b", "user_id", "item")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .transform(stage_boundary)
+    )
+    deltas = []
+    for b in range(_REPLAY_BATCHES):
+        batch_per = per_bui.where(F.col("b") == b).select(
+            "user_id", "item", "n_ev"
+        )
+        old_counts = per_bui.where(F.col("b") < b).select(
+            "user_id", "item", "n_ev"
+        )
+        deltas.append(edge_deltas_core(old_counts, batch_per))
+    maintained = deltas[0]
+    for d in deltas[1:]:
+        maintained = maintained.unionByName(d)
+    return (
+        maintained.groupBy("src", "dst")
+        .agg(F.sum("d").cast("bigint").alias("w"))
+        .where(F.col("w") > 0)
+    )
+
+
+def _g07_sql() -> str:
+    return f"""
+WITH {_EDGES_CTE}
+SELECT src, dst, w FROM edges
+"""
+
+
 QUERIES = {
     "g01_item_pagerank": g01_item_pagerank,
     "g02_item_triangles": g02_item_triangles,
@@ -776,6 +841,7 @@ QUERIES = {
     "g04_item_similarity": g04_item_similarity,
     "g05_graph_summary": g05_graph_summary,
     "g06_lpa_communities": g06_lpa_communities,
+    "g07_edge_stream_replay": g07_edge_stream_replay,
 }
 
 ORACLE: dict[str, str] = {
@@ -785,4 +851,5 @@ ORACLE: dict[str, str] = {
     "g04_item_similarity": _g04_sql(),
     "g05_graph_summary": _g05_sql(),
     "g06_lpa_communities": _g06_sql(),
+    "g07_edge_stream_replay": _g07_sql(),
 }

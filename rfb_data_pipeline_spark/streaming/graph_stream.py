@@ -57,20 +57,22 @@ def _read_log(spark: SparkSession, log_dir: str) -> DataFrame:
         return spark.createDataFrame([], _LOG_SCHEMA)
 
 
-def edge_deltas_for_batch(
-    spark: SparkSession, log_dir: str, batch_ev: DataFrame, batch_id: int
+def edge_deltas_core(
+    old_counts: DataFrame, batch_per: DataFrame
 ) -> DataFrame:
-    """±1 edge deltas (src, dst, d) this batch causes, computed from
-    the pre-batch log state of the TOUCHED users only. Excluding the
-    batch's own `_batch_id` partition from the "old" state (instead
-    of trusting the log to not contain it) is what makes a replayed
-    batch recompute the exact same deltas."""
-    batch_per = per_user_item_counts(batch_ev).transform(stage_boundary)
+    """±1 edge deltas (src, dst, d) caused by adding ``batch_per``
+    (a per-batch (user_id, item, n_ev) frame) onto the pre-batch
+    engagement state ``old_counts`` (same shape, possibly
+    un-aggregated). Only the batch's TOUCHED users are recomputed;
+    deltas telescope per user, so summing every batch's deltas
+    reconstructs the full-history capped edge set exactly.
+
+    Shared by the live ``foreachBatch`` path (log-backed state) and
+    the g07 driver-row replay (static splits), so the driver row
+    vouches for the stream's maintenance math, not a lookalike."""
     touched = batch_per.select("user_id").distinct()
     old_per = (
-        _read_log(spark, log_dir)
-        .where(F.col("_batch_id") != F.lit(batch_id))
-        .join(touched, "user_id", "left_semi")
+        old_counts.join(touched, "user_id", "left_semi")
         .groupBy("user_id", "item")
         .agg(F.sum("n_ev").alias("n_ev"))
         .transform(stage_boundary)
@@ -89,6 +91,21 @@ def edge_deltas_for_batch(
         .agg(F.sum("d").alias("d"))
         .where(F.col("d") != 0)
     )
+
+
+def edge_deltas_for_batch(
+    spark: SparkSession, log_dir: str, batch_ev: DataFrame, batch_id: int
+) -> DataFrame:
+    """±1 edge deltas (src, dst, d) this batch causes, computed from
+    the pre-batch log state of the TOUCHED users only. Excluding the
+    batch's own `_batch_id` partition from the "old" state (instead
+    of trusting the log to not contain it) is what makes a replayed
+    batch recompute the exact same deltas."""
+    batch_per = per_user_item_counts(batch_ev).transform(stage_boundary)
+    old_counts = _read_log(spark, log_dir).where(
+        F.col("_batch_id") != F.lit(batch_id)
+    ).select("user_id", "item", "n_ev")
+    return edge_deltas_core(old_counts, batch_per)
 
 
 def current_edges(spark: SparkSession, delta_dir: str) -> DataFrame:

@@ -110,3 +110,42 @@ def test_random_batch_partitions_match_batch(spark, tmp_path):
             gs.apply_batch(spark, log_dir, delta_dir, batch, b)
         got = _edge_set(gs.current_edges(spark, delta_dir))
         assert got == want, f"seed {seed} (k={k}) diverged"
+
+
+def test_g07_replay_equals_batch_and_evicts(spark):
+    """g07's driver row is only meaningful if the replay (a) lands on
+    the batch recompute and (b) actually exercises the non-monotone
+    cap (negative deltas) on stock data — otherwise it degenerates to
+    a restyled g-edges query."""
+    from rfb_data_pipeline_spark.operators.graph import (
+        _REPLAY_BATCHES,
+        g07_edge_stream_replay,
+    )
+
+    ev = spark.read.parquet(SF_SMALL + "/events.parquet")
+    want = _edge_set(co_engagement_edges(ev))
+    got = _edge_set(g07_edge_stream_replay(spark, SF_SMALL))
+    assert got == want
+    # non-vacuousness: at least one batch's recompute evicts an item
+    # from some user's top-K (the replay would pass trivially if no
+    # user ever crossed the cap mid-replay)
+    item = F.from_json("props", "struct<k:int>").getField("k")
+    per_bui = (
+        ev.select(
+            F.pmod(F.col("event_id"), F.lit(_REPLAY_BATCHES)).alias("b"),
+            "user_id",
+            item.alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .groupBy("b", "user_id", "item")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .localCheckpoint()
+    )
+    neg = 0
+    for b in range(1, _REPLAY_BATCHES):
+        bp = per_bui.where(F.col("b") == b).select("user_id", "item", "n_ev")
+        oc = per_bui.where(F.col("b") < b).select("user_id", "item", "n_ev")
+        neg += (
+            gs.edge_deltas_core(oc, bp).where(F.col("d") < 0).count()
+        )
+    assert neg > 0, "replay never evicted — cap not exercised"

@@ -106,8 +106,9 @@ def test_every_query_has_unique_name_and_oracle_subset():
     # (cluster-aware curation) + m07/m08 (ID3v1 + WAV header parses)
     # + d17/d18/d19/d20 (span-dedup action tier) + g01-g06 (graph
     # analytics) + e20 (EWMA) + e21 (transition matrix) + t18
-    # (posting lists)
-    assert len(q) == 139
+    # (posting lists) + g07 (r06 — incremental edge-maintenance
+    # batch replay, the graph stream's driver row)
+    assert len(q) == 140
     assert set(o) <= set(q)
     # rows-only tier is exactly the sketches + media decode
     rows_only = set(q) - set(o)
