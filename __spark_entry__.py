@@ -78,3 +78,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle for each SQL-expressible query."""
     return _registry()[1]
+
+
+def bounds_oracle() -> dict[str, dict]:
+    """Exact-value DuckDB oracles with pinned tolerances for the
+    approximate sketches (q24/q33) — a LOCAL gate tier on top of the
+    driver's rows-only record; see tools/check_oracle.py."""
+    from rfb_data_pipeline_spark.operators import relational
+
+    return dict(relational.BOUNDS)

@@ -1392,3 +1392,44 @@ ORACLE = {
     "q34_histogram": _Q34_SQL,
     "q35_unpivot": _Q35_SQL,
 }
+
+
+# Bounds oracles for the approximate sketches (VERDICT r05 item 5):
+# q24/q33 stay rows-only for the driver's hash compare (HLL /
+# KLL-style estimates are engine-specific), but locally each estimate
+# is checked against DuckDB's EXACT value within a pinned tolerance —
+# tools/check_oracle.py enforces this, so a `limit(32)` regression can
+# no longer hide behind the rows-only tier.
+#
+# Tolerances: q24 uses approx_count_distinct(rsd=0.01) — HLL++ with
+# 1% target relative standard deviation, so 5% is > 4 sigma; q33 uses
+# percentile_approx(accuracy=10_000) — rank error <= n/10_000, which
+# on lineitem's smooth price distribution stays far inside 2% of the
+# exact quantile value.
+BOUNDS: dict[str, dict] = {
+    "q24_approx_distinct": {
+        "sql": """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS approx_orders,
+       count(*) AS n_rows
+FROM lineitem GROUP BY 1
+""",
+        "key": ["l_returnflag"],
+        "exact": ["n_rows"],
+        "rel_tol": {"approx_orders": 0.05},
+    },
+    "q33_approx_quantiles": {
+        "sql": """
+SELECT l_returnflag,
+       round(quantile_disc(l_extendedprice, 0.25), 2) AS p25,
+       round(quantile_disc(l_extendedprice, 0.50), 2) AS p50,
+       round(quantile_disc(l_extendedprice, 0.75), 2) AS p75,
+       round(quantile_disc(l_extendedprice, 0.99), 2) AS p99,
+       count(*) AS n_rows
+FROM lineitem GROUP BY 1
+""",
+        "key": ["l_returnflag"],
+        "exact": ["n_rows"],
+        "rel_tol": {"p25": 0.02, "p50": 0.02, "p75": 0.02, "p99": 0.02},
+    },
+}

@@ -81,6 +81,43 @@ def _normalize(df: pd.DataFrame) -> list[tuple]:
     return out
 
 
+def check_bounds(con, spdf: pd.DataFrame, spec: dict) -> list[str]:
+    """Tolerance gate for approximate sketches: every Spark estimate
+    must land within ``rel_tol`` of DuckDB's EXACT value (keyed join),
+    and ``exact`` columns must match exactly. Returns problem strings
+    (empty = pass)."""
+    exact_df = con.execute(spec["sql"]).fetchdf()
+    key = spec["key"]
+    errs = []
+    if len(spdf) != len(exact_df):
+        errs.append(f"rowcount spark={len(spdf)} exact={len(exact_df)}")
+        return errs
+    merged = spdf.merge(exact_df, on=key, suffixes=("", "_exact"))
+    if len(merged) != len(spdf):
+        errs.append("key mismatch between spark and exact frames")
+        return errs
+    for col in spec.get("exact", ()):
+        bad = merged[merged[col] != merged[f"{col}_exact"]]
+        if len(bad):
+            r = bad.iloc[0]
+            errs.append(
+                f"{col} exact mismatch at {[r[k] for k in key]}: "
+                f"spark={r[col]} exact={r[f'{col}_exact']}"
+            )
+    for col, tol in spec.get("rel_tol", {}).items():
+        a = merged[col].astype(float)
+        b = merged[f"{col}_exact"].astype(float)
+        rel = (a - b).abs() / np.maximum(b.abs(), 1.0)
+        if (rel > tol).any():
+            i = int(rel.idxmax())
+            errs.append(
+                f"{col} outside {tol:.0%} at "
+                f"{[merged.loc[i, k] for k in key]}: "
+                f"spark={a[i]} exact={b[i]} rel={rel[i]:.4f}"
+            )
+    return errs
+
+
 def value_hash(norm: list[tuple]) -> str:
     h = hashlib.sha256()
     for row in norm:
@@ -113,6 +150,7 @@ def main() -> int:
 
         spark = get_spark("oracle-check")
     qs, oracles = e.queries(), e.oracle_sql()
+    bounds = getattr(e, "bounds_oracle", dict)()
 
     con = duckdb.connect()
     for t in (
@@ -143,7 +181,21 @@ def main() -> int:
                 print(f"FAIL {name}: {exc}")
                 n_fail += 1
                 continue
-            print(f"pass {name}: rows-only ({len(spdf)} rows, {time.time()-t0:.1f}s)")
+            if name in bounds:
+                errs = check_bounds(con, spdf, bounds[name])
+                if errs:
+                    print(f"FAIL {name}: bounds: " + "; ".join(errs))
+                    n_fail += 1
+                    continue
+                print(
+                    f"pass {name}: rows-only + bounds "
+                    f"({len(spdf)} rows, {time.time()-t0:.1f}s)"
+                )
+            else:
+                print(
+                    f"pass {name}: rows-only "
+                    f"({len(spdf)} rows, {time.time()-t0:.1f}s)"
+                )
             n_pass += 1
             continue
         try:
