@@ -89,6 +89,7 @@ HEADLINE = [
     "g04_item_similarity",
     "g05_graph_summary",
     "g06_lpa_communities",
+    "g07_edge_stream_replay",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.
@@ -98,6 +99,12 @@ HEADLINE = [
 
 
 def main() -> None:
+    # --full: time EVERY registered query (not just the headline set)
+    # and fold the extra medians into BENCH_local.json, so each round
+    # has a per-query timing record for the whole registry (VERDICT
+    # r05 item 6). The driver's default invocation and its compact
+    # stdout line are unchanged.
+    full = "--full" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -130,21 +137,24 @@ def main() -> None:
     # was co-located harness load that medians would have flagged as
     # noise immediately; VERDICT r03 item 7). A single query failure
     # must not cost the whole bench line — it is recorded and skipped.
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
+    all_timings: dict[str, float] = {}
+    all_medians: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    bench_names = list(qs) if full else [n for n in HEADLINE if n in qs]
+    for name in bench_names:
         runs: list[float] = []
         try:
             for _ in range(3):
                 t0 = time.time()
                 qs[name](spark, sf_dir).collect()
                 runs.append(time.time() - t0)
-            timings[name] = round(min(runs), 3)
-            medians[name] = round(sorted(runs)[len(runs) // 2], 3)
+            all_timings[name] = round(min(runs), 3)
+            all_medians[name] = round(sorted(runs)[len(runs) // 2], 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
+    timings = {n: all_timings[n] for n in HEADLINE if n in all_timings}
+    medians = {n: all_medians[n] for n in HEADLINE if n in all_medians}
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total_wall",
@@ -155,6 +165,11 @@ def main() -> None:
         "total_median": round(sum(medians.values()), 3),
         "sf": sf,
     }
+    if full:
+        payload["queries_full"] = all_timings
+        payload["queries_full_median"] = all_medians
+        payload["full_total_median"] = round(sum(all_medians.values()), 3)
+        payload["n_queries_full"] = len(all_timings)
     # The headline set has grown since the round-1 baseline was recorded
     # (19 -> 28 queries); the raw total is therefore not apples-to-apples
     # against BENCH_r01.json. Emit the sum over exactly the baseline's

@@ -34,6 +34,27 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+def data_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> tuple:
+    """(path, mtime_ns, size) for every parquet file of ``tables``
+    under ``sf_dir`` — a cheap cache-key component so session-scoped
+    memos (cc_labels_cached, t15_scores_cached) can never serve stale
+    frames after the parquet underneath is rewritten in-session
+    (fixture rebuilds, incremental refreshes)."""
+    parts: list[tuple[str, int, int]] = []
+    for t in tables:
+        p = os.path.join(os.path.abspath(sf_dir), f"{t}.parquet")
+        if os.path.isfile(p):
+            st = os.stat(p)
+            parts.append((p, st.st_mtime_ns, st.st_size))
+        elif os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in sorted(files):
+                    fp = os.path.join(root, f)
+                    st = os.stat(fp)
+                    parts.append((fp, st.st_mtime_ns, st.st_size))
+    return tuple(sorted(parts))
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,

@@ -724,8 +724,13 @@ def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_summary(labels)
 
 
-_D07_SQL = f"""
-WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_D02_SQL})),
+def _cc_summary_sql(pairs_sql: str) -> str:
+    """Recursive-CTE connected components + cluster summary over any
+    (doc_a, doc_b) pair query — shared by the d07 (exact all-pairs
+    edges) and d15 (banded LSH edges) oracles so each mirrors its
+    Spark side's actual edge source."""
+    return f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql})),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
@@ -743,6 +748,9 @@ SELECT cluster_id, count(*) AS n_docs,
 FROM comp
 GROUP BY cluster_id
 """
+
+
+_D07_SQL = _cc_summary_sql(_D02_SQL)
 
 
 # --------------------------------------------------------------------------
@@ -1358,15 +1366,21 @@ def d15_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Edges come from d03's LSH-verified pairs, NOT d02's exact
     # all-pairs shingle join: the 100 TB composition must be
     # banded-candidate-generation end to end (VERDICT r04 item 3).
-    # Same JACCARD_THRESHOLD and the same exact verification step, so
-    # the clusters equal d02's at full LSH recall — which the shared
-    # d07 oracle (exact-pair SQL) and
-    # tests/test_ops_r04c.py::test_d15_equals_d07_on_the_corpus
-    # both pin; a d02-sourced cc_star cross-check lives next to it.
+    # The oracle therefore runs the recursive-CTE CC over the SAME
+    # banded pair twin (d03's SQL), so Spark-vs-oracle equality holds
+    # BY CONSTRUCTION (ADVICE r05): with 4 bands x 3 rows a true
+    # Jaccard-0.8 pair escapes banding with ~(1 - (1-0.8^3)^4) ≈ 5.7%
+    # probability, so equality against the EXACT-pair clustering (d07)
+    # is a measured, data-dependent property — pinned on stock data by
+    # tests/test_ops_r04c.py::test_d15_equals_d07_on_the_corpus and
+    # quantified by d12's calibration — not part of this oracle row.
     pairs = d03_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     return _cluster_summary(cc_star(pairs))
+
+
+_D15_SQL = _cc_summary_sql(_minhash_sql())
 
 
 # Session-scoped memo of the near-dup component labels — the
@@ -1383,7 +1397,12 @@ _CC_LABEL_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 def cc_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
-    key = _os.path.abspath(sf_dir)
+    from rfb_data_pipeline_spark.catalog import data_fingerprint
+
+    # keyed on (path, data fingerprint): a same-session rewrite of the
+    # parquet underneath invalidates the memo instead of serving stale
+    # labels to consumers like x17
+    key = f"{_os.path.abspath(sf_dir)}|{hash(data_fingerprint(sf_dir, ('documents',)))}"
     hit = _CC_LABEL_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
@@ -2106,7 +2125,7 @@ ORACLE = {
     # d15 computes the same logical result as d07 with a different
     # algorithm; sharing the oracle makes the driver hash an
     # algorithm cross-check.
-    "d15_cc_star": _D07_SQL,
+    "d15_cc_star": _D15_SQL,
     "d16_incremental_minhash": _d16_sql(),
     "d17_span_dedup_action": _D17_SQL,
     "d18_cleaned_corpus": _D18_SQL,

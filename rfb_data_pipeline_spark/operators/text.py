@@ -1091,7 +1091,10 @@ _T15_SCORE_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 def t15_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
-    key = _os.path.abspath(sf_dir)
+    from rfb_data_pipeline_spark.catalog import data_fingerprint
+
+    # keyed on (path, data fingerprint) — see cc_labels_cached
+    key = f"{_os.path.abspath(sf_dir)}|{hash(data_fingerprint(sf_dir, ('documents',)))}"
     hit = _T15_SCORE_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]

@@ -371,6 +371,14 @@ def probe_minhash_index(
         (r["band_idx"], r["shard"])
         for r in b_buckets.select("band_idx", "shard").distinct().collect()
     ]
+    if not touched:
+        # an empty micro-batch (or one of all-short documents with no
+        # shingles) produces no LSH buckets — and therefore no pairs;
+        # streaming run_incremental_dedup does not control batch
+        # content, so this is a reachable case, not an error
+        return spark.createDataFrame(
+            [], "doc_batch bigint, doc_corpus bigint, jaccard double"
+        )
     cond = reduce(
         lambda a, b: a | b,
         [

@@ -102,6 +102,59 @@ def v5_duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def month_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Month-over-month diff of a keyed silver table: one row per
+    changed entity, labeled ``added`` / ``removed`` / ``changed``.
+
+    The reference's TRUNCATE-then-load (src/main.py:198-200) destroys
+    the previous month on every reload, which is SURVEY §2.2's set-ops
+    motivation; with ``ref_ym``-partitioned silver tables (A10) the
+    two months coexist and this recovers the audit diff.
+
+    Scale shape: each side collapses to (keys, payload-hash) —
+    map-side, no width carried through the shuffle — then ONE
+    full-outer equi-join on the keys classifies every entity. No
+    exceptAll double-scan, no row payload in the join, key-partitioned
+    all the way, so it holds at any month size.
+    """
+    assert set(old.columns) == set(new.columns), (
+        sorted(set(old.columns) ^ set(new.columns))
+    )
+    payload = [c for c in new.columns if c not in keys]
+    assert payload, "keyed diff needs at least one non-key column"
+
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        # NULL-safe payload canon: NULL and 'NULL'-the-string must not
+        # collide, so each column gets a sentinel distinct from any
+        # cast value before hashing.
+        cells = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in payload
+        ]
+        return df.select(*keys, F.xxhash64(*cells).alias(f"h_{side}"))
+
+    joined = keyed(old, "old").join(keyed(new, "new"), keys, "full_outer")
+    return joined.select(
+        *keys,
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .alias("change"),
+    ).where(F.col("change").isNotNull())
+
+
+def month_diff_summary(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """(change, n_entities) rollup of ``month_diff`` — the report row
+    the reference's status tally (src/main.py:222-237) would print."""
+    return (
+        month_diff(old, new, keys)
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+    )
+
+
 def validation_report(
     df: DataFrame, table: str, keys: list[str] | None = None
 ) -> dict[str, object]:

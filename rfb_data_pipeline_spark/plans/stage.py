@@ -45,12 +45,18 @@ def stage_boundary(df: DataFrame, mode: str | None = None) -> DataFrame:
         return df.localCheckpoint(eager=True)
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
-        # On a cluster RFB_CHECKPOINT_DIR points at HDFS/object store;
-        # locally a temp dir keeps the mode runnable in tests.
-        sc.setCheckpointDir(
-            os.environ.get(
-                "RFB_CHECKPOINT_DIR",
-                tempfile.mkdtemp(prefix="rfb_stage_ckpt_"),
-            )
-        )
+        # On a cluster RFB_CHECKPOINT_DIR points at HDFS/object store
+        # (pair it with spark.cleaner.referenceTracking.cleanCheckpoints
+        # =true in the session conf — get_spark sets it — so GC'd
+        # frames release their files); locally a temp dir keeps the
+        # mode runnable in tests and is removed at process exit, so
+        # iterative callers like cc_star can't leak disk per round.
+        ckpt_dir = os.environ.get("RFB_CHECKPOINT_DIR")
+        if ckpt_dir is None:
+            import atexit
+            import shutil
+
+            ckpt_dir = tempfile.mkdtemp(prefix="rfb_stage_ckpt_")
+            atexit.register(shutil.rmtree, ckpt_dir, ignore_errors=True)
+        sc.setCheckpointDir(ckpt_dir)
     return df.checkpoint(eager=True)

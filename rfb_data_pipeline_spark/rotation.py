@@ -136,6 +136,9 @@ LAST_TOUCHED.update(
         5,
     )
 )
+# r06: d15's oracle switched to the banded-pair CC twin (equality by
+# construction, ADVICE r05) — its r05 row predates the new oracle.
+LAST_TOUCHED["d15_cc_star"] = 6
 
 
 def window_order(

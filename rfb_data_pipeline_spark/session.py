@@ -53,6 +53,12 @@ _DEFAULTS = {
     "spark.driver.memory": "16g",
     # Managed-table location for bucketed tables (kept out of the repo).
     "spark.sql.warehouse.dir": "/tmp/rfb-spark-warehouse",
+    # Reliable checkpoints (stage_boundary mode="storage") are
+    # reference-tracked: release a checkpoint's files when its frame
+    # is GC'd, so iterative callers (cc_star rounds) don't accumulate
+    # dead checkpoint dirs for the life of the app. Context-creation
+    # conf — it must be here, not set at runtime.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 

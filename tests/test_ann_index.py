@@ -290,3 +290,33 @@ def test_span_probe_scan_is_partition_pruned(spark, tmp_path):
         if sd.startswith("shard=")
     )
     assert len(touched) < all_dirs, (len(touched), all_dirs)
+
+
+def test_minhash_probe_handles_empty_and_shingleless_batches(
+    spark, tmp_path
+):
+    """ADVICE r05: an empty micro-batch — or one of all-short
+    documents that produce no shingles — reaches probe_minhash_index
+    through streaming run_incremental_dedup, where batch content is
+    not controlled. It must return an empty pair frame, not crash on
+    reduce-of-empty."""
+    from rfb_data_pipeline_spark.pipeline.ann_index import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    path = str(tmp_path / "mh_idx_empty")
+    write_minhash_index(spark, corpus, path)
+    empty = docs.filter(F.lit(False))
+    out = probe_minhash_index(spark, path, empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_batch", "doc_corpus", "jaccard",
+    ]
+    shingleless = spark.createDataFrame(
+        [(1, "web", "too short")],
+        "doc_id bigint, source string, text string",
+    )
+    assert probe_minhash_index(spark, path, shingleless).count() == 0

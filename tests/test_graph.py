@@ -468,3 +468,72 @@ def test_g06_matches_python_model(spark, graph_dir):
     # community structure must be non-trivial: more than one
     # community, and at least one multi-node community
     assert len(sizes) > 1 and max(sizes.values()) > 1
+
+
+# ---------------------------------------------------------------------------
+# Power-law hub skew (VERDICT r05 item 3): one hot item in ~30% of
+# users' capped sets makes the co-engagement edge groupBy(src,dst) —
+# the family's only skew-exposed shuffle — maximally unbalanced, and
+# concentrates strength/rank mass on the hub. Every g query must
+# still match DuckDB exactly on this shape (rank quantization,
+# degree-ordered triangle orientation, BFS-from-hub, LPA votes, and
+# the replayed edge maintenance all stress differently under a hub).
+
+
+def test_graph_family_parity_with_powerlaw_hub(spark, tmp_path):
+    import random
+
+    import __spark_entry__ as entry_mod
+
+    rng = random.Random(7)
+    HUB = 999
+    rows = []
+    eid = 0
+    for u in range(1, 41):
+        items = rng.sample(range(100), rng.randint(4, 8))
+        if u % 10 < 3:  # 30% of users engage the hub item
+            items.append(HUB)
+        for item in items:
+            for _ in range(rng.randint(1, 3)):  # engagement-count ties vary
+                eid += 1
+                rows.append(
+                    (
+                        eid,
+                        dt.datetime(2024, 7, 1) + dt.timedelta(minutes=eid),
+                        u,
+                        "view",
+                        1.0,
+                        '{"k": %d}' % item,
+                    )
+                )
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('%s/*.parquet')"
+        % str(tmp_path / "events.parquet")
+    )
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    # non-vacuousness: the hub really is a hub (top strength, degree
+    # above every non-hub item)
+    from rfb_data_pipeline_spark.operators.graph import co_engagement_edges
+
+    ev = spark.read.parquet(str(tmp_path / "events.parquet"))
+    edges = co_engagement_edges(ev).collect()
+    hub_w = sum(r["w"] for r in edges if HUB in (r["src"], r["dst"]))
+    other_max = max(
+        sum(r["w"] for r in edges if i in (r["src"], r["dst"]))
+        for i in range(100)
+    )
+    assert hub_w > 2 * other_max, (hub_w, other_max)
+    for name in sorted(n for n in q if n.startswith("g")):
+        spdf = q[name](spark, str(tmp_path)).toPandas()
+        opdf = con.execute(o[name]).fetchdf()
+        assert len(spdf) == len(opdf), (name, len(spdf), len(opdf))
+        assert value_hash(_normalize(spdf)) == value_hash(
+            _normalize(opdf)
+        ), name
+    con.close()

@@ -394,6 +394,14 @@ def test_exchange_budgets_headline(spark):
         # the per-doc interval array by broadcast (zero extra shuffle)
         "d19_decontaminate_action": 4,  # span marks (eval side
         # broadcast) + island merge + per-doc cov + source rollup
+        "g05_graph_summary": 19,  # the headline graph composition:
+        # oriented-triangle chain + four broadcast scalar joins over
+        # the shared materialized engagement base (cc_star's per-round
+        # shuffles sit behind stage boundaries, not in this plan);
+        # a lost broadcast or an unshared engagement base exceeds this
+        "g07_edge_stream_replay": 28,  # 4 replay batches x (touched
+        # semi-join + old/new aggs + cap windows + pair joins) + final
+        # delta sum — the K-batch maintenance cost, linear in K
     }
     over = {}
     for name, budget in budgets.items():

@@ -54,10 +54,14 @@ def test_r06_window_composition():
         "e12_sequence_match",
         "t01_token_stats", "t02_quality_score", "t07_repetition",
         "t09_bpe_token_count", "x01_split_assign",
+        "d15_cc_star",  # r06: oracle switched to the banded-pair twin
     }
     assert touched_stale <= window
     # Tier 2 — remaining slots go to the oldest green rows (r03),
-    # oracle-paired first: s09/s10, the untouched t/x series.
+    # oracle-paired first: s09/s10, the untouched t/x series. With 14
+    # tier-0 + 19 tier-1 entries, 17 of the 18 r03 oracle-paired
+    # entries fit; x10 (alphabetically last) and the rows-only m01-m03
+    # spill to r07.
     assert {
         "s09_vector_stats", "s10_semantic_dedup",
         "t03_langid", "t04_fingerprint", "t05_top_terms",
@@ -66,17 +70,19 @@ def test_r06_window_composition():
         "x02_cap_per_group", "x03_stratified_sample",
         "x04_chunk_documents", "x05_corpus_curation",
         "x06_shuffle_shard", "x07_upsert_merge", "x08_split_leakage",
-        "x09_pack_sequences", "x10_domain_mixture",
+        "x09_pack_sequences",
     } <= window
     # NO slot burns on r04/r05-green, untouched code: every q-series
     # name in the window is exactround-touched, no d/e-series beyond
-    # the tiers above, no media row before slot 50.
+    # the tiers above, no media row inside the window.
     assert not (window & {"d01_exact_dedup", "s01_knn_bruteforce",
                           "e01_tumbling_hourly", "q02_argmin_supplier",
                           "q17_distinct_agg", "x11_curriculum_buckets"})
-    # m02/m03 (rows-only r03) spill to r07 — first spill entries.
-    spill_head = set(names[50:53])
-    assert {"m02_media_stats", "m03_frame_sample"} <= spill_head | window
+    # spill heads straight into the r07 promotions
+    assert names[50:54] == [
+        "x10_domain_mixture", "m01_image_metadata",
+        "m02_media_stats", "m03_frame_sample",
+    ]
 
 
 def test_ledger_invariants_hold():

@@ -338,3 +338,45 @@ def test_multipart_table_loads_as_one_partition(spark, tmp_path):
     df = spark.read.parquet(f"{out}/rfb_empresas")
     assert df.count() == 3
     assert df.select("cnpj_basico").distinct().count() == 3
+
+
+def test_month_diff_classifies_adds_removes_changes(spark):
+    from rfb_data_pipeline_spark.pipeline.validate import (
+        month_diff,
+        month_diff_summary,
+    )
+
+    cols = ["cnpj_basico", "razao_social", "capital_social"]
+    may = spark.createDataFrame(
+        [
+            ("00000001", "ALFA LTDA", "100,00"),       # unchanged
+            ("00000002", "BETA SA", "250,00"),         # payload changes
+            ("00000003", "GAMA ME", "50,00"),          # removed in June
+            ("00000005", "NULO LTDA", None),           # NULL vs 'NULL' canon
+        ],
+        cols,
+    )
+    june = spark.createDataFrame(
+        [
+            ("00000001", "ALFA LTDA", "100,00"),
+            ("00000002", "BETA SA", "300,00"),
+            ("00000004", "DELTA EPP", "10,00"),        # added in June
+            ("00000005", "NULO LTDA", "NULL"),         # string, not SQL NULL
+        ],
+        cols,
+    )
+    got = {
+        r["cnpj_basico"]: r["change"]
+        for r in month_diff(may, june, ["cnpj_basico"]).collect()
+    }
+    assert got == {
+        "00000002": "changed",
+        "00000003": "removed",
+        "00000004": "added",
+        "00000005": "changed",  # NULL -> 'NULL' must NOT hash equal
+    }
+    summary = {
+        r["change"]: r["n_entities"]
+        for r in month_diff_summary(may, june, ["cnpj_basico"]).collect()
+    }
+    assert summary == {"added": 1, "removed": 1, "changed": 2}

@@ -57,7 +57,10 @@ def main() -> None:
     argv = sys.argv[1:]
     new_label, new = _load(argv[1] if len(argv) > 1 else None)
     old_label, old = _load(argv[0] if argv else None, skip=new_label)
-    oq, nq = old["queries"], new["queries"]
+    # prefer the full-registry timing map when a payload has one
+    # (bench.py --full), falling back to the headline set
+    oq = old.get("queries_full") or old["queries"]
+    nq = new.get("queries_full") or new["queries"]
     rows = []
     for name in sorted(set(oq) | set(nq)):
         a, b = oq.get(name), nq.get(name)
