@@ -90,6 +90,7 @@ HEADLINE = [
     "g05_graph_summary",
     "g06_lpa_communities",
     "g07_edge_stream_replay",
+    "e22_any_click_funnel",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

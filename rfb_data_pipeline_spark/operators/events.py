@@ -1340,6 +1340,122 @@ FROM with_tot
 )
 
 
+# --------------------------------------------------------------------------
+# e22 — ANY-click funnel attribution: the general MATCH_RECOGNIZE
+# skip-to-next-match semantics e17 deliberately lacks (its documented
+# matching rule binds step 3 exclusively to the FIRST click after
+# each view). Here a view converts if ANY click inside its 1-hour
+# window has a purchase within 24h of THAT click — so a view whose
+# first click goes nowhere but whose second click (still in-window)
+# purchases counts here and not in e17 (the semantic difference is
+# pinned by a synthetic fixture in tests/test_adversarial_events.py).
+#
+# Ties: clicks at the view's own timestamp count (pure timestamp
+# window [v_ts, v_ts + 1h], no event_id ordering dependence), and
+# same-(user, ts) clicks collapse to their earliest next purchase —
+# deterministic in both engines. Shape: ONE user-keyed window shuffle
+# for per-click next-purchase, an equi-join on user_id whose range
+# predicate bounds the fan-out to clicks-per-user-per-hour, one
+# per-view aggregate, one global rollup — no per-row iteration.
+
+
+def e22_any_click_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    annotated = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .over(w)
+        .alias("next_purchase_ts"),
+    ).transform(stage_boundary)
+    views = annotated.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    clicks = (
+        annotated.filter(F.col("event_type") == "click")
+        .groupBy(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .agg(F.min("next_purchase_ts").alias("p_ts"))
+    )
+    j = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    converted = F.coalesce(
+        F.col("p_ts").isNotNull()
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOURS")),
+        F.lit(False),
+    )
+    per_view = j.groupBy("v_id").agg(
+        F.max(F.col("c_ts").isNotNull().cast("int")).alias("any_clicked"),
+        F.max(converted.cast("int")).alias("any_converted"),
+    )
+    return per_view.agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum("any_clicked").cast("bigint").alias("n_clicked_1h"),
+        F.sum("any_converted").cast("bigint").alias("n_purchased_any"),
+        ratio_round(
+            F.sum("any_clicked"), F.count(F.lit(1)), 4, nonneg=True
+        ).alias("click_rate"),
+        ratio_round(
+            F.sum("any_converted"), F.count(F.lit(1)), 4, nonneg=True
+        ).alias("any_funnel_rate"),
+    )
+
+
+_E22_SQL = f"""
+WITH annotated AS (
+  SELECT user_id, event_type, ts, event_id,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_purchase_ts
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+views AS (
+  SELECT user_id, ts AS v_ts, event_id AS v_id
+  FROM annotated WHERE event_type = 'view'
+),
+clicks AS (
+  SELECT user_id AS c_user, ts AS c_ts, min(next_purchase_ts) AS p_ts
+  FROM annotated WHERE event_type = 'click'
+  GROUP BY 1, 2
+),
+per_view AS (
+  SELECT v.v_id,
+         max(CASE WHEN c.c_ts IS NOT NULL THEN 1 ELSE 0 END) AS any_clicked,
+         max(CASE WHEN c.p_ts IS NOT NULL
+                   AND c.p_ts <= c.c_ts + INTERVAL 24 HOUR
+                  THEN 1 ELSE 0 END) AS any_converted
+  FROM views v LEFT JOIN clicks c
+    ON v.user_id = c.c_user
+   AND c.c_ts >= v.v_ts AND c.c_ts <= v.v_ts + INTERVAL 1 HOUR
+  GROUP BY v.v_id
+)
+SELECT count(*) AS n_views,
+       CAST(sum(any_clicked) AS BIGINT) AS n_clicked_1h,
+       CAST(sum(any_converted) AS BIGINT) AS n_purchased_any,
+       {sql_ratio_round('sum(any_clicked)', 'count(*)', 4, nonneg=True)} AS click_rate,
+       {sql_ratio_round('sum(any_converted)', 'count(*)', 4, nonneg=True)} AS any_funnel_rate
+FROM per_view
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_window": e02_sliding_window,
@@ -1369,6 +1485,7 @@ QUERIES = {
     "e19_quality_replay": e19_quality_replay,
     "e20_ewma_baseline": e20_ewma_baseline,
     "e21_transition_matrix": e21_transition_matrix,
+    "e22_any_click_funnel": e22_any_click_funnel,
 }
 
 ORACLE = {
@@ -1393,4 +1510,5 @@ ORACLE = {
     "e19_quality_replay": _e19_sql(),
     "e20_ewma_baseline": _e20_sql(),
     "e21_transition_matrix": _E21_SQL,
+    "e22_any_click_funnel": _E22_SQL,
 }

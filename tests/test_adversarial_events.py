@@ -24,7 +24,8 @@ _ORACLES = entry_mod.oracle_sql()
 # e01-e15 + e17 (e16 is the corpus-funnel replay over documents — it
 # has no events surface to probe here)
 _E_PROBED = [f"e{i:02d}" for i in range(1, 16)] + [
-    "e17", "e20", "e21", "g01", "g02", "g03", "g04", "g05", "g06",
+    "e17", "e20", "e21", "e22",
+    "g01", "g02", "g03", "g04", "g05", "g06", "g07",
 ]
 
 
@@ -103,3 +104,41 @@ def test_adversarial_events_parity(spark, adv_events_dir, adv_events_duck, prefi
             f"{name}: value mismatch, first diff spark={diff[0]} "
             f"duckdb={diff[1]}"
         )
+
+
+def test_e22_diverges_from_e17_on_second_click_conversion(spark, tmp_path):
+    """e22's whole reason to exist: a view whose FIRST in-window click
+    never converts but whose SECOND in-window click does must count in
+    e22 (any-click) and NOT in e17 (first-click). Stock data happens
+    to produce identical totals for both, so this synthetic fixture is
+    the only evidence the skip semantics are real."""
+    from rfb_data_pipeline_spark.operators.events import (
+        e17_multistep_funnel,
+        e22_any_click_funnel,
+    )
+
+    t0 = dt.datetime(2024, 4, 1, 12, 0)
+
+    def mins(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # view at t0; click1 at +10m; click2 at +50m (still in the 1h
+        # window); the ONLY purchase lands at +24h30m — beyond
+        # click1's 24h deadline (+24h10m), inside click2's (+24h50m)
+        (1, mins(0), 1, "view", 1.0, None),
+        (2, mins(10), 1, "click", 1.0, None),
+        (3, mins(50), 1, "click", 1.0, None),
+        (4, mins(24 * 60 + 30), 1, "purchase", 9.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    first = e17_multistep_funnel(spark, str(tmp_path)).first()
+    any_ = e22_any_click_funnel(spark, str(tmp_path)).first()
+    assert first["n_views"] == any_["n_views"] == 1
+    assert first["n_clicked_1h"] == any_["n_clicked_1h"] == 1
+    assert first["n_purchased_24h"] == 0  # first-click rule: no match
+    assert any_["n_purchased_any"] == 1  # any-click rule: click2 wins

@@ -58,10 +58,10 @@ def test_r06_window_composition():
     }
     assert touched_stale <= window
     # Tier 2 — remaining slots go to the oldest green rows (r03),
-    # oracle-paired first: s09/s10, the untouched t/x series. With 14
-    # tier-0 + 19 tier-1 entries, 17 of the 18 r03 oracle-paired
-    # entries fit; x10 (alphabetically last) and the rows-only m01-m03
-    # spill to r07.
+    # oracle-paired first: s09/s10, the untouched t/x series. With 15
+    # tier-0 (incl. the new g07/e22) + 19 tier-1 entries, 16 of the 18
+    # r03 oracle-paired entries fit; x09/x10 (alphabetically last) and
+    # the rows-only m01-m03 spill to r07.
     assert {
         "s09_vector_stats", "s10_semantic_dedup",
         "t03_langid", "t04_fingerprint", "t05_top_terms",
@@ -70,7 +70,6 @@ def test_r06_window_composition():
         "x02_cap_per_group", "x03_stratified_sample",
         "x04_chunk_documents", "x05_corpus_curation",
         "x06_shuffle_shard", "x07_upsert_merge", "x08_split_leakage",
-        "x09_pack_sequences",
     } <= window
     # NO slot burns on r04/r05-green, untouched code: every q-series
     # name in the window is exactround-touched, no d/e-series beyond
@@ -79,8 +78,8 @@ def test_r06_window_composition():
                           "e01_tumbling_hourly", "q02_argmin_supplier",
                           "q17_distinct_agg", "x11_curriculum_buckets"})
     # spill heads straight into the r07 promotions
-    assert names[50:54] == [
-        "x10_domain_mixture", "m01_image_metadata",
+    assert names[50:55] == [
+        "x09_pack_sequences", "x10_domain_mixture", "m01_image_metadata",
         "m02_media_stats", "m03_frame_sample",
     ]
 
@@ -113,8 +112,9 @@ def test_every_query_has_unique_name_and_oracle_subset():
     # + d17/d18/d19/d20 (span-dedup action tier) + g01-g06 (graph
     # analytics) + e20 (EWMA) + e21 (transition matrix) + t18
     # (posting lists) + g07 (r06 — incremental edge-maintenance
-    # batch replay, the graph stream's driver row)
-    assert len(q) == 140
+    # batch replay, the graph stream's driver row) + e22 (r06 —
+    # any-click funnel, the general skip semantics e17 lacks)
+    assert len(q) == 141
     assert set(o) <= set(q)
     # rows-only tier is exactly the sketches + media decode
     rows_only = set(q) - set(o)
