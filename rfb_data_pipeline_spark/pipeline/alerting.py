@@ -1,0 +1,212 @@
+"""E-mail alerting + daily "vigilante" scheduler (READme.md:8-9,33-34).
+
+The reference README promises three behaviors its code never ships
+(src/main.py has no mail or scheduling surface):
+
+1. *vigilante mode* — check the RFB site daily for the reference
+   month's publication and start the load when it appears;
+2. a success notification when the load finishes and the data is
+   ready;
+3. a detailed failure alert saying exactly WHERE (file + stage) and
+   WHY (attempt counts, count-gate numbers) the pipeline stopped.
+
+Implemented Spark-first: alert *evaluation* is a bounded query over
+the manifest (one row per failed file — never a row-level collect of
+table data), *rendering* is driver-side string assembly, and the
+*transport* is an injected callable — the discovery module's
+transport-injection discipline (``pipeline/discovery.py:20``) — so
+tests record deliveries and production wires ``smtp_transport``
+(stdlib smtplib; no SMTP server exists in CI, so it is built lazily
+and never imported on the evaluation path).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rfb_data_pipeline_spark.pipeline import manifest as mf
+
+Transport = Callable[[str, str], None]  # (subject, body) -> delivered
+
+
+@dataclass
+class Alert:
+    severity: str  # "success" | "failure"
+    subject: str
+    body: str
+
+
+def failure_details(manifest: DataFrame) -> DataFrame:
+    """One row per file with any non-success terminal stage: the
+    WHERE (arquivo, first failed stage) and WHY (attempt count,
+    count-gate numbers) of READme.md:34. Bounded output — the alert
+    carries manifest rows, never table data."""
+    stage_cols = [f"status_{s}" for s in mf.STAGES]
+    first_failed = F.coalesce(
+        *[
+            F.when(F.col(c) == mf.FAILED, F.lit(s))
+            for s, c in zip(mf.STAGES, stage_cols)
+        ]
+    )
+    any_failed = None
+    for c in stage_cols:
+        cond = F.col(c) == mf.FAILED
+        any_failed = cond if any_failed is None else (any_failed | cond)
+    return (
+        manifest.where(any_failed)
+        .select(
+            "arquivo",
+            first_failed.alias("failed_stage"),
+            "tentativas_download",
+            F.col("validacoes.linhas_corrigidas").alias("linhas_corrigidas"),
+            F.col("validacoes.registros_no_banco").alias("registros_no_banco"),
+        )
+        .orderBy("arquivo")
+    )
+
+
+def evaluate_run(manifest: DataFrame, ref_ym: str) -> Alert:
+    """Success notification or detailed failure alert for a finished
+    run — the READme.md:33-34 contract as data."""
+    failures = failure_details(manifest).collect()  # bounded: files only
+    tally = {
+        r["status_carga"]: r["n_files"]
+        for r in mf.status_report(manifest).collect()
+    }
+    if not failures:
+        n = sum(tally.values())
+        return Alert(
+            severity="success",
+            subject=f"[RFB {ref_ym}] carga concluida com sucesso",
+            body=(
+                f"Todos os {n} arquivos do mes {ref_ym} foram processados; "
+                "os dados estao prontos para uso.\n"
+                f"Tally por status_carga: {tally}"
+            ),
+        )
+    lines = [
+        f"- {r['arquivo']}: falhou na etapa '{r['failed_stage']}' "
+        f"(tentativas_download={r['tentativas_download']}, "
+        f"linhas_corrigidas={r['linhas_corrigidas']}, "
+        f"registros_no_banco={r['registros_no_banco']})"
+        for r in failures
+    ]
+    return Alert(
+        severity="failure",
+        subject=(
+            f"[RFB {ref_ym}] ALERTA: {len(failures)} arquivo(s) falharam"
+        ),
+        body="A pipeline parou nos seguintes pontos:\n" + "\n".join(lines),
+    )
+
+
+def notify(alert: Alert, transport: Transport) -> None:
+    transport(alert.subject, alert.body)
+
+
+def smtp_transport(
+    host: str, port: int, sender: str, recipients: list[str]
+) -> Transport:
+    """Production transport over stdlib smtplib, built lazily so the
+    evaluation path never needs a mail server."""
+
+    def send(subject: str, body: str) -> None:
+        import smtplib
+        from email.message import EmailMessage
+
+        msg = EmailMessage()
+        msg["Subject"] = subject
+        msg["From"] = sender
+        msg["To"] = ", ".join(recipients)
+        msg.set_content(body)
+        with smtplib.SMTP(host, port) as s:
+            s.send_message(msg)
+
+    return send
+
+
+# --------------------------------------------------------------------------
+# Vigilante: the daily publication probe + trigger. The RFB publishes
+# each reference month as a dated listing; "published" means the
+# month's listing exists and contains zip links (the A1 discovery
+# parse). State lives in the run's manifest directory — a month that
+# already has a manifest is not re-triggered (resume within a month
+# is run_month's own checkpoint lattice).
+
+
+@dataclass
+class VigilanteResult:
+    ref_ym: str
+    published: bool
+    triggered: bool
+    report: object = None
+    alert: Alert | None = None
+
+
+def check_month_published(
+    base_url: str, fetch: Callable[[str], str]
+) -> bool:
+    """True when the month's listing exists and lists zip files."""
+    from rfb_data_pipeline_spark.pipeline.discovery import discover_files
+
+    try:
+        return len(discover_files(base_url, fetch=fetch)) > 0
+    except Exception:  # listing 404s until the month is published
+        return False
+
+
+def vigilante_once(
+    spark: SparkSession,
+    cfg,
+    transport: Transport,
+    already_loaded: Callable[[str], bool],
+) -> VigilanteResult:
+    """One daily check (READme.md:8-9): probe the listing; when the
+    month is published and not yet loaded, run the full month and
+    send the success/failure notification (READme.md:33-34)."""
+    from rfb_data_pipeline_spark.pipeline.run import run_month
+
+    if already_loaded(cfg.ref_ym):
+        return VigilanteResult(cfg.ref_ym, published=True, triggered=False)
+    if not check_month_published(cfg.base_url, cfg.fetch):
+        return VigilanteResult(cfg.ref_ym, published=False, triggered=False)
+    report = run_month(spark, cfg)
+    manifest = mf.load_manifest(spark, report.manifest_path)
+    alert = evaluate_run(manifest, cfg.ref_ym)
+    notify(alert, transport)
+    return VigilanteResult(
+        cfg.ref_ym, published=True, triggered=True, report=report, alert=alert
+    )
+
+
+def vigilante_daily(
+    spark: SparkSession,
+    cfg_for_month: Callable[[str], object],
+    next_month: Callable[[], str],
+    transport: Transport,
+    already_loaded: Callable[[str], bool],
+    interval_sec: float = 86400.0,
+    max_checks: int | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> list[VigilanteResult]:
+    """The daily loop, dependency-injected end to end (clock included)
+    so tests drive it synchronously; production runs it as the
+    long-lived driver process (or one cron'd ``vigilante_once`` per
+    day, which is the same code path)."""
+    results: list[VigilanteResult] = []
+    checks = 0
+    while max_checks is None or checks < max_checks:
+        ref_ym = next_month()
+        results.append(
+            vigilante_once(spark, cfg_for_month(ref_ym), transport, already_loaded)
+        )
+        checks += 1
+        if max_checks is not None and checks >= max_checks:
+            break
+        sleep(interval_sec)
+    return results
