@@ -314,6 +314,7 @@ _SINGLE_PARTITION_OK = {
     "e11_spike_detection",  # post-agg minute frame
     "e12_sequence_match",  # 1-row match count
     "e17_multistep_funnel",  # 1-row funnel summary
+    "e22_any_click_funnel",  # 1-row funnel summary (e17 shape)
     "e14_max_concurrency",  # banded prefix sum's band-offset frame
     "e15_gap_fill_locf",  # calendar-bounded resample grid
     "d01_exact_dedup",  # 1-row dedup summary

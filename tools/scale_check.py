@@ -160,7 +160,10 @@ def _ops() -> dict:
         d19_decontaminate_action,
         d20_incremental_span_dedup,
     )
-    from rfb_data_pipeline_spark.operators.events import e19_quality_replay
+    from rfb_data_pipeline_spark.operators.events import (
+        e19_quality_replay,
+        e22_any_click_funnel,
+    )
     from rfb_data_pipeline_spark.operators.graph import (
         g01_item_pagerank,
         g02_item_triangles,
@@ -168,6 +171,7 @@ def _ops() -> dict:
         g04_item_similarity,
         g05_graph_summary,
         g06_lpa_communities,
+        g07_edge_stream_replay,
     )
     from rfb_data_pipeline_spark.operators.sampling import (
         x09_pack_sequences,
@@ -201,6 +205,8 @@ def _ops() -> dict:
         "g04": g04_item_similarity,
         "g05": g05_graph_summary,
         "g06": g06_lpa_communities,
+        "g07": g07_edge_stream_replay,
+        "e22": e22_any_click_funnel,
         "x09": x09_pack_sequences,
         "x15": x15_split_drift,
         "x17": x17_cluster_curation,
