@@ -91,6 +91,8 @@ HEADLINE = [
     "g06_lpa_communities",
     "g07_edge_stream_replay",
     "e22_any_click_funnel",
+    "t19_bm25_search",
+    "e23_cusum_changepoint",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

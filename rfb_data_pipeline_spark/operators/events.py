@@ -1456,6 +1456,140 @@ FROM per_view
 """
 
 
+# --------------------------------------------------------------------------
+# e23 — one-sided CUSUM changepoint detection on hourly load: the
+# sustained-shift detector that complements e11 (pointwise z-spikes)
+# and e20 (EWMA smoothing) — CUSUM accumulates small persistent
+# excursions above the mean that neither flags. The textbook
+# recursion s_i = max(0, s_{i-1} + (x_i - k)) is sequential, but with
+# p_i = prefix-sum(x_j - k) it equals s_i = p_i - min(0, min_{j<=i}
+# p_j) — two stock window passes, fully declarative. Engine-exact by
+# construction: with drift k = mean = T/N, everything is scaled by N
+# (cusum_units = N * classic-CUSUM) so the whole computation stays in
+# BIGINT — no float enters the hash. Alarm when the accumulated
+# excess tops twice the type's total-over-mean budget (units > 2T ⟺
+# classic s > 2·mean), an integer compare.
+#
+# Shape: one (type, hour) aggregate, a per-type calendar spine
+# (gap hours count as zero load — a quiet hour must DRAIN the
+# statistic), two |spine|-row windows partitioned by event_type.
+# Post-agg frames only; at 100 TB the hourly rollup is the only
+# corpus-sized pass.
+
+
+def e23_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rng = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+        F.count(F.lit(1)).alias("t_total"),
+    )
+    spine = rng.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+        "t_total",
+        (F.expr("timestampdiff(HOUR, h0, h1)") + F.lit(1))
+        .cast("bigint")
+        .alias("n_hours"),
+    )
+    base = spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("n_events"),
+        "t_total",
+        "n_hours",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_p = base.withColumn(
+        "p",
+        F.sum(
+            F.col("n_events") * F.col("n_hours") - F.col("t_total")
+        ).over(w),
+    )
+    s = F.col("p") - F.least(F.lit(0).cast("bigint"), F.min("p").over(w))
+    hourly_s = with_p.select(
+        "event_type", "hour", "t_total", "n_hours", s.alias("cusum_units")
+    )
+    # detection summary: the FIRST hour the statistic crosses h = 8T
+    # (classic CUSUM > 8x the hourly mean) — the changepoint verdict,
+    # one row per type; max_cusum_units quantifies the shift either way
+    crossed = F.col("cusum_units") > F.lit(_CUSUM_H_MEANS) * F.col("t_total")
+    return hourly_s.groupBy("event_type").agg(
+        F.max("t_total").alias("t_total"),
+        F.max("n_hours").alias("n_hours"),
+        F.max("cusum_units").alias("max_cusum_units"),
+        F.min(F.when(crossed, F.col("hour"))).alias("detected_at"),
+        F.max(crossed.cast("int")).alias("shift_detected"),
+    )
+
+
+_CUSUM_H_MEANS = 8  # h = 8x the hourly mean, in integer N-units: s > 8T
+
+
+def _e23_sql() -> str:
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+rng AS (
+  SELECT event_type,
+         date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1,
+         count(*) AS t_total
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr,
+         t_total,
+         (datediff('hour', h0, h1) + 1)::BIGINT AS n_hours
+  FROM rng
+),
+base AS (
+  SELECT s.event_type, s.hr,
+         coalesce(h.c, 0)::BIGINT AS n_events,
+         s.t_total, s.n_hours
+  FROM spine s LEFT JOIN hourly h USING (event_type, hr)
+),
+with_p AS (
+  SELECT *,
+         sum(n_events * n_hours - t_total) OVER (
+           PARTITION BY event_type ORDER BY hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS p
+  FROM base
+),
+cu AS (
+  SELECT event_type, hr, t_total, n_hours,
+         p - least(0, min(p) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )) AS cusum_units
+  FROM with_p
+)
+SELECT event_type,
+       CAST(max(t_total) AS BIGINT) AS t_total,
+       CAST(max(n_hours) AS BIGINT) AS n_hours,
+       CAST(max(cusum_units) AS BIGINT) AS max_cusum_units,
+       min(CASE WHEN cusum_units > {_CUSUM_H_MEANS} * t_total
+                THEN hr END) AS detected_at,
+       max(CASE WHEN cusum_units > {_CUSUM_H_MEANS} * t_total
+                THEN 1 ELSE 0 END) AS shift_detected
+FROM cu
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_sliding_window": e02_sliding_window,
@@ -1486,6 +1620,7 @@ QUERIES = {
     "e20_ewma_baseline": e20_ewma_baseline,
     "e21_transition_matrix": e21_transition_matrix,
     "e22_any_click_funnel": e22_any_click_funnel,
+    "e23_cusum_changepoint": e23_cusum_changepoint,
 }
 
 ORACLE = {
@@ -1511,4 +1646,5 @@ ORACLE = {
     "e20_ewma_baseline": _e20_sql(),
     "e21_transition_matrix": _E21_SQL,
     "e22_any_click_funnel": _E22_SQL,
+    "e23_cusum_changepoint": _e23_sql(),
 }

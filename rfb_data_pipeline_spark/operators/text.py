@@ -1445,6 +1445,109 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# t19 — BM25 lexical retrieval (Okapi, k1=1.2, b=0.75): the scoring
+# half of the inverted-index story t18's posting lists open — together
+# they are the classic keyword-search pair every corpus-curation
+# stack keeps beside its vector ANN (s-family). Query terms span the
+# df spectrum on stock data ('dup' is rare ⇒ high IDF; the others are
+# near-ubiquitous ⇒ the tf/length normalization decides), so the
+# score actually discriminates. Emits per-doc scores for EVERY
+# matching document rather than a top-k: ranking by a float invites
+# 1-ulp cross-engine rank flips at the cut, while the match SET is
+# exact. Cross-engine float discipline: idf/tf inputs are ratios of
+# exact integers (identical doubles in both engines), per-term score
+# contributions accumulate in DECIMAL(28,18) (order-independent — the
+# e18 KL pattern), and the only rounding is at the output edge.
+#
+# Scale shape: ONE corpus token pass feeds tf (query terms only —
+# the isin filter prunes before the shuffle), df (3-row broadcast),
+# and dl (per-doc aggregate); avgdl arrives as a broadcast 1-row
+# frame. No corpus-wide join wider than (matching docs x |query|).
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("dup", "spark", "sort")
+
+
+def t19_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    terms = docs.select(
+        "doc_id", F.explode(tokens_col()).alias("term")
+    ).filter(F.length("term") > 0)
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_tokens")
+    )
+    q_terms = terms.filter(F.col("term").isin(*BM25_QUERY))
+    tf = q_terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_t = q_terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    avgdl = F.col("t_tokens") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+            F.sum((idf * tf_norm).cast("decimal(28,18)")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            (F.round(F.col("s").cast("double"), 4) + F.lit(0.0)).alias(
+                "bm25"
+            ),
+        )
+    )
+
+
+def _t19_sql() -> str:
+    q_vals = ",".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tok AS (SELECT doc_id, term FROM terms WHERE length(term) > 0),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+totals AS (SELECT count(*) AS n_docs, sum(dl) AS t_tokens FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({q_vals}) GROUP BY 1, 2
+),
+df_t AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms_matched,
+       round(sum((
+         ln(CAST(1.0 AS DOUBLE)
+            + (n_docs - df + CAST(0.5 AS DOUBLE))
+              / (df + CAST(0.5 AS DOUBLE)))
+         * (tf * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+           / (tf + CAST({BM25_K1!r} AS DOUBLE)
+                   * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                      + CAST({BM25_B!r} AS DOUBLE)
+                        * dl / (t_tokens::DOUBLE / n_docs)))
+       )::DECIMAL(28,18))::DOUBLE, 4) + 0.0 AS bm25
+FROM tf JOIN df_t USING (term) JOIN dl USING (doc_id) CROSS JOIN totals
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -1464,6 +1567,7 @@ QUERIES = {
     "t16_html_extract": t16_html_extract,
     "t17_url_filter": t17_url_filter,
     "t18_posting_lists": t18_posting_lists,
+    "t19_bm25_search": t19_bm25_search,
 }
 
 ORACLE = {
@@ -1485,4 +1589,5 @@ ORACLE = {
     "t16_html_extract": _T16_SQL,
     "t17_url_filter": _t17_sql(),
     "t18_posting_lists": _T18_SQL,
+    "t19_bm25_search": _t19_sql(),
 }

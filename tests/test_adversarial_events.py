@@ -24,7 +24,7 @@ _ORACLES = entry_mod.oracle_sql()
 # e01-e15 + e17 (e16 is the corpus-funnel replay over documents — it
 # has no events surface to probe here)
 _E_PROBED = [f"e{i:02d}" for i in range(1, 16)] + [
-    "e17", "e20", "e21", "e22",
+    "e17", "e20", "e21", "e22", "e23",
     "g01", "g02", "g03", "g04", "g05", "g06", "g07",
 ]
 

@@ -59,6 +59,7 @@ _PROBED = [
     "t16_html_extract",
     "t17_url_filter",
     "t18_posting_lists",
+    "t19_bm25_search",
     "x01_split_assign",
     "x02_cap_per_group",
     "x03_stratified_sample",

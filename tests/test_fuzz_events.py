@@ -24,7 +24,8 @@ from tests.test_degenerate_corpus import _ORACLES, _QUERIES
 from tools.check_oracle import _normalize, value_hash
 
 _E_PROBED = [f"e{i:02d}" for i in range(1, 16)] + [
-    "e17", "e20", "e21", "g01", "g02", "g03", "g04", "g05", "g06",
+    "e17", "e20", "e21", "e22", "e23",
+    "g01", "g02", "g03", "g04", "g05", "g06", "g07",
 ]
 
 _BASE = dt.datetime(2024, 3, 10, 0, 0, 0)

@@ -327,6 +327,7 @@ _SINGLE_PARTITION_OK = {
     "t08_top_bigrams",  # top-k limit frame
     "t10_cms_heavy_hitters",  # constant-size sketch
     "t11_unigram_surprisal",  # 1-row corpus token-total frame
+    "t19_bm25_search",  # 1-row corpus totals frame (N, avgdl side)
     "s08_kmeans_lloyd2",  # k-row centroid frames
     "s09_vector_stats",  # 1-row stats summary
     "x03_stratified_sample",  # per-stratum rate frame (|groups| rows)
