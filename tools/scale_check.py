@@ -163,6 +163,7 @@ def _ops() -> dict:
     from rfb_data_pipeline_spark.operators.events import (
         e19_quality_replay,
         e22_any_click_funnel,
+        e23_cusum_changepoint,
     )
     from rfb_data_pipeline_spark.operators.graph import (
         g01_item_pagerank,
@@ -187,6 +188,7 @@ def _ops() -> dict:
     from rfb_data_pipeline_spark.operators.text import (
         t11_unigram_surprisal,
         t15_quality_classifier,
+        t19_bm25_search,
     )
 
     return {
@@ -207,6 +209,8 @@ def _ops() -> dict:
         "g06": g06_lpa_communities,
         "g07": g07_edge_stream_replay,
         "e22": e22_any_click_funnel,
+        "e23": e23_cusum_changepoint,
+        "t19": t19_bm25_search,
         "x09": x09_pack_sequences,
         "x15": x15_split_drift,
         "x17": x17_cluster_curation,
