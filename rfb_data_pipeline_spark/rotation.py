@@ -177,3 +177,29 @@ def assert_ledger_invariants(
             f"{n}: newest driver row r{dr} is older than the 3-round "
             f"cycle at r{CURRENT_ROUND} and it missed the window"
         )
+
+
+def assert_next_round_feasible(
+    names: list[str], oracle_names: set[str], window: int = 50
+) -> None:
+    """Adding many new queries in one round steals window slots from
+    stale entries; this lookahead simulates the driver recording the
+    CURRENT window, then checks the NEXT round can still seat every
+    entry the freshness invariant will force into it. Fails while the
+    over-addition is still editable, not a round later."""
+    order = window_order(names, oracle_names, window)
+    simulated = dict(LAST_DRIVER_ROW)
+    for n in order[:window]:
+        simulated[n] = CURRENT_ROUND
+    nxt = CURRENT_ROUND + 1
+    required = [
+        n
+        for n in names
+        if simulated.get(n) is None
+        or LAST_TOUCHED.get(n, 0) > simulated[n]
+        or simulated[n] < nxt - 3
+    ]
+    assert len(required) <= window, (
+        f"r{nxt} must seat {len(required)} entries in a {window}-slot "
+        f"window: {sorted(required)[:12]}..."
+    )

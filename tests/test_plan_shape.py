@@ -404,6 +404,12 @@ def test_exchange_budgets_headline(spark):
         "g07_edge_stream_replay": 28,  # 4 replay batches x (touched
         # semi-join + old/new aggs + cap windows + pair joins) + final
         # delta sum — the K-batch maintenance cost, linear in K
+        "e22_any_click_funnel": 3,  # user window + per-view agg +
+        # global rollup (clicks side broadcast off the same window)
+        "e23_cusum_changepoint": 2,  # hourly rollup + per-type window
+        # chain reusing the same partitioning; spine joins broadcast
+        "t19_bm25_search": 7,  # token-pass aggs (dl/tf/df/totals) +
+        # doc-keyed join + final per-doc agg; df and totals broadcast
     }
     over = {}
     for name, budget in budgets.items():

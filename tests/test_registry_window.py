@@ -95,6 +95,7 @@ def test_ledger_invariants_hold():
     )
     assert set(rotation.LAST_TOUCHED) <= set(q)
     rotation.assert_ledger_invariants(list(q), set(o))
+    rotation.assert_next_round_feasible(list(q), set(o))
     # the freshness rule is strict enough: anything never-checked or
     # touched-after-row MUST be inside the window, full stop
     names = list(q)
