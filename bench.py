@@ -93,6 +93,7 @@ HEADLINE = [
     "e22_any_click_funnel",
     "t19_bm25_search",
     "e23_cusum_changepoint",
+    "q36_snapshot_diff",
 ]
 # d14 is untimed: it re-times d13's span table with a different final
 # aggregate — no new scale-sensitive shape.

@@ -1318,6 +1318,70 @@ INTO NAME metric VALUE value
 """
 
 
+# --------------------------------------------------------------------------
+# q36 — keyed snapshot diff (month-over-month reload audit): the
+# driver row for pipeline/validate.py::month_diff_summary — the
+# set-ops motivation of SURVEY §2.2 ("TRUNCATE-then-load destroys
+# history") exercised through the ONE shared helper, not a lookalike.
+# Two snapshots are derived from orders by deterministic rules so all
+# three change classes exist BY CONSTRUCTION (the d19/t13 injected-
+# effect discipline): old = keys with pmod(k,97)!=0, new = keys with
+# pmod(k,89)!=0 and the status flipped to 'X' where pmod(k,7)==0 —
+# so added (97-multiples not 89-multiples), removed (89-multiples
+# not 97-multiples), and changed (7-multiples present in both) are
+# each non-empty on any non-trivial key range. The oracle computes
+# ground-truth payload inequality directly; the Spark side's
+# payload-hash full-outer join must agree exactly.
+
+
+def q36_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.pipeline.validate import (
+        month_diff_summary,
+    )
+
+    orders = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.pmod(F.col("o_orderkey"), F.lit(97)) != 0)
+    new = orders.filter(F.pmod(F.col("o_orderkey"), F.lit(89)) != 0).select(
+        "o_orderkey",
+        F.when(
+            F.pmod(F.col("o_orderkey"), F.lit(7)) == 0, F.lit("X")
+        )
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return month_diff_summary(old, new, ["o_orderkey"]).orderBy("change")
+
+
+_Q36_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE (o_orderkey % 97 + 97) % 97 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN (o_orderkey % 7 + 7) % 7 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE (o_orderkey % 89 + 89) % 89 <> 0
+),
+diff AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+              THEN 'changed' END AS change
+  FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+)
+SELECT change, count(*) AS n_entities
+FROM diff WHERE change IS NOT NULL
+GROUP BY change
+ORDER BY change
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_argmin_supplier": q02_argmin_supplier,
@@ -1354,6 +1418,7 @@ QUERIES = {
     "q33_approx_quantiles": q33_approx_quantiles,
     "q34_histogram": q34_histogram,
     "q35_unpivot": q35_unpivot,
+    "q36_snapshot_diff": q36_snapshot_diff,
 }
 
 ORACLE = {
@@ -1391,6 +1456,7 @@ ORACLE = {
     "q32_window_values": _Q32_SQL,
     "q34_histogram": _Q34_SQL,
     "q35_unpivot": _Q35_SQL,
+    "q36_snapshot_diff": _Q36_SQL,
 }
 
 

@@ -58,10 +58,10 @@ def test_r06_window_composition():
     }
     assert touched_stale <= window
     # Tier 2 — remaining slots go to the oldest green rows (r03),
-    # oracle-paired first: s09/s10, the untouched t/x series. With 17
-    # tier-0 (incl. the new g07/e22/t19/e23) + 19 tier-1 entries, 14
-    # of the 18 r03 oracle-paired entries fit; x07-x10 (alphabetically
-    # last) and the rows-only m01-m03 spill to r07.
+    # oracle-paired first: s09/s10, the untouched t/x series. With 18
+    # tier-0 (incl. the new g07/e22/t19/e23/q36) + 19 tier-1 entries,
+    # 13 of the 18 r03 oracle-paired entries fit; x06-x10
+    # (alphabetically last) and the rows-only m01-m03 spill to r07.
     assert {
         "s09_vector_stats", "s10_semantic_dedup",
         "t03_langid", "t04_fingerprint", "t05_top_terms",
@@ -69,7 +69,6 @@ def test_r06_window_composition():
         "t10_cms_heavy_hitters", "t11_unigram_surprisal",
         "x02_cap_per_group", "x03_stratified_sample",
         "x04_chunk_documents", "x05_corpus_curation",
-        "x06_shuffle_shard",
     } <= window
     # NO slot burns on r04/r05-green, untouched code: every q-series
     # name in the window is exactround-touched, no d/e-series beyond
@@ -78,9 +77,9 @@ def test_r06_window_composition():
                           "e01_tumbling_hourly", "q02_argmin_supplier",
                           "q17_distinct_agg", "x11_curriculum_buckets"})
     # spill heads straight into the r07 promotions
-    assert names[50:57] == [
-        "x07_upsert_merge", "x08_split_leakage", "x09_pack_sequences",
-        "x10_domain_mixture", "m01_image_metadata",
+    assert names[50:58] == [
+        "x06_shuffle_shard", "x07_upsert_merge", "x08_split_leakage",
+        "x09_pack_sequences", "x10_domain_mixture", "m01_image_metadata",
         "m02_media_stats", "m03_frame_sample",
     ]
 
@@ -117,8 +116,9 @@ def test_every_query_has_unique_name_and_oracle_subset():
     # batch replay, the graph stream's driver row) + e22 (r06 —
     # any-click funnel, the general skip semantics e17 lacks)
     # + t19 (r06 — BM25 lexical retrieval) + e23 (r06 — CUSUM
-    # changepoint detection)
-    assert len(q) == 143
+    # changepoint detection) + q36 (r06 — keyed snapshot diff, the
+    # month_diff driver row)
+    assert len(q) == 144
     assert set(o) <= set(q)
     # rows-only tier is exactly the sketches + media decode
     rows_only = set(q) - set(o)
