@@ -33,6 +33,7 @@ def _registry() -> tuple[dict, dict]:
         dedup,
         events,
         graph,
+        integrity,
         media,
         relational,
         sampling,
@@ -44,7 +45,10 @@ def _registry() -> tuple[dict, dict]:
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracle: dict[str, str] = {}
-    for mod in (relational, events, dedup, text, similarity, sampling, media, graph):
+    for mod in (
+        relational, events, dedup, text, similarity, sampling, media, graph,
+        integrity,
+    ):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)
     # Registry ORDER matters: the driver's correctness harness records

@@ -321,14 +321,25 @@ def wav_features(rate: int, samples: np.ndarray) -> tuple[float, float, float, f
     return duration, rms, peak, zcr
 
 
+def _md5_chain_bytes(label: str, need: int) -> bytes:
+    """Deterministic pseudo-random bytes: md5 chained over HEX STRINGS
+    (h0 = md5(label), h_{k+1} = md5(ascii hex of h_k)), concatenated
+    and unhexed. Chaining over the 32-char hex rendering — not the raw
+    digest — keeps every link expressible in engines whose md5() only
+    accepts text (DuckDB), so the m01–m04 oracle twins can regenerate
+    the identical byte stream with a recursive CTE."""
+    h, blocks, have = hashlib.md5(label.encode()).hexdigest(), [], 0
+    while have < need:
+        blocks.append(h)
+        have += 16
+        h = hashlib.md5(h.encode()).hexdigest()
+    return bytes.fromhex("".join(blocks))[:need]
+
+
 def _synthetic_wav(i: int, rate: int = 16000) -> bytes:
-    """Deterministic audio clip: int16 samples from an md5 chain."""
+    """Deterministic audio clip: int16 samples from an md5 hex chain."""
     n = 800 + (i % 5) * 160  # 50-90 ms at 16 kHz
-    need, chunks, seed = n * 2, [], hashlib.md5(f"wav-{i}".encode()).digest()
-    while sum(len(c) for c in chunks) < need:
-        chunks.append(seed)
-        seed = hashlib.md5(seed).digest()
-    samples = np.frombuffer(b"".join(chunks)[:need], dtype="<i2")
+    samples = np.frombuffer(_md5_chain_bytes(f"wav-{i}", n * 2), dtype="<i2")
     return encode_wav(samples, rate)
 
 
@@ -444,27 +455,34 @@ def video_meta(media: DataFrame) -> DataFrame:
     )
 
 
-def _synthetic_ppm(i: int, w: int = 8, h: int = 6) -> bytes:
-    """Deterministic small image: pixels from an md5 chain (seedless)."""
-    need, chunks, seed = w * h * 3, [], hashlib.md5(f"img-{i}".encode()).digest()
-    while sum(len(c) for c in chunks) < need:
-        chunks.append(seed)
-        seed = hashlib.md5(seed).digest()
-    pix = np.frombuffer(b"".join(chunks)[:need], dtype=np.uint8).reshape(h, w, 3)
+def _image_dims(i: int) -> tuple[int, int]:
+    """Per-image raster dimensions (varied so m01's min/max/size-class
+    aggregates are non-trivial; both engines derive them from media_id)."""
+    return 8 + i % 13, 6 + i % 7
+
+
+def _synthetic_ppm(i: int, w: int | None = None, h: int | None = None) -> bytes:
+    """Deterministic small image: pixels from an md5 hex chain."""
+    if w is None or h is None:
+        w, h = _image_dims(i)
+    pix = np.frombuffer(
+        _md5_chain_bytes(f"img-{i}", w * h * 3), dtype=np.uint8
+    ).reshape(h, w, 3)
     return encode_ppm(pix)
 
 
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic media table. Images are REAL P6 PPMs and audio
     rows are REAL RIFF PCM16 WAVs (both decodable with numpy alone);
-    video payloads are opaque md5-chain bytes (stub tier)."""
+    video payloads are real minimal ISO-BMFF containers."""
     rows = []
     kinds = ("image", "audio", "video")
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "image":
-            payload = _synthetic_ppm(i)
-            meta = (8, 6, None, None, "ppm")
+            w, h = _image_dims(i)
+            payload = _synthetic_ppm(i, w, h)
+            meta = (w, h, None, None, "ppm")
         elif kind == "audio":
             payload = _synthetic_wav(i)
             n_samp = 800 + (i % 5) * 160
@@ -551,6 +569,11 @@ IMAGE_STATS_SCHEMA = StructType(
         StructField("mean_r", FloatType(), True),
         StructField("mean_g", FloatType(), True),
         StructField("mean_b", FloatType(), True),
+        # integer channel sums of the DECODED raster — order-independent
+        # and exactly recomputable by the m01 oracle twin (hash tier)
+        StructField("sum_r", LongType(), True),
+        StructField("sum_g", LongType(), True),
+        StructField("sum_b", LongType(), True),
     ]
 )
 
@@ -571,6 +594,7 @@ def image_stats(media: DataFrame) -> DataFrame:
                     continue
                 img = decode_ppm(raw)
                 means = img.astype(np.float64).mean(axis=(0, 1))
+                sums = img.astype(np.int64).sum(axis=(0, 1))
                 recs.append(
                     (
                         int(mid),
@@ -579,6 +603,9 @@ def image_stats(media: DataFrame) -> DataFrame:
                         float(means[0]),
                         float(means[1]),
                         float(means[2]),
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
                     )
                 )
             yield pd.DataFrame(
@@ -590,6 +617,9 @@ def image_stats(media: DataFrame) -> DataFrame:
                     "mean_r",
                     "mean_g",
                     "mean_b",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
                 ],
             )
 
@@ -608,6 +638,11 @@ AUDIO_STATS_SCHEMA = StructType(
         StructField("rms", DoubleType(), True),
         StructField("peak", DoubleType(), True),
         StructField("zero_cross_rate", DoubleType(), True),
+        # integer twins of the signal stats for the hash-checkable tier
+        # (m02): exact millisecond duration, sum of |sample|, max |sample|
+        StructField("duration_ms", LongType(), True),
+        StructField("sum_abs", LongType(), True),
+        StructField("max_abs", LongType(), True),
     ]
 )
 
@@ -627,8 +662,15 @@ def audio_stats(media: DataFrame) -> DataFrame:
                     continue
                 rate, samples = decode_wav(raw)
                 dur, rms, peak, zcr = wav_features(rate, samples)
+                s64 = samples.astype(np.int64)
                 recs.append(
-                    (int(mid), int(rate), len(samples), dur, rms, peak, zcr)
+                    (
+                        int(mid), int(rate), len(samples), dur, rms, peak,
+                        zcr,
+                        int(len(samples)) * 1000 // int(rate),
+                        int(np.abs(s64).sum()),
+                        int(np.abs(s64).max()) if len(s64) else 0,
+                    )
                 )
             yield pd.DataFrame(
                 recs,
@@ -640,6 +682,9 @@ def audio_stats(media: DataFrame) -> DataFrame:
                     "rms",
                     "peak",
                     "zero_cross_rate",
+                    "duration_ms",
+                    "sum_abs",
+                    "max_abs",
                 ],
             )
 
@@ -656,6 +701,10 @@ AUDIO_FRAME_SCHEMA = StructType(
         StructField("start_ms", DoubleType(), True),
         StructField("rms", DoubleType(), True),
         StructField("peak", DoubleType(), True),
+        # integer twins for the hash-checkable tier (m04): raw-int16
+        # window energy (sum of squares) and peak magnitude
+        StructField("energy", LongType(), True),
+        StructField("peak_abs", LongType(), True),
     ]
 )
 
@@ -677,9 +726,11 @@ def audio_frame_energy(media: DataFrame, frame_ms: int = 10) -> DataFrame:
                     continue
                 rate, samples = decode_wav(raw)
                 x = samples.astype(np.float64) / 32768.0
+                s64 = samples.astype(np.int64)
                 step = max(1, rate * frame_ms // 1000)
                 for k in range(0, len(x), step):
                     w = x[k : k + step]
+                    wi = s64[k : k + step]
                     recs.append(
                         (
                             int(mid),
@@ -687,10 +738,16 @@ def audio_frame_energy(media: DataFrame, frame_ms: int = 10) -> DataFrame:
                             k * 1000.0 / rate,
                             float(np.sqrt(np.mean(w * w))),
                             float(np.max(np.abs(w))),
+                            int((wi * wi).sum()),
+                            int(np.abs(wi).max()),
                         )
                     )
             yield pd.DataFrame(
-                recs, columns=["media_id", "frame_idx", "start_ms", "rms", "peak"]
+                recs,
+                columns=[
+                    "media_id", "frame_idx", "start_ms", "rms", "peak",
+                    "energy", "peak_abs",
+                ],
             )
 
     _ensure_worker_import(media)

@@ -1467,8 +1467,8 @@ FROM per_view
 # construction: with drift k = mean = T/N, everything is scaled by N
 # (cusum_units = N * classic-CUSUM) so the whole computation stays in
 # BIGINT — no float enters the hash. Alarm when the accumulated
-# excess tops twice the type's total-over-mean budget (units > 2T ⟺
-# classic s > 2·mean), an integer compare.
+# excess tops 8x the type's total-over-mean budget (units > _CUSUM_H_MEANS·T
+# ⟺ classic s > 8·mean), an integer compare.
 #
 # Shape: one (type, hour) aggregate, a per-type calendar spine
 # (gap hours count as zero load — a quiet hour must DRAIN the

@@ -1,0 +1,143 @@
+"""Driver-visible rows for the ingestion-pipeline integrity suite.
+
+Tier-A correctness (the README-promised null/format/referential
+validation suite, ``/root/reference/READme.md:27-30``; implemented in
+``pipeline/validate.py``) rode entirely on pytest through r06. This
+module puts it under the DuckDB oracle too (VERDICT r06 item 5):
+
+The query synthesizes an ``rfb_estabelecimentos``-shaped frame from
+``orders`` with violations injected BY CONSTRUCTION (the t13
+injected-PII idiom — the effect exists on stock data at every SF, so
+the oracle row can never pass vacuously):
+
+- every ``o_orderkey % 97 == 0`` row gets a NULL ``cnpj_ordem``
+  (v2 null-essentials must count it);
+- every ``% 89 == 0`` row gets a lowercase ``uf`` and every
+  ``% 83 == 0`` row a 7-digit ``cep`` (v3 format checks must count
+  them, and must NOT count the NULLs);
+- ``codigo_municipio = pmod(o_orderkey, 30)`` against the 25-key
+  ``nation`` dimension leaves keys 25-29 orphaned (v4 referential
+  anti-join must count them).
+
+The Spark side runs the REAL detectors from ``pipeline/validate.py``;
+the DuckDB twin recomputes each count from the INJECTION predicates —
+detection and injection agree only if the detectors are right.
+
+Scale: the fixture is a map over the ``orders`` scan; v2/v3 are one
+scan-side aggregate, v4 one broadcast anti-join against a 25-row dim.
+No shuffle grows with the fact side beyond the final 4-row report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rfb_data_pipeline_spark.catalog import load_tables
+from rfb_data_pipeline_spark.pipeline.validate import (
+    v2_null_essentials,
+    v3_format_checks,
+    v4_referential,
+)
+
+_FIXTURE_TABLE = "rfb_estabelecimentos"
+_UFS = ("SP", "RJ", "MG", "RS", "BA")
+
+
+def rfb_fixture_from_orders(orders: DataFrame) -> DataFrame:
+    """orders → a deterministic estabelecimentos-shaped frame with the
+    violation classes above injected (pmod everywhere: the sign-safe
+    modulo rule from tests/test_negative_ids.py)."""
+    k = F.col("o_orderkey")
+    ufs = F.array(*[F.lit(u) for u in _UFS])
+    uf = F.element_at(ufs, (F.pmod(k, F.lit(5)) + 1).cast("int"))
+    cep8 = F.lpad(F.pmod(k, F.lit(100000000)).cast("string"), 8, "0")
+    return orders.select(
+        F.lpad(F.pmod(k, F.lit(100000000)).cast("string"), 8, "0").alias(
+            "cnpj_basico"
+        ),
+        F.when(F.pmod(k, F.lit(97)) == 0, F.lit(None).cast("string"))
+        .otherwise(F.lpad(F.pmod(k, F.lit(10000)).cast("string"), 4, "0"))
+        .alias("cnpj_ordem"),
+        F.lpad(F.pmod(k, F.lit(100)).cast("string"), 2, "0").alias("cnpj_dv"),
+        F.when(F.pmod(k, F.lit(89)) == 0, F.lower(uf)).otherwise(uf).alias("uf"),
+        F.when(
+            F.pmod(k, F.lit(83)) == 0,
+            F.lpad(F.pmod(k, F.lit(10000000)).cast("string"), 7, "0"),
+        )
+        .otherwise(cep8)
+        .alias("cep"),
+        F.pmod(k, F.lit(30)).alias("codigo_municipio"),
+    )
+
+
+def v01_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(check_kind, col_name, n_bad) report of the full v2+v3+v4 suite
+    over the injected fixture — one row per violating column/check."""
+    tables = load_tables(
+        spark, sf_dir, tables=("orders", "nation"), register_views=False
+    )
+    fact = rfb_fixture_from_orders(tables["orders"])
+    dim = tables["nation"].select(
+        F.col("n_nationkey").cast("long").alias("codigo")
+    )
+    nulls = v2_null_essentials(fact, _FIXTURE_TABLE).select(
+        F.lit("null").alias("check_kind"),
+        F.col("column").alias("col_name"),
+        F.col("n_null").alias("n_bad"),
+    )
+    fmts = v3_format_checks(fact, _FIXTURE_TABLE).select(
+        F.lit("format").alias("check_kind"),
+        F.col("column").alias("col_name"),
+        F.col("n_bad"),
+    )
+    ref = (
+        v4_referential(fact, dim, "codigo_municipio", "codigo")
+        .agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_bad"))
+        .select(
+            F.lit("referential").alias("check_kind"),
+            F.lit("codigo_municipio").alias("col_name"),
+            F.col("n_bad"),
+        )
+        .filter(F.col("n_bad") > 0)
+    )
+    return nulls.unionByName(fmts).unionByName(ref)
+
+
+# The twin counts the INJECTION predicates (sign-safe modulo mirrors
+# pmod); Spark counts what the DETECTORS found. Equality pins the
+# detector logic — e.g. v3 counting NULLs as format violations, or v4
+# dropping NULL-key rows incorrectly, breaks the hash.
+_V01_SQL = """
+WITH rows_v AS (
+  SELECT 'null' AS check_kind, 'cnpj_ordem' AS col_name,
+         CAST(sum(CASE WHEN ((o_orderkey % 97 + 97) % 97) = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+  FROM orders
+  UNION ALL
+  SELECT 'format', 'uf',
+         CAST(sum(CASE WHEN ((o_orderkey % 89 + 89) % 89) = 0
+                  THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'format', 'cep',
+         CAST(sum(CASE WHEN ((o_orderkey % 83 + 83) % 83) = 0
+                  THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'referential', 'codigo_municipio', CAST(count(*) AS BIGINT)
+  FROM orders
+  WHERE ((o_orderkey % 30 + 30) % 30)
+        NOT IN (SELECT n_nationkey FROM nation)
+)
+SELECT check_kind, col_name, n_bad FROM rows_v WHERE n_bad > 0
+"""
+
+
+QUERIES = {
+    "v01_integrity_report": v01_integrity_report,
+}
+
+ORACLE: dict[str, str] = {
+    "v01_integrity_report": _V01_SQL,
+}

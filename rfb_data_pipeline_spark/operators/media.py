@@ -2,12 +2,20 @@
 
 The media table is synthesized deterministically (real P6 PPM images,
 real RIFF/PCM16 WAV audio, real MP4 boxes — ``functions/multimodal``),
-because the driver's parquet corpus has no binary media column. These
-queries are ROWS-ONLY by design: DuckDB has no codec surface to twin
-the decode, so the value-level pinning lives in ``tests/
-test_multimodal.py`` (decoded pixel means, PCM stats, box walks,
-header parses are all asserted against known payloads there), and the
-driver records the weaker rowcount+schema check.
+because the driver's parquet corpus has no binary media column.
+
+Every entry is HASH-CHECKABLE (r07 rebuild; VERDICT r06 item 2):
+Spark runs the REAL Python decoders (PPM raster decode, RIFF chunk
+walk, ISO-BMFF box walk) over the binary payloads and reports
+integer-exact metrics (channel byte sums, sample |v| sums, window
+energies, millisecond durations); the DuckDB twin independently
+regenerates the same md5-hex-chain byte streams with a recursive CTE
+(``functions/multimodal._md5_chain_bytes`` chains over the 32-char hex
+rendering precisely so DuckDB's text-only ``md5()`` can replay it) and
+recomputes the metrics from hex-sliced bytes. A decoder bug on either
+side — wrong offsets, endianness, channel order, chunk walk — breaks
+the hash. Value-level decode pinning against numpy references
+additionally lives in ``tests/test_multimodal.py``.
 
 Scale: mapInPandas over Arrow batches; one shuffle for the per-kind /
 per-format aggregate. Media rows are large, so the batch iterator and
@@ -42,48 +50,72 @@ def m01_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     The header parse (library-free PNG/JPEG/GIF/BMP/PPM walk) and the
     real pixel decode must agree on dimensions for every PPM payload —
     the count gate (A7/A13 idiom) applied to media: disagreement or
-    NULL-format rows surface in the output instead of vanishing.
+    NULL-format rows surface in the output instead of vanishing. The
+    integer channel sums come from the DECODED raster; the oracle twin
+    regenerates the md5-hex-chain pixel bytes and re-sums them, so a
+    raster-offset or channel-order bug on either side breaks the hash.
     """
     media = synthetic_media(spark, _N_MEDIA)
     hdr = image_header_meta(media).select(
-        "media_id", "format", F.col("width").alias("w_hdr"),
+        "media_id", F.col("width").alias("w_hdr"),
         F.col("height").alias("h_hdr"),
     )
     px = image_stats(media).select(
-        "media_id", F.col("width").alias("w_px"), F.col("height").alias("h_px")
+        "media_id", F.col("width").alias("w_px"),
+        F.col("height").alias("h_px"), "sum_r", "sum_g", "sum_b",
     )
     joined = hdr.join(px, "media_id", "left")
-    return joined.groupBy("format").agg(
-        F.count(F.lit(1)).alias("n_images"),
-        F.sum(
-            (
-                (F.col("w_hdr") == F.col("w_px"))
-                & (F.col("h_hdr") == F.col("h_px"))
-            ).cast("int")
-        ).alias("n_dims_reconciled"),
-        F.min("w_hdr").alias("min_width"),
-        F.max("h_hdr").alias("max_height"),
+    return (
+        joined.withColumn(
+            "size_class",
+            F.when(F.col("w_hdr") * F.col("h_hdr") >= 120, "large").otherwise(
+                "small"
+            ),
+        )
+        .groupBy("size_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(
+                F.coalesce(
+                    (F.col("w_hdr") == F.col("w_px"))
+                    & (F.col("h_hdr") == F.col("h_px")),
+                    F.lit(False),
+                ).cast("int")
+            ).alias("n_dims_reconciled"),
+            F.min("w_hdr").alias("min_width"),
+            F.max("h_hdr").alias("max_height"),
+            F.sum("sum_r").alias("sum_r"),
+            F.sum("sum_g").alias("sum_g"),
+            F.sum("sum_b").alias("sum_b"),
+        )
     )
 
 
 def m02_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-kind decode summary over the full media table: audio PCM
-    stats and video container durations from their REAL decoders,
-    unioned into one per-kind report row."""
+    """Per-kind decode summary over the full media table: audio
+    durations from the REAL RIFF/PCM16 decode (sample count / rate, in
+    exact milliseconds), video durations from the REAL ISO-BMFF
+    mvhd box walk, plus total payload bytes straight off the binary
+    column — the oracle twin recomputes every figure analytically from
+    the synthesis parameters, so a decoder or encoder size bug breaks
+    the hash."""
     media = synthetic_media(spark, _N_MEDIA)
+    sizes = media.groupBy("kind").agg(
+        F.sum(F.length("content")).alias("total_payload_bytes")
+    )
     audio = audio_stats(media).agg(
         F.lit("audio").alias("kind"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("duration_s"), 3).alias("total_duration_s"),
-        F.round(F.max("peak"), 4).alias("max_metric"),
+        F.sum("duration_ms").alias("total_duration_ms"),
+        F.max("duration_ms").alias("max_duration_ms"),
     )
     video = video_meta(media).agg(
         F.lit("video").alias("kind"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("duration_ms_real") / 1000.0, 3).alias("total_duration_s"),
-        F.round(F.max("duration_ms_real").cast("double"), 4).alias("max_metric"),
+        F.sum("duration_ms_real").alias("total_duration_ms"),
+        F.max("duration_ms_real").alias("max_duration_ms"),
     )
-    return audio.unionByName(video)
+    return audio.unionByName(video).join(F.broadcast(sizes), "kind")
 
 
 def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,22 +135,170 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Raw-int16 window-energy activity floor for m04's VAD-style gate:
+# sum(v^2) over a 160-sample (10 ms @ 16 kHz) window. Calibrated to the
+# md5-chain noise distribution (median ~5.71e10) so stock data splits
+# active/inactive non-vacuously (~114/225 frames active).
+_ENERGY_FLOOR_RAW = 57_000_000_000
+
+
 def m04_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio windowed-energy contract (the m03 row-explosion shape on
-    the audio axis): every clip explodes into 10 ms RMS/peak windows
-    from the REAL PCM decode, summarized per clip with an
-    active-frame count (RMS above a fixed floor — the VAD pre-filter
-    a speech-curation pipeline applies before transcription)."""
+    the audio axis): every clip explodes into 10 ms windows from the
+    REAL PCM decode, summarized per clip with an active-frame count
+    (window energy above a fixed floor — the VAD pre-filter a
+    speech-curation pipeline applies before transcription). Energies
+    are raw-int16 sums of squares (order-independent integers), so the
+    oracle twin recomputes them exactly from the regenerated samples."""
     from rfb_data_pipeline_spark.functions.multimodal import audio_frame_energy
 
     media = synthetic_media(spark, _N_MEDIA)
     frames = audio_frame_energy(media, frame_ms=10)
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
-        F.round(F.avg("rms"), 4).alias("avg_rms"),
-        F.round(F.max("peak"), 4).alias("max_peak"),
-        F.sum((F.col("rms") > 0.3).cast("int")).alias("n_active_frames"),
+        F.sum("energy").alias("total_energy"),
+        F.max("peak_abs").alias("max_peak_abs"),
+        F.sum(
+            (F.col("energy") > F.lit(_ENERGY_FLOOR_RAW)).cast("int")
+        ).alias("n_active_frames"),
     )
+
+
+# -- DuckDB twins for the codec tier (m01–m04) ------------------------------
+# Each twin regenerates the synthetic payload byte stream with a
+# recursive md5-hex chain (functions/multimodal._md5_chain_bytes: h0 =
+# md5(label), h_{k+1} = md5(hex(h_k)) chained over the 32-char hex
+# TEXT, which DuckDB's VARCHAR-only md5() can replay) and recomputes
+# the integer metrics Spark derived from the REAL decode. Sizes are
+# bounded (<=32 payloads/kind, <=1440 samples or 720 pixel bytes each),
+# so the position fan-out stays tiny.
+
+
+def _chain_hexes_sql(label: str, sized_sql: str) -> str:
+    """CTE prefix producing hexes(i, hexstr): the full md5-hex chain
+    per id. ``sized_sql`` must select (i, ..., nblk)."""
+    return f"""
+WITH RECURSIVE sized AS (
+  {sized_sql}
+),
+chain AS (
+  SELECT i, 0 AS blk, md5('{label}-' || i::VARCHAR) AS hx, nblk FROM sized
+  UNION ALL
+  SELECT i, blk + 1, md5(hx), nblk FROM chain WHERE blk + 1 < nblk
+),
+hexes AS (
+  SELECT i, string_agg(hx, '' ORDER BY blk) AS hexstr FROM chain GROUP BY i
+)"""
+
+
+# Audio sample regeneration shared by m02/m04: int16 LE pairs out of
+# the wav-{i} chain. n = 800 + (i%5)*160 samples, need = 2n bytes.
+_WAV_SV_SQL = _chain_hexes_sql(
+    "wav",
+    f"""SELECT i, 800 + (i % 5) * 160 AS n,
+         ((800 + (i % 5) * 160) * 2 + 15) // 16 AS nblk
+  FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 1""",
+) + """,
+samp AS (
+  SELECT s.i, p.p AS sidx,
+         (('0x' || substring(x.hexstr, (p.p * 4 + 1)::INT, 2))::BIGINT
+          + 256 * ('0x' || substring(x.hexstr, (p.p * 4 + 3)::INT, 2))::BIGINT)
+           AS u
+  FROM sized s JOIN hexes x ON s.i = x.i
+       JOIN range(1440) p(p) ON p.p < s.n
+),
+sv AS (
+  SELECT i, sidx, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+  FROM samp
+)"""
+
+
+_M01_SQL = _chain_hexes_sql(
+    "img",
+    f"""SELECT i, (8 + i % 13) AS w, (6 + i % 7) AS h,
+         (8 + i % 13) * (6 + i % 7) * 3 AS need,
+         ((8 + i % 13) * (6 + i % 7) * 3 + 15) // 16 AS nblk
+  FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 0""",
+) + """,
+pix AS (
+  SELECT s.i, s.w, s.h, p.p % 3 AS ch,
+         ('0x' || substring(x.hexstr, (p.p * 2 + 1)::INT, 2))::INT AS v
+  FROM sized s JOIN hexes x ON s.i = x.i
+       JOIN range(720) p(p) ON p.p < s.need
+),
+per_img AS (
+  SELECT i, w, h,
+         sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS sum_r,
+         sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS sum_g,
+         sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS sum_b
+  FROM pix GROUP BY i, w, h
+)
+SELECT CASE WHEN w * h >= 120 THEN 'large' ELSE 'small' END AS size_class,
+       count(*) AS n_images,
+       count(*) AS n_dims_reconciled,
+       CAST(min(w) AS INTEGER) AS min_width,
+       CAST(max(h) AS INTEGER) AS max_height,
+       CAST(sum(sum_r) AS BIGINT) AS sum_r,
+       CAST(sum(sum_g) AS BIGINT) AS sum_g,
+       CAST(sum(sum_b) AS BIGINT) AS sum_b
+FROM per_img
+GROUP BY 1
+"""
+
+
+# WAV payload = 44-byte RIFF/fmt/data header + 2 bytes per sample; the
+# minimal ISO-BMFF container (ftyp 28 + moov[mvhd] 116) is 144 bytes —
+# both sizes are re-derived from length(content) on the Spark side, so
+# an encoder framing bug breaks the hash.
+_M02_SQL = f"""
+WITH audio AS (
+  SELECT 800 + (i % 5) * 160 AS n FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 1
+),
+video AS (
+  SELECT 4000 + (i % 4) * 250 AS dur
+  FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 2
+)
+SELECT 'audio' AS kind, count(*) AS n_rows,
+       CAST(sum(n // 16) AS BIGINT) AS total_duration_ms,
+       CAST(max(n // 16) AS BIGINT) AS max_duration_ms,
+       CAST(sum(44 + 2 * n) AS BIGINT) AS total_payload_bytes
+FROM audio
+UNION ALL
+SELECT 'video', count(*),
+       CAST(sum(dur) AS BIGINT), CAST(max(dur) AS BIGINT),
+       CAST(sum(144) AS BIGINT)
+FROM video
+"""
+
+
+_M03_SQL = f"""
+SELECT i AS media_id,
+       CAST(dur // 500 + 1 AS BIGINT) AS n_frames,
+       CAST(0 AS INTEGER) AS first_ms,
+       CAST((dur // 500) * 500 AS INTEGER) AS last_ms
+FROM (
+  SELECT i, 4000 + (i % 4) * 250 AS dur
+  FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 2
+) v
+"""
+
+
+_M04_SQL = _WAV_SV_SQL + f""",
+frames AS (
+  SELECT i, sidx // 160 AS f,
+         CAST(sum(v * v) AS BIGINT) AS energy,
+         CAST(max(abs(v)) AS BIGINT) AS peak_abs
+  FROM sv GROUP BY i, sidx // 160
+)
+SELECT i AS media_id,
+       count(*) AS n_frames,
+       CAST(sum(energy) AS BIGINT) AS total_energy,
+       CAST(max(peak_abs) AS BIGINT) AS max_peak_abs,
+       CAST(sum(CASE WHEN energy > {_ENERGY_FLOOR_RAW} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_active_frames
+FROM frames
+GROUP BY i
+"""
 
 
 # The P6 preamble grammar shared by the m05 expression parse (Spark
@@ -667,11 +847,15 @@ QUERIES = {
     "m08_wav_header_parse": m08_wav_header_parse,
 }
 
-# m01–m04 are rows-only by design: no DuckDB codec surface exists to
-# twin the decoders; value-level assertions live in
-# tests/test_multimodal.py. m05 (header-metadata tier) is
-# oracle-backed — DuckDB slices and decodes the same payload blobs.
+# All eight media rows are oracle-backed since r07: the codec tier
+# (m01–m04) reports integer-exact decode metrics that DuckDB twins by
+# regenerating the md5-hex-chain payload bytes; the header tier
+# (m05–m08) slices and parses the same payload blobs in both engines.
 ORACLE: dict[str, str] = {
+    "m01_image_metadata": _M01_SQL,
+    "m02_media_stats": _M02_SQL,
+    "m03_frame_sample": _M03_SQL,
+    "m04_audio_frames": _M04_SQL,
     "m05_header_parse": _M05_SQL,
     "m06_subtitle_parse": _m06_sql(),
     "m07_id3_tag_parse": _M07_SQL,

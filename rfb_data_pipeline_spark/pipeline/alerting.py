@@ -23,6 +23,8 @@ and never imported on the evaluation path).
 from __future__ import annotations
 
 import time
+import traceback
+import urllib.error
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -72,14 +74,32 @@ def failure_details(manifest: DataFrame) -> DataFrame:
 
 def evaluate_run(manifest: DataFrame, ref_ym: str) -> Alert:
     """Success notification or detailed failure alert for a finished
-    run — the READme.md:33-34 contract as data."""
+    run — the READme.md:33-34 contract as data.
+
+    Success requires EVERY file to have ``status_carga == SUCCESS``:
+    a partially-progressed run with files still PENDING must not mail
+    "todos os arquivos foram processados" (ADVICE r06)."""
     failures = failure_details(manifest).collect()  # bounded: files only
     tally = {
         r["status_carga"]: r["n_files"]
         for r in mf.status_report(manifest).collect()
     }
+    n = sum(tally.values())
+    n_loaded = tally.get(mf.SUCCESS, 0)
+    if not failures and n_loaded < n:
+        return Alert(
+            severity="failure",
+            subject=(
+                f"[RFB {ref_ym}] ALERTA: carga incompleta "
+                f"({n - n_loaded} de {n} arquivos pendentes)"
+            ),
+            body=(
+                f"Nenhuma etapa falhou, mas {n - n_loaded} arquivo(s) do "
+                f"mes {ref_ym} ainda nao chegaram a status_carga=sucesso.\n"
+                f"Tally por status_carga: {tally}"
+            ),
+        )
     if not failures:
-        n = sum(tally.values())
         return Alert(
             severity="success",
             subject=f"[RFB {ref_ym}] carga concluida com sucesso",
@@ -148,6 +168,21 @@ class VigilanteResult:
     alert: Alert | None = None
 
 
+# Fetch failures that mean "the listing is not there (yet)": HTTP
+# 404/5xx and transport errors from urllib's default_fetch, plus their
+# file://-fetch equivalents in tests. Anything else (a parser
+# regression, a misconfigured base_url raising ValueError, a typo'd
+# fetch callable) is a BUG and must propagate — a bare except here made
+# persistent errors indistinguishable from "not published", so the
+# vigilante would silently probe forever (ADVICE r06).
+_LISTING_ABSENT_ERRORS = (
+    urllib.error.URLError,  # includes HTTPError
+    ConnectionError,
+    TimeoutError,
+    FileNotFoundError,
+)
+
+
 def check_month_published(
     base_url: str, fetch: Callable[[str], str]
 ) -> bool:
@@ -156,7 +191,7 @@ def check_month_published(
 
     try:
         return len(discover_files(base_url, fetch=fetch)) > 0
-    except Exception:  # listing 404s until the month is published
+    except _LISTING_ABSENT_ERRORS:  # 404s until the month is published
         return False
 
 
@@ -168,16 +203,40 @@ def vigilante_once(
 ) -> VigilanteResult:
     """One daily check (READme.md:8-9): probe the listing; when the
     month is published and not yet loaded, run the full month and
-    send the success/failure notification (READme.md:33-34)."""
+    send the success/failure notification (READme.md:33-34).
+
+    run_month only records FAILED for anticipated failure modes
+    (BadZipFile, count gate); an UNEXPECTED crash must still produce a
+    failure alert — "the pipeline stopped" is precisely the scenario
+    the README-promised alerting exists to report — and must not kill
+    the daily loop (ADVICE r06)."""
     from rfb_data_pipeline_spark.pipeline.run import run_month
 
     if already_loaded(cfg.ref_ym):
         return VigilanteResult(cfg.ref_ym, published=True, triggered=False)
     if not check_month_published(cfg.base_url, cfg.fetch):
         return VigilanteResult(cfg.ref_ym, published=False, triggered=False)
-    report = run_month(spark, cfg)
-    manifest = mf.load_manifest(spark, report.manifest_path)
-    alert = evaluate_run(manifest, cfg.ref_ym)
+    try:
+        report = run_month(spark, cfg)
+        manifest = mf.load_manifest(spark, report.manifest_path)
+        alert = evaluate_run(manifest, cfg.ref_ym)
+    except Exception as exc:  # noqa: BLE001 — alert, don't die
+        alert = Alert(
+            severity="failure",
+            subject=(
+                f"[RFB {cfg.ref_ym}] ALERTA: pipeline abortou com erro "
+                f"inesperado ({type(exc).__name__})"
+            ),
+            body=(
+                "A pipeline parou com uma excecao nao tratada antes de "
+                "concluir o mes:\n"
+                + "".join(traceback.format_exception(exc))
+            ),
+        )
+        notify(alert, transport)
+        return VigilanteResult(
+            cfg.ref_ym, published=True, triggered=True, alert=alert
+        )
     notify(alert, transport)
     return VigilanteResult(
         cfg.ref_ym, published=True, triggered=True, report=report, alert=alert

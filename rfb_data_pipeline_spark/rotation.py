@@ -27,15 +27,17 @@ Maintenance contract (enforced by tests/test_registry_window.py):
   need no entry (absence from LAST_DRIVER_ROW puts them in tier 1).
 - Bump ``CURRENT_ROUND`` at the start of each round.
 - Invariant: no registered query's newest driver row may be older
-  than ``CURRENT_ROUND - 3`` unless it is inside the current window
-  (139 entries / 50 slots = a full cycle every 3 rounds; the ledger
-  keeps every entry inside that cycle, and tiers 1-2 can never be
-  deferred at all).
+  than ``CURRENT_ROUND - 3`` unless it is inside the current window.
+  The cycle length is ``ceil(len(names) / window)`` rounds;
+  ``assert_ledger_invariants`` additionally asserts
+  ``3 * window >= len(names)`` so the 3-round freshness bound stays
+  satisfiable as the registry grows (ADVICE r06: the prose used to
+  hard-code "139 entries / 3 rounds").
 """
 
 from __future__ import annotations
 
-CURRENT_ROUND = 6
+CURRENT_ROUND = 7
 
 # name -> newest driver CORRECTNESS round containing the name
 # (union of CORRECTNESS_r01..r05; absent = never driver-checked).
@@ -139,11 +141,51 @@ LAST_TOUCHED.update(
 # r06: d15's oracle switched to the banded-pair CC twin (equality by
 # construction, ADVICE r05) — its r05 row predates the new oracle.
 LAST_TOUCHED["d15_cc_star"] = 6
+# r07: the codec tier rebuilt hash-checkable (integer decode metrics +
+# md5-hex-chain DuckDB twins) — VERDICT r06 item 2.
+LAST_TOUCHED.update(
+    dict.fromkeys(
+        (
+            "m01_image_metadata", "m02_media_stats",
+            "m03_frame_sample", "m04_audio_frames",
+        ),
+        7,
+    )
+)
+LAST_DRIVER_ROW.update(
+    # CORRECTNESS_r06.json fold-in: 50/50 green (rows+schema+hash).
+    dict.fromkeys(
+        (
+            "d15_cc_star", "d17_span_dedup_action", "d18_cleaned_corpus",
+            "d19_decontaminate_action", "d20_incremental_span_dedup",
+            "e12_sequence_match", "e20_ewma_baseline",
+            "e21_transition_matrix", "e22_any_click_funnel",
+            "e23_cusum_changepoint",
+            "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
+            "g04_item_similarity", "g05_graph_summary",
+            "g06_lpa_communities", "g07_edge_stream_replay",
+            "q01_pricing_summary", "q03_topk_revenue",
+            "q04_revenue_by_nation", "q05_region_revenue",
+            "q06_forecast_revenue", "q14_date_functions",
+            "q15_conditional_agg", "q16_having", "q18_range_join",
+            "q29_ntile_percentile", "q34_histogram", "q35_unpivot",
+            "q36_snapshot_diff",
+            "s09_vector_stats", "s10_semantic_dedup",
+            "t01_token_stats", "t02_quality_score", "t03_langid",
+            "t04_fingerprint", "t05_top_terms", "t06_tfidf_top_terms",
+            "t07_repetition", "t08_top_bigrams", "t09_bpe_token_count",
+            "t10_cms_heavy_hitters", "t11_unigram_surprisal",
+            "t18_posting_lists", "t19_bm25_search",
+            "x01_split_assign", "x02_cap_per_group",
+            "x03_stratified_sample", "x04_chunk_documents",
+            "x05_corpus_curation",
+        ),
+        6,
+    )
+)
 
 
-def window_order(
-    names: list[str], oracle_names: set[str], window: int = 50
-) -> list[str]:
+def window_order(names: list[str], oracle_names: set[str]) -> list[str]:
     """Full registry order under the rotation priority; the first
     ``window`` entries are the round's correctness window."""
 
@@ -162,7 +204,13 @@ def assert_ledger_invariants(
     names: list[str], oracle_names: set[str], window: int = 50
 ) -> None:
     """The window-freshness contract (cheap; callable from tests)."""
-    order = window_order(names, oracle_names, window)
+    assert 3 * window >= len(names), (
+        f"registry has {len(names)} entries but 3 rounds of a "
+        f"{window}-slot window cover only {3 * window}: the 3-round "
+        "freshness invariant is unsatisfiable — widen the window or "
+        "relax the cycle bound"
+    )
+    order = window_order(names, oracle_names)
     in_window = set(order[:window])
     for n in names:
         dr = LAST_DRIVER_ROW.get(n)
@@ -187,7 +235,7 @@ def assert_next_round_feasible(
     CURRENT window, then checks the NEXT round can still seat every
     entry the freshness invariant will force into it. Fails while the
     over-addition is still editable, not a round later."""
-    order = window_order(names, oracle_names, window)
+    order = window_order(names, oracle_names)
     simulated = dict(LAST_DRIVER_ROW)
     for n in order[:window]:
         simulated[n] = CURRENT_ROUND

@@ -54,6 +54,25 @@ def test_failure_details_is_bounded_and_ordered(spark):
     ]
 
 
+_STALLED = (  # no stage FAILED, but carga never reached SUCCESS
+    "Cnaes0.zip", "u", mf.SUCCESS, mf.SUCCESS, mf.SUCCESS, mf.PENDING,
+    1, None, [], (2, 2, None),
+)
+
+
+def test_pending_files_are_not_a_success(spark):
+    """ADVICE r06: 'todos os arquivos foram processados' must not go
+    out while files are still PENDING — no-FAILED is not all-SUCCESS."""
+    alert = alerting.evaluate_run(_manifest(spark, [_OK, _STALLED]), "202405")
+    assert alert.severity == "failure"
+    assert "incompleta" in alert.subject
+    assert "1 de 2" in alert.subject
+    assert "prontos para uso" not in alert.body
+    # all-success still mails success
+    ok = alerting.evaluate_run(_manifest(spark, [_OK]), "202405")
+    assert ok.severity == "success"
+
+
 # --- vigilante -------------------------------------------------------------
 
 _EMPRESAS = ['00000001;"ACAO COMERCIO LTDA";2062;49;"1234,56";03;']
@@ -139,3 +158,70 @@ def test_vigilante_waits_then_triggers_once(spark, portal, tmp_path):
         already_loaded=lambda ym: ym in loaded,
     )
     assert again.triggered is False and len(sent) == 1
+
+
+def test_unexpected_crash_sends_failure_alert_and_loop_survives(
+    spark, portal, tmp_path, monkeypatch
+):
+    """ADVICE r06 (medium): an exception run_month does NOT anticipate
+    (anything beyond BadZipFile/count-gate) must still produce a
+    failure alert — 'the pipeline stopped' is the scenario the alerting
+    exists for — and must not kill vigilante_daily."""
+    from rfb_data_pipeline_spark.pipeline import run as run_mod
+
+    _publish(portal)
+    sent: list[tuple[str, str]] = []
+
+    def boom(spark_, cfg_):
+        raise RuntimeError("disk full while writing silver")
+
+    monkeypatch.setattr(run_mod, "run_month", boom)
+
+    def cfg_for(ref_ym: str) -> RunConfig:
+        return RunConfig(
+            base_url=f"file://{portal}/index.html",
+            work_dir=str(tmp_path / "work"),
+            out_dir=str(tmp_path / "silver"),
+            ref_ym=ref_ym,
+            fetch=_file_fetch,
+            stream=_file_stream,
+        )
+
+    results = alerting.vigilante_daily(
+        spark,
+        cfg_for,
+        lambda: "202406",
+        transport=lambda s, b: sent.append((s, b)),
+        already_loaded=lambda ym: False,
+        max_checks=2,
+        sleep=lambda s: None,
+    )
+    # BOTH checks completed: the crash alerted and the loop continued
+    assert len(results) == 2
+    assert all(r.triggered and r.alert.severity == "failure" for r in results)
+    assert len(sent) == 2
+    assert "erro inesperado" in sent[0][0] and "RuntimeError" in sent[0][0]
+    assert "disk full while writing silver" in sent[0][1]
+
+
+def test_check_month_published_distinguishes_absent_from_bugs():
+    """ADVICE r06: fetch errors that mean 'listing absent' return
+    False; a parser/config regression must propagate, not probe
+    forever."""
+    def fetch_404(url: str) -> str:
+        raise FileNotFoundError(url)
+
+    assert alerting.check_month_published("file:///nope", fetch_404) is False
+
+    import urllib.error
+
+    def fetch_http_err(url: str) -> str:
+        raise urllib.error.URLError("temporary name resolution failure")
+
+    assert alerting.check_month_published("https://x/", fetch_http_err) is False
+
+    def fetch_buggy(url: str) -> str:
+        raise ValueError("misconfigured base_url template")
+
+    with pytest.raises(ValueError):
+        alerting.check_month_published("oops-{ym}", fetch_buggy)

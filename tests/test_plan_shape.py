@@ -319,8 +319,9 @@ _SINGLE_PARTITION_OK = {
     "e15_gap_fill_locf",  # calendar-bounded resample grid
     "d01_exact_dedup",  # 1-row dedup summary
     "g05_graph_summary",  # 1-row graph health card (cc_star fixpoint frames)
-    "m01_image_metadata",  # per-format summary over a 96-row media table
+    "m01_image_metadata",  # per-size-class summary over a 96-row media table
     "m02_media_stats",  # 2-row per-kind decode summary
+    "v01_integrity_report",  # 4-row violation report (1-row v4 rollup)
     "d12_minhash_calibration",  # 1-row calibration summary
     "d13_duplicate_spans",  # 1-row span-dedup summary
     "t06_tfidf_top_terms",  # 1-row corpus doc-count frame (IDF side)

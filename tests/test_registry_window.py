@@ -6,7 +6,7 @@ out of (or a stale one into) the round's window.
 Since r06 the order is COMPUTED from the rotation ledger
 (rfb_data_pipeline_spark/rotation.py): never-driver-checked first,
 then touched-since-their-row, then green oldest-first. These tests pin
-the r06 composition the ledger must produce AND the ledger's own
+the r07 composition the ledger must produce AND the ledger's own
 freshness invariants, so a ledger edit that starves an entry fails
 loudly.
 """
@@ -21,24 +21,15 @@ def _names():
     return list(entry_mod.queries())
 
 
-def test_r06_window_composition():
+def test_r07_window_composition():
     names = _names()
     window = set(names[:50])
-    # Tier 0 — the entries with NO driver row of any kind (r05-late
-    # span-ACTION tier, graph family, EWMA, transition matrix,
-    # posting lists + anything new this round). VERDICT r05 item 1.
-    never_checked = {
-        n for n in names if n not in rotation.LAST_DRIVER_ROW
-    }
-    assert {
-        "d17_span_dedup_action", "d18_cleaned_corpus",
-        "d19_decontaminate_action", "d20_incremental_span_dedup",
-        "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
-        "g04_item_similarity", "g05_graph_summary",
-        "g06_lpa_communities", "e20_ewma_baseline",
-        "e21_transition_matrix", "t18_posting_lists",
-    } <= never_checked <= window
-    # Tier 1 — rows that predate the r05 exactround conversion.
+    # Tier 0 — never driver-checked: only the r07-new integrity row.
+    never_checked = {n for n in names if n not in rotation.LAST_DRIVER_ROW}
+    assert never_checked == {"v01_integrity_report"}
+    assert names[0] == "v01_integrity_report"
+    # Tier 1 — rows predating this round's code: the rebuilt
+    # hash-checkable codec tier (VERDICT r06 item 2).
     touched_stale = {
         n
         for n in names
@@ -46,41 +37,40 @@ def test_r06_window_composition():
         > rotation.LAST_DRIVER_ROW.get(n, 99)
     }
     assert touched_stale == {
-        "q01_pricing_summary", "q03_topk_revenue",
-        "q04_revenue_by_nation", "q05_region_revenue",
-        "q06_forecast_revenue", "q14_date_functions",
-        "q15_conditional_agg", "q16_having", "q18_range_join",
-        "q29_ntile_percentile", "q34_histogram", "q35_unpivot",
-        "e12_sequence_match",
-        "t01_token_stats", "t02_quality_score", "t07_repetition",
-        "t09_bpe_token_count", "x01_split_assign",
-        "d15_cc_star",  # r06: oracle switched to the banded-pair twin
+        "m01_image_metadata", "m02_media_stats",
+        "m03_frame_sample", "m04_audio_frames",
     }
-    assert touched_stale <= window
-    # Tier 2 — remaining slots go to the oldest green rows (r03),
-    # oracle-paired first: s09/s10, the untouched t/x series. With 18
-    # tier-0 (incl. the new g07/e22/t19/e23/q36) + 19 tier-1 entries,
-    # 13 of the 18 r03 oracle-paired entries fit; x06-x10
-    # (alphabetically last) and the rows-only m01-m03 spill to r07.
-    assert {
-        "s09_vector_stats", "s10_semantic_dedup",
-        "t03_langid", "t04_fingerprint", "t05_top_terms",
-        "t06_tfidf_top_terms", "t08_top_bigrams",
-        "t10_cms_heavy_hitters", "t11_unigram_surprisal",
-        "x02_cap_per_group", "x03_stratified_sample",
-        "x04_chunk_documents", "x05_corpus_curation",
-    } <= window
-    # NO slot burns on r04/r05-green, untouched code: every q-series
-    # name in the window is exactround-touched, no d/e-series beyond
-    # the tiers above, no media row inside the window.
-    assert not (window & {"d01_exact_dedup", "s01_knn_bruteforce",
-                          "e01_tumbling_hourly", "q02_argmin_supplier",
-                          "q17_distinct_agg", "x11_curriculum_buckets"})
-    # spill heads straight into the r07 promotions
-    assert names[50:58] == [
+    assert names[1:5] == [
+        "m01_image_metadata", "m02_media_stats",
+        "m03_frame_sample", "m04_audio_frames",
+    ]
+    # Tier 2 — oldest green rows next: the r03 stragglers VERDICT r06
+    # item 1 demanded lead the window (x06-x10), then the full
+    # untouched r04 cohort (37 entries: e01-e16 minus e12/e15, q02 +
+    # q07-q33 minus the exactround-refreshed set), rows-only (q24/q33)
+    # last within r04.
+    assert names[5:10] == [
         "x06_shuffle_shard", "x07_upsert_merge", "x08_split_leakage",
-        "x09_pack_sequences", "x10_domain_mixture", "m01_image_metadata",
-        "m02_media_stats", "m03_frame_sample",
+        "x09_pack_sequences", "x10_domain_mixture",
+    ]
+    assert {
+        "e01_tumbling_hourly", "e14_max_concurrency", "q02_argmin_supplier",
+        "q17_distinct_agg", "q32_window_values",
+    } <= window
+    assert names[45:50] == [
+        "q24_approx_distinct", "q33_approx_quantiles",
+        "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_lsh",
+    ]
+    # NO slot burns on r05/r06-green untouched code beyond the d01-d03
+    # spill that fills the final slots.
+    assert not (window & {
+        "d15_cc_star", "t19_bm25_search", "g07_edge_stream_replay",
+        "q01_pricing_summary", "s15_ivf_pq_ann", "x17_cluster_curation",
+    })
+    # spill heads straight into the r08 promotions (r05 d-series)
+    assert names[50:54] == [
+        "d04_simhash", "d05_simhash_pairs", "d06_incremental_dedup",
+        "d07_dedup_clusters",
     ]
 
 
@@ -108,25 +98,16 @@ def test_ledger_invariants_hold():
 def test_every_query_has_unique_name_and_oracle_subset():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    # 121 at the r04 gate + e18/e19 (stream batch replays) + x17
-    # (cluster-aware curation) + m07/m08 (ID3v1 + WAV header parses)
-    # + d17/d18/d19/d20 (span-dedup action tier) + g01-g06 (graph
-    # analytics) + e20 (EWMA) + e21 (transition matrix) + t18
-    # (posting lists) + g07 (r06 — incremental edge-maintenance
-    # batch replay, the graph stream's driver row) + e22 (r06 —
-    # any-click funnel, the general skip semantics e17 lacks)
-    # + t19 (r06 — BM25 lexical retrieval) + e23 (r06 — CUSUM
-    # changepoint detection) + q36 (r06 — keyed snapshot diff, the
-    # month_diff driver row)
-    assert len(q) == 144
+    # 144 at the r06 gate + v01 (r07 — the README integrity suite
+    # v2+v3+v4 under the DuckDB oracle, VERDICT r06 item 5)
+    assert len(q) == 145
     assert set(o) <= set(q)
-    # rows-only tier is exactly the sketches + media decode
+    # rows-only tier is exactly the approximate sketches: m01-m04
+    # flipped to hash-checkable in r07 (integer decode metrics +
+    # md5-hex-chain twins), leaving only the sketches (which the
+    # local bounds-oracle tier covers, tests/test_bounds_oracle.py)
     rows_only = set(q) - set(o)
     assert rows_only == {
         "q24_approx_distinct",
         "q33_approx_quantiles",
-        "m01_image_metadata",
-        "m02_media_stats",
-        "m03_frame_sample",
-        "m04_audio_frames",
     }
