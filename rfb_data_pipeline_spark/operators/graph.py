@@ -808,15 +808,30 @@ def g07_edge_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ev"))
         .transform(stage_boundary)
     )
+    # Fold the maintained per-(user, item) state forward batch over
+    # batch (the stream's compacted-log view) instead of re-filtering
+    # the full frame for every prefix `b' < b` — the prefix rescan was
+    # O(K^2) passes over the base, the fold is O(K) state-sized
+    # aggregates, matching the stream's true shape (VERDICT r06 item 6).
     deltas = []
+    cum = None  # engagement state BEFORE the current batch
     for b in range(_REPLAY_BATCHES):
         batch_per = per_bui.where(F.col("b") == b).select(
             "user_id", "item", "n_ev"
         )
-        old_counts = per_bui.where(F.col("b") < b).select(
-            "user_id", "item", "n_ev"
-        )
+        old_counts = cum if cum is not None else batch_per.limit(0)
         deltas.append(edge_deltas_core(old_counts, batch_per))
+        if b < _REPLAY_BATCHES - 1:  # last batch's state is never read
+            grown = (
+                batch_per
+                if cum is None
+                else cum.unionByName(batch_per)
+            )
+            cum = (
+                grown.groupBy("user_id", "item")
+                .agg(F.sum("n_ev").alias("n_ev"))
+                .transform(stage_boundary)
+            )
     maintained = deltas[0]
     for d in deltas[1:]:
         maintained = maintained.unionByName(d)

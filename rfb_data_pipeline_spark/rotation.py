@@ -142,12 +142,14 @@ LAST_TOUCHED.update(
 # construction, ADVICE r05) — its r05 row predates the new oracle.
 LAST_TOUCHED["d15_cc_star"] = 6
 # r07: the codec tier rebuilt hash-checkable (integer decode metrics +
-# md5-hex-chain DuckDB twins) — VERDICT r06 item 2.
+# md5-hex-chain DuckDB twins) — VERDICT r06 item 2 — and g07's replay
+# state folded forward instead of prefix-rescanned (item 6).
 LAST_TOUCHED.update(
     dict.fromkeys(
         (
             "m01_image_metadata", "m02_media_stats",
             "m03_frame_sample", "m04_audio_frames",
+            "g07_edge_stream_replay",
         ),
         7,
     )

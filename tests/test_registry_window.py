@@ -39,17 +39,19 @@ def test_r07_window_composition():
     assert touched_stale == {
         "m01_image_metadata", "m02_media_stats",
         "m03_frame_sample", "m04_audio_frames",
+        "g07_edge_stream_replay",  # replay state folded forward (item 6)
     }
-    assert names[1:5] == [
+    assert names[1:6] == [
         "m01_image_metadata", "m02_media_stats",
         "m03_frame_sample", "m04_audio_frames",
+        "g07_edge_stream_replay",
     ]
     # Tier 2 — oldest green rows next: the r03 stragglers VERDICT r06
     # item 1 demanded lead the window (x06-x10), then the full
     # untouched r04 cohort (37 entries: e01-e16 minus e12/e15, q02 +
     # q07-q33 minus the exactround-refreshed set), rows-only (q24/q33)
     # last within r04.
-    assert names[5:10] == [
+    assert names[6:11] == [
         "x06_shuffle_shard", "x07_upsert_merge", "x08_split_leakage",
         "x09_pack_sequences", "x10_domain_mixture",
     ]
@@ -57,20 +59,20 @@ def test_r07_window_composition():
         "e01_tumbling_hourly", "e14_max_concurrency", "q02_argmin_supplier",
         "q17_distinct_agg", "q32_window_values",
     } <= window
-    assert names[45:50] == [
+    assert names[46:50] == [
         "q24_approx_distinct", "q33_approx_quantiles",
-        "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_lsh",
+        "d01_exact_dedup", "d02_ngram_jaccard",
     ]
-    # NO slot burns on r05/r06-green untouched code beyond the d01-d03
+    # NO slot burns on r05/r06-green untouched code beyond the d01-d02
     # spill that fills the final slots.
     assert not (window & {
-        "d15_cc_star", "t19_bm25_search", "g07_edge_stream_replay",
+        "d15_cc_star", "t19_bm25_search",
         "q01_pricing_summary", "s15_ivf_pq_ann", "x17_cluster_curation",
     })
     # spill heads straight into the r08 promotions (r05 d-series)
     assert names[50:54] == [
-        "d04_simhash", "d05_simhash_pairs", "d06_incremental_dedup",
-        "d07_dedup_clusters",
+        "d03_minhash_lsh", "d04_simhash", "d05_simhash_pairs",
+        "d06_incremental_dedup",
     ]
 
 
