@@ -61,3 +61,68 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_aqe_splits_skewed_q04_class_join(spark, tmp_path):
+    """AQE skew-join evidence for the q04/q05-class fact-dim join
+    (SURVEY §4: cnpj_basico-style hot keys): with a multi-file skewed
+    fact and broadcast disabled, the final adaptive plan must split
+    the hot partition (SortMergeJoin(skew=true)); with skew-join off
+    it must not. tools/skew_check.py records the byte-level evidence
+    (straggler read bytes flat vs growing) at sf0.1."""
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    skewed = orders.withColumn(
+        "o_custkey",
+        F.when(
+            F.pmod(F.col("o_orderkey"), F.lit(4)) < 3, F.lit(7)
+        ).otherwise(F.col("o_custkey")),
+    )
+    # >1 mapper: AQE splits a skewed reduce partition along MAPPER
+    # boundaries, so a single-file input is never splittable
+    fixture = str(tmp_path / "skewed_orders")
+    skewed.repartition(8).write.parquet(fixture)
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        def final_plan(skew_on: bool) -> str:
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower()
+            )
+            fact = spark.read.parquet(fixture)
+            df = (
+                fact.join(cust, fact.o_custkey == cust.c_custkey)
+                .groupBy("c_nationkey")
+                .agg(F.sum("o_totalprice").alias("rev"))
+            )
+            df.collect()
+            return (
+                df._jdf.queryExecution().executedPlan().toString()
+            ).split("== Initial Plan ==")[0]
+
+        with_split = final_plan(True)
+        assert "skew=true" in with_split, with_split
+        assert "skewed" in with_split  # AQEShuffleRead ... skewed
+        without = final_plan(False)
+        assert "skew=true" not in without
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
