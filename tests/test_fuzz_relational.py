@@ -33,7 +33,10 @@ import pytest
 from tests.test_degenerate_corpus import _ORACLES, _QUERIES
 from tools.check_oracle import _normalize, value_hash
 
-_PROBED_Q = [n for n in _QUERIES if n.startswith("q") and n in _ORACLES]
+# q-series + the v-series integrity rows (orders/nation-shaped inputs)
+_PROBED_Q = [
+    n for n in _QUERIES if n.startswith(("q", "v")) and n in _ORACLES
+]
 
 _REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]

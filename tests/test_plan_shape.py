@@ -411,6 +411,10 @@ def test_exchange_budgets_headline(spark):
         # chain reusing the same partitioning; spine joins broadcast
         "t19_bm25_search": 7,  # token-pass aggs (dl/tf/df/totals) +
         # doc-keyed join + final per-doc agg; df and totals broadcast
+        "v01_integrity_report": 5,  # v2 + v3 global aggs (1 each) +
+        # v4 dim-distinct (25 rows) + orphan groupBy + 1-row rollup;
+        # the anti-join itself is broadcast (zero exchange) — a lost
+        # broadcast on the dim side exceeds this
     }
     over = {}
     for name, budget in budgets.items():
