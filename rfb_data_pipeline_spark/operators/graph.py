@@ -164,17 +164,50 @@ edges AS (
 # hash compare.
 
 
-def _graph_base(spark: SparkSession, sf_dir: str):
-    """(arcs, nodes) shared by g01/g03: ONE materialized engagement
-    frame feeds both the edge build and the node universe (isolated
-    items keep their rank/teleport mass); n arrives as a broadcast
-    1-row frame, never a driver-side collect (the q34 idiom)."""
+# Session-scoped memo of the shared graph base (the cc_labels_cached /
+# t15_scores_cached idiom): every g-series query starts from the SAME
+# engagement → capped-pairs → weighted-edges construction, so within a
+# session (bench, driver correctness pass, test suite) the base is
+# built and materialized ONCE. Keyed on (events fingerprint, session
+# identity) so a rewritten fixture or restarted SparkContext can never
+# serve a stale or dead frame. Pure sharing — the logical frames are
+# identical to the un-memoized build, so query results are unchanged.
+_GRAPH_BASE_CACHE: dict[str, tuple[SparkSession, tuple]] = {}
+
+
+def _graph_shared(spark: SparkSession, sf_dir: str) -> tuple:
+    """(eng, edges) — materialized once per (session, events
+    fingerprint): the capped engagement set and the weighted
+    undirected edge list every g-series query consumes."""
+    import os as _os
+
+    from rfb_data_pipeline_spark.catalog import data_fingerprint
+
+    key = (
+        f"{_os.path.abspath(sf_dir)}|"
+        f"{hash(data_fingerprint(sf_dir, ('events',)))}"
+    )
+    hit = _GRAPH_BASE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     eng = engagement(_events(spark, sf_dir)).transform(stage_boundary)
     edges = (
         user_item_pairs(eng)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
+        .transform(stage_boundary)
     )
+    _GRAPH_BASE_CACHE[key] = (spark, (eng, edges))
+    return eng, edges
+
+
+def _graph_base(spark: SparkSession, sf_dir: str):
+    """(arcs, nodes) shared by g01/g03/g04/g05/g06: ONE materialized
+    engagement frame feeds both the edge build and the node universe
+    (isolated items keep their rank/teleport mass); n arrives as a
+    broadcast 1-row frame, never a driver-side collect (the q34
+    idiom)."""
+    eng, edges = _graph_shared(spark, sf_dir)
     arcs = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
@@ -329,7 +362,8 @@ def oriented_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
 
 
 def g02_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = co_engagement_edges(_events(spark, sf_dir)).transform(stage_boundary)
+    _, edges = _graph_shared(spark, sf_dir)  # same frame as
+    # co_engagement_edges(_events(...)), materialized once per session
     deg = _degrees(edges)
     tri = oriented_triangles(edges, deg)
     per_node = (

@@ -154,6 +154,19 @@ LAST_TOUCHED.update(
         7,
     )
 )
+# r07: g01-g06 now consume the session-memoized shared graph base
+# (_graph_shared) — logically identical frames, but the executed code
+# path changed, so their rows rotate back through the window.
+LAST_TOUCHED.update(
+    dict.fromkeys(
+        (
+            "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
+            "g04_item_similarity", "g05_graph_summary",
+            "g06_lpa_communities",
+        ),
+        7,
+    )
+)
 LAST_DRIVER_ROW.update(
     # CORRECTNESS_r06.json fold-in: 50/50 green (rows+schema+hash).
     dict.fromkeys(

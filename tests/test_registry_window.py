@@ -37,42 +37,47 @@ def test_r07_window_composition():
         > rotation.LAST_DRIVER_ROW.get(n, 99)
     }
     assert touched_stale == {
+        # rebuilt hash-checkable codec tier (VERDICT r06 item 2)
         "m01_image_metadata", "m02_media_stats",
         "m03_frame_sample", "m04_audio_frames",
-        "g07_edge_stream_replay",  # replay state folded forward (item 6)
-    }
-    assert names[1:6] == [
-        "m01_image_metadata", "m02_media_stats",
-        "m03_frame_sample", "m04_audio_frames",
+        # replay state folded forward (item 6)
         "g07_edge_stream_replay",
+        # session-memoized shared graph base (_graph_shared)
+        "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
+        "g04_item_similarity", "g05_graph_summary",
+        "g06_lpa_communities",
+    }
+    assert names[1:12] == [
+        "m01_image_metadata", "m02_media_stats",
+        "m03_frame_sample", "m04_audio_frames",
+        "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
+        "g04_item_similarity", "g05_graph_summary",
+        "g06_lpa_communities", "g07_edge_stream_replay",
     ]
     # Tier 2 — oldest green rows next: the r03 stragglers VERDICT r06
-    # item 1 demanded lead the window (x06-x10), then the full
-    # untouched r04 cohort (37 entries: e01-e16 minus e12/e15, q02 +
-    # q07-q33 minus the exactround-refreshed set), rows-only (q24/q33)
-    # last within r04.
-    assert names[6:11] == [
+    # item 1 demanded lead the window (x06-x10), then the untouched
+    # r04 cohort fills the remaining slots, rows-only (q24/q33)
+    # yielding their slots (they spill to r08 with the alphabetical
+    # r04 tail — still inside the 3-round cycle, and the bounds-oracle
+    # tier covers them locally every round).
+    assert names[12:17] == [
         "x06_shuffle_shard", "x07_upsert_merge", "x08_split_leakage",
         "x09_pack_sequences", "x10_domain_mixture",
     ]
     assert {
         "e01_tumbling_hourly", "e14_max_concurrency", "q02_argmin_supplier",
-        "q17_distinct_agg", "q32_window_values",
+        "q17_distinct_agg", "q28_grouping_sets",
     } <= window
-    assert names[46:50] == [
-        "q24_approx_distinct", "q33_approx_quantiles",
-        "d01_exact_dedup", "d02_ngram_jaccard",
-    ]
-    # NO slot burns on r05/r06-green untouched code beyond the d01-d02
-    # spill that fills the final slots.
+    # NO slot burns on r05/r06-green untouched code.
     assert not (window & {
-        "d15_cc_star", "t19_bm25_search",
+        "d15_cc_star", "t19_bm25_search", "d01_exact_dedup",
         "q01_pricing_summary", "s15_ivf_pq_ann", "x17_cluster_curation",
     })
-    # spill heads straight into the r08 promotions (r05 d-series)
-    assert names[50:54] == [
-        "d03_minhash_lsh", "d04_simhash", "d05_simhash_pairs",
-        "d06_incremental_dedup",
+    # spill heads straight into the r08 promotions: the r04 tail
+    # (q31/q32 + the rows-only sketches), then the r05 d-series
+    assert names[50:55] == [
+        "q31_stats_agg", "q32_window_values", "q24_approx_distinct",
+        "q33_approx_quantiles", "d01_exact_dedup",
     ]
 
 
