@@ -156,13 +156,21 @@ LAST_TOUCHED.update(
 )
 # r07: g01-g06 now consume the session-memoized shared graph base
 # (_graph_shared) — logically identical frames, but the executed code
-# path changed, so their rows rotate back through the window.
+# path changed, so their rows rotate back through the window. Same
+# for the shingle consumers (_doc_shingles_cached): direct (d02, d03,
+# d08, d09, d12, d16) and transitive via the d02/d03 chains (d07,
+# d15, x08, x17).
 LAST_TOUCHED.update(
     dict.fromkeys(
         (
             "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
             "g04_item_similarity", "g05_graph_summary",
             "g06_lpa_communities",
+            "d02_ngram_jaccard", "d03_minhash_lsh", "d07_dedup_clusters",
+            "d08_decontaminate", "d09_containment",
+            "d12_minhash_calibration", "d15_cc_star",
+            "d16_incremental_minhash",
+            "x08_split_leakage", "x17_cluster_curation",
         ),
         7,
     )

@@ -46,38 +46,39 @@ def test_r07_window_composition():
         "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
         "g04_item_similarity", "g05_graph_summary",
         "g06_lpa_communities",
+        # session-memoized shared shingle frame (_doc_shingles_cached):
+        # direct consumers + the d02/d03-chain transitives
+        "d02_ngram_jaccard", "d03_minhash_lsh", "d07_dedup_clusters",
+        "d08_decontaminate", "d09_containment",
+        "d12_minhash_calibration", "d15_cc_star",
+        "d16_incremental_minhash", "x08_split_leakage",
+        "x17_cluster_curation",
     }
-    assert names[1:12] == [
-        "m01_image_metadata", "m02_media_stats",
-        "m03_frame_sample", "m04_audio_frames",
-        "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
-        "g04_item_similarity", "g05_graph_summary",
-        "g06_lpa_communities", "g07_edge_stream_replay",
-    ]
-    # Tier 2 — oldest green rows next: the r03 stragglers VERDICT r06
-    # item 1 demanded lead the window (x06-x10), then the untouched
-    # r04 cohort fills the remaining slots, rows-only (q24/q33)
-    # yielding their slots (they spill to r08 with the alphabetical
-    # r04 tail — still inside the 3-round cycle, and the bounds-oracle
-    # tier covers them locally every round).
-    assert names[12:17] == [
-        "x06_shuffle_shard", "x07_upsert_merge", "x08_split_leakage",
+    # tier 1 orders by newest-driver-row (oldest first), so the r03-row
+    # x08 leads the touched block and the whole block sits at 1..21
+    assert set(names[1:22]) == touched_stale
+    assert names[4] == "x08_split_leakage"  # dr=3, oldest touched row
+    # Tier 2 — oldest green rows next: the remaining r03 stragglers
+    # (x06/x07/x09/x10 — x08 moved to tier 1), then the untouched r04
+    # cohort fills the window; its tail (q20+ alphabetically) and the
+    # rows-only sketches spill to r08, still inside the 3-round cycle
+    # (the bounds-oracle tier covers q24/q33 locally every round).
+    assert names[22:26] == [
+        "x06_shuffle_shard", "x07_upsert_merge",
         "x09_pack_sequences", "x10_domain_mixture",
     ]
     assert {
         "e01_tumbling_hourly", "e14_max_concurrency", "q02_argmin_supplier",
-        "q17_distinct_agg", "q28_grouping_sets",
+        "q17_distinct_agg", "q19_cube",
     } <= window
     # NO slot burns on r05/r06-green untouched code.
     assert not (window & {
-        "d15_cc_star", "t19_bm25_search", "d01_exact_dedup",
-        "q01_pricing_summary", "s15_ivf_pq_ann", "x17_cluster_curation",
+        "t19_bm25_search", "d01_exact_dedup", "e20_ewma_baseline",
+        "q01_pricing_summary", "s15_ivf_pq_ann", "q36_snapshot_diff",
     })
     # spill heads straight into the r08 promotions: the r04 tail
-    # (q31/q32 + the rows-only sketches), then the r05 d-series
-    assert names[50:55] == [
-        "q31_stats_agg", "q32_window_values", "q24_approx_distinct",
-        "q33_approx_quantiles", "d01_exact_dedup",
+    assert names[50:53] == [
+        "q20_running_total", "q21_rank_suppliers", "q22_union_parts",
     ]
 
 
