@@ -1210,6 +1210,39 @@ def _pq_model(
     return sub, codebook, codes
 
 
+# Session memo of the trained PQ model over the stock embeddings (the
+# _graph_shared / _doc_shingles_cached idiom): s13 and s15 train the
+# identical codebook and encode the identical codes, so within a
+# session the k-means-style training pass runs ONCE. Keyed on
+# (embeddings fingerprint, pq params, session identity); pure sharing,
+# results unchanged. pipeline/ann_index keeps its direct _pq_model
+# call (it encodes arbitrary corpora, not the stock table).
+_PQ_MODEL_CACHE: dict[tuple, tuple[SparkSession, tuple]] = {}
+
+
+def _pq_model_cached(
+    spark: SparkSession, sf_dir: str, pq_m: int, k_pq: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    import os as _os
+
+    from rfb_data_pipeline_spark.catalog import data_fingerprint
+
+    key = (
+        _os.path.abspath(sf_dir),
+        hash(data_fingerprint(sf_dir, ("embeddings",))),
+        pq_m,
+        k_pq,
+    )
+    hit = _PQ_MODEL_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+    sub, codebook, codes = _pq_model(emb, pq_m, k_pq)
+    codes = codes.transform(stage_boundary)
+    _PQ_MODEL_CACHE[key] = (spark, (sub, codebook, codes))
+    return sub, codebook, codes
+
+
 def s13_pq_ann(
     spark: SparkSession,
     sf_dir: str,
@@ -1218,7 +1251,7 @@ def s13_pq_ann(
     query_vec_id: int = QUERY_VEC_ID,
 ) -> DataFrame:
     emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
-    sub, codebook, codes = _pq_model(emb, pq_m, k_pq)
+    sub, codebook, codes = _pq_model_cached(spark, sf_dir, pq_m, k_pq)
     q_sub = sub.filter(F.col("vec_id") == query_vec_id).select(
         "m", F.col("sv").alias("qv")
     )
@@ -1434,7 +1467,7 @@ FROM embeddings
 def s15_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
     probe = _ivf_probe_cells(emb)
-    sub, codebook, codes = _pq_model(emb, PQ_M, K_PQ)
+    sub, codebook, codes = _pq_model_cached(spark, sf_dir, PQ_M, K_PQ)
     q_sub = sub.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         "m", F.col("sv").alias("qv")
     )

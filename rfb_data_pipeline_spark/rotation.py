@@ -171,6 +171,8 @@ LAST_TOUCHED.update(
             "d12_minhash_calibration", "d15_cc_star",
             "d16_incremental_minhash",
             "x08_split_leakage", "x17_cluster_curation",
+            # session-memoized shared PQ model (_pq_model_cached)
+            "s13_pq_ann", "s15_ivf_pq_ann",
         ),
         7,
     )

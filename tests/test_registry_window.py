@@ -53,32 +53,35 @@ def test_r07_window_composition():
         "d12_minhash_calibration", "d15_cc_star",
         "d16_incremental_minhash", "x08_split_leakage",
         "x17_cluster_curation",
+        # session-memoized shared PQ model (_pq_model_cached)
+        "s13_pq_ann", "s15_ivf_pq_ann",
     }
     # tier 1 orders by newest-driver-row (oldest first), so the r03-row
-    # x08 leads the touched block and the whole block sits at 1..21
-    assert set(names[1:22]) == touched_stale
+    # x08 leads the touched block and the whole block sits at 1..23
+    assert set(names[1:24]) == touched_stale
     assert names[4] == "x08_split_leakage"  # dr=3, oldest touched row
     # Tier 2 — oldest green rows next: the remaining r03 stragglers
     # (x06/x07/x09/x10 — x08 moved to tier 1), then the untouched r04
-    # cohort fills the window; its tail (q20+ alphabetically) and the
+    # cohort fills the window; its tail (q17+ alphabetically) and the
     # rows-only sketches spill to r08, still inside the 3-round cycle
     # (the bounds-oracle tier covers q24/q33 locally every round).
-    assert names[22:26] == [
+    assert names[24:28] == [
         "x06_shuffle_shard", "x07_upsert_merge",
         "x09_pack_sequences", "x10_domain_mixture",
     ]
     assert {
         "e01_tumbling_hourly", "e14_max_concurrency", "q02_argmin_supplier",
-        "q17_distinct_agg", "q19_cube",
+        "q12_set_ops", "q13_string_functions",
     } <= window
     # NO slot burns on r05/r06-green untouched code.
     assert not (window & {
         "t19_bm25_search", "d01_exact_dedup", "e20_ewma_baseline",
-        "q01_pricing_summary", "s15_ivf_pq_ann", "q36_snapshot_diff",
+        "q01_pricing_summary", "s14_embedding_validation",
+        "q36_snapshot_diff",
     })
     # spill heads straight into the r08 promotions: the r04 tail
     assert names[50:53] == [
-        "q20_running_total", "q21_rank_suppliers", "q22_union_parts",
+        "q17_distinct_agg", "q19_cube", "q20_running_total",
     ]
 
 
