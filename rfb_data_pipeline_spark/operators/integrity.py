@@ -134,10 +134,83 @@ SELECT check_kind, col_name, n_bad FROM rows_v WHERE n_bad > 0
 """
 
 
+# --------------------------------------------------------------------------
+# v02 — duplicate-business-keys + count-reconciliation report: the
+# other half of the README integrity contract (v5 duplicate
+# (cnpj_basico, cnpj_ordem, cnpj_dv) detection, FIXTURES.md, plus the
+# v1/A7/A13 count-equality gate as data). Duplicates are injected BY
+# CONSTRUCTION via the accidental-reload shape every warehouse has
+# seen: the estabelecimentos-shaped fixture is orders keyed 1:1, UNION
+# ALL a deterministic ~3% re-loaded slice (o_orderkey % 31 == 0) —
+# so exactly those keys carry multiplicity 2 and the oracle twin
+# recomputes every figure from the slice rule. The count gate
+# (n_fixture_rows vs n_base_rows + n_reloaded) rides in the output:
+# a fixture builder that drops or fabricates rows breaks the hash.
+#
+# Scale: one groupBy over the fact side (map-side partial combine)
+# plus two counts — no joins, no windows.
+
+
+def v02_duplicate_keys_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.pipeline.validate import v5_duplicate_keys
+
+    orders = load_tables(
+        spark, sf_dir, tables=("orders",), register_views=False
+    )["orders"]
+    k = F.col("o_orderkey")
+    keyed = orders.select(
+        F.lpad(F.pmod(k, F.lit(100000000)).cast("string"), 8, "0").alias(
+            "cnpj_basico"
+        ),
+        F.lpad(F.pmod(k, F.lit(10000)).cast("string"), 4, "0").alias(
+            "cnpj_ordem"
+        ),
+        F.lpad(F.pmod(k, F.lit(100)).cast("string"), 2, "0").alias(
+            "cnpj_dv"
+        ),
+        k.alias("_k"),
+    )
+    fixture = keyed.unionByName(
+        keyed.where(F.pmod(F.col("_k"), F.lit(31)) == 0)  # the re-load
+    ).drop("_k")
+    dups = v5_duplicate_keys(
+        fixture, ["cnpj_basico", "cnpj_ordem", "cnpj_dv"]
+    )
+    n_fix = fixture.agg(F.count(F.lit(1)).alias("n_fixture_rows"))
+    return dups.agg(
+        F.count(F.lit(1)).alias("n_duplicate_keys"),
+        F.coalesce(F.sum("n_copies"), F.lit(0)).alias("n_rows_in_dups"),
+        F.coalesce(F.max("n_copies"), F.lit(0)).alias("max_multiplicity"),
+    ).join(F.broadcast(n_fix), F.lit(True)).select(
+        "n_duplicate_keys",
+        "n_rows_in_dups",
+        "max_multiplicity",
+        "n_fixture_rows",
+    )
+
+
+# the twin recomputes the same report from the re-load slice rule
+_V02_SQL = """
+WITH reloaded AS (
+  SELECT count(*) AS n31 FROM orders
+  WHERE ((o_orderkey % 31 + 31) % 31) = 0
+),
+base AS (SELECT count(*) AS n FROM orders)
+SELECT CAST(n31 AS BIGINT) AS n_duplicate_keys,
+       CAST(2 * n31 AS BIGINT) AS n_rows_in_dups,
+       CAST(CASE WHEN n31 > 0 THEN 2 ELSE 0 END AS BIGINT)
+         AS max_multiplicity,
+       CAST(n + n31 AS BIGINT) AS n_fixture_rows
+FROM reloaded, base
+"""
+
+
 QUERIES = {
     "v01_integrity_report": v01_integrity_report,
+    "v02_duplicate_keys_report": v02_duplicate_keys_report,
 }
 
 ORACLE: dict[str, str] = {
     "v01_integrity_report": _V01_SQL,
+    "v02_duplicate_keys_report": _V02_SQL,
 }

@@ -322,6 +322,7 @@ _SINGLE_PARTITION_OK = {
     "m01_image_metadata",  # per-size-class summary over a 96-row media table
     "m02_media_stats",  # 2-row per-kind decode summary
     "v01_integrity_report",  # 4-row violation report (1-row v4 rollup)
+    "v02_duplicate_keys_report",  # 1-row dup-keys + count-gate report
     "d12_minhash_calibration",  # 1-row calibration summary
     "d13_duplicate_spans",  # 1-row span-dedup summary
     "t06_tfidf_top_terms",  # 1-row corpus doc-count frame (IDF side)

@@ -24,10 +24,14 @@ def _names():
 def test_r07_window_composition():
     names = _names()
     window = set(names[:50])
-    # Tier 0 — never driver-checked: only the r07-new integrity row.
+    # Tier 0 — never driver-checked: the r07-new integrity rows.
     never_checked = {n for n in names if n not in rotation.LAST_DRIVER_ROW}
-    assert never_checked == {"v01_integrity_report"}
-    assert names[0] == "v01_integrity_report"
+    assert never_checked == {
+        "v01_integrity_report", "v02_duplicate_keys_report",
+    }
+    assert names[:2] == [
+        "v01_integrity_report", "v02_duplicate_keys_report",
+    ]
     # Tier 1 — rows predating this round's code: the rebuilt
     # hash-checkable codec tier (VERDICT r06 item 2).
     touched_stale = {
@@ -57,21 +61,21 @@ def test_r07_window_composition():
         "s13_pq_ann", "s15_ivf_pq_ann",
     }
     # tier 1 orders by newest-driver-row (oldest first), so the r03-row
-    # x08 leads the touched block and the whole block sits at 1..23
-    assert set(names[1:24]) == touched_stale
-    assert names[4] == "x08_split_leakage"  # dr=3, oldest touched row
+    # x08 leads the touched block and the whole block sits at 2..24
+    assert set(names[2:25]) == touched_stale
+    assert names[5] == "x08_split_leakage"  # dr=3, oldest touched row
     # Tier 2 — oldest green rows next: the remaining r03 stragglers
     # (x06/x07/x09/x10 — x08 moved to tier 1), then the untouched r04
     # cohort fills the window; its tail (q17+ alphabetically) and the
     # rows-only sketches spill to r08, still inside the 3-round cycle
     # (the bounds-oracle tier covers q24/q33 locally every round).
-    assert names[24:28] == [
+    assert names[25:29] == [
         "x06_shuffle_shard", "x07_upsert_merge",
         "x09_pack_sequences", "x10_domain_mixture",
     ]
     assert {
         "e01_tumbling_hourly", "e14_max_concurrency", "q02_argmin_supplier",
-        "q12_set_ops", "q13_string_functions",
+        "q11_rollup_report", "q12_set_ops",
     } <= window
     # NO slot burns on r05/r06-green untouched code.
     assert not (window & {
@@ -81,7 +85,7 @@ def test_r07_window_composition():
     })
     # spill heads straight into the r08 promotions: the r04 tail
     assert names[50:53] == [
-        "q17_distinct_agg", "q19_cube", "q20_running_total",
+        "q13_string_functions", "q17_distinct_agg", "q19_cube",
     ]
 
 
@@ -109,9 +113,11 @@ def test_ledger_invariants_hold():
 def test_every_query_has_unique_name_and_oracle_subset():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    # 144 at the r06 gate + v01 (r07 — the README integrity suite
-    # v2+v3+v4 under the DuckDB oracle, VERDICT r06 item 5)
-    assert len(q) == 145
+    # 144 at the r06 gate + v01/v02 (r07 — the README integrity suite
+    # v1-v5 under the DuckDB oracle, VERDICT r06 item 5: v01 covers
+    # v2 nulls + v3 formats + v4 referential, v02 covers v5 duplicate
+    # keys + the v1 count gate)
+    assert len(q) == 146
     assert set(o) <= set(q)
     # rows-only tier is exactly the approximate sketches: m01-m04
     # flipped to hash-checkable in r07 (integer decode metrics +
