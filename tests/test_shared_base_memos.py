@@ -1,0 +1,103 @@
+"""Shared-base session memos (_graph_shared, _doc_shingles_cached,
+_pq_model_cached): hits must return the identical frames, and a
+same-session rewrite of the parquet underneath must INVALIDATE the
+memo (fingerprint key) instead of serving stale frames — the
+cc_labels_cached contract extended to the r07 memo sweep.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _mini_sf(spark, tmp_path, n_docs=6, n_events=40):
+    """A tiny sf-dir with documents + events, rewritable in-place."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta epsilon zeta doc {i}", "en", "web")
+            for i in range(n_docs)
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    docs.coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    ev = spark.createDataFrame(
+        [
+            (
+                i,
+                i % 5,
+                "click",
+                f'{{"k": {i % 4}}}',
+            )
+            for i in range(n_events)
+        ],
+        "event_id bigint, user_id bigint, event_type string, props string",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("event_id")))
+    ev.coalesce(1).write.parquet(str(sf / "events.parquet"))
+    return sf
+
+
+def test_doc_shingles_memo_hits_and_invalidates(spark, tmp_path):
+    from rfb_data_pipeline_spark.operators.dedup import _doc_shingles_cached
+
+    sf = _mini_sf(spark, tmp_path)
+    first = _doc_shingles_cached(spark, str(sf))
+    again = _doc_shingles_cached(spark, str(sf))
+    assert again is first  # memo hit: the very same DataFrame object
+    n_before = first.count()
+    assert n_before > 0
+
+    # rewrite the documents parquet in place: HALF the docs remain
+    docs = spark.read.parquet(str(sf / "documents.parquet")).where(
+        F.col("doc_id") < 3
+    )
+    docs = docs.collect()
+    shutil.rmtree(sf / "documents.parquet")
+    spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string",
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    fresh = _doc_shingles_cached(spark, str(sf))
+    assert fresh is not first  # fingerprint changed -> rebuilt
+    assert fresh.select("doc_id").distinct().count() == 3
+
+
+def test_graph_shared_memo_hits_and_invalidates(spark, tmp_path):
+    from rfb_data_pipeline_spark.operators.graph import _graph_shared
+
+    sf = _mini_sf(spark, tmp_path)
+    eng1, edges1 = _graph_shared(spark, str(sf))
+    eng2, edges2 = _graph_shared(spark, str(sf))
+    assert eng2 is eng1 and edges2 is edges1
+    assert edges1.count() > 0
+
+    # rewrite events: only item 0 remains -> no co-engagement pairs
+    ev = spark.read.parquet(str(sf / "events.parquet")).collect()
+    shutil.rmtree(sf / "events.parquet")
+    spark.createDataFrame(
+        [r for r in ev if '"k": 0' in r["props"]],
+        "event_id bigint, user_id bigint, event_type string,"
+        " props string, ts timestamp",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+
+    eng3, edges3 = _graph_shared(spark, str(sf))
+    assert eng3 is not eng1
+    assert edges3.count() == 0  # single item: no pairs
+
+
+def test_pq_model_memo_is_session_and_param_keyed(spark):
+    from rfb_data_pipeline_spark.operators.similarity import (
+        _pq_model_cached,
+    )
+
+    s1 = _pq_model_cached(spark, SF_SMALL, 4, 16)
+    s2 = _pq_model_cached(spark, SF_SMALL, 4, 16)
+    assert s2[2] is s1[2]  # codes frame shared on a hit
+    s3 = _pq_model_cached(spark, SF_SMALL, 8, 16)
+    assert s3[2] is not s1[2]  # different pq params -> distinct model
