@@ -41,6 +41,36 @@ def tokens_col(col: str = "text"):
     return F.split(F.trim(F.col(col)), r"\s+")
 
 
+# Session memo of the exploded positional token stream (doc_id, pos,
+# w) — the _doc_shingles_cached idiom applied to the text family:
+# t07/t08/t14/t18 all start from this identical frame, so the
+# tokenize+explode map runs once per session. Fingerprint-keyed;
+# logically the same frame, results unchanged.
+_TOKS_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _toks_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from rfb_data_pipeline_spark.catalog import data_fingerprint
+
+    key = (
+        f"{_os.path.abspath(sf_dir)}|"
+        f"{hash(data_fingerprint(sf_dir, ('documents',)))}"
+    )
+    hit = _TOKS_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(tokens_col()).alias("pos", "w"))
+        .filter(F.length("w") > 0)
+        .transform(stage_boundary)
+    )
+    _TOKS_CACHE[key] = (spark, df)
+    return df
+
+
 def quality_gate(col: str = "text"):
     """t02's keep/drop gate (≥10 tokens, ≥1% stopwords, ≤30% digits)
     as ONE shared boolean Column — t02's flag, x05's funnel stage, the
@@ -342,10 +372,7 @@ FROM (
 def t07_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id", F.posexplode(tokens_col()).alias("pos", "w")
-    ).filter(F.length("w") > 0)
+    toks = _toks_cached(spark, sf_dir)
     tok_counts = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     per_doc = tok_counts.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"),
@@ -423,10 +450,7 @@ FROM per_doc JOIN bigrams USING (doc_id)
 def t08_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id", F.posexplode(tokens_col()).alias("pos", "w")
-    ).filter(F.length("w") > 0)
+    toks = _toks_cached(spark, sf_dir)
     win = Window.partitionBy("doc_id").orderBy("pos")
     return (
         toks.select(
@@ -770,10 +794,7 @@ FROM sums
 
 
 def t14_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id", F.posexplode(tokens_col()).alias("pos", "w")
-    ).filter(F.length("w") > 0)
+    toks = _toks_cached(spark, sf_dir)
     win = Window.partitionBy("doc_id").orderBy("pos")
     # Materialized once: the bigram stream (tokenize + explode + per-
     # doc window — the hottest subtree) feeds the count agg AND the
@@ -1392,10 +1413,9 @@ GROUP BY source
 
 
 def t18_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    pos = docs.select(
-        "doc_id", F.posexplode(tokens_col()).alias("pos", "term")
-    ).filter(F.length("term") > 0)
+    pos = _toks_cached(spark, sf_dir).select(
+        "doc_id", "pos", F.col("w").alias("term")
+    )
     top = (
         pos.groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))

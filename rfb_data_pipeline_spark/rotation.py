@@ -173,6 +173,9 @@ LAST_TOUCHED.update(
             "x08_split_leakage", "x17_cluster_curation",
             # session-memoized shared PQ model (_pq_model_cached)
             "s13_pq_ann", "s15_ivf_pq_ann",
+            # session-memoized exploded token stream (_toks_cached)
+            "t07_repetition", "t08_top_bigrams",
+            "t14_bigram_surprisal", "t18_posting_lists",
         ),
         7,
     )
