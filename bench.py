@@ -73,6 +73,11 @@ HEADLINE = [
     "m06_subtitle_parse",
     "m07_id3_tag_parse",
     "m08_wav_header_parse",
+    # r07: the hash-checkable codec tier + the integrity suite rows
+    "m01_image_metadata",
+    "m04_audio_frames",
+    "v01_integrity_report",
+    "v02_duplicate_keys_report",
     "e18_drift_replay",
     "e19_quality_replay",
     "x17_cluster_curation",

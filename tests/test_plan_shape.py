@@ -327,6 +327,8 @@ _SINGLE_PARTITION_OK = {
     "d13_duplicate_spans",  # 1-row span-dedup summary
     "t06_tfidf_top_terms",  # 1-row corpus doc-count frame (IDF side)
     "t08_top_bigrams",  # top-k limit frame
+    "s13_pq_ann",  # 10-row top-k limit frame joining labels (the
+    # memoized codes boundary turns TakeOrdered into sort+limit)
     "t10_cms_heavy_hitters",  # constant-size sketch
     "t11_unigram_surprisal",  # 1-row corpus token-total frame
     "t19_bm25_search",  # 1-row corpus totals frame (N, avgdl side)
@@ -416,6 +418,8 @@ def test_exchange_budgets_headline(spark):
         # v4 dim-distinct (25 rows) + orphan groupBy + 1-row rollup;
         # the anti-join itself is broadcast (zero exchange) — a lost
         # broadcast on the dim side exceeds this
+        "v02_duplicate_keys_report": 3,  # dup-key groupBy + 1-row
+        # rollup + fixture count; the count frame joins broadcast
     }
     over = {}
     for name, budget in budgets.items():
