@@ -854,7 +854,11 @@ def g07_edge_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "item", "n_ev"
         )
         old_counts = cum if cum is not None else batch_per.limit(0)
-        deltas.append(edge_deltas_core(old_counts, batch_per))
+        # the folded state is already (user, item)-aggregated AND
+        # materialized, so the core skips its per-batch re-agg boundary
+        deltas.append(
+            edge_deltas_core(old_counts, batch_per, old_aggregated=True)
+        )
         if b < _REPLAY_BATCHES - 1:  # last batch's state is never read
             grown = (
                 batch_per

@@ -58,7 +58,8 @@ def _read_log(spark: SparkSession, log_dir: str) -> DataFrame:
 
 
 def edge_deltas_core(
-    old_counts: DataFrame, batch_per: DataFrame
+    old_counts: DataFrame, batch_per: DataFrame, *,
+    old_aggregated: bool = False,
 ) -> DataFrame:
     """±1 edge deltas (src, dst, d) caused by adding ``batch_per``
     (a per-batch (user_id, item, n_ev) frame) onto the pre-batch
@@ -69,14 +70,22 @@ def edge_deltas_core(
 
     Shared by the live ``foreachBatch`` path (log-backed state) and
     the g07 driver-row replay (static splits), so the driver row
-    vouches for the stream's maintenance math, not a lookalike."""
+    vouches for the stream's maintenance math, not a lookalike.
+
+    ``old_aggregated=True`` declares ``old_counts`` already one row
+    per (user_id, item) AND already materialized (g07's folded state;
+    a compacted log would qualify too) — the per-batch re-aggregation
+    and its stage boundary are then skipped, leaving just the cheap
+    touched-user semi-join. Results are identical either way (the
+    re-aggregation is a no-op on aggregated input)."""
     touched = batch_per.select("user_id").distinct()
-    old_per = (
-        old_counts.join(touched, "user_id", "left_semi")
-        .groupBy("user_id", "item")
-        .agg(F.sum("n_ev").alias("n_ev"))
-        .transform(stage_boundary)
-    )
+    old_per = old_counts.join(touched, "user_id", "left_semi")
+    if not old_aggregated:
+        old_per = (
+            old_per.groupBy("user_id", "item")
+            .agg(F.sum("n_ev").alias("n_ev"))
+            .transform(stage_boundary)
+        )
     new_per = (
         old_per.unionByName(batch_per)
         .groupBy("user_id", "item")
