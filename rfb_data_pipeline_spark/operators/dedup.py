@@ -483,8 +483,29 @@ def _simhash_words_df(
     return agg.select("doc_id", *out)
 
 
+# Session memo of the 32-bit fingerprint frame shared by d04 (the
+# fingerprint report itself) and d05 (the banded pair join) — the
+# _doc_shingles_cached idiom; fingerprint-keyed, results unchanged.
+_SIMHASH_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _simhash_words_df(spark, sf_dir, (("simhash", 3),))
+    import os as _os
+
+    from rfb_data_pipeline_spark.catalog import data_fingerprint
+
+    key = (
+        f"{_os.path.abspath(sf_dir)}|"
+        f"{hash(data_fingerprint(sf_dir, ('documents',)))}"
+    )
+    hit = _SIMHASH_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = _simhash_words_df(
+        spark, sf_dir, (("simhash", 3),)
+    ).transform(stage_boundary)
+    _SIMHASH_CACHE[key] = (spark, df)
+    return df
 
 
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,9 +564,9 @@ def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # because the oracle twin pins the exact constant; the algorithm
     # is width-generic.
     #
-    # Checkpoint: the fingerprint agg feeds both join sides; without it
-    # the doc scan + simhash aggregation run twice.
-    sim = _simhash_df(spark, sf_dir).transform(stage_boundary)
+    # The memoized fingerprint frame is already stage-bounded, so it
+    # feeds both join sides without re-running the doc scan + votes.
+    sim = _simhash_df(spark, sf_dir)
     return _banded_hamming_pairs(sim, ("simhash",))
 
 

@@ -176,6 +176,8 @@ LAST_TOUCHED.update(
             # session-memoized exploded token stream (_toks_cached)
             "t07_repetition", "t08_top_bigrams",
             "t14_bigram_surprisal", "t18_posting_lists",
+            # session-memoized simhash fingerprint frame (_simhash_df)
+            "d04_simhash", "d05_simhash_pairs",
         ),
         7,
     )

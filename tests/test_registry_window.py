@@ -62,23 +62,25 @@ def test_r07_window_composition():
         # session-memoized exploded token stream (_toks_cached)
         "t07_repetition", "t08_top_bigrams",
         "t14_bigram_surprisal", "t18_posting_lists",
+        # session-memoized simhash fingerprint frame (_simhash_df)
+        "d04_simhash", "d05_simhash_pairs",
     }
     # tier 1 orders by newest-driver-row (oldest first), so the r03-row
-    # x08 leads the touched block and the whole block sits at 2..28
-    assert set(names[2:29]) == touched_stale
+    # x08 leads the touched block and the whole block sits at 2..30
+    assert set(names[2:31]) == touched_stale
     assert names[5] == "x08_split_leakage"  # dr=3, oldest touched row
     # Tier 2 — oldest green rows next: the remaining r03 stragglers
     # (x06/x07/x09/x10 — x08 moved to tier 1), then the untouched r04
-    # cohort fills the window; its tail (q09+ alphabetically) and the
+    # cohort fills the window; its tail (q07+ alphabetically) and the
     # rows-only sketches spill to r08, still inside the 3-round cycle
     # (the bounds-oracle tier covers q24/q33 locally every round).
-    assert names[29:33] == [
+    assert names[31:35] == [
         "x06_shuffle_shard", "x07_upsert_merge",
         "x09_pack_sequences", "x10_domain_mixture",
     ]
     assert {
-        "e01_tumbling_hourly", "e14_max_concurrency", "q02_argmin_supplier",
-        "q07_semi_join", "q08_anti_join",
+        "e01_tumbling_hourly", "e14_max_concurrency", "e16_stream_replay",
+        "q02_argmin_supplier",
     } <= window
     # NO slot burns on r05/r06-green untouched code.
     assert not (window & {
@@ -88,7 +90,7 @@ def test_r07_window_composition():
     })
     # spill heads straight into the r08 promotions: the r04 tail
     assert names[50:53] == [
-        "q09_topk_per_group", "q10_monthly_lag", "q11_rollup_report",
+        "q07_semi_join", "q08_anti_join", "q09_topk_per_group",
     ]
 
 
