@@ -178,6 +178,8 @@ LAST_TOUCHED.update(
             "t14_bigram_surprisal", "t18_posting_lists",
             # session-memoized simhash fingerprint frame (_simhash_df)
             "d04_simhash", "d05_simhash_pairs",
+            # s03 rewritten as a blocked numpy outer product (20x)
+            "s03_near_dup_pairs",
         ),
         7,
     )

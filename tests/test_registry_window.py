@@ -64,23 +64,24 @@ def test_r07_window_composition():
         "t14_bigram_surprisal", "t18_posting_lists",
         # session-memoized simhash fingerprint frame (_simhash_df)
         "d04_simhash", "d05_simhash_pairs",
+        # s03 rewritten as a blocked numpy outer product
+        "s03_near_dup_pairs",
     }
     # tier 1 orders by newest-driver-row (oldest first), so the r03-row
-    # x08 leads the touched block and the whole block sits at 2..30
-    assert set(names[2:31]) == touched_stale
+    # x08 leads the touched block and the whole block sits at 2..31
+    assert set(names[2:32]) == touched_stale
     assert names[5] == "x08_split_leakage"  # dr=3, oldest touched row
     # Tier 2 — oldest green rows next: the remaining r03 stragglers
     # (x06/x07/x09/x10 — x08 moved to tier 1), then the untouched r04
-    # cohort fills the window; its tail (q07+ alphabetically) and the
-    # rows-only sketches spill to r08, still inside the 3-round cycle
-    # (the bounds-oracle tier covers q24/q33 locally every round).
-    assert names[31:35] == [
+    # e-series exactly fills the window; the q-tail and the rows-only
+    # sketches spill to r08, still inside the 3-round cycle (the
+    # bounds-oracle tier covers q24/q33 locally every round).
+    assert names[32:36] == [
         "x06_shuffle_shard", "x07_upsert_merge",
         "x09_pack_sequences", "x10_domain_mixture",
     ]
     assert {
         "e01_tumbling_hourly", "e14_max_concurrency", "e16_stream_replay",
-        "q02_argmin_supplier",
     } <= window
     # NO slot burns on r05/r06-green untouched code.
     assert not (window & {
@@ -88,9 +89,9 @@ def test_r07_window_composition():
         "q01_pricing_summary", "s14_embedding_validation",
         "q36_snapshot_diff",
     })
-    # spill heads straight into the r08 promotions: the r04 tail
+    # spill heads straight into the r08 promotions: the r04 q-tail
     assert names[50:53] == [
-        "q07_semi_join", "q08_anti_join", "q09_topk_per_group",
+        "q02_argmin_supplier", "q07_semi_join", "q08_anti_join",
     ]
 
 
