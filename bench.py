@@ -73,11 +73,13 @@ HEADLINE = [
     "m06_subtitle_parse",
     "m07_id3_tag_parse",
     "m08_wav_header_parse",
-    # r07: the hash-checkable codec tier + the integrity suite rows
+    # r07: the hash-checkable codec tier + the integrity suite rows +
+    # the blocked exact all-pairs tier
     "m01_image_metadata",
     "m04_audio_frames",
     "v01_integrity_report",
     "v02_duplicate_keys_report",
+    "s03_near_dup_pairs",
     "e18_drift_replay",
     "e19_quality_replay",
     "x17_cluster_curation",
