@@ -405,9 +405,14 @@ def test_exchange_budgets_headline(spark):
         # the shared materialized engagement base (cc_star's per-round
         # shuffles sit behind stage boundaries, not in this plan);
         # a lost broadcast or an unshared engagement base exceeds this
-        "g07_edge_stream_replay": 28,  # 4 replay batches x (touched
+        "g07_edge_stream_replay": 38,  # 4 replay batches x (touched
         # semi-join + old/new aggs + cap windows + pair joins) + final
-        # delta sum — the K-batch maintenance cost, linear in K
+        # delta sum — the K-batch maintenance cost, linear in K. r07:
+        # the folded state skips the per-batch old_per re-agg BOUNDARY
+        # (old_aggregated=True), so the old-side chains are now VISIBLE
+        # in this plan instead of truncated behind localCheckpoints —
+        # same shuffles, ~1s less wall (fewer eager actions); the
+        # budget counts what the plan shows
         "e22_any_click_funnel": 3,  # user window + per-view agg +
         # global rollup (clicks side broadcast off the same window)
         "e23_cusum_changepoint": 2,  # hourly rollup + per-type window
