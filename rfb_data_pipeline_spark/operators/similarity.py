@@ -355,16 +355,38 @@ def s03_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        _msg = (
+            "zero-norm or non-finite embedding reached "
+            "s03_near_dup_pairs; gate with s14/valid_embedding_pred"
+        )
+
+        def to_mat(rows):
+            vecs = rows["embedding"].to_numpy()
+            if any(v is None for v in vecs):
+                raise ValueError(_msg)
+            try:  # ragged (wrong-dim) input also violates the gate
+                return np.stack(vecs).astype(np.float64)
+            except ValueError as exc:
+                raise ValueError(_msg) from exc
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": np.array([], dtype=np.int64),
+                "vec_b": np.array([], dtype=np.int64),
+                "raw_cos": np.array([], dtype=np.float64),
+            }
+        )
         i, j = int(key[0]), int(key[1])
         left = pdf[pdf["b"] == i]
-        ids_a = left["vec_id"].to_numpy()
-        ma = np.stack(left["embedding"].to_numpy()).astype(np.float64)
-        if i == j:
-            ids_b, mb = ids_a, ma
-        else:
-            right = pdf[pdf["b"] == j]
-            ids_b = right["vec_id"].to_numpy()
-            mb = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        right = left if i == j else pdf[pdf["b"] == j]
+        if not len(left) or not len(right):
+            return empty  # a block can be empty on small inputs
+        ids_a, ma = left["vec_id"].to_numpy(), to_mat(left)
+        ids_b, mb = (
+            (ids_a, ma)
+            if i == j
+            else (right["vec_id"].to_numpy(), to_mat(right))
+        )
         # dim-ordered accumulation == the sequential fold (see note)
         dots = np.zeros((len(ids_a), len(ids_b)))
         na = np.zeros(len(ids_a))
@@ -373,6 +395,19 @@ def s03_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dots += ma[:, d : d + 1] * mb[None, :, d]
             na += ma[:, d] * ma[:, d]
             nb += mb[:, d] * mb[:, d]
+        # the cosine surface's documented precondition (s14 gate):
+        # the old expression form crashed loud on zero-norm input
+        # (ANSI x/0); numpy would silently emit Inf/NaN instead —
+        # keep the fail-loud contract
+        if (
+            np.any(na == 0.0)
+            or np.any(nb == 0.0)
+            or not (np.isfinite(na).all() and np.isfinite(nb).all())
+        ):
+            raise ValueError(
+                "zero-norm or non-finite embedding reached "
+                "s03_near_dup_pairs; gate with s14/valid_embedding_pred"
+            )
         cos = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
         aa, bb = np.nonzero(cos >= margin)
         if i == j:

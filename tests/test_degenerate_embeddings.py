@@ -142,3 +142,29 @@ def test_gate_then_cosine_operator_end_to_end(spark, deg_dir, tmp_path):
     out = s01_knn_bruteforce(spark, clean_dir).collect()
     assert len(out) == 10
     assert all(r["vec_id"] not in (20, 21, 22, 23, 24, 25) for r in out)
+
+
+def test_s03_blocked_scan_fails_loud_on_degenerate_input(
+    spark, deg_dir, tmp_path
+):
+    """The blocked numpy form keeps the cosine surface's fail-loud
+    precondition: numpy would silently emit Inf/NaN where the old
+    ANSI expression crashed on zero-norm vectors — the UDF raises
+    instead, and the gated table runs clean."""
+    from rfb_data_pipeline_spark.operators.similarity import (
+        s03_near_dup_pairs,
+        valid_embedding_pred,
+    )
+
+    with pytest.raises(Exception, match="zero-norm or non-finite"):
+        s03_near_dup_pairs(spark, deg_dir).collect()
+
+    clean_dir = str(tmp_path / "clean_s03")
+    (
+        spark.read.parquet(deg_dir + "/embeddings.parquet")
+        .filter(valid_embedding_pred())
+        .coalesce(1)
+        .write.parquet(clean_dir + "/embeddings.parquet")
+    )
+    out = s03_near_dup_pairs(spark, clean_dir).collect()
+    assert all(r["vec_a"] < r["vec_b"] for r in out)
