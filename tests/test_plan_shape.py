@@ -425,6 +425,16 @@ def test_exchange_budgets_headline(spark):
         # broadcast on the dim side exceeds this
         "v02_duplicate_keys_report": 3,  # dup-key groupBy + 1-row
         # rollup + fixture count; the count frame joins broadcast
+        "q36_snapshot_diff": 4,  # two keyed payload-hash aggs + ONE
+        # full-outer equi-join + change rollup — no exceptAll double
+        # scan, no row payload through the shuffle
+        "e20_ewma_baseline": 4,  # hourly rollup + spine fill + the
+        # integer-unit recursive window chain on one partitioning
+        "e21_transition_matrix": 3,  # per-user ordered window + pair
+        # agg + per-state totals (broadcast back)
+        "t18_posting_lists": 2,  # one term agg off the shared token
+        # stream + the per-(term, doc) posting agg; top-k is
+        # post-limit, never a global sort
     }
     over = {}
     for name, budget in budgets.items():
