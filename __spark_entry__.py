@@ -85,9 +85,10 @@ def oracle_sql() -> dict[str, str]:
 
 
 def bounds_oracle() -> dict[str, dict]:
-    """Exact-value DuckDB oracles with pinned tolerances for the
-    approximate sketches (q24/q33) — a LOCAL gate tier on top of the
-    driver's rows-only record; see tools/check_oracle.py."""
+    """Empty since r08: q24/q33 now emit hash-checkable verdict
+    columns (exact value + within-tolerance bool + error bucket), so
+    the sketch-tolerance check runs through the driver's value hash
+    instead of this local-only tier. Hook kept for check_oracle.py."""
     from rfb_data_pipeline_spark.operators import relational
 
     return dict(relational.BOUNDS)

@@ -151,24 +151,46 @@ SELECT check_kind, col_name, n_bad FROM rows_v WHERE n_bad > 0
 # plus two counts — no joins, no windows.
 
 
+def cnpj_triple(k):
+    """(cnpj_basico, cnpj_ordem, cnpj_dv) derived INJECTIVELY from a
+    key column (ADVICE r07): basico carries k mod 1e8 and ordem the
+    Euclidean quotient floor(k/1e8) mod 1e4, so together they
+    reconstruct any k in [0, 1e12) uniquely (k = q*1e8 + r) — without
+    the quotient, distinct base rows past 1e8 (TPC-H sf >= ~17) would
+    collide into duplicate triples that v5 counts but the %31-slice
+    oracle twin does not. Keys outside [0, 1e12) fail LOUD via
+    assert_true instead of silently breaking the hash."""
+    guard = F.assert_true(
+        (k >= 0) & (k < F.lit(10**12)),
+        "v02 key derivation is injective only for 0 <= o_orderkey < 1e12",
+    )
+    return (
+        F.lpad(F.pmod(k, F.lit(100000000)).cast("string"), 8, "0").alias(
+            "cnpj_basico"
+        ),
+        F.when(
+            guard.isNull(),
+            F.lpad(
+                F.pmod(F.floor(k / F.lit(100000000)), F.lit(10000)).cast(
+                    "string"
+                ),
+                4,
+                "0",
+            ),
+        ).alias("cnpj_ordem"),
+        F.lpad(F.pmod(k, F.lit(100)).cast("string"), 2, "0").alias("cnpj_dv"),
+    )
+
+
 def v02_duplicate_keys_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rfb_data_pipeline_spark.pipeline.validate import v5_duplicate_keys
 
     orders = load_tables(
         spark, sf_dir, tables=("orders",), register_views=False
     )["orders"]
-    k = F.col("o_orderkey")
     keyed = orders.select(
-        F.lpad(F.pmod(k, F.lit(100000000)).cast("string"), 8, "0").alias(
-            "cnpj_basico"
-        ),
-        F.lpad(F.pmod(k, F.lit(10000)).cast("string"), 4, "0").alias(
-            "cnpj_ordem"
-        ),
-        F.lpad(F.pmod(k, F.lit(100)).cast("string"), 2, "0").alias(
-            "cnpj_dv"
-        ),
-        k.alias("_k"),
+        *cnpj_triple(F.col("o_orderkey")),
+        F.col("o_orderkey").alias("_k"),
     )
     fixture = keyed.unionByName(
         keyed.where(F.pmod(F.col("_k"), F.lit(31)) == 0)  # the re-load

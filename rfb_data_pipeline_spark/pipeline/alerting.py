@@ -22,6 +22,7 @@ and never imported on the evaluation path).
 
 from __future__ import annotations
 
+import http.client
 import time
 import traceback
 import urllib.error
@@ -177,6 +178,12 @@ class VigilanteResult:
 # vigilante would silently probe forever (ADVICE r06).
 _LISTING_ABSENT_ERRORS = (
     urllib.error.URLError,  # includes HTTPError
+    # urlopen()/read() raise http.client.HTTPException subclasses
+    # (BadStatusLine, IncompleteRead, RemoteDisconnected) on a flaky
+    # server's malformed response; the probe runs outside vigilante
+    # _once's run_month try/except, so without this entry one transient
+    # bad response would kill the long-lived daily loop (ADVICE r07).
+    http.client.HTTPException,
     ConnectionError,
     TimeoutError,
     FileNotFoundError,

@@ -37,7 +37,7 @@ Maintenance contract (enforced by tests/test_registry_window.py):
 
 from __future__ import annotations
 
-CURRENT_ROUND = 7
+CURRENT_ROUND = 8
 
 # name -> newest driver CORRECTNESS round containing the name
 # (union of CORRECTNESS_r01..r05; absent = never driver-checked).
@@ -213,6 +213,51 @@ LAST_DRIVER_ROW.update(
             "x05_corpus_curation",
         ),
         6,
+    )
+)
+
+
+# r08: q24/q33 rebuilt hash-checkable (VERDICT r07 item 1) — verdict
+# columns (exact long values + within-tolerance bool + integer error
+# bucket) replace the raw engine-specific sketch estimates, retiring
+# the rows-only tier and the local bounds oracle.
+LAST_TOUCHED.update(
+    dict.fromkeys(("q24_approx_distinct", "q33_approx_quantiles"), 8)
+)
+# r08: v02's key derivation made injective + fail-loud (ADVICE r07 —
+# cnpj_ordem now carries the Euclidean quotient; same report values at
+# fixture scale, but the executed code changed).
+LAST_TOUCHED["v02_duplicate_keys_report"] = 8
+
+LAST_DRIVER_ROW.update(
+    # CORRECTNESS_r07.json fold-in: 50/50 green (rows+schema+hash).
+    dict.fromkeys(
+        (
+            "d02_ngram_jaccard", "d03_minhash_lsh", "d04_simhash",
+            "d05_simhash_pairs", "d07_dedup_clusters",
+            "d08_decontaminate", "d09_containment",
+            "d12_minhash_calibration", "d15_cc_star",
+            "d16_incremental_minhash",
+            "e01_tumbling_hourly", "e02_sliding_window", "e03_sessionize",
+            "e04_dedup_first", "e05_funnel", "e06_event_gaps",
+            "e07_json_extract", "e08_pivot_event_types", "e09_asof_join",
+            "e10_retention_cohorts", "e11_spike_detection",
+            "e13_variant_extract", "e14_max_concurrency",
+            "e16_stream_replay",
+            "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
+            "g04_item_similarity", "g05_graph_summary",
+            "g06_lpa_communities", "g07_edge_stream_replay",
+            "m01_image_metadata", "m02_media_stats", "m03_frame_sample",
+            "m04_audio_frames",
+            "s03_near_dup_pairs", "s13_pq_ann", "s15_ivf_pq_ann",
+            "t07_repetition", "t08_top_bigrams", "t14_bigram_surprisal",
+            "t18_posting_lists",
+            "v01_integrity_report", "v02_duplicate_keys_report",
+            "x06_shuffle_shard", "x07_upsert_merge", "x08_split_leakage",
+            "x09_pack_sequences", "x10_domain_mixture",
+            "x17_cluster_curation",
+        ),
+        7,
     )
 )
 

@@ -225,3 +225,57 @@ def test_check_month_published_distinguishes_absent_from_bugs():
 
     with pytest.raises(ValueError):
         alerting.check_month_published("oops-{ym}", fetch_buggy)
+
+
+def test_check_month_published_survives_malformed_http(monkeypatch):
+    """ADVICE r07: a flaky server's malformed response surfaces as
+    http.client.HTTPException subclasses (BadStatusLine,
+    IncompleteRead, RemoteDisconnected) from urlopen/read — the probe
+    must treat these as 'listing absent' (transient), not crash the
+    long-lived vigilante_daily loop."""
+    import http.client
+
+    for exc in (
+        http.client.BadStatusLine("HTT/1.1 garbage"),
+        http.client.IncompleteRead(b"partial body"),
+        http.client.RemoteDisconnected("closed without response"),
+    ):
+        def fetch_flaky(url: str, _e=exc) -> str:
+            raise _e
+
+        assert (
+            alerting.check_month_published("https://x/", fetch_flaky) is False
+        ), type(exc).__name__
+
+    # ...and the daily loop keeps running across such a day: one flaky
+    # probe day followed by a clean not-published day, no exception.
+    sent = []
+
+    class _T:
+        def send(self, subject, body):
+            sent.append(subject)
+
+    calls = {"n": 0}
+
+    def fetch_alternating(url: str) -> str:
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise http.client.RemoteDisconnected("flaky")
+        raise FileNotFoundError(url)  # genuinely not published yet
+
+    class _Cfg:
+        ref_ym = "2024-05"
+        base_url = "https://x/"
+        fetch = staticmethod(fetch_alternating)
+
+    results = alerting.vigilante_daily(
+        spark=None,
+        cfg_for_month=lambda ym: _Cfg(),
+        next_month=lambda: "2024-05",
+        transport=_T(),
+        already_loaded=lambda ym: False,
+        max_checks=2,
+        sleep=lambda s: None,
+    )
+    assert [r.published for r in results] == [False, False]
+    assert sent == []

@@ -1,52 +1,88 @@
-"""The q24/q33 bounds tier: approximate sketches stay rows-only for
-the driver, but locally each estimate must land within a pinned
-tolerance of DuckDB's exact value — and the checker itself must
-actually reject out-of-bounds frames (a gate that can't fail is no
-gate)."""
+"""The q24/q33 sketch-verdict tier (r08, VERDICT r07 item 1).
+
+Both sketch queries emit verdict columns — the exact value (long,
+bit-portable) plus ``*_within_*`` / ``*_err_bucket`` computed
+Spark-side from the live sketch against the live exact value — and
+the DuckDB twin pins the expected literals (TRUE / 0). These tests
+prove the verdict is NOT vacuous: the boolean really flips and the
+bucket really grows when an estimate drifts out of tolerance, and the
+real sketches land comfortably inside their bands at fixture scale.
+"""
 
 from __future__ import annotations
 
-import os
-
-import duckdb
 import pandas as pd
+from pyspark.sql import functions as F
 
+from rfb_data_pipeline_spark.operators.relational import (
+    _sketch_verdict,
+    q24_approx_distinct,
+    q33_approx_quantiles,
+)
 from tests.conftest import SF_SMALL
-from tools.check_oracle import check_bounds
 
 
-def _con(sf_dir):
-    con = duckdb.connect()
-    p = os.path.join(sf_dir, "lineitem.parquet")
-    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{p}')")
-    return con
+def test_verdict_flips_out_of_tolerance(spark):
+    # (approx, exact) fixtures straddling the 5% band (tol 1/20)
+    rows = [
+        (100, 100),   # spot-on -> within, bucket 0
+        (104, 100),   # 4% err  -> within, bucket 0
+        (105, 100),   # exactly 5% -> boundary counts as within
+        (106, 100),   # 6% err  -> NOT within, bucket 1
+        (150, 100),   # 50% err -> bucket 10
+        (0, 0),       # degenerate group: guard divides by max(exact,1)
+    ]
+    df = spark.createDataFrame(rows, "approx long, exact long")
+    within, bucket = _sketch_verdict(
+        F.col("approx"), F.col("exact"), tol_num=1, tol_den=20
+    )
+    got = df.select(
+        "approx", within.alias("w"), bucket.alias("b")
+    ).orderBy("approx").collect()
+    by_approx = {r["approx"]: (r["w"], r["b"]) for r in got}
+    assert by_approx[100] == (True, 0)
+    assert by_approx[104] == (True, 0)
+    assert by_approx[105] == (True, 1)  # floor(105*20/2000)=1, <= holds
+    assert by_approx[106] == (False, 1)
+    assert by_approx[150] == (False, 10)
+    assert by_approx[0] == (True, 0)
 
 
-def test_sketches_within_bounds(spark):
+def test_q24_verdict_green_and_exact(spark):
+    pdf = q24_approx_distinct(spark, SF_SMALL).toPandas()
+    assert len(pdf) == 3
+    assert pdf["hll_within_5pct"].all()
+    assert (pdf["hll_err_bucket"] == 0).all()
+    # exact side really is exact (independent pandas recount)
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet",
+                         columns=["l_returnflag", "l_orderkey"])
+    want = li.groupby("l_returnflag")["l_orderkey"].nunique()
+    got = pdf.set_index("l_returnflag")["exact_orders"]
+    assert got.sort_index().tolist() == want.sort_index().tolist()
+
+
+def test_q33_verdict_green_and_exact(spark):
+    pdf = q33_approx_quantiles(spark, SF_SMALL).toPandas()
+    assert len(pdf) == 3
+    assert pdf["gk_within_2pct"].all()
+    assert (pdf["gk_err_bucket"] == 0).all()
+    # exact discrete percentile convention, recomputed in pandas:
+    # k_p = floor((n-1)*p) + 1; value = k_p-th smallest cent
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    li["c"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    for flag, grp in li.groupby("l_returnflag"):
+        cs = grp["c"].sort_values().to_numpy()
+        n = len(cs)
+        row = pdf[pdf["l_returnflag"] == flag].iloc[0]
+        assert row["n_rows"] == n
+        for p, col in ((25, "p25_cents"), (50, "p50_cents"),
+                       (75, "p75_cents"), (99, "p99_cents")):
+            k = (n - 1) * p // 100 + 1
+            assert row[col] == cs[k - 1], (flag, col)
+
+
+def test_bounds_tier_retired():
     import __spark_entry__ as e
 
-    bounds = e.bounds_oracle()
-    assert set(bounds) == {"q24_approx_distinct", "q33_approx_quantiles"}
-    qs = e.queries()
-    con = _con(SF_SMALL)
-    for name, spec in bounds.items():
-        spdf = qs[name](spark, SF_SMALL).toPandas()
-        assert check_bounds(con, spdf, spec) == [], name
-
-
-def test_checker_rejects_out_of_bounds():
-    from rfb_data_pipeline_spark.operators.relational import BOUNDS
-
-    con = _con(SF_SMALL)
-    spec = BOUNDS["q24_approx_distinct"]
-    exact = con.execute(spec["sql"]).fetchdf()
-    # 10% inflation breaks the 5% band; a wrong n_rows breaks exact
-    off = exact.assign(approx_orders=(exact["approx_orders"] * 1.1))
-    assert any("approx_orders" in p for p in check_bounds(con, off, spec))
-    off2 = exact.assign(n_rows=exact["n_rows"] + 1)
-    assert any("n_rows" in p for p in check_bounds(con, off2, spec))
-    # a vacuously truncated frame (the limit(32) failure mode) is a
-    # rowcount FAIL, not a pass
-    assert any(
-        "rowcount" in p for p in check_bounds(con, exact.head(1), spec)
-    )
+    assert e.bounds_oracle() == {}

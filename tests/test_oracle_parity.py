@@ -42,22 +42,12 @@ def test_query_matches_oracle(spark, duck, name):
         raise AssertionError(f"value mismatch, first diff spark={diff[0]} duckdb={diff[1]}")
 
 
-def test_approx_distinct_accuracy(spark, duck):
-    """q24 has no SQL oracle (HLL is engine-specific); assert the
-    estimate lands within 5% of DuckDB's exact distinct count."""
-    got = {
-        r.l_returnflag: r.approx_orders
-        for r in _QUERIES["q24_approx_distinct"](spark, SF_SMALL).collect()
-    }
-    exact = dict(
-        duck.execute(
-            "SELECT l_returnflag, count(DISTINCT l_orderkey) "
-            "FROM lineitem GROUP BY 1"
-        ).fetchall()
-    )
-    assert set(got) == set(exact)
-    for flag, est in got.items():
-        assert abs(est - exact[flag]) / exact[flag] < 0.05
+# The bespoke q24/q33 sketch-accuracy tests retired in r08: both
+# queries now emit verdict columns (exact long values + within-band
+# bool + error bucket), so the parametrized oracle test above
+# hash-checks them like any other query, and
+# tests/test_bounds_oracle.py independently recomputes the exact side
+# in pandas and proves the verdict flips out-of-tolerance.
 
 
 def test_entry_smoke(spark):
@@ -65,28 +55,3 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["n_name", "revenue", "n_orders"]
-
-
-def test_approx_quantiles_accuracy(spark, duck):
-    """q33 has no SQL oracle (quantile sketches are engine-specific);
-    assert each estimated percentile lands within 1% relative error of
-    DuckDB's exact quantile_cont."""
-    rows = {
-        r.l_returnflag: r
-        for r in _QUERIES["q33_approx_quantiles"](spark, SF_SMALL).collect()
-    }
-    exact = {
-        flag: (p25, p50, p75, p99)
-        for flag, p25, p50, p75, p99 in duck.execute(
-            "SELECT l_returnflag,"
-            " quantile_cont(l_extendedprice, 0.25),"
-            " quantile_cont(l_extendedprice, 0.50),"
-            " quantile_cont(l_extendedprice, 0.75),"
-            " quantile_cont(l_extendedprice, 0.99)"
-            " FROM lineitem GROUP BY 1"
-        ).fetchall()
-    }
-    assert set(rows) == set(exact)
-    for flag, r in rows.items():
-        for est, ex in zip((r.p25, r.p50, r.p75, r.p99), exact[flag]):
-            assert abs(est - ex) / abs(ex) < 0.01, (flag, est, ex)

@@ -6,7 +6,7 @@ out of (or a stale one into) the round's window.
 Since r06 the order is COMPUTED from the rotation ledger
 (rfb_data_pipeline_spark/rotation.py): never-driver-checked first,
 then touched-since-their-row, then green oldest-first. These tests pin
-the r07 composition the ledger must produce AND the ledger's own
+the r08 composition the ledger must produce AND the ledger's own
 freshness invariants, so a ledger edit that starves an entry fails
 loudly.
 """
@@ -21,19 +21,14 @@ def _names():
     return list(entry_mod.queries())
 
 
-def test_r07_window_composition():
+def test_r08_window_composition():
     names = _names()
     window = set(names[:50])
-    # Tier 0 — never driver-checked: the r07-new integrity rows.
+    # Tier 0 — never driver-checked: empty (v01/v02 got r07 rows).
     never_checked = {n for n in names if n not in rotation.LAST_DRIVER_ROW}
-    assert never_checked == {
-        "v01_integrity_report", "v02_duplicate_keys_report",
-    }
-    assert names[:2] == [
-        "v01_integrity_report", "v02_duplicate_keys_report",
-    ]
-    # Tier 1 — rows predating this round's code: the rebuilt
-    # hash-checkable codec tier (VERDICT r06 item 2).
+    assert never_checked == set()
+    # Tier 1 — rows predating this round's code: the sketch pair
+    # rebuilt hash-checkable in r08 (VERDICT r07 item 1).
     touched_stale = {
         n
         for n in names
@@ -41,57 +36,48 @@ def test_r07_window_composition():
         > rotation.LAST_DRIVER_ROW.get(n, 99)
     }
     assert touched_stale == {
-        # rebuilt hash-checkable codec tier (VERDICT r06 item 2)
-        "m01_image_metadata", "m02_media_stats",
-        "m03_frame_sample", "m04_audio_frames",
-        # replay state folded forward (item 6)
-        "g07_edge_stream_replay",
-        # session-memoized shared graph base (_graph_shared)
-        "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
-        "g04_item_similarity", "g05_graph_summary",
-        "g06_lpa_communities",
-        # session-memoized shared shingle frame (_doc_shingles_cached):
-        # direct consumers + the d02/d03-chain transitives
-        "d02_ngram_jaccard", "d03_minhash_lsh", "d07_dedup_clusters",
-        "d08_decontaminate", "d09_containment",
-        "d12_minhash_calibration", "d15_cc_star",
-        "d16_incremental_minhash", "x08_split_leakage",
-        "x17_cluster_curation",
-        # session-memoized shared PQ model (_pq_model_cached)
-        "s13_pq_ann", "s15_ivf_pq_ann",
-        # session-memoized exploded token stream (_toks_cached)
-        "t07_repetition", "t08_top_bigrams",
-        "t14_bigram_surprisal", "t18_posting_lists",
-        # session-memoized simhash fingerprint frame (_simhash_df)
-        "d04_simhash", "d05_simhash_pairs",
-        # s03 rewritten as a blocked numpy outer product
-        "s03_near_dup_pairs",
+        "q24_approx_distinct", "q33_approx_quantiles",
+        # injective key derivation (ADVICE r07)
+        "v02_duplicate_keys_report",
     }
-    # tier 1 orders by newest-driver-row (oldest first), so the r03-row
-    # x08 leads the touched block and the whole block sits at 2..31
-    assert set(names[2:32]) == touched_stale
-    assert names[5] == "x08_split_leakage"  # dr=3, oldest touched row
-    # Tier 2 — oldest green rows next: the remaining r03 stragglers
-    # (x06/x07/x09/x10 — x08 moved to tier 1), then the untouched r04
-    # e-series exactly fills the window; the q-tail and the rows-only
-    # sketches spill to r08, still inside the 3-round cycle (the
-    # bounds-oracle tier covers q24/q33 locally every round).
-    assert names[32:36] == [
-        "x06_shuffle_shard", "x07_upsert_merge",
-        "x09_pack_sequences", "x10_domain_mixture",
+    assert names[:3] == [
+        "q24_approx_distinct", "q33_approx_quantiles",
+        "v02_duplicate_keys_report",
+    ]
+    # Tier 2 — oldest green rows next: the r04 q-tail the r07 verdict
+    # flagged as freshness-forced (their newest driver rows are r04,
+    # exactly CURRENT_ROUND - 4 if they missed this window).
+    q_tail = {
+        "q02_argmin_supplier", "q07_semi_join", "q08_anti_join",
+        "q09_topk_per_group", "q10_monthly_lag", "q11_rollup_report",
+        "q12_set_ops", "q13_string_functions", "q17_distinct_agg",
+        "q19_cube", "q20_running_total", "q21_rank_suppliers",
+        "q22_union_parts", "q23_median_stats", "q25_collect_set",
+        "q26_intersect", "q27_above_nation_avg", "q28_grouping_sets",
+        "q30_moving_range_sum", "q31_stats_agg", "q32_window_values",
+    }
+    assert set(names[3:24]) == q_tail
+    # Remaining slots: the oldest r05-green entries by name.
+    assert names[24:29] == [
+        "d01_exact_dedup", "d06_incremental_dedup", "d10_fuzzy_pairs",
+        "d13_duplicate_spans", "d14_dup_span_fraction",
     ]
     assert {
-        "e01_tumbling_hourly", "e14_max_concurrency", "e16_stream_replay",
+        "e15_gap_fill_locf", "m05_header_parse", "s01_knn_bruteforce",
+        "s14_embedding_validation", "t12_zipf_slope",
+        "t15_quality_classifier",
     } <= window
-    # NO slot burns on r05/r06-green untouched code.
+    # NO slot burns on r06/r07-green untouched code.
     assert not (window & {
-        "t19_bm25_search", "d01_exact_dedup", "e20_ewma_baseline",
-        "q01_pricing_summary", "s14_embedding_validation",
-        "q36_snapshot_diff",
+        "t19_bm25_search", "e20_ewma_baseline", "q01_pricing_summary",
+        "q36_snapshot_diff", "v01_integrity_report", "d15_cc_star",
+        "m01_image_metadata", "g07_edge_stream_replay",
     })
-    # spill heads straight into the r08 promotions: the r04 q-tail
+    # spill heads into the r09 promotions: the r05 t/x-tail (t16 was
+    # bumped out by v02's tier-1 seat; its r05 row is still inside the
+    # 3-round cycle at r08, and r09's window re-seats it first)
     assert names[50:53] == [
-        "q02_argmin_supplier", "q07_semi_join", "q08_anti_join",
+        "t16_html_extract", "t17_url_filter", "x11_curriculum_buckets",
     ]
 
 
@@ -119,18 +105,12 @@ def test_ledger_invariants_hold():
 def test_every_query_has_unique_name_and_oracle_subset():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    # 144 at the r06 gate + v01/v02 (r07 — the README integrity suite
-    # v1-v5 under the DuckDB oracle, VERDICT r06 item 5: v01 covers
-    # v2 nulls + v3 formats + v4 referential, v02 covers v5 duplicate
-    # keys + the v1 count gate)
+    # 146 at the r07 gate; r08 adds none (registry cap discipline:
+    # 3 rounds x 50 slots = 150, VERDICT r07 item 4) but flips the
+    # last two rows-only sketches to oracle-paired verdict rows.
     assert len(q) == 146
     assert set(o) <= set(q)
-    # rows-only tier is exactly the approximate sketches: m01-m04
-    # flipped to hash-checkable in r07 (integer decode metrics +
-    # md5-hex-chain twins), leaving only the sketches (which the
-    # local bounds-oracle tier covers, tests/test_bounds_oracle.py)
+    # rows-only tier is EMPTY since r08: every registered query has a
+    # DuckDB oracle twin (q24/q33 via verdict columns).
     rows_only = set(q) - set(o)
-    assert rows_only == {
-        "q24_approx_distinct",
-        "q33_approx_quantiles",
-    }
+    assert rows_only == set()
