@@ -103,20 +103,15 @@ _SHINGLE_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _doc_shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
+    from rfb_data_pipeline_spark.memo import session_memo
 
-    from rfb_data_pipeline_spark.catalog import data_fingerprint
-
-    key = (
-        f"{_os.path.abspath(sf_dir)}|"
-        f"{hash(data_fingerprint(sf_dir, ('documents',)))}"
+    return session_memo(
+        _SHINGLE_CACHE,
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: _doc_shingles(_docs(spark, sf_dir)).transform(stage_boundary),
     )
-    hit = _SHINGLE_CACHE.get(key)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    df = _doc_shingles(_docs(spark, sf_dir)).transform(stage_boundary)
-    _SHINGLE_CACHE[key] = (spark, df)
-    return df
 
 
 _SHINGLES_SQL = """
@@ -490,22 +485,17 @@ _SIMHASH_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
+    from rfb_data_pipeline_spark.memo import session_memo
 
-    from rfb_data_pipeline_spark.catalog import data_fingerprint
-
-    key = (
-        f"{_os.path.abspath(sf_dir)}|"
-        f"{hash(data_fingerprint(sf_dir, ('documents',)))}"
+    return session_memo(
+        _SIMHASH_CACHE,
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: _simhash_words_df(
+            spark, sf_dir, (("simhash", 3),)
+        ).transform(stage_boundary),
     )
-    hit = _SIMHASH_CACHE.get(key)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    df = _simhash_words_df(
-        spark, sf_dir, (("simhash", 3),)
-    ).transform(stage_boundary)
-    _SIMHASH_CACHE[key] = (spark, df)
-    return df
 
 
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1444,23 +1434,17 @@ _CC_LABEL_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def cc_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
+    from rfb_data_pipeline_spark.memo import session_memo
 
-    from rfb_data_pipeline_spark.catalog import data_fingerprint
+    def _build() -> DataFrame:
+        pairs = d03_minhash_lsh(spark, sf_dir).select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+        return cc_star(pairs).transform(stage_boundary)
 
-    # keyed on (path, data fingerprint): a same-session rewrite of the
-    # parquet underneath invalidates the memo instead of serving stale
-    # labels to consumers like x17
-    key = f"{_os.path.abspath(sf_dir)}|{hash(data_fingerprint(sf_dir, ('documents',)))}"
-    hit = _CC_LABEL_CACHE.get(key)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    pairs = d03_minhash_lsh(spark, sf_dir).select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    return session_memo(
+        _CC_LABEL_CACHE, spark, sf_dir, ("documents",), _build
     )
-    df = cc_star(pairs).transform(stage_boundary)
-    _CC_LABEL_CACHE[key] = (spark, df)
-    return df
 
 
 # --------------------------------------------------------------------------

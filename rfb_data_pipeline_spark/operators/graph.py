@@ -179,26 +179,21 @@ def _graph_shared(spark: SparkSession, sf_dir: str) -> tuple:
     """(eng, edges) — materialized once per (session, events
     fingerprint): the capped engagement set and the weighted
     undirected edge list every g-series query consumes."""
-    import os as _os
+    from rfb_data_pipeline_spark.memo import session_memo
 
-    from rfb_data_pipeline_spark.catalog import data_fingerprint
+    def _build() -> tuple:
+        eng = engagement(_events(spark, sf_dir)).transform(stage_boundary)
+        edges = (
+            user_item_pairs(eng)
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .transform(stage_boundary)
+        )
+        return eng, edges
 
-    key = (
-        f"{_os.path.abspath(sf_dir)}|"
-        f"{hash(data_fingerprint(sf_dir, ('events',)))}"
+    return session_memo(
+        _GRAPH_BASE_CACHE, spark, sf_dir, ("events",), _build
     )
-    hit = _GRAPH_BASE_CACHE.get(key)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    eng = engagement(_events(spark, sf_dir)).transform(stage_boundary)
-    edges = (
-        user_item_pairs(eng)
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .transform(stage_boundary)
-    )
-    _GRAPH_BASE_CACHE[key] = (spark, (eng, edges))
-    return eng, edges
 
 
 def _graph_base(spark: SparkSession, sf_dir: str):

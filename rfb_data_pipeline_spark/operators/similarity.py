@@ -1333,24 +1333,21 @@ _PQ_MODEL_CACHE: dict[tuple, tuple[SparkSession, tuple]] = {}
 def _pq_model_cached(
     spark: SparkSession, sf_dir: str, pq_m: int, k_pq: int
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    import os as _os
+    from rfb_data_pipeline_spark.memo import session_memo
 
-    from rfb_data_pipeline_spark.catalog import data_fingerprint
+    def _build() -> tuple[DataFrame, DataFrame, DataFrame]:
+        emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+        sub, codebook, codes = _pq_model(emb, pq_m, k_pq)
+        return sub, codebook, codes.transform(stage_boundary)
 
-    key = (
-        _os.path.abspath(sf_dir),
-        hash(data_fingerprint(sf_dir, ("embeddings",))),
-        pq_m,
-        k_pq,
+    return session_memo(
+        _PQ_MODEL_CACHE,
+        spark,
+        sf_dir,
+        ("embeddings",),
+        _build,
+        extra=(pq_m, k_pq),
     )
-    hit = _PQ_MODEL_CACHE.get(key)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
-    sub, codebook, codes = _pq_model(emb, pq_m, k_pq)
-    codes = codes.transform(stage_boundary)
-    _PQ_MODEL_CACHE[key] = (spark, (sub, codebook, codes))
-    return sub, codebook, codes
 
 
 def s13_pq_ann(

@@ -50,25 +50,20 @@ _TOKS_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _toks_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
+    from rfb_data_pipeline_spark.memo import session_memo
 
-    from rfb_data_pipeline_spark.catalog import data_fingerprint
-
-    key = (
-        f"{_os.path.abspath(sf_dir)}|"
-        f"{hash(data_fingerprint(sf_dir, ('documents',)))}"
+    return session_memo(
+        _TOKS_CACHE,
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: (
+            _docs(spark, sf_dir)
+            .select("doc_id", F.posexplode(tokens_col()).alias("pos", "w"))
+            .filter(F.length("w") > 0)
+            .transform(stage_boundary)
+        ),
     )
-    hit = _TOKS_CACHE.get(key)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    df = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.posexplode(tokens_col()).alias("pos", "w"))
-        .filter(F.length("w") > 0)
-        .transform(stage_boundary)
-    )
-    _TOKS_CACHE[key] = (spark, df)
-    return df
 
 
 def quality_gate(col: str = "text"):
@@ -1110,18 +1105,17 @@ _T15_SCORE_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def t15_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
+    from rfb_data_pipeline_spark.memo import session_memo
 
-    from rfb_data_pipeline_spark.catalog import data_fingerprint
-
-    # keyed on (path, data fingerprint) — see cc_labels_cached
-    key = f"{_os.path.abspath(sf_dir)}|{hash(data_fingerprint(sf_dir, ('documents',)))}"
-    hit = _T15_SCORE_CACHE.get(key)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    df = t15_quality_classifier(spark, sf_dir).transform(stage_boundary)
-    _T15_SCORE_CACHE[key] = (spark, df)
-    return df
+    return session_memo(
+        _T15_SCORE_CACHE,
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: t15_quality_classifier(spark, sf_dir).transform(
+            stage_boundary
+        ),
+    )
 
 
 def t15_core_sql(train_extra: str = "TRUE", score_extra: str = "TRUE") -> str:

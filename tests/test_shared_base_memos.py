@@ -101,3 +101,48 @@ def test_pq_model_memo_is_session_and_param_keyed(spark):
     assert s2[2] is s1[2]  # codes frame shared on a hit
     s3 = _pq_model_cached(spark, SF_SMALL, 8, 16)
     assert s3[2] is not s1[2]  # different pq params -> distinct model
+
+
+def test_memo_replaces_superseded_and_sweeps_dead_sessions(spark, tmp_path):
+    """ADVICE r07: (a) a rewritten fixture must REPLACE the cache
+    entry, not append a second one pinning the superseded frame for
+    the process lifetime; (b) entries owned by another (dead) session
+    are swept on the next rebuild; (c) the key compares the FULL
+    fingerprint, not hash(fingerprint)."""
+    from rfb_data_pipeline_spark.memo import session_memo
+
+    cache: dict = {}
+    sf = _mini_sf(spark, tmp_path)
+    builds = {"n": 0}
+
+    def build():
+        builds["n"] += 1
+        return f"payload-{builds['n']}"
+
+    p1 = session_memo(cache, spark, str(sf), ("documents",), build)
+    assert p1 == "payload-1" and len(cache) == 1
+    assert session_memo(cache, spark, str(sf), ("documents",), build) is p1
+
+    # key stores the full fingerprint tuple, never a lossy hash
+    (entry,) = cache.values()
+    assert isinstance(entry[1], tuple) and entry[1], "full fingerprint"
+
+    # rewrite the fixture -> REPLACED entry (still exactly one)
+    docs = spark.read.parquet(str(sf / "documents.parquet")).limit(2).collect()
+    shutil.rmtree(sf / "documents.parquet")
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    p2 = session_memo(cache, spark, str(sf), ("documents",), build)
+    assert p2 == "payload-2" and len(cache) == 1
+
+    # a dead/replaced session's entries are swept on the next rebuild
+    cache[("zombie",)] = (object(), ("fp",), "stale-frame")
+    session_memo(cache, spark, str(sf / ".."), ("documents",), build)
+    assert ("zombie",) not in cache
+
+    # same session, distinct extra params -> distinct entries coexist
+    cache.clear()
+    session_memo(cache, spark, str(sf), ("documents",), build, extra=(4,))
+    session_memo(cache, spark, str(sf), ("documents",), build, extra=(8,))
+    assert len(cache) == 2

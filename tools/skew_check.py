@@ -39,7 +39,6 @@ sys.path.insert(0, "/root/repo")
 
 SF = "/root/testdata/sf0.1"
 FIXTURES = "/tmp/spark_graft_skew_fixtures"
-UI_PORT = 4056
 HOT_KEY = 7
 
 
@@ -69,13 +68,21 @@ def build_fixture(spark, mult: int) -> str:
     return dest
 
 
-def _stage_metrics(port: int) -> list[dict]:
-    api = f"http://localhost:{port}/api/v1/applications"
-    apps = json.load(urllib.request.urlopen(api, timeout=10))
-    app_id = apps[0]["id"]
+def _api_base(spark) -> str:
+    """REST base for THIS application. Spark silently binds ui.port+n
+    when the pinned port is busy (spark.port.maxRetries), so a
+    hardcoded port could query a DIFFERENT application's API and
+    blindly taking apps[0] could pick a stale app (ADVICE r07): read
+    the bound URL from sparkContext.uiWebUrl and address the app by
+    sc.applicationId."""
+    sc = spark.sparkContext
+    return f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+
+
+def _stage_metrics(spark) -> list[dict]:
     return json.load(
         urllib.request.urlopen(
-            f"{api}/{app_id}/stages?status=complete", timeout=10
+            f"{_api_base(spark)}/stages?status=complete", timeout=10
         )
     )
 
@@ -97,7 +104,7 @@ def run_q04_class(spark, fixture: str, skew_on: bool) -> dict:
     orders = spark.read.parquet(fixture)
     cust = spark.read.parquet(f"{SF}/customer.parquet")
     nation = spark.read.parquet(f"{SF}/nation.parquet")
-    pre_stages = {s["stageId"] for s in _stage_metrics(UI_PORT)}
+    pre_stages = {s["stageId"] for s in _stage_metrics(spark)}
     t0 = time.time()
     df = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
@@ -112,7 +119,7 @@ def run_q04_class(spark, fixture: str, skew_on: bool) -> dict:
     ).split("== Initial Plan ==")[0]
     stages = [
         s
-        for s in _stage_metrics(UI_PORT)
+        for s in _stage_metrics(spark)
         if s["stageId"] not in pre_stages
     ]
     # the join stage is the one with the largest shuffle READ
@@ -123,20 +130,17 @@ def run_q04_class(spark, fixture: str, skew_on: bool) -> dict:
         "n_rows": len(rows),
         "plan_skew_split": "skew=true" in final_plan,
         "join_stage_tasks": join_stage["numCompleteTasks"],
-        "join_stage_task_ms": _max_task_ms(join_stage),
+        "join_stage_task_ms": _max_task_ms(spark, join_stage),
     }
 
 
-def _max_task_ms(stage: dict) -> int | None:
+def _max_task_ms(spark, stage: dict) -> dict | None:
     # stage summary carries no per-task max directly; use the task
     # summary endpoint
-    api = f"http://localhost:{UI_PORT}/api/v1/applications"
     try:
-        apps = json.load(urllib.request.urlopen(api, timeout=10))
-        app_id = apps[0]["id"]
         summ = json.load(
             urllib.request.urlopen(
-                f"{api}/{app_id}/stages/{stage['stageId']}/"
+                f"{_api_base(spark)}/stages/{stage['stageId']}/"
                 f"{stage['attemptId']}/taskSummary?quantiles=0.5,1.0",
                 timeout=10,
             )
@@ -175,7 +179,8 @@ def main() -> None:
                 SparkSession.builder.master("local[32]")
                 .config("spark.sql.shuffle.partitions", "32")
                 .config("spark.ui.enabled", "true")
-                .config("spark.ui.port", str(UI_PORT))
+                .config("spark.ui.port", "4056")  # preferred; the bound
+                # port is re-read from uiWebUrl, never assumed
                 .config("spark.sql.adaptive.enabled", "true")
                 .getOrCreate()
             )
