@@ -143,19 +143,44 @@ def main() -> None:
                     pass
     qs["q01_pricing_summary"](spark, sf_dir).collect()
 
-    # n=3 runs per query; record BOTH min (steady-state engine time,
-    # the headline) and median (load-robust — r02's 1.42x "regression"
-    # was co-located harness load that medians would have flagged as
-    # noise immediately; VERDICT r03 item 7). A single query failure
-    # must not cost the whole bench line — it is recorded and skipped.
+    # The r01-baseline subset is the official cross-round comparison
+    # (the driver diffs its sum against BASELINE.md), so it gets the
+    # strongest variance treatment (VERDICT r07 item 2 — the subset
+    # drifted +18% over three rounds on UNTOUCHED code, pure host
+    # noise): one untimed warmup execution per subset query (JIT
+    # compile + shuffle-file + memo builds land outside the timed
+    # reps), then min-of-5 instead of min-of-3.
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json"
+            )
+        ) as fh:
+            base_qs = json.load(fh)["parsed"]["queries"]
+    except Exception:  # noqa: BLE001 - comparison aid only, never fatal
+        base_qs = {}
+    subset_names = set(base_qs)
+    for name in subset_names:
+        if name in qs:
+            try:
+                qs[name](spark, sf_dir).collect()
+            except Exception:  # noqa: BLE001 - the timed loop records it
+                pass
+
+    # min + median per query; record BOTH min (steady-state engine
+    # time, the headline) and median (load-robust — r02's 1.42x
+    # "regression" was co-located harness load that medians would have
+    # flagged as noise immediately; VERDICT r03 item 7). A single query
+    # failure must not cost the whole bench line — recorded + skipped.
     all_timings: dict[str, float] = {}
     all_medians: dict[str, float] = {}
     errors: dict[str, str] = {}
     bench_names = list(qs) if full else [n for n in HEADLINE if n in qs]
     for name in bench_names:
         runs: list[float] = []
+        reps = 5 if name in subset_names else 3
         try:
-            for _ in range(3):
+            for _ in range(reps):
                 t0 = time.time()
                 qs[name](spark, sf_dir).collect()
                 runs.append(time.time() - t0)
@@ -182,24 +207,17 @@ def main() -> None:
         payload["full_total_median"] = round(sum(all_medians.values()), 3)
         payload["n_queries_full"] = len(all_timings)
     # The headline set has grown since the round-1 baseline was recorded
-    # (19 -> 28 queries); the raw total is therefore not apples-to-apples
+    # (19 -> 76 queries); the raw total is therefore not apples-to-apples
     # against BENCH_r01.json. Emit the sum over exactly the baseline's
     # query set alongside, so total-vs-baseline comparisons have a
     # like-for-like number.
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
-        ) as fh:
-            base_qs = json.load(fh)["parsed"]["queries"]
-        subset = {k: timings[k] for k in base_qs if k in timings}
-        if subset:
-            payload["baseline_subset"] = {
-                "value": round(sum(subset.values()), 3),
-                "n_queries": len(subset),
-                "baseline_value": round(sum(base_qs.values()), 3),
-            }
-    except Exception:  # noqa: BLE001 - comparison aid only, never fatal
-        pass
+    subset = {k: timings[k] for k in base_qs if k in timings}
+    if subset:
+        payload["baseline_subset"] = {
+            "value": round(sum(subset.values()), 3),
+            "n_queries": len(subset),
+            "baseline_value": round(sum(base_qs.values()), 3),
+        }
     if errors:
         payload["errors"] = errors
     # The full per-query payload outgrew the driver's stdout tail

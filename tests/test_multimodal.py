@@ -45,15 +45,33 @@ def test_frame_sample_explodes_videos_only(spark):
     assert all(kinds[r.media_id] == "video" for r in got)
 
 
-def test_real_decode_gate():
-    if mm.HAS_IMAGE_DECODER:
-        pytest.skip("decoder present — stub gate not applicable")
-    import pyspark.sql
+def test_real_decode_gate(spark):
+    """decode_stub=False (r08): PPM and PNG payloads decode natively
+    end-to-end; a JPEG-signature payload fails LOUD in the worker —
+    the NotImplementedError guard is now reachable only for formats
+    with no native tier (VERDICT r07 item 5)."""
+    import numpy as np
 
-    spark = pyspark.sql.SparkSession.getActiveSession()
-    media = mm.synthetic_media(spark, n=3)
-    with pytest.raises(NotImplementedError):
-        mm.decode_features(media, decode_stub=False)
+    img = np.frombuffer(
+        mm._md5_chain_bytes("gate-img", 5 * 4 * 3), dtype=np.uint8
+    ).reshape(4, 5, 3)
+    ok_rows = [
+        (0, "image", bytearray(mm.encode_ppm(img)), (5, 4, None, None, "ppm")),
+        (1, "image", bytearray(mm.encode_png(img)), (5, 4, None, None, "png")),
+    ]
+    ok = spark.createDataFrame(ok_rows, mm.MEDIA_SCHEMA)
+    feats = {
+        r.media_id: r.features
+        for r in mm.decode_features(ok, decode_stub=False).collect()
+    }
+    # PPM and PNG of the SAME raster produce the SAME real features
+    assert feats[0] == feats[1]
+
+    jpeg_like = [(2, "image", bytearray(b"\xff\xd8\xff\xe0JFIF-ish"),
+                  (None, None, None, None, "jpg"))]
+    bad = spark.createDataFrame(jpeg_like, mm.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        mm.decode_features(bad, decode_stub=False).collect()
 
 
 # -- PPM real-decode tier ---------------------------------------------------
@@ -470,3 +488,73 @@ def test_m05_aggregate_matches_python_model(spark):
         for r in m05_header_parse(spark, sf).collect()
     }
     assert got == model
+
+
+# -- PNG real-decode tier (stdlib zlib, r08) --------------------------------
+
+
+def test_png_roundtrip_identity_all_filters():
+    """encode_png cycles filter types 0..4 per scanline, so a >=5-row
+    round-trip exercises every unfilter branch (None/Sub/Up/Average/
+    Paeth) against the same source raster."""
+    import numpy as np
+
+    rng = np.frombuffer(
+        mm._md5_chain_bytes("png-rt", 7 * 9 * 3), dtype=np.uint8
+    ).reshape(7, 9, 3)
+    payload = mm.encode_png(rng)
+    assert payload.startswith(mm.PNG_SIG)
+    assert np.array_equal(mm.decode_png(payload), rng)
+    # really compressed: a gradient raster deflates below raw size
+    grad = np.tile(np.arange(48, dtype=np.uint8), (16, 3)).reshape(16, 48, 3)
+    assert len(mm.encode_png(grad)) < grad.size
+
+
+def test_png_decode_value_pins():
+    """m01 reconciliation pattern: decoded pixel sums pinned against
+    the encoder's source raster — integer-exact, no tolerance."""
+    import numpy as np
+
+    img = np.frombuffer(
+        mm._md5_chain_bytes("png-pin", 6 * 11 * 3), dtype=np.uint8
+    ).reshape(6, 11, 3)
+    dec = mm.decode_png(mm.encode_png(img))
+    for ch in range(3):
+        assert int(dec[:, :, ch].sum()) == int(img[:, :, ch].sum())
+    # the header-parse tier agrees with the real decoder
+    kind, w, h = mm.parse_image_header(mm.encode_png(img))[:3]
+    assert (kind, w, h) == ("png", 11, 6)
+
+
+def test_png_decode_rejects_corruption():
+    import numpy as np
+    import pytest
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    payload = bytearray(mm.encode_png(img))
+    # flip one IDAT byte: the chunk CRC must catch it
+    idat_at = bytes(payload).index(b"IDAT") + 6
+    payload[idat_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(payload))
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"P6\n1 1\n255\n\x00\x00\x00")
+
+
+def test_png_decode_rejects_out_of_contract_color():
+    import struct
+    import zlib
+
+    import pytest
+
+    # hand-build a grayscale (color type 0) IHDR: out of contract
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = zlib.compress(bytes([0, 1, 2, 0, 3, 4]))
+    payload = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", raw)
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="RGB8"):
+        mm.decode_png(payload)
