@@ -299,10 +299,16 @@ def probe_ivfpq_index(
 #              when the incremental batch is small relative to the
 #              corpus, which is the incremental-dedup regime.
 #   shingles/  (doc_id, shingle) — the corpus shingle store every
-#              near-dup pipeline already materializes; the probe's
-#              exact-verification join reads only candidate doc_ids.
+#              near-dup pipeline already materializes, partitioned by
+#              dshard = pmod(xxhash64(doc_id), shards) (r08): the
+#              probe's exact-verification join collects the CANDIDATE
+#              doc shards (control-plane, bounded by the shard count)
+#              and prunes the store scan to them — without this the
+#              verification step was a FULL shingle-store scan, the
+#              one linear-in-corpus read left in the probe.
 #   sizes/     (doc_id, sz) — per-doc distinct-shingle counts for the
-#              Jaccard denominator (KB-scale per million docs).
+#              Jaccard denominator (KB-scale per million docs), same
+#              dshard layout.
 #
 # The probe reproduces d16's candidate generation + verification
 # exactly (same _minhash_buckets banding, same JACCARD_THRESHOLD), so
@@ -314,6 +320,12 @@ MINHASH_INDEX_SHARDS = 32
 
 def _minhash_shard(bucket_col) -> F.Column:
     return F.pmod(F.xxhash64(bucket_col), F.lit(MINHASH_INDEX_SHARDS)).cast(
+        "int"
+    )
+
+
+def _doc_shard(doc_id_col) -> F.Column:
+    return F.pmod(F.xxhash64(doc_id_col), F.lit(MINHASH_INDEX_SHARDS)).cast(
         "int"
     )
 
@@ -335,10 +347,12 @@ def write_minhash_index(
     buckets.write.mode("overwrite").partitionBy("band_idx", "shard").parquet(
         f"{path}/buckets"
     )
-    sh.write.mode("overwrite").parquet(f"{path}/shingles")
-    sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")).write.mode(
+    sh.withColumn("dshard", _doc_shard(F.col("doc_id"))).write.mode(
         "overwrite"
-    ).parquet(f"{path}/sizes")
+    ).partitionBy("dshard").parquet(f"{path}/shingles")
+    sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")).withColumn(
+        "dshard", _doc_shard(F.col("doc_id"))
+    ).write.mode("overwrite").partitionBy("dshard").parquet(f"{path}/sizes")
 
 
 def probe_minhash_index(
@@ -391,9 +405,24 @@ def probe_minhash_index(
         b_buckets.join(idx, ["band_idx", "bucket"])
         .select("doc_batch", F.col("doc_id").alias("doc_corpus"))
         .distinct()
+        .transform(stage_boundary)
     )
-    c_sh = spark.read.parquet(f"{path}/shingles").select(
-        F.col("doc_id").alias("doc_corpus"), "shingle"
+    # Candidate doc shards become a second LITERAL partition predicate
+    # (control-plane frame bounded by MINHASH_INDEX_SHARDS rows), so
+    # the exact-verification join scans only the candidates' shingle /
+    # size shards — without this the verification step read the WHOLE
+    # corpus shingle store, the one linear-in-corpus read left in the
+    # probe (r08, VERDICT r07 item 6).
+    cand_shards = sorted(
+        r["d"]
+        for r in cand.select(_doc_shard(F.col("doc_corpus")).alias("d"))
+        .distinct()
+        .collect()
+    )
+    c_sh = (
+        spark.read.parquet(f"{path}/shingles")
+        .where(F.col("dshard").isin([int(d) for d in cand_shards]))
+        .select(F.col("doc_id").alias("doc_corpus"), "shingle")
     )
     common = (
         cand.join(
@@ -407,8 +436,10 @@ def probe_minhash_index(
     b_sz = b_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_a")).select(
         F.col("doc_id").alias("doc_batch"), "sz_a"
     )
-    c_sz = spark.read.parquet(f"{path}/sizes").select(
-        F.col("doc_id").alias("doc_corpus"), F.col("sz").alias("sz_b")
+    c_sz = (
+        spark.read.parquet(f"{path}/sizes")
+        .where(F.col("dshard").isin([int(d) for d in cand_shards]))
+        .select(F.col("doc_id").alias("doc_corpus"), F.col("sz").alias("sz_b"))
     )
     jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
     return (

@@ -138,14 +138,23 @@ def build_fixture(spark, mult: int) -> str:
     return out
 
 
-def shuffle_write_bytes(ui_port: int) -> int:
-    api = f"http://localhost:{ui_port}/api/v1/applications"
-    apps = json.load(urllib.request.urlopen(api, timeout=10))
-    app_id = apps[0]["id"]
-    stages = json.load(
-        urllib.request.urlopen(f"{api}/{app_id}/stages?status=complete", timeout=10)
+def _stages(spark) -> list[dict]:
+    """Completed-stage metrics for THIS application (ADVICE r07 /
+    skew_check pattern: the bound UI URL + applicationId, never a
+    hardcoded port + apps[0])."""
+    sc = spark.sparkContext
+    api = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+    return json.load(
+        urllib.request.urlopen(f"{api}/stages?status=complete", timeout=10)
     )
-    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def shuffle_write_bytes(spark) -> int:
+    return sum(s.get("shuffleWriteBytes", 0) for s in _stages(spark))
+
+
+def input_bytes(spark) -> int:
+    return sum(s.get("inputBytes", 0) for s in _stages(spark))
 
 
 def _ops() -> dict:
@@ -249,8 +258,96 @@ def _force_full_eval(df) -> int:
     return row["n"]
 
 
+def _tree_stats(path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) for every parquet data file under path."""
+    files = bytes_total = 0
+    for root, _dirs, names in os.walk(path):
+        for f in names:
+            if f.endswith(".parquet"):
+                files += 1
+                bytes_total += os.path.getsize(os.path.join(root, f))
+    return files, bytes_total
+
+
+def probe_main(mults: list[int]) -> None:
+    """Index-growth probe check (VERDICT r07 item 6): write the
+    minhash corpus index over a 1x..Nx corpus and probe it with the
+    SAME small batch each time. The recurring-crawl guarantee is that
+    probe cost tracks the batch's touched shards, not the index: the
+    probe's input bytes must stay a small, shrinking-or-flat fraction
+    of the index (a full-scan probe would track index bytes 1:1), and
+    files read must grow with per-shard file count only. One JSON
+    line per multiplier; shard counts are configs — at 100 TB you
+    raise MINHASH_INDEX_SHARDS so per-shard size stays bounded."""
+    from pyspark.sql import SparkSession, functions as F
+
+    from rfb_data_pipeline_spark.pipeline.ann_index import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    boot = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    for m in mults:
+        build_fixture(boot, m)
+    boot.stop()
+
+    for m in mults:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.ui.enabled", "true")
+            .config("spark.ui.port", "4055")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.driver.memory", "16g")
+            .getOrCreate()
+        )
+        corpus = spark.read.parquet(
+            os.path.join(_fixture_dir(m), "documents.parquet")
+        )
+        # FIXED probe batch across multipliers: 1x-corpus docs, so the
+        # batch genuinely hits the index (the re-crawl regime)
+        batch = spark.read.parquet(BASE).filter(
+            F.pmod(F.col("doc_id"), F.lit(97)) == 1
+        )
+        idx_path = os.path.join(FIXTURES, f"probe_idx_x{m}")
+        write_minhash_index(spark, corpus, idx_path)
+        idx_files, idx_bytes = _tree_stats(idx_path)
+        pre = input_bytes(spark)
+        t0 = time.time()
+        n_pairs = probe_minhash_index(spark, idx_path, batch).count()
+        wall = time.time() - t0
+        probe_bytes = input_bytes(spark) - pre
+        print(
+            json.dumps(
+                {
+                    "probe": "minhash",
+                    "mult": m,
+                    "index_files": idx_files,
+                    "index_bytes": idx_bytes,
+                    "probe_input_bytes": probe_bytes,
+                    "probe_frac_of_index": round(
+                        probe_bytes / max(idx_bytes, 1), 4
+                    ),
+                    "wall_s": round(wall, 2),
+                    "n_pairs": n_pairs,
+                }
+            ),
+            flush=True,
+        )
+        spark.stop()
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if args and args[0] == "--probe":
+        probe_main([int(a) for a in args[1:]] or [1, 10])
+        return
     op_names = ["d13"]
     if args and args[0].startswith("--ops"):
         flag = args.pop(0)
@@ -298,11 +395,11 @@ def main() -> None:
                 p = os.path.join(_fixture_dir(m), t)
                 if os.path.exists(p):
                     spark.read.parquet(p).count()
-            pre_bytes = shuffle_write_bytes(4055)
+            pre_bytes = shuffle_write_bytes(spark)
             t0 = time.time()
             n_rows = _force_full_eval(fn(spark, _fixture_dir(m)))
             wall = time.time() - t0
-            bytes_run = shuffle_write_bytes(4055) - pre_bytes
+            bytes_run = shuffle_write_bytes(spark) - pre_bytes
             print(
                 json.dumps(
                     {
