@@ -310,10 +310,15 @@ def probe_main(mults: list[int]) -> None:
         corpus = spark.read.parquet(
             os.path.join(_fixture_dir(m), "documents.parquet")
         )
-        # FIXED probe batch across multipliers: 1x-corpus docs, so the
-        # batch genuinely hits the index (the re-crawl regime)
-        batch = spark.read.parquet(BASE).filter(
-            F.pmod(F.col("doc_id"), F.lit(97)) == 1
+        # FIXED probe batch across multipliers: replica-0 fixture docs
+        # (every multiplier's fixture contains the same replica 0), so
+        # the batch genuinely hits the index — pairs found BY
+        # CONSTRUCTION, not a vacuous zero-candidate walk (the d19
+        # non-vacuousness lesson)
+        n_base = spark.read.parquet(BASE).count()
+        batch = corpus.filter(
+            (F.col("doc_id") < n_base)
+            & (F.pmod(F.col("doc_id"), F.lit(97)) == 1)
         )
         idx_path = os.path.join(FIXTURES, f"probe_idx_x{m}")
         write_minhash_index(spark, corpus, idx_path)
