@@ -228,6 +228,11 @@ LAST_TOUCHED.update(
 # cnpj_ordem now carries the Euclidean quotient; same report values at
 # fixture scale, but the executed code changed).
 LAST_TOUCHED["v02_duplicate_keys_report"] = 8
+# NOT marked touched in r08: the session-memo centralization
+# (rfb_data_pipeline_spark/memo.py, ADVICE r07) changed only the cache
+# LOOKUP (key shape + eviction), never the build lambdas — every memo
+# consumer executes the identical frame expressions, unlike the r07
+# sweep where consumers switched from private builds to shared frames.
 
 LAST_DRIVER_ROW.update(
     # CORRECTNESS_r07.json fold-in: 50/50 green (rows+schema+hash).
