@@ -1184,10 +1184,16 @@ FROM daily
 # cents — the classic scalable exact-quantile plan for discrete
 # domains (the window is over the aggregated histogram, partitioned by
 # flag, never over the raw corpus). Percentile convention, spelled out
-# identically in both engines: rank k_p = floor((n-1)*p) + 1, value =
-# min cents with cumulative count >= k_p (lower-value discrete
-# percentile). All comparisons are long-integer, so no float-rounding
-# divergence class applies (memory: round() boundary pitfall).
+# identically in both engines: rank k_p = ceil(p * n), value = min
+# cents with cumulative count >= k_p — the SAME convention
+# percentile_approx resolves to in exact mode (verified empirically at
+# n = 5/10/76/101 for p in {.25,.5,.75,.99}), so on any group the
+# sketch can fully summarize (n <= accuracy) the estimate is
+# bit-equal to the exact value and the verdict is exact-by-identity;
+# the 2% band only absorbs true GK rank error on large groups, never
+# an off-by-one convention gap (which broke the fuzz probe's 76-row
+# groups under the floor((n-1)p)+1 convention). All comparisons are
+# long-integer, so no float-rounding divergence class applies.
 
 
 def q33_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,8 +1221,8 @@ def q33_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = cum.join(F.broadcast(tot), "l_returnflag")
 
-    def _rank(pct_num: int):  # k_p = floor((n-1)*p) + 1, long-exact
-        return F.floor(((F.col("n_rows") - 1) * pct_num) / 100) + 1
+    def _rank(pct_num: int):  # k_p = ceil(p*n) via integer arithmetic
+        return F.floor((F.col("n_rows") * pct_num + 99) / 100)
 
     exact = j.groupBy("l_returnflag", "n_rows", "_a25", "_a50", "_a75", "_a99").agg(
         F.min(F.when(F.col("cum") >= _rank(25), F.col("c"))).alias("p25_cents"),
@@ -1261,10 +1267,10 @@ WITH cents AS (
 )
 SELECT t.l_returnflag,
        t.n_rows,
-       min(CASE WHEN cum >= ((t.n_rows - 1) * 25) // 100 + 1 THEN c END) AS p25_cents,
-       min(CASE WHEN cum >= ((t.n_rows - 1) * 50) // 100 + 1 THEN c END) AS p50_cents,
-       min(CASE WHEN cum >= ((t.n_rows - 1) * 75) // 100 + 1 THEN c END) AS p75_cents,
-       min(CASE WHEN cum >= ((t.n_rows - 1) * 99) // 100 + 1 THEN c END) AS p99_cents,
+       min(CASE WHEN cum >= (t.n_rows * 25 + 99) // 100 THEN c END) AS p25_cents,
+       min(CASE WHEN cum >= (t.n_rows * 50 + 99) // 100 THEN c END) AS p50_cents,
+       min(CASE WHEN cum >= (t.n_rows * 75 + 99) // 100 THEN c END) AS p75_cents,
+       min(CASE WHEN cum >= (t.n_rows * 99 + 99) // 100 THEN c END) AS p99_cents,
        TRUE              AS gk_within_2pct,
        CAST(0 AS BIGINT) AS gk_err_bucket
 FROM cum JOIN tot t USING (l_returnflag)

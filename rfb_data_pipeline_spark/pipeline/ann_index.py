@@ -405,8 +405,13 @@ def probe_minhash_index(
         b_buckets.join(idx, ["band_idx", "bucket"])
         .select("doc_batch", F.col("doc_id").alias("doc_corpus"))
         .distinct()
-        .transform(stage_boundary)
     )
+    # cand stays LAZY (no stage boundary): the shard collection below
+    # evaluates the pruned bucket join once and the main plan re-runs
+    # it — a bounded micro-batch-sized join against partition-pruned
+    # scans — which keeps the bucket scan's PartitionFilters visible
+    # in the probe's final plan for inspection/tests instead of hiding
+    # it behind an eager checkpoint.
     # Candidate doc shards become a second LITERAL partition predicate
     # (control-plane frame bounded by MINHASH_INDEX_SHARDS rows), so
     # the exact-verification join scans only the candidates' shingle /

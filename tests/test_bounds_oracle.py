@@ -67,7 +67,8 @@ def test_q33_verdict_green_and_exact(spark):
     assert pdf["gk_within_2pct"].all()
     assert (pdf["gk_err_bucket"] == 0).all()
     # exact discrete percentile convention, recomputed in pandas:
-    # k_p = floor((n-1)*p) + 1; value = k_p-th smallest cent
+    # k_p = ceil(p*n) (percentile_approx's own exact-mode rank, so
+    # small groups verdict exactly); value = k_p-th smallest cent
     li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet",
                          columns=["l_returnflag", "l_extendedprice"])
     li["c"] = (li["l_extendedprice"] * 100).round().astype("int64")
@@ -78,7 +79,7 @@ def test_q33_verdict_green_and_exact(spark):
         assert row["n_rows"] == n
         for p, col in ((25, "p25_cents"), (50, "p50_cents"),
                        (75, "p75_cents"), (99, "p99_cents")):
-            k = (n - 1) * p // 100 + 1
+            k = (n * p + 99) // 100
             assert row[col] == cs[k - 1], (flag, col)
 
 

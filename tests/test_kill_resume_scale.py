@@ -151,11 +151,13 @@ def test_sigkill_mid_carga_then_resume_matches_uninterrupted(
     # --- run B: subprocess killed mid-fase_carga, then in-process resume
     out_b = str(tmp_path / "silver_b")
     work_b = str(tmp_path / "work_b")
+    # generous timeout: under a concurrently-running full suite the
+    # victim JVM can take minutes to boot before the kill can land
     proc = subprocess.run(
         [sys.executable, "-c", _KILLED_RUN, portal, work_b, out_b],
         capture_output=True,
         text=True,
-        timeout=150,
+        timeout=420,
         env={**os.environ},
     )
     assert proc.returncode == -9, (
