@@ -355,6 +355,35 @@ def write_minhash_index(
     ).write.mode("overwrite").partitionBy("dshard").parquet(f"{path}/sizes")
 
 
+def _minhash_candidates(
+    spark: SparkSession, path: str, b_buckets: DataFrame
+) -> DataFrame | None:
+    """LAZY candidate pairs (doc_batch, doc_corpus) from the pruned
+    bucket scan — factored out so tests can assert the (band_idx,
+    shard) PartitionFilters on this stage's own plan (the probe
+    checkpoints it, which hides the scan from the final plan). None
+    when the batch produced no buckets."""
+    touched = [
+        (r["band_idx"], r["shard"])
+        for r in b_buckets.select("band_idx", "shard").distinct().collect()
+    ]
+    if not touched:
+        return None
+    cond = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("band_idx") == F.lit(bi)) & (F.col("shard") == F.lit(s))
+            for bi, s in touched
+        ],
+    )
+    idx = spark.read.parquet(f"{path}/buckets").where(cond)
+    return (
+        b_buckets.join(idx, ["band_idx", "bucket"])
+        .select("doc_batch", F.col("doc_id").alias("doc_corpus"))
+        .distinct()
+    )
+
+
 def probe_minhash_index(
     spark: SparkSession, path: str, batch_docs: DataFrame
 ) -> DataFrame:
@@ -381,11 +410,8 @@ def probe_minhash_index(
         "bucket",
         _minhash_shard(F.col("bucket")).alias("shard"),
     ).transform(stage_boundary)
-    touched = [
-        (r["band_idx"], r["shard"])
-        for r in b_buckets.select("band_idx", "shard").distinct().collect()
-    ]
-    if not touched:
+    cand_lazy = _minhash_candidates(spark, path, b_buckets)
+    if cand_lazy is None:
         # an empty micro-batch (or one of all-short documents with no
         # shingles) produces no LSH buckets — and therefore no pairs;
         # streaming run_incremental_dedup does not control batch
@@ -393,25 +419,9 @@ def probe_minhash_index(
         return spark.createDataFrame(
             [], "doc_batch bigint, doc_corpus bigint, jaccard double"
         )
-    cond = reduce(
-        lambda a, b: a | b,
-        [
-            (F.col("band_idx") == F.lit(bi)) & (F.col("shard") == F.lit(s))
-            for bi, s in touched
-        ],
-    )
-    idx = spark.read.parquet(f"{path}/buckets").where(cond)
-    cand = (
-        b_buckets.join(idx, ["band_idx", "bucket"])
-        .select("doc_batch", F.col("doc_id").alias("doc_corpus"))
-        .distinct()
-    )
-    # cand stays LAZY (no stage boundary): the shard collection below
-    # evaluates the pruned bucket join once and the main plan re-runs
-    # it — a bounded micro-batch-sized join against partition-pruned
-    # scans — which keeps the bucket scan's PartitionFilters visible
-    # in the probe's final plan for inspection/tests instead of hiding
-    # it behind an eager checkpoint.
+    # the candidate frame is consumed twice (shard collection below +
+    # the verification join) — one stage boundary, one evaluation
+    cand = cand_lazy.transform(stage_boundary)
     # Candidate doc shards become a second LITERAL partition predicate
     # (control-plane frame bounded by MINHASH_INDEX_SHARDS rows), so
     # the exact-verification join scans only the candidates' shingle /

@@ -190,8 +190,8 @@ def test_minhash_probe_scan_is_partition_pruned(spark, tmp_path):
         _minhash_buckets,
     )
     from rfb_data_pipeline_spark.pipeline.ann_index import (
+        _minhash_candidates,
         _minhash_shard,
-        probe_minhash_index,
         write_minhash_index,
     )
 
@@ -201,14 +201,23 @@ def test_minhash_probe_scan_is_partition_pruned(spark, tmp_path):
     batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(40)) == 1)
     path = str(tmp_path / "mh_idx2")
     write_minhash_index(spark, corpus, path)
-    probe = probe_minhash_index(spark, path, batch)
-    plan = pi.explain_string(probe, "formatted")
+    # the candidate stage (the probe checkpoints it, so its bucket
+    # scan is inspectable only on the stage's own lazy plan)
+    b_buckets = (
+        _minhash_buckets(_doc_shingles(batch))
+        .select(
+            F.col("doc_id").alias("doc_batch"),
+            "band_idx",
+            "bucket",
+            _minhash_shard(F.col("bucket")).alias("shard"),
+        )
+    )
+    cand = _minhash_candidates(spark, path, b_buckets)
+    plan = pi.explain_string(cand, "formatted")
     assert "PartitionFilters" in plan
     segs = [
         s.split("]")[0] for s in plan.split("PartitionFilters")[1:]
     ]
-    # the bucket scan prunes on (band_idx, shard); the r08 dshard
-    # segments belong to the shingle/size stores (their own test)
     assert any("band_idx" in s and "shard" in s for s in segs), segs
     # directory census: probed (band_idx, shard) pairs vs all on disk
     touched = {
