@@ -228,6 +228,18 @@ LAST_TOUCHED.update(
 # cnpj_ordem now carries the Euclidean quotient; same report values at
 # fixture scale, but the executed code changed).
 LAST_TOUCHED["v02_duplicate_keys_report"] = 8
+# r08: m01-m04 consume the session-memoized synthetic media frame
+# (media._media_cached — one materialization per session; identical
+# deterministic payloads, but the executed path changed).
+LAST_TOUCHED.update(
+    dict.fromkeys(
+        (
+            "m01_image_metadata", "m02_media_stats",
+            "m03_frame_sample", "m04_audio_frames",
+        ),
+        8,
+    )
+)
 # NOT marked touched in r08: the session-memo centralization
 # (rfb_data_pipeline_spark/memo.py, ADVICE r07) changed only the cache
 # LOOKUP (key shape + eviction), never the build lambdas — every memo

@@ -39,9 +39,14 @@ def test_r08_window_composition():
         "q24_approx_distinct", "q33_approx_quantiles",
         # injective key derivation (ADVICE r07)
         "v02_duplicate_keys_report",
+        # session-memoized synthetic media frame (_media_cached)
+        "m01_image_metadata", "m02_media_stats",
+        "m03_frame_sample", "m04_audio_frames",
     }
-    assert names[:3] == [
+    assert names[:7] == [
         "q24_approx_distinct", "q33_approx_quantiles",
+        "m01_image_metadata", "m02_media_stats",
+        "m03_frame_sample", "m04_audio_frames",
         "v02_duplicate_keys_report",
     ]
     # Tier 2 — oldest green rows next: the r04 q-tail the r07 verdict
@@ -56,28 +61,27 @@ def test_r08_window_composition():
         "q26_intersect", "q27_above_nation_avg", "q28_grouping_sets",
         "q30_moving_range_sum", "q31_stats_agg", "q32_window_values",
     }
-    assert set(names[3:24]) == q_tail
+    assert set(names[7:28]) == q_tail
     # Remaining slots: the oldest r05-green entries by name.
-    assert names[24:29] == [
+    assert names[28:33] == [
         "d01_exact_dedup", "d06_incremental_dedup", "d10_fuzzy_pairs",
         "d13_duplicate_spans", "d14_dup_span_fraction",
     ]
     assert {
         "e15_gap_fill_locf", "m05_header_parse", "s01_knn_bruteforce",
-        "s14_embedding_validation", "t12_zipf_slope",
-        "t15_quality_classifier",
+        "s11_batch_knn", "s12_embedding_outliers",
     } <= window
     # NO slot burns on r06/r07-green untouched code.
     assert not (window & {
         "t19_bm25_search", "e20_ewma_baseline", "q01_pricing_summary",
         "q36_snapshot_diff", "v01_integrity_report", "d15_cc_star",
-        "m01_image_metadata", "g07_edge_stream_replay",
+        "g07_edge_stream_replay",
     })
-    # spill heads into the r09 promotions: the r05 t/x-tail (t16 was
-    # bumped out by v02's tier-1 seat; its r05 row is still inside the
-    # 3-round cycle at r08, and r09's window re-seats it first)
+    # spill heads into the r09 promotions: the r05 s/t-tail (bumped by
+    # the 7 tier-1 seats; their r05 rows are still inside the 3-round
+    # cycle at r08, and r09's window re-seats them first)
     assert names[50:53] == [
-        "t16_html_extract", "t17_url_filter", "x11_curriculum_buckets",
+        "s14_embedding_validation", "t12_zipf_slope", "t13_pii_redaction",
     ]
 
 
