@@ -1198,6 +1198,12 @@ FROM daily
 
 def q33_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # NULL prices are excluded from the percentile universe in BOTH
+    # engines (and from n_rows, matching percentile_approx's own
+    # NULL-skipping): without the mirrored filter, a NULL cents group
+    # would sort FIRST in Spark's ASC window but LAST in DuckDB's,
+    # silently shifting every cumulative rank.
+    li = li.filter(F.col("l_extendedprice").isNotNull())
     cents = li.select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
@@ -1255,7 +1261,7 @@ def q33_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q33_SQL = """
 WITH cents AS (
   SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
-  FROM lineitem
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
 ), hist AS (
   SELECT l_returnflag, c, count(*) AS cnt FROM cents GROUP BY 1, 2
 ), cum AS (

@@ -87,3 +87,45 @@ def test_bounds_tier_retired():
     import __spark_entry__ as e
 
     assert e.bounds_oracle() == {}
+
+
+def test_q33_null_prices_mirrored(spark, tmp_path):
+    """NULL l_extendedprice must be excluded from the percentile
+    universe IDENTICALLY in both engines (Spark windows sort NULLS
+    FIRST ASC, DuckDB LAST — unfiltered NULLs would shift every
+    cumulative rank). Differential probe over a NULL-heavy fixture."""
+    import duckdb
+
+    from rfb_data_pipeline_spark.operators.relational import (
+        q33_approx_quantiles,
+        _Q33_SQL,
+    )
+
+    rows = []
+    for i in range(300):
+        flag = "ANR"[i % 3]
+        price = None if i % 5 == 0 else float(100 + (i * 37) % 9000) + 0.25
+        rows.append((flag, price))
+    df = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double")
+    fx = str(tmp_path / "lineitem.parquet")
+    df.coalesce(1).write.parquet(fx)
+
+    got = {
+        r["l_returnflag"]: r.asDict()
+        for r in q33_approx_quantiles(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{fx}/*.parquet')"
+    )
+    want = {
+        r[0]: r for r in con.execute(_Q33_SQL).fetchall()
+    }
+    assert set(got) == set(want) == {"A", "N", "R"}
+    for flag, r in got.items():
+        w = want[flag]
+        # column order in _Q33_SQL: flag, n_rows, p25..p99, bool, bucket
+        assert r["n_rows"] == w[1] == 80  # 100 rows/flag, 20 NULLs gone
+        assert (r["p25_cents"], r["p50_cents"], r["p75_cents"],
+                r["p99_cents"]) == (w[2], w[3], w[4], w[5]), flag
+        assert r["gk_within_2pct"] and r["gk_err_bucket"] == 0, flag
