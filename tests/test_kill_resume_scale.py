@@ -105,7 +105,7 @@ def _cfg(portal: str, work: str, out: str) -> RunConfig:
 _KILLED_RUN = r"""
 import os, signal, sys, threading, time
 sys.path.insert(0, "/root/repo")
-portal, work, out = sys.argv[1:4]
+portal, work, out, tag = sys.argv[1:5]
 
 from pyspark.sql import SparkSession
 
@@ -115,6 +115,10 @@ spark = (
     .config("spark.ui.enabled", "false")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
+    # the tag lets the parent find (and wait out) the ORPHANED JVM:
+    # SIGKILL below kills only this python process, and the JVM child
+    # can keep running its in-flight write job for a while after
+    .config("spark.driver.extraJavaOptions", f"-Dkillresume.tag={tag}")
     .getOrCreate()
 )
 
@@ -151,10 +155,11 @@ def test_sigkill_mid_carga_then_resume_matches_uninterrupted(
     # --- run B: subprocess killed mid-fase_carga, then in-process resume
     out_b = str(tmp_path / "silver_b")
     work_b = str(tmp_path / "work_b")
+    tag = f"krs-{os.getpid()}-{os.path.basename(str(tmp_path))}"
     # generous timeout: under a concurrently-running full suite the
     # victim JVM can take minutes to boot before the kill can land
     proc = subprocess.run(
-        [sys.executable, "-c", _KILLED_RUN, portal, work_b, out_b],
+        [sys.executable, "-c", _KILLED_RUN, portal, work_b, out_b, tag],
         capture_output=True,
         text=True,
         timeout=420,
@@ -167,6 +172,23 @@ def test_sigkill_mid_carga_then_resume_matches_uninterrupted(
     # the crash left mid-write debris and/or an unsaved manifest — the
     # scenario is only meaningful if the kill landed before completion
     assert "UNREACHABLE" not in proc.stdout
+    # SIGKILL removed only the victim's PYTHON driver; its JVM child is
+    # orphaned and can keep running the in-flight write for a while.
+    # Wait for it to die before resuming, or two writers race on out_b
+    # (the real-world analogue: fencing the old driver before retry).
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        alive = subprocess.run(
+            ["pgrep", "-f", f"killresume.tag={tag}"],
+            capture_output=True, text=True,
+        )
+        if alive.returncode != 0:  # no matching process left
+            break
+        _time.sleep(0.25)
+    else:
+        raise AssertionError("victim JVM still alive after 120 s")
 
     resume = run_month(spark, _cfg(portal, work_b, out_b))
     assert resume.passed
