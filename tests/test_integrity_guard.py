@@ -48,3 +48,21 @@ def test_v02_output_unchanged_on_fixture(spark):
     assert row.n_rows_in_dups == 2 * row.n_duplicate_keys
     assert row.max_multiplicity == 2
     assert row.n_duplicate_keys > 0  # non-vacuous by construction
+
+
+def test_triple_injective_property(spark):
+    """Property sweep: ANY set of distinct keys in [0, 1e12) must map
+    to distinct triples — one Spark job over a seeded random draw plus
+    the adversarial boundary band (collision candidates under the old
+    k%1e8-only derivation are explicitly planted)."""
+    import random
+
+    rng = random.Random(80823)
+    keys = {rng.randrange(0, 10**12) for _ in range(400)}
+    # planted old-derivation collision pairs: same k mod 1e8
+    base = rng.randrange(0, 10**8)
+    keys |= {base + j * 10**8 for j in range(6)}
+    keys |= {0, 1, 10**8 - 1, 10**8, 10**12 - 1}
+    rows = _derive(spark, sorted(keys)).collect()
+    triples = {(r.cnpj_basico, r.cnpj_ordem, r.cnpj_dv) for r in rows}
+    assert len(triples) == len(keys)
