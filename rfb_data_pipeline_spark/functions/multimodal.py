@@ -243,7 +243,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + ln]
-        if len(body) != ln:
+        # both checks are ValueError by contract (ADVICE r08 #4: a
+        # payload cut between a chunk body and its 4-byte CRC used to
+        # escape as struct.error from the short CRC slice)
+        if len(body) != ln or pos + 12 + ln > len(payload):
             raise ValueError("truncated PNG chunk")
         crc = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])[0]
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
@@ -264,7 +267,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             "only non-interlaced RGB8 PNGs are in contract "
             f"(got depth={bit_depth} color={color_type} interlace={interlace})"
         )
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # truncated/corrupt deflate stream
+        raise ValueError(f"PNG IDAT stream corrupt: {exc}") from exc
     stride = w * 3
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG raster size mismatch")

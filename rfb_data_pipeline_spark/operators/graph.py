@@ -820,10 +820,6 @@ _REPLAY_BATCHES = 4
 
 
 def g07_edge_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rfb_data_pipeline_spark.streaming.graph_stream import (
-        edge_deltas_core,
-    )
-
     ev = _events(spark, sf_dir)
     item = F.from_json("props", "struct<k:int>").getField("k")
     per_bui = (
@@ -837,39 +833,71 @@ def g07_edge_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ev"))
         .transform(stage_boundary)
     )
-    # Fold the maintained per-(user, item) state forward batch over
-    # batch (the stream's compacted-log view) instead of re-filtering
-    # the full frame for every prefix `b' < b` — the prefix rescan was
-    # O(K^2) passes over the base, the fold is O(K) state-sized
-    # aggregates, matching the stream's true shape (VERDICT r06 item 6).
-    deltas = []
-    cum = None  # engagement state BEFORE the current batch
-    for b in range(_REPLAY_BATCHES):
-        batch_per = per_bui.where(F.col("b") == b).select(
-            "user_id", "item", "n_ev"
+    # ONE cumulative plan over the batch axis (VERDICT r08 item 3;
+    # the r07 fold was already O(K) in state but still submitted
+    # 2K plans from a driver loop). For every (touched batch bt,
+    # user): the user's engagement state BEFORE bt is the cumulative
+    # sum over batches bh < bt, AFTER is bh <= bt — one expansion
+    # join (<= K-fold, K fixed at 4) + one aggregate builds every
+    # batch's before/after state at once; pairs then carry
+    # d = [both endpoints in the after-cap] - [both in the before-
+    # cap], so summing ALL pair instances reproduces exactly the sum
+    # of the per-batch +-1 delta frames the live stream's
+    # edge_deltas_core emits — including the non-monotone cap
+    # evictions (an item falling out of a user's top-K yields the
+    # same -1 here as in the stream's old_pairs side). Equality with
+    # the per-batch core is pinned by
+    # tests/test_graph_stream.py::test_g07_single_plan_matches_per_batch_core.
+    touched = per_bui.select(F.col("b").alias("bt"), "user_id").distinct()
+    hist = per_bui.select("user_id", F.col("b").alias("bh"), "item", "n_ev")
+    state = (
+        hist.join(touched, "user_id")
+        .where(F.col("bh") <= F.col("bt"))
+        .groupBy("bt", "user_id", "item")
+        .agg(
+            F.sum(
+                F.when(F.col("bh") < F.col("bt"), F.col("n_ev"))
+            ).alias("n_before"),
+            F.sum("n_ev").alias("n_after"),
         )
-        old_counts = cum if cum is not None else batch_per.limit(0)
-        # the folded state is already (user, item)-aggregated AND
-        # materialized, so the core skips its per-batch re-agg boundary
-        deltas.append(
-            edge_deltas_core(old_counts, batch_per, old_aggregated=True)
+    )
+    # both caps rank within the same (bt, user) partitioning -> one
+    # exchange feeds both windows; NULL n_before (no prior history)
+    # sorts last and is excluded from the before-cap explicitly
+    w_after = Window.partitionBy("bt", "user_id").orderBy(
+        F.col("n_after").desc(), F.col("item").asc()
+    )
+    w_before = Window.partitionBy("bt", "user_id").orderBy(
+        F.col("n_before").desc_nulls_last(), F.col("item").asc()
+    )
+    capped = (
+        state.withColumn(
+            "in_after", F.row_number().over(w_after) <= _USER_ITEM_CAP
         )
-        if b < _REPLAY_BATCHES - 1:  # last batch's state is never read
-            grown = (
-                batch_per
-                if cum is None
-                else cum.unionByName(batch_per)
-            )
-            cum = (
-                grown.groupBy("user_id", "item")
-                .agg(F.sum("n_ev").alias("n_ev"))
-                .transform(stage_boundary)
-            )
-    maintained = deltas[0]
-    for d in deltas[1:]:
-        maintained = maintained.unionByName(d)
+        .withColumn(
+            "in_before",
+            F.col("n_before").isNotNull()
+            & (F.row_number().over(w_before) <= _USER_ITEM_CAP),
+        )
+        .where(F.col("in_after") | F.col("in_before"))
+        .select("bt", "user_id", "item", "in_after", "in_before")
+    )
+    a, c = capped.alias("a"), capped.alias("c")
+    pairs = (
+        a.join(c, ["bt", "user_id"])
+        .where(F.col("a.item") < F.col("c.item"))
+        .select(
+            F.col("a.item").alias("src"),
+            F.col("c.item").alias("dst"),
+            (
+                (F.col("a.in_after") & F.col("c.in_after")).cast("int")
+                - (F.col("a.in_before") & F.col("c.in_before")).cast("int")
+            ).alias("d"),
+        )
+        .where(F.col("d") != 0)
+    )
     return (
-        maintained.groupBy("src", "dst")
+        pairs.groupBy("src", "dst")
         .agg(F.sum("d").cast("bigint").alias("w"))
         .where(F.col("w") > 0)
     )

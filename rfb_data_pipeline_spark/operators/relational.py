@@ -895,9 +895,15 @@ def _sketch_verdict(approx, exact, tol_num: int, tol_den: int):
     """
     err = F.abs(approx - exact)
     within = (err * F.lit(tol_den)) <= (exact * F.lit(tol_num))
-    bucket = F.floor(
-        (err * F.lit(tol_den))
-        / (F.greatest(exact, F.lit(1)) * F.lit(tol_num))
+    # Bucket is gated on ``within`` so the two columns can never
+    # contradict at the exact tolerance boundary (ADVICE r08 #1:
+    # err*tol_den == exact*tol_num used to floor to bucket 1 while
+    # within was TRUE — a confusing false-positive hash break).
+    bucket = F.when(within, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            (err * F.lit(tol_den))
+            / (F.greatest(exact, F.lit(1)) * F.lit(tol_num))
+        )
     )
     return within, bucket
 
@@ -917,7 +923,13 @@ def q24_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_nr"))
         .groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("exact_orders"),
+            # NULL-key mirroring (ADVICE r08 #2): count(DISTINCT) in
+            # the DuckDB twin and approx_count_distinct both skip
+            # NULL keys, so the exact tier must not count the NULL
+            # group — while n_rows stays count(*) over ALL rows.
+            # TPC-H l_orderkey is non-null, but the contract holds
+            # for any input (q33 got the same treatment in r08).
+            F.count(F.col("l_orderkey")).alias("exact_orders"),
             F.sum("_nr").alias("n_rows"),
         )
     )

@@ -355,6 +355,19 @@ def write_minhash_index(
     ).write.mode("overwrite").partitionBy("dshard").parquet(f"{path}/sizes")
 
 
+def _prune_doc_shards(store: DataFrame, cand_shards: list[int]) -> DataFrame:
+    """Prune a shingle/size store scan to the candidates' doc shards
+    when the store carries the r08 ``dshard`` partition column; a
+    pre-r08 index (written before the dshard layout existed) DEGRADES
+    to the original full-store scan instead of failing with an
+    unresolved-column error (ADVICE r08 #5 — on-disk format
+    compatibility: an index is a persisted artifact, so a probe-side
+    code upgrade must not break reads of existing indexes)."""
+    if "dshard" in store.columns:
+        return store.where(F.col("dshard").isin(cand_shards))
+    return store
+
+
 def _minhash_candidates(
     spark: SparkSession, path: str, b_buckets: DataFrame
 ) -> DataFrame | None:
@@ -428,17 +441,16 @@ def probe_minhash_index(
     # size shards — without this the verification step read the WHOLE
     # corpus shingle store, the one linear-in-corpus read left in the
     # probe (r08, VERDICT r07 item 6).
-    cand_shards = sorted(
-        r["d"]
+    cand_shards = [
+        int(r["d"])
         for r in cand.select(_doc_shard(F.col("doc_corpus")).alias("d"))
         .distinct()
         .collect()
-    )
-    c_sh = (
-        spark.read.parquet(f"{path}/shingles")
-        .where(F.col("dshard").isin([int(d) for d in cand_shards]))
-        .select(F.col("doc_id").alias("doc_corpus"), "shingle")
-    )
+    ]
+    cand_shards.sort()
+    c_sh = _prune_doc_shards(
+        spark.read.parquet(f"{path}/shingles"), cand_shards
+    ).select(F.col("doc_id").alias("doc_corpus"), "shingle")
     common = (
         cand.join(
             b_sh.select(F.col("doc_id").alias("doc_batch"), "shingle"),
@@ -451,11 +463,9 @@ def probe_minhash_index(
     b_sz = b_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_a")).select(
         F.col("doc_id").alias("doc_batch"), "sz_a"
     )
-    c_sz = (
-        spark.read.parquet(f"{path}/sizes")
-        .where(F.col("dshard").isin([int(d) for d in cand_shards]))
-        .select(F.col("doc_id").alias("doc_corpus"), F.col("sz").alias("sz_b"))
-    )
+    c_sz = _prune_doc_shards(
+        spark.read.parquet(f"{path}/sizes"), cand_shards
+    ).select(F.col("doc_id").alias("doc_corpus"), F.col("sz").alias("sz_b"))
     jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
     return (
         common.join(b_sz, "doc_batch")

@@ -37,7 +37,7 @@ Maintenance contract (enforced by tests/test_registry_window.py):
 
 from __future__ import annotations
 
-CURRENT_ROUND = 8
+CURRENT_ROUND = 9
 
 # name -> newest driver CORRECTNESS round containing the name
 # (union of CORRECTNESS_r01..r05; absent = never driver-checked).
@@ -275,6 +275,56 @@ LAST_DRIVER_ROW.update(
             "x17_cluster_curation",
         ),
         7,
+    )
+)
+
+
+# r09: q24's exact tier now skips NULL keys (ADVICE r08 #2) and the
+# shared _sketch_verdict bucket is gated on `within` (ADVICE r08 #1)
+# — q33 consumes the same helper; g07's replay collapsed from a
+# K-plan driver loop into one cumulative-over-batch plan (VERDICT
+# r08 item 3).
+LAST_TOUCHED.update(
+    dict.fromkeys(
+        (
+            "q24_approx_distinct", "q33_approx_quantiles",
+            "g07_edge_stream_replay",
+        ),
+        9,
+    )
+)
+
+LAST_DRIVER_ROW.update(
+    # CORRECTNESS_r08.json fold-in: 50/50 green (rows+schema+hash),
+    # seating the r07 verdict's forced set (q24/q33 verdict rows,
+    # m01-m04 post-memoization, v02 post-injective-key, the r04
+    # q-tail, and the oldest r05-green block).
+    dict.fromkeys(
+        (
+            "q24_approx_distinct", "q33_approx_quantiles",
+            "m01_image_metadata", "m02_media_stats", "m03_frame_sample",
+            "m04_audio_frames", "v02_duplicate_keys_report",
+            "q02_argmin_supplier", "q07_semi_join", "q08_anti_join",
+            "q09_topk_per_group", "q10_monthly_lag", "q11_rollup_report",
+            "q12_set_ops", "q13_string_functions", "q17_distinct_agg",
+            "q19_cube", "q20_running_total", "q21_rank_suppliers",
+            "q22_union_parts", "q23_median_stats", "q25_collect_set",
+            "q26_intersect", "q27_above_nation_avg",
+            "q28_grouping_sets", "q30_moving_range_sum",
+            "q31_stats_agg", "q32_window_values",
+            "d01_exact_dedup", "d06_incremental_dedup",
+            "d10_fuzzy_pairs", "d13_duplicate_spans",
+            "d14_dup_span_fraction",
+            "e15_gap_fill_locf", "e17_multistep_funnel",
+            "e18_drift_replay", "e19_quality_replay",
+            "m05_header_parse", "m06_subtitle_parse",
+            "m07_id3_tag_parse", "m08_wav_header_parse",
+            "s01_knn_bruteforce", "s02_ann_lsh", "s04_label_centroids",
+            "s05_ann_ivf", "s06_near_dup_pairs_banded",
+            "s07_quantized_knn", "s08_kmeans_lloyd", "s11_batch_knn",
+            "s12_embedding_outliers",
+        ),
+        8,
     )
 )
 

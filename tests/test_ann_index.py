@@ -378,3 +378,42 @@ def test_minhash_verification_scan_is_doc_shard_pruned(spark, tmp_path):
     corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
     assert all(r.doc_batch in batch_ids for r in rows)
     assert all(r.doc_corpus in corpus_ids for r in rows)
+
+
+def test_minhash_probe_reads_pre_r08_index_without_dshard(spark, tmp_path):
+    """ADVICE r08 #5: the dshard-pruned verification scan must DEGRADE
+    to the full-store scan on an index written before the r08 layout
+    (shingles/sizes not partitioned by dshard), not fail with an
+    unresolved-column error — a persisted index is an on-disk format.
+    Probe results over the legacy layout must equal the current one."""
+    from rfb_data_pipeline_spark.pipeline.ann_index import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1).limit(40)
+    path = str(tmp_path / "mh_idx")
+    write_minhash_index(spark, corpus, path)
+    want = sorted(
+        tuple(r) for r in probe_minhash_index(spark, path, batch).collect()
+    )
+    assert want, "probe found no pairs — vacuous fixture"
+
+    # rewrite shingles/sizes in the PRE-r08 layout: no dshard column,
+    # no partitioning (buckets kept as-is — their layout predates r08)
+    legacy = str(tmp_path / "mh_idx_legacy")
+    spark.read.parquet(f"{path}/buckets").write.partitionBy(
+        "band_idx", "shard"
+    ).parquet(f"{legacy}/buckets")
+    spark.read.parquet(f"{path}/shingles").drop("dshard").write.parquet(
+        f"{legacy}/shingles"
+    )
+    spark.read.parquet(f"{path}/sizes").drop("dshard").write.parquet(
+        f"{legacy}/sizes"
+    )
+    got = sorted(
+        tuple(r) for r in probe_minhash_index(spark, legacy, batch).collect()
+    )
+    assert got == want

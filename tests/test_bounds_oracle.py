@@ -42,7 +42,9 @@ def test_verdict_flips_out_of_tolerance(spark):
     by_approx = {r["approx"]: (r["w"], r["b"]) for r in got}
     assert by_approx[100] == (True, 0)
     assert by_approx[104] == (True, 0)
-    assert by_approx[105] == (True, 1)  # floor(105*20/2000)=1, <= holds
+    # boundary-exact estimate: within AND bucket 0 — the two columns
+    # can never contradict (ADVICE r08 #1; used to be (True, 1))
+    assert by_approx[105] == (True, 0)
     assert by_approx[106] == (False, 1)
     assert by_approx[150] == (False, 10)
     assert by_approx[0] == (True, 0)
@@ -87,6 +89,43 @@ def test_bounds_tier_retired():
     import __spark_entry__ as e
 
     assert e.bounds_oracle() == {}
+
+
+def test_q24_null_keys_mirrored(spark, tmp_path):
+    """NULL l_orderkey must be skipped by the exact-distinct tier
+    IDENTICALLY to count(DISTINCT) and approx_count_distinct (both
+    skip NULLs) while n_rows stays count(*) over all rows — ADVICE
+    r08 #2's latent off-by-one, probed on a NULL-heavy fixture."""
+    import duckdb
+
+    from rfb_data_pipeline_spark.operators.relational import _Q24_SQL
+
+    rows = []
+    for i in range(600):
+        flag = "ANR"[i % 3]
+        key = None if i % 7 == 0 else (i * 11) % 140
+        rows.append((flag, key))
+    df = spark.createDataFrame(rows, "l_returnflag string, l_orderkey long")
+    fx = str(tmp_path / "lineitem.parquet")
+    df.coalesce(1).write.parquet(fx)
+
+    got = {
+        r["l_returnflag"]: r.asDict()
+        for r in q24_approx_distinct(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{fx}/*.parquet')"
+    )
+    want = {r[0]: r for r in con.execute(_Q24_SQL).fetchall()}
+    assert set(got) == set(want) == {"A", "N", "R"}
+    for flag, r in got.items():
+        w = want[flag]
+        assert r["exact_orders"] == w[1], flag   # NULL group not counted
+        assert r["n_rows"] == w[2] == 200, flag  # but count(*) keeps it
+        assert r["hll_within_5pct"] and r["hll_err_bucket"] == 0, flag
+    # the fixture is non-vacuous: NULL keys really exist per flag
+    assert all(r["n_rows"] > r["exact_orders"] for r in got.values())
 
 
 def test_q33_null_prices_mirrored(spark, tmp_path):

@@ -149,3 +149,44 @@ def test_g07_replay_equals_batch_and_evicts(spark):
             gs.edge_deltas_core(oc, bp).where(F.col("d") < 0).count()
         )
     assert neg > 0, "replay never evicted — cap not exercised"
+
+
+def test_g07_single_plan_matches_per_batch_core(spark):
+    """r09: g07 no longer CALLS edge_deltas_core per batch — it is one
+    cumulative-over-batch plan — so its claim to vouch for the
+    stream's maintenance math needs a direct pin: the signed per-edge
+    delta total from K explicit edge_deltas_core invocations (the
+    live foreachBatch path) must equal g07's output after the
+    stream's own w > 0 materialization rule."""
+    from rfb_data_pipeline_spark.operators.graph import (
+        _REPLAY_BATCHES,
+        g07_edge_stream_replay,
+    )
+
+    ev = spark.read.parquet(SF_SMALL + "/events.parquet")
+    item = F.from_json("props", "struct<k:int>").getField("k")
+    per_bui = (
+        ev.select(
+            F.pmod(F.col("event_id"), F.lit(_REPLAY_BATCHES)).alias("b"),
+            "user_id",
+            item.alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .groupBy("b", "user_id", "item")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .localCheckpoint()
+    )
+    deltas = None
+    for b in range(_REPLAY_BATCHES):
+        bp = per_bui.where(F.col("b") == b).select("user_id", "item", "n_ev")
+        oc = per_bui.where(F.col("b") < b).select("user_id", "item", "n_ev")
+        d = gs.edge_deltas_core(oc, bp)
+        deltas = d if deltas is None else deltas.unionByName(d)
+    core = (
+        deltas.groupBy("src", "dst")
+        .agg(F.sum("d").cast("bigint").alias("w"))
+        .where(F.col("w") > 0)
+    )
+    assert _edge_set(core) == _edge_set(
+        g07_edge_stream_replay(spark, SF_SMALL)
+    )

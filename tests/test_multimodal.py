@@ -541,6 +541,29 @@ def test_png_decode_rejects_corruption():
         mm.decode_png(b"P6\n1 1\n255\n\x00\x00\x00")
 
 
+def test_png_decode_truncated_between_body_and_crc():
+    """ADVICE r08 #4: a payload cut between a chunk body and its
+    4-byte CRC must raise the contract ValueError, not struct.error
+    (or zlib.error) leaking from an internal slice. Sweep EVERY
+    truncation point of a valid payload: each either raises the
+    contract ValueError or — only when the full raster already
+    arrived (cuts inside the trailing IEND) — decodes exactly."""
+    import numpy as np
+
+    img = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    payload = mm.encode_png(img)
+    decoded_ok = 0
+    for cut in range(len(payload)):
+        try:
+            dec = mm.decode_png(payload[:cut])
+        except ValueError:
+            continue
+        assert (dec == img).all(), f"cut={cut} decoded wrong pixels"
+        decoded_ok += 1
+    # only cuts strictly inside the 12-byte IEND chunk may decode
+    assert decoded_ok <= 12
+
+
 def test_png_decode_rejects_out_of_contract_color():
     import struct
     import zlib

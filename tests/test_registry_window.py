@@ -6,7 +6,7 @@ out of (or a stale one into) the round's window.
 Since r06 the order is COMPUTED from the rotation ledger
 (rfb_data_pipeline_spark/rotation.py): never-driver-checked first,
 then touched-since-their-row, then green oldest-first. These tests pin
-the r08 composition the ledger must produce AND the ledger's own
+the r09 composition the ledger must produce AND the ledger's own
 freshness invariants, so a ledger edit that starves an entry fails
 loudly.
 """
@@ -21,14 +21,25 @@ def _names():
     return list(entry_mod.queries())
 
 
-def test_r08_window_composition():
+# The r05-stale dozen the r08 verdict flagged: their newest driver rows
+# are r05 (== CURRENT_ROUND - 4 at r09), so the freshness invariant
+# FORCES them into the r09 window — the round's primary rotation goal.
+R05_STALE = {
+    "s14_embedding_validation", "t12_zipf_slope", "t13_pii_redaction",
+    "t15_quality_classifier", "t16_html_extract", "t17_url_filter",
+    "x11_curriculum_buckets", "x12_repetition_gate",
+    "x13_weighted_sample", "x14_epoch_plan", "x15_split_drift",
+    "x16_quality_mixture",
+}
+
+
+def test_r09_window_composition():
     names = _names()
     window = set(names[:50])
-    # Tier 0 — never driver-checked: empty (v01/v02 got r07 rows).
+    # Tier 0 — never driver-checked: empty after the r08 fold.
     never_checked = {n for n in names if n not in rotation.LAST_DRIVER_ROW}
     assert never_checked == set()
-    # Tier 1 — rows predating this round's code: the sketch pair
-    # rebuilt hash-checkable in r08 (VERDICT r07 item 1).
+    # Tier 1 — rows predating this round's code (r09 touches).
     touched_stale = {
         n
         for n in names
@@ -36,53 +47,30 @@ def test_r08_window_composition():
         > rotation.LAST_DRIVER_ROW.get(n, 99)
     }
     assert touched_stale == {
+        # q24: NULL-key mirroring in the exact tier (ADVICE r08 #2);
+        # q33: boundary-consistent error bucket (ADVICE r08 #1)
         "q24_approx_distinct", "q33_approx_quantiles",
-        # injective key derivation (ADVICE r07)
-        "v02_duplicate_keys_report",
-        # session-memoized synthetic media frame (_media_cached)
-        "m01_image_metadata", "m02_media_stats",
-        "m03_frame_sample", "m04_audio_frames",
-    }
-    assert names[:7] == [
-        "q24_approx_distinct", "q33_approx_quantiles",
-        "m01_image_metadata", "m02_media_stats",
-        "m03_frame_sample", "m04_audio_frames",
-        "v02_duplicate_keys_report",
-    ]
-    # Tier 2 — oldest green rows next: the r04 q-tail the r07 verdict
-    # flagged as freshness-forced (their newest driver rows are r04,
-    # exactly CURRENT_ROUND - 4 if they missed this window).
-    q_tail = {
-        "q02_argmin_supplier", "q07_semi_join", "q08_anti_join",
-        "q09_topk_per_group", "q10_monthly_lag", "q11_rollup_report",
-        "q12_set_ops", "q13_string_functions", "q17_distinct_agg",
-        "q19_cube", "q20_running_total", "q21_rank_suppliers",
-        "q22_union_parts", "q23_median_stats", "q25_collect_set",
-        "q26_intersect", "q27_above_nation_avg", "q28_grouping_sets",
-        "q30_moving_range_sum", "q31_stats_agg", "q32_window_values",
-    }
-    assert set(names[7:28]) == q_tail
-    # Remaining slots: the oldest r05-green entries by name.
-    assert names[28:33] == [
-        "d01_exact_dedup", "d06_incremental_dedup", "d10_fuzzy_pairs",
-        "d13_duplicate_spans", "d14_dup_span_fraction",
-    ]
-    assert {
-        "e15_gap_fill_locf", "m05_header_parse", "s01_knn_bruteforce",
-        "s11_batch_knn", "s12_embedding_outliers",
-    } <= window
-    # NO slot burns on r06/r07-green untouched code.
-    assert not (window & {
-        "t19_bm25_search", "e20_ewma_baseline", "q01_pricing_summary",
-        "q36_snapshot_diff", "v01_integrity_report", "d15_cc_star",
+        # g07: K-plan driver loop collapsed into one cumulative-over-b
+        # plan (VERDICT r08 item 3)
         "g07_edge_stream_replay",
+    }
+    # The forced dozen all seat, right after the tier-1 entries.
+    assert R05_STALE <= window
+    assert set(names[: 3 + len(R05_STALE)]) == touched_stale | R05_STALE
+    # Next-oldest green (r06 rows) fill the remaining slots.
+    assert {
+        "d17_span_dedup_action", "e20_ewma_baseline",
+        "q01_pricing_summary", "q36_snapshot_diff", "t19_bm25_search",
+    } <= window
+    # NO slot burns on r07/r08-green untouched code.
+    assert not (window & {
+        "q24_approx_distinct"} - touched_stale)
+    assert not (window & {
+        "v01_integrity_report", "v02_duplicate_keys_report",
+        "m01_image_metadata", "m05_header_parse",
+        "d01_exact_dedup", "s02_ann_lsh", "e16_stream_replay",
+        "x06_shuffle_shard", "q25_collect_set",
     })
-    # spill heads into the r09 promotions: the r05 s/t-tail (bumped by
-    # the 7 tier-1 seats; their r05 rows are still inside the 3-round
-    # cycle at r08, and r09's window re-seats them first)
-    assert names[50:53] == [
-        "s14_embedding_validation", "t12_zipf_slope", "t13_pii_redaction",
-    ]
 
 
 def test_ledger_invariants_hold():
@@ -109,10 +97,9 @@ def test_ledger_invariants_hold():
 def test_every_query_has_unique_name_and_oracle_subset():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    # 146 at the r07 gate; r08 adds none (registry cap discipline:
-    # 3 rounds x 50 slots = 150, VERDICT r07 item 4) but flips the
-    # last two rows-only sketches to oracle-paired verdict rows.
-    assert len(q) == 146
+    # 146 at the r08 gate; registry cap discipline: 3 rounds x 50
+    # slots = 150 (VERDICT r07 item 4), so at most 4 net additions.
+    assert 146 <= len(q) <= 150
     assert set(o) <= set(q)
     # rows-only tier is EMPTY since r08: every registered query has a
     # DuckDB oracle twin (q24/q33 via verdict columns).

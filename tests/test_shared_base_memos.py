@@ -146,3 +146,28 @@ def test_memo_replaces_superseded_and_sweeps_dead_sessions(spark, tmp_path):
     session_memo(cache, spark, str(sf), ("documents",), build, extra=(4,))
     session_memo(cache, spark, str(sf), ("documents",), build, extra=(8,))
     assert len(cache) == 2
+
+
+def test_memo_live_sessions_coexist(spark, tmp_path):
+    """ADVICE r08 #3: two concurrent LIVE SparkSessions sharing one
+    cache must coexist — the sweep evicts only genuinely stopped
+    sessions' entries, never a live sibling's (the r08 `is not spark`
+    sweep thrashed: every alternating call missed and rebuilt)."""
+    from rfb_data_pipeline_spark.memo import session_memo
+
+    cache: dict = {}
+    sf = _mini_sf(spark, tmp_path)
+    sibling = spark.newSession()  # live, shares the local JVM context
+    builds = {"n": 0}
+
+    def build():
+        builds["n"] += 1
+        return f"payload-{builds['n']}"
+
+    a1 = session_memo(cache, spark, str(sf), ("documents",), build)
+    b1 = session_memo(cache, sibling, str(sf), ("documents",), build)
+    assert builds["n"] == 2 and len(cache) == 2
+    # alternating access HITS both ways — no eviction thrash
+    assert session_memo(cache, spark, str(sf), ("documents",), build) is a1
+    assert session_memo(cache, sibling, str(sf), ("documents",), build) is b1
+    assert builds["n"] == 2 and len(cache) == 2
