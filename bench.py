@@ -174,6 +174,11 @@ def main() -> None:
     # failure must not cost the whole bench line — recorded + skipped.
     all_timings: dict[str, float] = {}
     all_medians: dict[str, float] = {}
+    # Per-rep dispersion (VERDICT r08 item 6): committing only point
+    # estimates made r07<->r08 bench diffs unfalsifiable against host
+    # noise — record min/median/max/stddev per query so a future diff
+    # can test a "regression" against the run's own spread.
+    all_dispersion: dict[str, dict] = {}
     errors: dict[str, str] = {}
     bench_names = list(qs) if full else [n for n in HEADLINE if n in qs]
     for name in bench_names:
@@ -186,6 +191,15 @@ def main() -> None:
                 runs.append(time.time() - t0)
             all_timings[name] = round(min(runs), 3)
             all_medians[name] = round(sorted(runs)[len(runs) // 2], 3)
+            mean = sum(runs) / len(runs)
+            sd = (sum((r - mean) ** 2 for r in runs) / (len(runs) - 1)) ** 0.5
+            all_dispersion[name] = {
+                "min": round(min(runs), 3),
+                "med": all_medians[name],
+                "max": round(max(runs), 3),
+                "sd": round(sd, 3),
+                "n": len(runs),
+            }
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -198,12 +212,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        "queries_dispersion": {
+            n: all_dispersion[n] for n in HEADLINE if n in all_dispersion
+        },
         "total_median": round(sum(medians.values()), 3),
         "sf": sf,
     }
     if full:
         payload["queries_full"] = all_timings
         payload["queries_full_median"] = all_medians
+        payload["queries_full_dispersion"] = all_dispersion
         payload["full_total_median"] = round(sum(all_medians.values()), 3)
         payload["n_queries_full"] = len(all_timings)
     # The headline set has grown since the round-1 baseline was recorded

@@ -858,6 +858,86 @@ GROUP BY sample_rate
 """
 
 
+# --------------------------------------------------------------------------
+# m09 — REAL baseline-JPEG round-trip verdict (r09, VERDICT r08 item
+# 2): deterministic md5-chain rasters encode at quality=100 and
+# decode back through the stdlib codec (functions/jpeg.py — Huffman +
+# dequant + IDCT + YCbCr->RGB) inside the worker. The decoded pixels
+# are engine-specific (DuckDB cannot run a JPEG codec), so the row
+# emits the VERDICT, not the pixels — the q24/q33 sketch pattern:
+# exact SOURCE channel sums (twin-recomputable from the chain) plus a
+# within-tolerance boolean and integer error bucket the twin pins to
+# TRUE/0. A codec regression (wrong unfilter, table mixup, IDCT
+# drift) pushes max_abs_err past the tolerance and breaks the hash.
+# Non-vacuousness (the verdict really flips at tol=0 because the
+# codec IS lossy) is pinned in tests/test_multimodal.py.
+
+_JPEG_N = 24
+_JPEG_TOL = 3  # matches tests/test_jpeg_property.py's round-trip pin
+
+
+def _m09_agg(stats, tol: int):
+    mx = F.max("max_abs_err")
+    return (
+        stats.withColumn(
+            "size_class",
+            F.when(F.col("width") * F.col("height") >= 120, "large")
+            .otherwise("small"),
+        )
+        .groupBy("size_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("sum_src_r").alias("sum_src_r"),
+            F.sum("sum_src_g").alias("sum_src_g"),
+            F.sum("sum_src_b").alias("sum_src_b"),
+            (mx <= F.lit(tol)).alias("decode_within_tol"),
+            F.greatest(mx - F.lit(tol), F.lit(0)).cast("integer").alias(
+                "err_bucket"
+            ),
+        )
+    )
+
+
+def m09_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.functions.multimodal import (
+        jpeg_roundtrip_stats,
+    )
+
+    return _m09_agg(jpeg_roundtrip_stats(spark, _JPEG_N), _JPEG_TOL)
+
+
+_M09_SQL = _chain_hexes_sql(
+    "jpg",
+    f"""SELECT i, (8 + i % 13) AS w, (6 + i % 7) AS h,
+         (8 + i % 13) * (6 + i % 7) * 3 AS need,
+         ((8 + i % 13) * (6 + i % 7) * 3 + 15) // 16 AS nblk
+  FROM range({_JPEG_N}) t(i)""",
+) + """,
+pix AS (
+  SELECT s.i, s.w, s.h, p.p % 3 AS ch,
+         ('0x' || substring(x.hexstr, (p.p * 2 + 1)::INT, 2))::INT AS v
+  FROM sized s JOIN hexes x ON s.i = x.i
+       JOIN range(720) p(p) ON p.p < s.need
+),
+per_img AS (
+  SELECT i, w, h,
+         sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS sum_r,
+         sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS sum_g,
+         sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS sum_b
+  FROM pix GROUP BY i, w, h
+)
+SELECT CASE WHEN w * h >= 120 THEN 'large' ELSE 'small' END AS size_class,
+       count(*) AS n_images,
+       CAST(sum(sum_r) AS BIGINT) AS sum_src_r,
+       CAST(sum(sum_g) AS BIGINT) AS sum_src_g,
+       CAST(sum(sum_b) AS BIGINT) AS sum_src_b,
+       TRUE AS decode_within_tol,
+       CAST(0 AS INTEGER) AS err_bucket
+FROM per_img
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "m01_image_metadata": m01_image_metadata,
     "m02_media_stats": m02_media_stats,
@@ -867,6 +947,7 @@ QUERIES = {
     "m06_subtitle_parse": m06_subtitle_parse,
     "m07_id3_tag_parse": m07_id3_tag_parse,
     "m08_wav_header_parse": m08_wav_header_parse,
+    "m09_jpeg_roundtrip": m09_jpeg_roundtrip,
 }
 
 # All eight media rows are oracle-backed since r07: the codec tier
@@ -882,4 +963,5 @@ ORACLE: dict[str, str] = {
     "m06_subtitle_parse": _m06_sql(),
     "m07_id3_tag_parse": _M07_SQL,
     "m08_wav_header_parse": _M08_SQL,
+    "m09_jpeg_roundtrip": _M09_SQL,
 }

@@ -1,0 +1,138 @@
+"""Property-based baseline-JPEG codec tests (hypothesis) — the PNG
+round-trip suite repeated one codec over (VERDICT r08 item 2).
+
+JPEG is lossy, so unlike PNG the pin is a TOLERANCE round-trip: at
+quality=100 the quant tables are all ones and the only loss is
+coefficient rounding plus two color-transform roundings — measured
+max |err| is 2 on adversarial random noise; the property pins <= 3.
+Constant rasters quantize exactly (DC only) and pin <= 1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rfb_data_pipeline_spark.functions.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    quant_tables,
+)
+from rfb_data_pipeline_spark.functions.multimodal import parse_image_header
+
+_dims = st.tuples(
+    st.integers(min_value=1, max_value=21),
+    st.integers(min_value=1, max_value=21),
+)
+
+
+def _raster(seed: int, h: int, w: int) -> np.ndarray:
+    return np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(dims=_dims, seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_q100_roundtrip_within_tolerance(dims, seed):
+    h, w = dims
+    img = _raster(seed, h, w)
+    payload = encode_jpeg(img, quality=100)
+    dec = decode_jpeg(payload)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(np.int64) - img.astype(np.int64)).max()
+    assert err <= 3, f"{h}x{w} seed {seed}: max err {err}"
+    # decode is deterministic (bit-identical on a second pass)
+    assert (decode_jpeg(payload) == dec).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    dims=_dims,
+    rgb=st.tuples(
+        st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+    ),
+)
+def test_constant_rasters_near_exact(dims, rgb):
+    h, w = dims
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    img[:, :] = rgb
+    dec = decode_jpeg(encode_jpeg(img, quality=100))
+    err = np.abs(dec.astype(np.int64) - img.astype(np.int64)).max()
+    assert err <= 1, f"{rgb}: max err {err}"
+
+
+@settings(max_examples=20, deadline=None)
+@given(dims=_dims, seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_grayscale_roundtrip(dims, seed):
+    h, w = dims
+    g = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=100))
+    assert dec.shape == (h, w, 3)
+    assert (dec[:, :, 0] == dec[:, :, 1]).all()
+    assert (dec[:, :, 1] == dec[:, :, 2]).all()
+    err = np.abs(dec[:, :, 0].astype(np.int64) - g.astype(np.int64)).max()
+    assert err <= 1, f"gray {h}x{w} seed {seed}: max err {err}"
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    quality=st.integers(min_value=1, max_value=99),
+)
+def test_lossy_qualities_decode_cleanly(seed, quality):
+    """Any quality tier must produce a decodable, right-shaped file —
+    the loss grows but the bitstream stays spec-valid."""
+    img = _raster(seed, 12, 17)
+    dec = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+
+
+def test_header_parse_agrees_with_decoder():
+    img = _raster(5, 11, 19)
+    payload = encode_jpeg(img, quality=90)
+    fmt, w, h, depth = parse_image_header(payload)
+    assert (fmt, w, h, depth) == ("jpeg", 19, 11, 8)
+
+
+def test_quality_scaling_endpoints():
+    ql100, qc100 = quant_tables(100)
+    assert (ql100 == 1).all() and (qc100 == 1).all()
+    ql50, _ = quant_tables(50)
+    assert ql50[0, 0] == 16  # Annex K base at the midpoint
+    with pytest.raises(ValueError):
+        quant_tables(0)
+
+
+def test_decoder_contract_failures():
+    img = _raster(1, 9, 9)
+    payload = bytearray(encode_jpeg(img, quality=100))
+    # not a JPEG
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"P6\n1 1\n255\nabc")
+    # progressive SOF out of contract (flip SOF0 -> SOF2)
+    sof = payload.index(b"\xff\xc0")
+    prog = bytes(payload[:sof]) + b"\xff\xc2" + bytes(payload[sof + 2 :])
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(prog)
+    # truncation inside the entropy stream
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload[: len(payload) // 2]))
+    # subsampling out of contract: rewrite component 0's H/V to 2x2
+    hv_at = sof + 11  # SOF0: marker(2) len(2) P(1) Y(2) X(2) C1(1) -> HV
+    sub = bytearray(payload)
+    sub[hv_at] = 0x22
+    with pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg(bytes(sub))
+
+
+def test_truncation_sweep_fails_closed():
+    """Every strict prefix either raises ValueError or (never, for
+    this single-scan layout) decodes — no struct.error/IndexError
+    escapes, mirroring the PNG truncation sweep."""
+    payload = encode_jpeg(_raster(2, 6, 6), quality=100)
+    for cut in range(len(payload)):
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[:cut])

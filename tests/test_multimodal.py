@@ -45,12 +45,56 @@ def test_frame_sample_explodes_videos_only(spark):
     assert all(kinds[r.media_id] == "video" for r in got)
 
 
-def test_real_decode_gate(spark):
-    """decode_stub=False (r08): PPM and PNG payloads decode natively
-    end-to-end; a JPEG-signature payload fails LOUD in the worker —
-    the NotImplementedError guard is now reachable only for formats
-    with no native tier (VERDICT r07 item 5)."""
+def test_frame_sample_real_tier_decodes_mjpeg(spark):
+    """decode_stub=False (r09): MJPEG-in-BMFF payloads demux via the
+    sample table and each sampled frame is REALLY decoded — per-frame
+    channel sums match the pre-encode rasters within the q=100
+    codec tolerance (3 per pixel per channel)."""
     import numpy as np
+
+    n_frames, h, w = 4, 8, 10
+    rngs = [np.random.default_rng(100 + k) for k in range(n_frames)]
+    frames = [
+        r.integers(0, 256, (h, w, 3), dtype=np.uint8) for r in rngs
+    ]
+    mp4 = mm.encode_mjpeg_mp4(frames, frame_dur_ms=500, quality=100)
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(mp4), (w, h, None, 2000, "mp4"))],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = (
+        mm.frame_sample(media, every_ms=500, decode_stub=False)
+        .orderBy("frame_ms")
+        .collect()
+    )
+    # ticks 0,500,1000,1500 -> samples 0..3 (last tick == last t)
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+    assert all((r.width, r.height) == (w, h) for r in rows)
+    tol = 3 * h * w
+    for r in rows:
+        src = frames[r.frame_idx].astype(np.int64)
+        for ch, col in enumerate(("sum_r", "sum_g", "sum_b")):
+            assert abs(r[col] - int(src[:, :, ch].sum())) <= tol, (
+                r.frame_idx, col
+            )
+    # a metadata-only container (no trak) fails loud in the worker
+    bare = spark.createDataFrame(
+        [(8, "video", bytearray(mm.encode_minimal_mp4(1000)),
+          (None, None, None, 1000, "mp4"))],
+        mm.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="no video track"):
+        mm.frame_sample(bare, every_ms=500, decode_stub=False).collect()
+
+
+def test_real_decode_gate(spark):
+    """decode_stub=False (r09): PPM, PNG and baseline JPEG payloads
+    all decode natively end-to-end; a format with no native tier
+    (GIF here) fails LOUD in the worker, and a corrupt JPEG fails
+    with the codec's contract ValueError rather than decoding junk."""
+    import numpy as np
+
+    from rfb_data_pipeline_spark.functions.jpeg import encode_jpeg
 
     img = np.frombuffer(
         mm._md5_chain_bytes("gate-img", 5 * 4 * 3), dtype=np.uint8
@@ -58,6 +102,8 @@ def test_real_decode_gate(spark):
     ok_rows = [
         (0, "image", bytearray(mm.encode_ppm(img)), (5, 4, None, None, "ppm")),
         (1, "image", bytearray(mm.encode_png(img)), (5, 4, None, None, "png")),
+        (2, "image", bytearray(encode_jpeg(img, quality=100)),
+         (5, 4, None, None, "jpg")),
     ]
     ok = spark.createDataFrame(ok_rows, mm.MEDIA_SCHEMA)
     feats = {
@@ -66,12 +112,27 @@ def test_real_decode_gate(spark):
     }
     # PPM and PNG of the SAME raster produce the SAME real features
     assert feats[0] == feats[1]
+    # the JPEG tier is REAL: q=100 features agree within the codec's
+    # round-trip tolerance (3/255 per pixel, so well under 0.02 per
+    # thumbnail cell) and are nothing like the md5 stub
+    assert max(
+        abs(a - b) for a, b in zip(feats[2], feats[0])
+    ) < 0.02
+    assert feats[2] != mm._fake_features(bytes(ok_rows[2][2]))
 
-    jpeg_like = [(2, "image", bytearray(b"\xff\xd8\xff\xe0JFIF-ish"),
-                  (None, None, None, None, "jpg"))]
-    bad = spark.createDataFrame(jpeg_like, mm.MEDIA_SCHEMA)
-    with pytest.raises(Exception, match="NotImplementedError|image library"):
+    gif_like = [(3, "image", bytearray(b"GIF89a" + b"\x00" * 16),
+                 (None, None, None, None, "gif"))]
+    bad = spark.createDataFrame(gif_like, mm.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="no native decode tier"):
         mm.decode_features(bad, decode_stub=False).collect()
+
+    corrupt = [(4, "image", bytearray(b"\xff\xd8\xff\xe0JFIF-ish"),
+                (None, None, None, None, "jpg"))]
+    with pytest.raises(Exception, match="truncated JPEG|missing SOF"):
+        mm.decode_features(
+            spark.createDataFrame(corrupt, mm.MEDIA_SCHEMA),
+            decode_stub=False,
+        ).collect()
 
 
 # -- PPM real-decode tier ---------------------------------------------------
@@ -581,3 +642,26 @@ def test_png_decode_rejects_out_of_contract_color():
     )
     with pytest.raises(ValueError, match="RGB8"):
         mm.decode_png(payload)
+
+
+def test_m09_verdict_non_vacuous(spark):
+    """The m09 round-trip verdict must really measure loss: the codec
+    IS lossy on md5-chain noise (max err > 0 somewhere), the verdict
+    stays green at the contract tolerance, and it FLIPS (FALSE,
+    bucket > 0) when the tolerance is tightened to zero — so a
+    decoder regression cannot hide behind a vacuous TRUE."""
+    from rfb_data_pipeline_spark.operators.media import (
+        _JPEG_N,
+        _JPEG_TOL,
+        _m09_agg,
+    )
+
+    stats = mm.jpeg_roundtrip_stats(spark, _JPEG_N).localCheckpoint()
+    errs = [r.max_abs_err for r in stats.collect()]
+    assert len(errs) == _JPEG_N
+    assert max(errs) > 0, "codec reported zero loss — vacuous verdict"
+    assert max(errs) <= _JPEG_TOL
+    green = _m09_agg(stats, _JPEG_TOL).collect()
+    assert all(r.decode_within_tol and r.err_bucket == 0 for r in green)
+    red = _m09_agg(stats, 0).collect()
+    assert any(not r.decode_within_tol and r.err_bucket > 0 for r in red)

@@ -321,6 +321,7 @@ _SINGLE_PARTITION_OK = {
     "g05_graph_summary",  # 1-row graph health card (cc_star fixpoint frames)
     "m01_image_metadata",  # per-size-class summary over a 96-row media table
     "m02_media_stats",  # 2-row per-kind decode summary
+    "m09_jpeg_roundtrip",  # 2-row verdict over a 24-image codec sweep
     "v01_integrity_report",  # 4-row violation report (1-row v4 rollup)
     "v02_duplicate_keys_report",  # 1-row dup-keys + count-gate report
     "d12_minhash_calibration",  # 1-row calibration summary

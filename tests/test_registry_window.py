@@ -36,9 +36,9 @@ R05_STALE = {
 def test_r09_window_composition():
     names = _names()
     window = set(names[:50])
-    # Tier 0 — never driver-checked: empty after the r08 fold.
+    # Tier 0 — never driver-checked: the r09 JPEG verdict row.
     never_checked = {n for n in names if n not in rotation.LAST_DRIVER_ROW}
-    assert never_checked == set()
+    assert never_checked == {"m09_jpeg_roundtrip"}
     # Tier 1 — rows predating this round's code (r09 touches).
     touched_stale = {
         n
@@ -54,9 +54,11 @@ def test_r09_window_composition():
         # plan (VERDICT r08 item 3)
         "g07_edge_stream_replay",
     }
-    # The forced dozen all seat, right after the tier-1 entries.
+    # The forced dozen all seat, right after the tier-0/1 entries.
     assert R05_STALE <= window
-    assert set(names[: 3 + len(R05_STALE)]) == touched_stale | R05_STALE
+    assert set(names[: 4 + len(R05_STALE)]) == (
+        never_checked | touched_stale | R05_STALE
+    )
     # Next-oldest green (r06 rows) fill the remaining slots.
     assert {
         "d17_span_dedup_action", "e20_ewma_baseline",
