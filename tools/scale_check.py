@@ -161,6 +161,7 @@ def _ops() -> dict:
     from rfb_data_pipeline_spark.operators.dedup import (
         d03_minhash_lsh,
         d05_simhash_pairs,
+        d10_fuzzy_pairs,
         d13_duplicate_spans,
         d15_cc_star,
         d16_incremental_minhash,
@@ -204,6 +205,7 @@ def _ops() -> dict:
         "d13": d13_duplicate_spans,
         "d03": d03_minhash_lsh,
         "d05": d05_simhash_pairs,
+        "d10": d10_fuzzy_pairs,
         "d15": d15_cc_star,
         "d16": d16_incremental_minhash,
         "d17": d17_span_dedup_action,
