@@ -10,24 +10,32 @@ third-party imports.
 Scope (fail-loud contract, like decode_png's RGB8-only contract):
 
 - **Decoder**: baseline sequential DCT (SOF0), 8-bit precision, 1 or
-  3 components, no chroma subsampling (all H=V=1), no restart
-  intervals. It reconstructs Huffman tables canonically from the
-  file's own DHT segments and dequantizes with the file's own DQT
-  tables, so it decodes any in-contract baseline file, not just this
-  encoder's output.
-- **Encoder**: 4:4:4 YCbCr (or single-component grayscale), Annex K
-  quantization tables under the classic IJG quality scaling
-  (quality=100 -> all-ones tables, near-lossless), and canonical
-  single-length Huffman tables generated from the symbol alphabet
-  (every DC category coded in 4 bits, every AC (run, size) symbol in
-  8 bits). Single-length tables are a perfectly valid DHT — larger
-  output than the Annex K defaults, but free of 162 hand-transcribed
-  constants, and any spec decoder reads them from the DHT segment.
+  3 components, GENERIC sampling factors H,V ∈ {1, 2} (so 4:4:4,
+  4:2:0, 4:2:2 and 4:4:0 all decode, chroma upsampled by
+  replication), and restart intervals (DRI + RST0-7 resync with DC
+  predictor reset — the marker layout that makes huge JPEGs
+  chunk-parallelizable at 100 TB scale). It reconstructs Huffman
+  tables canonically from the file's own DHT segments and
+  dequantizes with the file's own DQT tables, so it decodes any
+  in-contract baseline file, not just this encoder's output.
+- **Encoder**: 4:4:4 or 4:2:0 YCbCr (or single-component grayscale),
+  optional restart intervals, Annex K quantization tables under the
+  classic IJG quality scaling (quality=100 -> all-ones tables,
+  near-lossless), and canonical single-length Huffman tables
+  generated from the symbol alphabet (every DC category coded in 4
+  bits, every AC (run, size) symbol in 8 bits). Single-length tables
+  are a perfectly valid DHT — larger output than the Annex K
+  defaults, but free of 162 hand-transcribed constants, and any spec
+  decoder reads them from the DHT segment.
 
 Pixel math: FDCT/IDCT via the orthonormal DCT-II matrix (exact
-float64 inverses); the only loss is coefficient quantization and the
-two color-transform roundings, so a quality-100 round-trip is pinned
-to a small per-pixel tolerance in tests/test_jpeg_property.py.
+float64 inverses); the only loss is coefficient quantization, chroma
+downsampling (4:2:0), and the two color-transform roundings. A
+quality-100 4:4:4 round-trip is pinned to a small per-pixel tolerance
+in tests/test_jpeg_property.py, and decode(encode(x)) is pinned
+BIT-EXACTLY against a bitstream-free reference recompute of the same
+transform path (quantize→dequantize→IDCT→upsample→color), which
+isolates the Huffman/marker/restart layer as the tested delta.
 
 Reference: reference repo has no media tier (281-line CSV ETL); this
 extends SURVEY.md §2.3's multimodal family.
@@ -176,6 +184,11 @@ class _BitWriter:
             pad = 8 - self._n
             self.put((1 << pad) - 1, pad)  # pad with 1s per spec
 
+    def restart(self, m: int) -> None:
+        """Byte-align and emit RSTm (raw marker, never stuffed)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 class _BitReader:
     def __init__(self, data: bytes) -> None:
@@ -206,6 +219,25 @@ class _BitReader:
         self._n -= length
         self._acc &= (1 << self._n) - 1
         return out
+
+    def sync_restart(self, expected_m: int) -> None:
+        """Discard padding bits, then consume the RSTm marker the
+        encoder placed at this MCU boundary (T.81 E.1.4)."""
+        self._acc = 0
+        self._n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated JPEG entropy stream at restart")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or not 0xD0 <= b1 <= 0xD7:
+            raise ValueError(
+                f"expected restart marker, got 0x{b0:02X}{b1:02X}"
+            )
+        if b1 - 0xD0 != (expected_m & 7):
+            raise ValueError(
+                f"restart marker out of sequence: got RST{b1 - 0xD0}, "
+                f"expected RST{expected_m & 7}"
+            )
+        self.pos += 2
 
 
 def _receive_extend(bits: int, size: int) -> int:
@@ -308,53 +340,117 @@ def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + bytes([tq]) + zz
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """(h, w, 3) uint8 RGB (or (h, w) grayscale) -> baseline JFIF
-    bytes: 4:4:4, no subsampling, no restart intervals."""
+def _encode_planes(
+    img: np.ndarray, subsampling: str
+) -> tuple[list[tuple[np.ndarray, int, int]], int, int]:
+    """(plane, H, V) per component (level-shifted float64, padded to
+    its own block multiple), plus the padded luma dims. The same
+    helper feeds the test suite's bitstream-free reference recompute,
+    so the codec and its oracle share one sampling definition."""
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise ValueError("expected (h, w, 3) RGB or (h, w) grayscale")
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty raster")
-    ql, qc = quant_tables(quality)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     if gray:
-        planes = [img.astype(np.float64)]
-        qmap = [ql]
-    else:
-        ycc = _rgb_to_ycbcr(img)
-        planes = [ycc[:, :, i] for i in range(3)]
-        qmap = [ql, qc, qc]
-    # edge-replicate pad so partial blocks carry real pixels
-    planes = [
-        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
-        for p in planes
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        y = np.pad(
+            img.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge"
+        )
+        return [(y - 128.0, 1, 1)], ph, pw
+    ycc = _rgb_to_ycbcr(img)
+    if subsampling == "444":
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        planes = [
+            np.pad(
+                ycc[:, :, i], ((0, ph - h), (0, pw - w)), mode="edge"
+            )
+            - 128.0
+            for i in range(3)
+        ]
+        return [(p, 1, 1) for p in planes], ph, pw
+    # 4:2:0: luma padded to 16-multiples; chroma = 2x2 box mean of the
+    # padded full-res plane (so chroma dims are exact 8-multiples)
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    padded = [
+        np.pad(ycc[:, :, i], ((0, ph - h), (0, pw - w)), mode="edge")
+        for i in range(3)
     ]
-    comp_blocks = []
-    for p, q in zip(planes, qmap):
-        blocks = _blockify(p)
-        coeffs = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
-        quant = np.round(coeffs / q).astype(np.int64)
-        comp_blocks.append(quant[:, _ZZ_ROWS, _ZZ_COLS])
+    y = padded[0] - 128.0
+    chroma = [
+        p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) - 128.0
+        for p in padded[1:]
+    ]
+    return [(y, 2, 2), (chroma[0], 1, 1), (chroma[1], 1, 1)], ph, pw
+
+
+def _quantize_blocks(
+    plane: np.ndarray, q: np.ndarray
+) -> np.ndarray:
+    """(by, bx, 64) quantized zigzagged coefficients for a padded
+    component plane."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = _blockify(plane)
+    coeffs = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+    quant = np.round(coeffs / q).astype(np.int64)
+    return quant[:, _ZZ_ROWS, _ZZ_COLS].reshape(bh, bw, 64)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w) grayscale) -> baseline JFIF
+    bytes. ``subsampling``: '444' (no chroma subsampling) or '420'
+    (2x2 luma sampling, box-mean chroma). ``restart_interval`` > 0
+    emits DRI + RST0-7 every N MCUs — the resync-point layout that
+    lets a 100 TB pipeline split one huge scan across workers."""
+    ql, qc = quant_tables(quality)
+    comps, ph, pw = _encode_planes(img, subsampling)
+    h, w = img.shape[:2]
+    ncomp = len(comps)
+    qmap = [ql] + [qc] * (ncomp - 1)
+    zz = [_quantize_blocks(p, q) for (p, _, _), q in zip(comps, qmap)]
+    hmax = max(hv for _, hv, _ in comps)
+    vmax = max(vv for _, _, vv in comps)
+    mcu_rows, mcu_cols = ph // (8 * vmax), pw // (8 * hmax)
 
     writer = _BitWriter()
-    preds = [0] * len(planes)
-    for b in range(comp_blocks[0].shape[0]):  # 4:4:4 MCU interleave
-        for ci in range(len(planes)):
-            preds[ci] = _encode_block(writer, comp_blocks[ci][b], preds[ci])
+    preds = [0] * ncomp
+    mcus_done = 0
+    rst = 0
+    for mr in range(mcu_rows):
+        for mc in range(mcu_cols):
+            if (
+                restart_interval
+                and mcus_done
+                and mcus_done % restart_interval == 0
+            ):
+                writer.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * ncomp
+            for ci, (_, hi, vi) in enumerate(comps):
+                for dr in range(vi):
+                    for dc in range(hi):
+                        block = zz[ci][mr * vi + dr, mc * hi + dc]
+                        preds[ci] = _encode_block(writer, block, preds[ci])
+            mcus_done += 1
     writer.flush()
 
-    ncomp = len(planes)
     app0 = (
         b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
         + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
     )
     sof_comps = b""
     sos_comps = b""
-    for ci in range(ncomp):
+    for ci, (_, hi, vi) in enumerate(comps):
         tq = 0 if ci == 0 else 1
-        sof_comps += bytes([ci + 1, 0x11, tq])  # H=V=1
+        sof_comps += bytes([ci + 1, (hi << 4) | vi, tq])
         sos_comps += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
     sof = (
         b"\xff\xc0"
@@ -376,6 +472,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         out += _dqt_segment(1, qc)
     out += sof
     out += _dht_segment(0, 0, _DC_SPEC) + _dht_segment(1, 0, _AC_SPEC)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += sos + bytes(writer.out) + EOI
     return out
 
@@ -413,16 +511,19 @@ class _HuffTable:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes -> (h, w, 3) uint8 RGB (grayscale files
-    replicate Y across channels). Contract: SOF0, 8-bit, H=V=1 for
-    every component, no restart intervals — anything else fails loud
-    with ValueError (the decode_png contract pattern)."""
+    replicate Y across channels). Contract: SOF0, 8-bit, sampling
+    factors H,V in {1, 2} (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0; chroma
+    upsampled by replication), restart intervals honored — anything
+    else fails loud with ValueError (the decode_png contract
+    pattern)."""
     if not payload.startswith(SOI):
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, _HuffTable] = {}
     ac_tabs: dict[int, _HuffTable] = {}
-    frame = None  # (h, w, [(comp_id, tq)])
+    frame = None  # (h, w, [(comp_id, h_i, v_i, tq)])
     scan = None  # ([(comp_idx, td, ta)], ecs_start)
+    restart_interval = 0
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -475,18 +576,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "chroma subsampling out of contract (H=V=1 only)"
+                        f"sampling factors {hi}x{vi} out of contract "
+                        "(H, V in {1, 2})"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline SOF out of contract")
         elif marker == 0xDD:  # DRI
-            if struct.unpack(">H", body[:2])[0] != 0:
-                raise ValueError("restart intervals out of contract")
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -497,7 +599,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = body[1 + 2 * c : 3 + 2 * c]
                 idx = next(
-                    (i for i, (cid, _) in enumerate(frame[2]) if cid == cs),
+                    (
+                        i
+                        for i, (cid, *_rest) in enumerate(frame[2])
+                        if cid == cs
+                    ),
                     None,
                 )
                 if idx is None:
@@ -518,51 +624,87 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("JPEG missing EOI")
     reader = _BitReader(payload[ecs_start:end])
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    n_mcu = (ph // 8) * (pw // 8)
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcu_rows = -(-h // (8 * vmax))
+    mcu_cols = -(-w // (8 * hmax))
     ncomp = len(comps)
-    coeffs = np.zeros((ncomp, n_mcu, 64), dtype=np.int64)
+    # per-component block grids (by, bx, 64)
+    coeffs = [
+        np.zeros((mcu_rows * vi, mcu_cols * hi, 64), dtype=np.int64)
+        for _, hi, vi, _ in comps
+    ]
     preds = [0] * ncomp
-    for m in range(n_mcu):
-        for idx, td, ta in scomps:
-            if td not in dc_tabs or ta not in ac_tabs:
-                raise ValueError("SOS references missing Huffman table")
-            dct, act = dc_tabs[td], ac_tabs[ta]
-            size = dct.decode(reader)
-            if size > 11:
-                raise ValueError("invalid DC size category")
-            diff = _receive_extend(reader.read(size), size)
-            preds[idx] += diff
-            coeffs[idx, m, 0] = preds[idx]
-            k = 1
-            while k < 64:
-                rs = act.decode(reader)
-                if rs == 0x00:  # EOB
-                    break
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("invalid AC run/size symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC coefficient index overflow")
-                coeffs[idx, m, k] = _receive_extend(
-                    reader.read(size), size
-                )
-                k += 1
+    mcus_done = 0
+    rst = 0
+    for mr in range(mcu_rows):
+        for mc in range(mcu_cols):
+            if (
+                restart_interval
+                and mcus_done
+                and mcus_done % restart_interval == 0
+            ):
+                reader.sync_restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * ncomp
+            for idx, td, ta in scomps:
+                if td not in dc_tabs or ta not in ac_tabs:
+                    raise ValueError(
+                        "SOS references missing Huffman table"
+                    )
+                dct, act = dc_tabs[td], ac_tabs[ta]
+                _, hi, vi, _ = comps[idx]
+                for dr in range(vi):
+                    for dc in range(hi):
+                        size = dct.decode(reader)
+                        if size > 11:
+                            raise ValueError("invalid DC size category")
+                        diff = _receive_extend(reader.read(size), size)
+                        preds[idx] += diff
+                        block = coeffs[idx][mr * vi + dr, mc * hi + dc]
+                        block[0] = preds[idx]
+                        k = 1
+                        while k < 64:
+                            rs = act.decode(reader)
+                            if rs == 0x00:  # EOB
+                                break
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError(
+                                        "invalid AC run/size symbol"
+                                    )
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError(
+                                    "AC coefficient index overflow"
+                                )
+                            block[k] = _receive_extend(
+                                reader.read(size), size
+                            )
+                            k += 1
+            mcus_done += 1
 
     planes = []
-    for ci, (_, tq) in enumerate(comps):
+    for ci, (_, hi, vi, tq) in enumerate(comps):
         if tq not in qt:
             raise ValueError("SOF references missing quant table")
-        blocks = np.zeros((n_mcu, 8, 8), dtype=np.float64)
-        blocks[:, _ZZ_ROWS, _ZZ_COLS] = coeffs[ci].astype(np.float64)
+        by, bx, _ = coeffs[ci].shape
+        flat = coeffs[ci].reshape(by * bx, 64)
+        blocks = np.zeros((by * bx, 8, 8), dtype=np.float64)
+        blocks[:, _ZZ_ROWS, _ZZ_COLS] = flat.astype(np.float64)
         blocks *= qt[tq].astype(np.float64)[None, :, :]
         # IDCT: B[x,y] = sum_{u,v} C[u,x] F[u,v] C[v,y]
         spatial = np.einsum("ux,nuv,vy->nxy", _C, blocks, _C)
-        planes.append(_unblockify(spatial, ph, pw)[:h, :w] + 128.0)
+        plane = _unblockify(spatial, by * 8, bx * 8)
+        # replicate-upsample subsampled components to full padded res
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        planes.append(plane[:h, :w] + 128.0)
     if ncomp == 1:
         y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=2)

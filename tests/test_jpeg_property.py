@@ -90,6 +90,94 @@ def test_lossy_qualities_decode_cleanly(seed, quality):
     assert dec.shape == img.shape and dec.dtype == np.uint8
 
 
+def _reference_decode(img: np.ndarray, quality: int, subsampling: str):
+    """Bitstream-free recompute of what decode_jpeg must produce:
+    the SAME transform path (sample → quantize → dequantize → IDCT →
+    upsample → color) via the module's own helpers, skipping the
+    Huffman/marker/restart layer entirely. decode(encode(x)) must
+    equal this BIT-EXACTLY — integer coefficients survive entropy
+    coding unchanged and both sides run identical float64 ops in
+    identical order — which isolates the bitstream layer as the
+    tested delta."""
+    from rfb_data_pipeline_spark.functions import jpeg as J
+
+    comps, _, _ = J._encode_planes(img, subsampling)
+    ql, qc = J.quant_tables(quality)
+    qmap = [ql] + [qc] * (len(comps) - 1)
+    hmax = max(hi for _, hi, _ in comps)
+    vmax = max(vi for _, _, vi in comps)
+    h, w = img.shape[:2]
+    planes = []
+    for (p, hi, vi), q in zip(comps, qmap):
+        zz = J._quantize_blocks(p, q)
+        by, bx, _ = zz.shape
+        blocks = np.zeros((by * bx, 8, 8), dtype=np.float64)
+        blocks[:, J._ZZ_ROWS, J._ZZ_COLS] = zz.reshape(-1, 64).astype(
+            np.float64
+        )
+        blocks *= q.astype(np.float64)[None, :, :]
+        spatial = np.einsum("ux,nuv,vy->nxy", J._C, blocks, J._C)
+        plane = J._unblockify(spatial, by * 8, bx * 8)
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        planes.append(plane[:h, :w] + 128.0)
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=2)
+    return J._ycbcr_to_rgb(np.stack(planes, axis=2))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    dims=_dims,
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    quality=st.integers(min_value=1, max_value=100),
+    subsampling=st.sampled_from(["444", "420"]),
+    dri=st.integers(min_value=0, max_value=3),
+)
+def test_bitstream_layer_is_exact(dims, seed, quality, subsampling, dri):
+    """decode(encode(x)) == the bitstream-free reference recompute,
+    BIT-EXACT, across qualities, both subsampling layouts, and
+    restart intervals 0-3 — a Huffman, marker, byte-stuffing, or
+    restart-resync bug of ANY size fails this."""
+    h, w = dims
+    img = _raster(seed, h, w)
+    payload = encode_jpeg(
+        img, quality=quality, subsampling=subsampling,
+        restart_interval=dri,
+    )
+    assert np.array_equal(
+        decode_jpeg(payload), _reference_decode(img, quality, subsampling)
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(dims=_dims, seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_420_smooth_roundtrip_within_tolerance(dims, seed):
+    """4:2:0 is near-exact on chroma-smooth content (per-2x2-constant
+    chroma survives the box mean): build such an image and pin the
+    decoded error to the 4:4:4 tolerance."""
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    small = rng.integers(0, 256, (-(-h // 2), -(-w // 2), 3), np.uint8)
+    img = np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)[:h, :w]
+    dec = decode_jpeg(encode_jpeg(img, quality=100, subsampling="420"))
+    err = np.abs(dec.astype(np.int64) - img.astype(np.int64)).max()
+    assert err <= 3, f"{h}x{w} seed {seed}: max err {err}"
+
+
+def test_restart_marker_sequence_enforced():
+    img = _raster(9, 16, 16)
+    payload = bytearray(encode_jpeg(img, quality=100, restart_interval=1))
+    at = bytes(payload).find(b"\xff\xd0")
+    assert at > 0
+    payload[at + 1] = 0xD5  # out-of-sequence restart number
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(payload))
+
+
 def test_header_parse_agrees_with_decoder():
     img = _raster(5, 11, 19)
     payload = encode_jpeg(img, quality=90)
@@ -120,11 +208,11 @@ def test_decoder_contract_failures():
     # truncation inside the entropy stream
     with pytest.raises(ValueError):
         decode_jpeg(bytes(payload[: len(payload) // 2]))
-    # subsampling out of contract: rewrite component 0's H/V to 2x2
+    # sampling factors out of contract: H=4 (only 1 and 2 decode)
     hv_at = sof + 11  # SOF0: marker(2) len(2) P(1) Y(2) X(2) C1(1) -> HV
     sub = bytearray(payload)
-    sub[hv_at] = 0x22
-    with pytest.raises(ValueError, match="subsampling"):
+    sub[hv_at] = 0x41
+    with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(sub))
 
 
