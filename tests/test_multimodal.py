@@ -1,5 +1,6 @@
 """Multimodal plumbing tests: schema, Arrow batch shape, deterministic
-stub decode, frame-sampling explosion, and the NotImplementedError gate.
+stub decode, frame-sampling explosion (stub + real MJPEG tiers), and
+the fail-loud ValueError gate for formats with no native decode tier.
 """
 
 from __future__ import annotations
