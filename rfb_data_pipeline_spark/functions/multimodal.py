@@ -169,47 +169,85 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 array → RGB8 PNG bytes (stdlib zlib only).
+# channels per PNG color type (8-bit, non-interlaced contract)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_filter_line(
+    line: np.ndarray, prev: np.ndarray, ftype: int, bpp: int
+) -> np.ndarray:
+    """Apply scanline filter ``ftype`` (PNG spec §9) to one raw line
+    given bytes-per-pixel ``bpp``."""
+    if ftype == 0:
+        return line
+    zeros = np.zeros(bpp, np.uint8)
+    left = np.concatenate([zeros, line[:-bpp]])
+    if ftype == 1:  # Sub
+        return (line.astype(np.int16) - left).astype(np.uint8)
+    if ftype == 2:  # Up
+        return (line.astype(np.int16) - prev).astype(np.uint8)
+    if ftype == 3:  # Average
+        avg = (left.astype(np.int16) + prev.astype(np.int16)) // 2
+        return (line.astype(np.int16) - avg).astype(np.uint8)
+    ul = np.concatenate([zeros, prev[:-bpp]])  # Paeth
+    pred = _paeth(
+        left.astype(np.int16), prev.astype(np.int16), ul.astype(np.int16)
+    )
+    return (line.astype(np.int16) - pred).astype(np.uint8)
+
+
+def encode_png(
+    img: np.ndarray, color_type: int = 2, palette: np.ndarray | None = None
+) -> bytes:
+    """uint8 array → 8-bit PNG bytes (stdlib zlib only), any of the
+    five spec color types:
+
+    - 2 (default, RGB): img (h, w, 3)
+    - 0 (grayscale): img (h, w)
+    - 4 (gray+alpha): img (h, w, 2)
+    - 6 (RGBA): img (h, w, 4)
+    - 3 (palette): img (h, w) of indices + ``palette`` (n ≤ 256, 3)
 
     Scanline filters cycle 0..4 so every unfilter branch in
     ``decode_png`` is exercised by round-trip tests, not just the
     trivial filter-0 path."""
     import zlib
 
-    h, w, c = img.shape
-    if c != 3:
-        raise ValueError("PNG encoder is RGB8: expected (h, w, 3)")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    want_shape = 2 if ch == 1 else 3
+    if img.ndim != want_shape or (ch > 1 and img.shape[2] != ch):
+        raise ValueError(
+            f"color type {color_type} expects "
+            f"{'(h, w)' if ch == 1 else f'(h, w, {ch})'}"
+        )
+    plte = b""
+    if color_type == 3:
+        if palette is None or palette.ndim != 2 or palette.shape[1] != 3:
+            raise ValueError("palette PNG needs an (n, 3) palette")
+        if len(palette) > 256:
+            raise ValueError("palette holds at most 256 entries")
+        if int(img.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        plte = _png_chunk(
+            b"PLTE", np.ascontiguousarray(palette, np.uint8).tobytes()
+        )
+    h, w = img.shape[:2]
     img = np.ascontiguousarray(img, dtype=np.uint8)
     raw = bytearray()
-    prev = np.zeros(w * 3, dtype=np.uint8)
+    prev = np.zeros(w * ch, dtype=np.uint8)
     for y in range(h):
         line = img[y].reshape(-1)
         ftype = y % 5
-        if ftype == 0:
-            filt = line
-        elif ftype == 1:  # Sub: delta vs pixel to the left
-            left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
-            filt = (line.astype(np.int16) - left).astype(np.uint8)
-        elif ftype == 2:  # Up: delta vs pixel above
-            filt = (line.astype(np.int16) - prev).astype(np.uint8)
-        elif ftype == 3:  # Average
-            left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
-            avg = (left.astype(np.int16) + prev.astype(np.int16)) // 2
-            filt = (line.astype(np.int16) - avg).astype(np.uint8)
-        else:  # Paeth
-            left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
-            ul = np.concatenate([np.zeros(3, np.uint8), prev[:-3]])
-            pred = _paeth(left.astype(np.int16), prev.astype(np.int16),
-                          ul.astype(np.int16))
-            filt = (line.astype(np.int16) - pred).astype(np.uint8)
         raw.append(ftype)
-        raw.extend(filt.tobytes())
+        raw.extend(_png_filter_line(line, prev, ftype, ch).tobytes())
         prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # RGB8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _png_chunk(b"IEND", b"")
     )
@@ -225,9 +263,12 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """RGB8 PNG bytes → (h, w, 3) uint8 array, stdlib zlib inflate +
-    full five-filter unfilter. Interlace and non-RGB8 color types are
-    out of contract and fail loud."""
+    """8-bit non-interlaced PNG bytes → (h, w, 3) uint8 RGB array,
+    stdlib zlib inflate + full five-filter unfilter, for all five
+    spec color types: grayscale and gray+alpha replicate the gray
+    channel, palette (type 3) resolves through PLTE, RGBA drops the
+    alpha channel (the downstream feature tier consumes RGB).
+    Interlace and 16-bit depth are out of contract and fail loud."""
     import zlib
 
     if not payload or not payload.startswith(PNG_SIG):
@@ -235,6 +276,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos, w = len(PNG_SIG), None
     h = bit_depth = color_type = interlace = None
     idat = bytearray()
+    palette = None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -251,6 +293,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+        elif tag == b"PLTE":
+            if ln % 3 or ln == 0 or ln > 768:
+                raise ValueError("malformed PLTE chunk")
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -258,16 +304,22 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + ln
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if (bit_depth, color_type, interlace) != (8, 2, 0):
+    if (
+        bit_depth != 8
+        or interlace != 0
+        or color_type not in _PNG_CHANNELS
+    ):
         raise ValueError(
-            "only non-interlaced RGB8 PNGs are in contract "
-            f"(got depth={bit_depth} color={color_type} interlace={interlace})"
+            "only non-interlaced 8-bit PNGs (color types 0/2/3/4/6) "
+            f"are in contract (got depth={bit_depth} "
+            f"color={color_type} interlace={interlace})"
         )
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:  # truncated/corrupt deflate stream
         raise ValueError(f"PNG IDAT stream corrupt: {exc}") from exc
-    stride = w * 3
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG raster size mismatch")
     img = np.zeros((h, stride), dtype=np.uint8)
@@ -285,9 +337,9 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif ftype in (1, 3, 4):  # Sub/Average/Paeth need left-to-right
             rec = np.zeros(stride, dtype=np.int16)
             for x in range(stride):
-                left = rec[x - 3] if x >= 3 else 0
+                left = rec[x - ch] if x >= ch else 0
                 up = prev[x]
-                ul = prev[x - 3] if x >= 3 else 0
+                ul = prev[x - ch] if x >= ch else 0
                 if ftype == 1:
                     pred = left
                 elif ftype == 3:
@@ -301,7 +353,23 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ftype}")
         img[y] = rec.astype(np.uint8)
         prev = rec
-    return img.reshape(h, w, 3)
+    if color_type == 2:
+        return img.reshape(h, w, 3)
+    if color_type == 6:
+        return np.ascontiguousarray(img.reshape(h, w, 4)[:, :, :3])
+    if color_type == 0:
+        g = img.reshape(h, w)
+        return np.stack([g, g, g], axis=2)
+    if color_type == 4:
+        g = img.reshape(h, w, 2)[:, :, 0]
+        return np.stack([g, g, g], axis=2)
+    # color type 3: palette lookup
+    if palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    idx = img.reshape(h, w)
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("PNG palette index out of range")
+    return palette[idx]
 
 
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -626,13 +626,15 @@ def test_png_decode_truncated_between_body_and_crc():
     assert decoded_ok <= 12
 
 
-def test_png_decode_rejects_out_of_contract_color():
+def test_png_decode_handles_grayscale_and_rejects_interlace():
     import struct
     import zlib
 
+    import numpy as np
     import pytest
 
-    # hand-build a grayscale (color type 0) IHDR: out of contract
+    # hand-built grayscale (color type 0): decodes since r09, channel-
+    # replicated to RGB
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
     raw = zlib.compress(bytes([0, 1, 2, 0, 3, 4]))
     payload = (
@@ -641,8 +643,19 @@ def test_png_decode_rejects_out_of_contract_color():
         + mm._png_chunk(b"IDAT", raw)
         + mm._png_chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="RGB8"):
-        mm.decode_png(payload)
+    dec = mm.decode_png(payload)
+    want = np.array([[1, 2], [3, 4]], np.uint8)
+    assert np.array_equal(dec, np.stack([want] * 3, axis=2))
+    # Adam7 interlace stays out of contract
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    bad = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr_i)
+        + mm._png_chunk(b"IDAT", raw)
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="in contract"):
+        mm.decode_png(bad)
 
 
 def test_m09_verdict_non_vacuous(spark):

@@ -49,3 +49,83 @@ def test_png_constant_raster_property(v, h, w):
     case for sign/wraparound bugs in the uint8 delta arithmetic)."""
     img = np.full((h, w, 3), v, dtype=np.uint8)
     assert np.array_equal(mm.decode_png(mm.encode_png(img)), img)
+
+
+_dims = st.tuples(
+    st.integers(min_value=1, max_value=17),
+    st.integers(min_value=1, max_value=17),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    dims=_dims,
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    color_type=st.sampled_from([0, 2, 3, 4, 6]),
+)
+def test_png_all_color_types_roundtrip_exact(dims, seed, color_type):
+    """r09: the decoder handles every 8-bit spec color type. PNG is
+    lossless, so each round-trip is EXACT: gray / gray+alpha
+    replicate the gray channel, palette resolves through PLTE, RGBA
+    drops alpha — all against the encoder's five-filter cycle."""
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    if color_type == 0:
+        img = rng.integers(0, 256, (h, w), np.uint8)
+        dec = mm.decode_png(mm.encode_png(img, color_type=0))
+        want = np.stack([img, img, img], axis=2)
+    elif color_type == 2:
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        dec = mm.decode_png(mm.encode_png(img))
+        want = img
+    elif color_type == 3:
+        n_pal = int(rng.integers(1, 257))
+        palette = rng.integers(0, 256, (n_pal, 3), np.uint8)
+        img = rng.integers(0, n_pal, (h, w)).astype(np.uint8)
+        dec = mm.decode_png(
+            mm.encode_png(img, color_type=3, palette=palette)
+        )
+        want = palette[img]
+    elif color_type == 4:
+        img = rng.integers(0, 256, (h, w, 2), np.uint8)
+        dec = mm.decode_png(mm.encode_png(img, color_type=4))
+        g = img[:, :, 0]
+        want = np.stack([g, g, g], axis=2)
+    else:  # 6: RGBA
+        img = rng.integers(0, 256, (h, w, 4), np.uint8)
+        dec = mm.decode_png(mm.encode_png(img, color_type=6))
+        want = img[:, :, :3]
+    assert np.array_equal(dec, want), (color_type, h, w, seed)
+
+
+def test_png_palette_contract_failures():
+    import pytest
+
+    img = np.zeros((2, 2), np.uint8)
+    pal = np.zeros((1, 3), np.uint8)
+    # encoder: out-of-range index / oversized / missing palette
+    with pytest.raises(ValueError, match="palette"):
+        mm.encode_png(np.full((2, 2), 5, np.uint8), color_type=3,
+                      palette=pal)
+    with pytest.raises(ValueError, match="palette"):
+        mm.encode_png(img, color_type=3)
+    with pytest.raises(ValueError, match="256"):
+        mm.encode_png(img, color_type=3,
+                      palette=np.zeros((300, 3), np.uint8))
+    # decoder: strip PLTE from a valid palette payload -> fail loud
+    payload = mm.encode_png(img, color_type=3, palette=pal)
+    at = payload.index(b"PLTE") - 4
+    ln = int.from_bytes(payload[at:at + 4], "big")
+    stripped = payload[:at] + payload[at + 12 + ln:]
+    with pytest.raises(ValueError, match="missing PLTE"):
+        mm.decode_png(stripped)
+    # 16-bit depth out of contract (flip IHDR depth byte + fix CRC)
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    bad = (mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+           + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+           + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="in contract"):
+        mm.decode_png(bad)

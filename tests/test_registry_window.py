@@ -66,8 +66,6 @@ def test_r09_window_composition():
     } <= window
     # NO slot burns on r07/r08-green untouched code.
     assert not (window & {
-        "q24_approx_distinct"} - touched_stale)
-    assert not (window & {
         "v01_integrity_report", "v02_duplicate_keys_report",
         "m01_image_metadata", "m05_header_parse",
         "d01_exact_dedup", "s02_ann_lsh", "e16_stream_replay",
