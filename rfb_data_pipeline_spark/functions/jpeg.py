@@ -353,8 +353,10 @@ def _encode_planes(
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty raster")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "420", "422", "440"):
+        raise ValueError(
+            "subsampling must be one of '444', '420', '422', '440'"
+        )
     if gray:
         ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
         y = np.pad(
@@ -372,19 +374,26 @@ def _encode_planes(
             for i in range(3)
         ]
         return [(p, 1, 1) for p in planes], ph, pw
-    # 4:2:0: luma padded to 16-multiples; chroma = 2x2 box mean of the
-    # padded full-res plane (so chroma dims are exact 8-multiples)
-    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    # Subsampled layouts: luma padded to the MCU multiple on each
+    # subsampled axis; chroma = box mean of the padded full-res plane
+    # over the sampling cell (so chroma dims are exact 8-multiples).
+    # 420 = 2x2 cell, 422 = horizontal-only 1x2, 440 = vertical-only
+    # 2x1 — the two asymmetric layouts keep the decoder's generic
+    # H != V MCU path exercised rather than dead.
+    fh = 2 if subsampling in ("420", "422") else 1  # luma H factor
+    fv = 2 if subsampling in ("420", "440") else 1  # luma V factor
+    ph = -(-h // (8 * fv)) * 8 * fv
+    pw = -(-w // (8 * fh)) * 8 * fh
     padded = [
         np.pad(ycc[:, :, i], ((0, ph - h), (0, pw - w)), mode="edge")
         for i in range(3)
     ]
     y = padded[0] - 128.0
     chroma = [
-        p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) - 128.0
+        p.reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3)) - 128.0
         for p in padded[1:]
     ]
-    return [(y, 2, 2), (chroma[0], 1, 1), (chroma[1], 1, 1)], ph, pw
+    return [(y, fh, fv), (chroma[0], 1, 1), (chroma[1], 1, 1)], ph, pw
 
 
 def _quantize_blocks(

@@ -134,12 +134,13 @@ def _reference_decode(img: np.ndarray, quality: int, subsampling: str):
     dims=_dims,
     seed=st.integers(min_value=0, max_value=2**31 - 1),
     quality=st.integers(min_value=1, max_value=100),
-    subsampling=st.sampled_from(["444", "420"]),
+    subsampling=st.sampled_from(["444", "420", "422", "440"]),
     dri=st.integers(min_value=0, max_value=3),
 )
 def test_bitstream_layer_is_exact(dims, seed, quality, subsampling, dri):
     """decode(encode(x)) == the bitstream-free reference recompute,
-    BIT-EXACT, across qualities, both subsampling layouts, and
+    BIT-EXACT, across qualities, all four subsampling layouts
+    (including the asymmetric 4:2:2/4:4:0 H != V MCU paths), and
     restart intervals 0-3 — a Huffman, marker, byte-stuffing, or
     restart-resync bug of ANY size fails this."""
     h, w = dims
