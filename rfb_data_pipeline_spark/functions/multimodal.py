@@ -1077,6 +1077,80 @@ def jpeg_roundtrip_stats(spark: SparkSession, n: int) -> DataFrame:
     return base.mapInPandas(run, JPEG_RT_SCHEMA)
 
 
+MJPEG_RT_SCHEMA = StructType(
+    [
+        StructField("video_id", LongType(), False),
+        StructField("n_frames_decoded", IntegerType(), False),
+        StructField("sum_src_r", LongType(), False),
+        StructField("sum_src_g", LongType(), False),
+        StructField("sum_src_b", LongType(), False),
+        StructField("max_abs_err", IntegerType(), False),
+    ]
+)
+
+_MJPEG_FRAME_W = 16
+_MJPEG_FRAME_H = 16
+
+
+def mjpeg_roundtrip_stats(
+    spark: SparkSession, n_videos: int, n_frames: int
+) -> DataFrame:
+    """Per-video MJPEG round-trip fidelity through the FULL container
+    loop: deterministic md5-chain frames (label ``vidf-{flat_id}``)
+    are JPEG-encoded, muxed into a real ISO-BMFF sample table
+    (``encode_mjpeg_mp4``), demuxed back (``mp4_samples``), and every
+    frame REALLY decoded — each row carries the SOURCE channel sums
+    (DuckDB-recomputable from the chain) plus the decoded max abs
+    pixel error, so the m10 verdict row hash-checks the whole
+    encode→mux→demux→decode path (the m09 pattern one layer up)."""
+    from rfb_data_pipeline_spark.functions.jpeg import decode_jpeg
+
+    w, h = _MJPEG_FRAME_W, _MJPEG_FRAME_H
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for i in pdf["id"]:
+                i = int(i)
+                frames = [
+                    np.frombuffer(
+                        _md5_chain_bytes(
+                            f"vidf-{i * n_frames + k}", w * h * 3
+                        ),
+                        dtype=np.uint8,
+                    ).reshape(h, w, 3)
+                    for k in range(n_frames)
+                ]
+                mp4 = encode_mjpeg_mp4(frames, frame_dur_ms=500, quality=100)
+                samples = mp4_samples(mp4)
+                err = 0
+                sums = np.zeros(3, dtype=np.int64)
+                for k, (off, sz, _t) in enumerate(samples):
+                    dec = decode_jpeg(mp4[off : off + sz])
+                    src = frames[k].astype(np.int64)
+                    err = max(
+                        err, int(np.abs(dec.astype(np.int64) - src).max())
+                    )
+                    sums += src.sum(axis=(0, 1))
+                recs.append(
+                    (
+                        i, len(samples),
+                        int(sums[0]), int(sums[1]), int(sums[2]), err,
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "video_id", "n_frames_decoded",
+                    "sum_src_r", "sum_src_g", "sum_src_b", "max_abs_err",
+                ],
+            )
+
+    base = spark.range(n_videos, numPartitions=4)
+    _ensure_worker_import(base)
+    return base.mapInPandas(run, MJPEG_RT_SCHEMA)
+
+
 IMAGE_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

@@ -938,6 +938,70 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# m10 — MJPEG-in-BMFF frame round-trip verdict (r09): the m09 codec
+# verdict one container layer up. Deterministic md5-chain frames are
+# JPEG-encoded, muxed into a REAL ISO-BMFF sample table, demuxed via
+# stsd/stts/stsc/stsz/stco, and every frame decoded back — per video
+# the row carries exact SOURCE channel sums (the DuckDB twin
+# recomputes them from the chain) plus a within-tolerance verdict
+# pinned TRUE/0. A mux offset bug, a sample-table miscount, or a
+# codec regression all break the hash. Non-vacuousness (verdict
+# flips at tol=0) pinned in tests/test_multimodal.py.
+
+_MJPEG_N_VIDEOS = 3
+_MJPEG_N_FRAMES = 4
+
+
+def _m10_verdict(stats, tol: int):
+    return stats.select(
+        "video_id",
+        "n_frames_decoded",
+        "sum_src_r",
+        "sum_src_g",
+        "sum_src_b",
+        (F.col("max_abs_err") <= F.lit(tol)).alias("decode_within_tol"),
+        F.greatest(F.col("max_abs_err") - F.lit(tol), F.lit(0))
+        .cast("integer")
+        .alias("err_bucket"),
+    )
+
+
+def m10_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.functions.multimodal import (
+        mjpeg_roundtrip_stats,
+    )
+
+    return _m10_verdict(
+        mjpeg_roundtrip_stats(spark, _MJPEG_N_VIDEOS, _MJPEG_N_FRAMES),
+        _JPEG_TOL,
+    )
+
+
+# 16x16x3 = 768 bytes per frame; flat frame ids i*n_frames + k.
+_M10_SQL = _chain_hexes_sql(
+    "vidf",
+    f"""SELECT i, 768 AS need, (768 + 15) // 16 AS nblk
+  FROM range({_MJPEG_N_VIDEOS * _MJPEG_N_FRAMES}) t(i)""",
+) + f""",
+pix AS (
+  SELECT s.i // {_MJPEG_N_FRAMES} AS video_id, p.p % 3 AS ch,
+         ('0x' || substring(x.hexstr, (p.p * 2 + 1)::INT, 2))::INT AS v
+  FROM sized s JOIN hexes x ON s.i = x.i
+       JOIN range(768) p(p) ON p.p < s.need
+)
+SELECT video_id,
+       CAST({_MJPEG_N_FRAMES} AS INTEGER) AS n_frames_decoded,
+       CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_src_r,
+       CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_src_g,
+       CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_src_b,
+       TRUE AS decode_within_tol,
+       CAST(0 AS INTEGER) AS err_bucket
+FROM pix
+GROUP BY video_id
+"""
+
+
 QUERIES = {
     "m01_image_metadata": m01_image_metadata,
     "m02_media_stats": m02_media_stats,
@@ -948,6 +1012,7 @@ QUERIES = {
     "m07_id3_tag_parse": m07_id3_tag_parse,
     "m08_wav_header_parse": m08_wav_header_parse,
     "m09_jpeg_roundtrip": m09_jpeg_roundtrip,
+    "m10_mjpeg_frames": m10_mjpeg_frames,
 }
 
 # All eight media rows are oracle-backed since r07: the codec tier
@@ -964,4 +1029,5 @@ ORACLE: dict[str, str] = {
     "m07_id3_tag_parse": _M07_SQL,
     "m08_wav_header_parse": _M08_SQL,
     "m09_jpeg_roundtrip": _M09_SQL,
+    "m10_mjpeg_frames": _M10_SQL,
 }

@@ -679,3 +679,30 @@ def test_m09_verdict_non_vacuous(spark):
     assert all(r.decode_within_tol and r.err_bucket == 0 for r in green)
     red = _m09_agg(stats, 0).collect()
     assert any(not r.decode_within_tol and r.err_bucket > 0 for r in red)
+
+
+def test_m10_verdict_non_vacuous(spark):
+    """m10's container-loop verdict must really measure loss (the
+    frames ARE lossy-decoded noise), stay green at the contract
+    tolerance, and flip at tol=0 — a demux or codec regression cannot
+    hide behind a vacuous TRUE."""
+    from rfb_data_pipeline_spark.operators.media import (
+        _JPEG_TOL,
+        _MJPEG_N_FRAMES,
+        _MJPEG_N_VIDEOS,
+        _m10_verdict,
+    )
+
+    stats = mm.mjpeg_roundtrip_stats(
+        spark, _MJPEG_N_VIDEOS, _MJPEG_N_FRAMES
+    ).localCheckpoint()
+    rows = stats.collect()
+    assert len(rows) == _MJPEG_N_VIDEOS
+    assert all(r.n_frames_decoded == _MJPEG_N_FRAMES for r in rows)
+    errs = [r.max_abs_err for r in rows]
+    assert max(errs) > 0, "zero decoded loss — vacuous verdict"
+    assert max(errs) <= _JPEG_TOL
+    green = _m10_verdict(stats, _JPEG_TOL).collect()
+    assert all(r.decode_within_tol and r.err_bucket == 0 for r in green)
+    red = _m10_verdict(stats, 0).collect()
+    assert all(not r.decode_within_tol and r.err_bucket > 0 for r in red)
