@@ -767,6 +767,11 @@ def mp4_samples(payload: bytes) -> list[tuple[int, int, int]]:
 
         def u32s(box_se, skip: int, count: int) -> list[int]:
             s = box_se[0] + skip
+            # fail loud, never read past the box: a malformed count
+            # would otherwise slice beyond the payload and
+            # int.from_bytes(b'') == 0 silently fabricates entries
+            if s + 4 * count > box_se[1]:
+                raise ValueError("truncated MP4 sample table")
             return [
                 int.from_bytes(payload[s + 4 * i : s + 4 * i + 4], "big")
                 for i in range(count)

@@ -706,3 +706,30 @@ def test_m10_verdict_non_vacuous(spark):
     assert all(r.decode_within_tol and r.err_bucket == 0 for r in green)
     red = _m10_verdict(stats, 0).collect()
     assert all(not r.decode_within_tol and r.err_bucket > 0 for r in red)
+
+
+def test_mp4_samples_truncated_table_fails_loud():
+    """A sample-table count that runs past its box must raise the
+    contract ValueError, not fabricate zero entries from empty
+    slices (int.from_bytes(b'') == 0)."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.zeros((8, 8, 3), np.uint8)]
+    mp4 = bytearray(mm.encode_mjpeg_mp4(frames, frame_dur_ms=500))
+    # inflate stsz's sample count without growing the box
+    at = bytes(mp4).index(b"stsz")
+    # stsz body: version/flags(4) sample_size(4) sample_count(4)
+    cnt_at = at + 4 + 8
+    mp4[cnt_at:cnt_at + 4] = struct.pack(">I", 1000)
+    with pytest.raises(ValueError, match="truncated MP4 sample table"):
+        mm.mp4_samples(bytes(mp4))
+    # every truncation point of a valid container also fails loud
+    good = mm.encode_mjpeg_mp4(frames, frame_dur_ms=500)
+    for cut in range(0, len(good), 7):
+        try:
+            mm.mp4_samples(good[:cut])
+        except ValueError:
+            continue
+        raise AssertionError(f"cut={cut} did not fail loud")
