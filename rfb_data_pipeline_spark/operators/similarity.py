@@ -1672,6 +1672,180 @@ LIMIT {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# s16 — ANN recall audit as a driver row: recall@K of the production
+# LSH probe (s02's bucket family) against the exact baseline over a
+# deterministic BATCH of query vectors (vec_id % RECALL_QUERY_MOD), as
+# one aggregate row both engines compute END TO END — unlike the
+# q24/q33 sketch verdicts, nothing here is pinned: the DuckDB twin
+# rebuilds the same bucket index (bit-identical hyperplane folds, see
+# _sql_buckets_cte) and the same exact top-K, so a recall regression
+# from ANY cause (hyperplane drift, bucket-join bug, ranking-order
+# skew, candidate loss) breaks the value hash, not just a pytest.
+#
+# Scale contract: the exact tier is the AUDIT (Q sampled queries ×
+# corpus — linear in the corpus per query, run on a sampled batch,
+# the s03 contract); the production serving path is the bucket probe
+# alone. At 100 TB the audit runs on a fixed query panel against the
+# materialized (t, bucket) index, and recall_ge_floor is the gate a
+# retuning of (num_tables, sign_bits) must keep green (the s06 sf1
+# scale note: recall must be re-measured when retuning occupancy).
+
+RECALL_QUERY_MOD = 31  # 17 queries at sf0.01, 65 at sf0.1
+# floor = 1/4: measured mean recall@10 is 0.51-0.61 across sf0.001/
+# 0.01/0.1 at (16 tables, 6 bits); a crippled index (2 tables)
+# measures 0.12 — the verdict genuinely separates the two regimes.
+RECALL_FLOOR_NUM, RECALL_FLOOR_DEN = 1, 4
+
+
+def ann_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    num_tables: int = NUM_TABLES,
+    sign_bits: int = SIGN_BITS,
+    floor_num: int = RECALL_FLOOR_NUM,
+    floor_den: int = RECALL_FLOOR_DEN,
+) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % RECALL_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    cos = _dot("embedding", "q") / (_norm("embedding") * _norm("q"))
+    rank_w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    # Exact top-K per query: one corpus pass against the broadcast
+    # query panel, per-qid WindowGroupLimit (the s11 shape).
+    exact = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", (F.round(cos, 4) + F.lit(0.0)).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    # ANN top-K per query: candidates ONLY from shared (t, bucket)
+    # cells — the partition-pruned probe, never a corpus scan.
+    buckets = _bucketed(emb, num_tables, sign_bits)
+    qb = buckets.filter(F.col("vec_id") % RECALL_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q"),
+        F.col("t").alias("qt"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = (
+        buckets.join(
+            F.broadcast(qb),
+            (F.col("t") == F.col("qt"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .groupBy("qid", "vec_id")
+        .agg(F.first("embedding").alias("embedding"), F.first("q").alias("q"))
+    )
+    ann = (
+        cand.select(
+            "qid", "vec_id", (F.round(cos, 4) + F.lit(0.0)).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    hits = exact.join(ann, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("overlap")
+    )
+    per_q = queries.select("qid").join(hits, "qid", "left").select(
+        "qid", F.coalesce(F.col("overlap"), F.lit(0)).cast("long").alias(
+            "overlap"
+        )
+    )
+    n_q = F.count(F.lit(1))
+    s_ov = F.sum("overlap")
+    return per_q.agg(
+        n_q.alias("n_queries"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        s_ov.alias("sum_overlap"),
+        F.min("overlap").alias("min_overlap"),
+        (F.round(s_ov / (n_q * F.lit(TOP_K)), 4) + F.lit(0.0)).alias(
+            "mean_recall"
+        ),
+        (
+            s_ov * F.lit(floor_den) >= n_q * F.lit(TOP_K * floor_num)
+        ).alias("recall_ge_floor"),
+    )
+
+
+def s16_ann_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_recall(spark, sf_dir)
+
+
+def _s16_sql() -> str:
+    dot = _SQL_DOT.format(a="embedding", b="q")
+    na = _SQL_DOT.format(a="embedding", b="embedding")
+    nq = _SQL_DOT.format(a="q", b="q")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS q FROM embeddings
+  WHERE vec_id % {RECALL_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT qid, embeddings.vec_id,
+         round({dot} / (sqrt({na}) * sqrt({nq})), 4) + 0.0 AS cosine
+  FROM embeddings, q WHERE embeddings.vec_id != qid
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (
+      PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS r
+    FROM scored
+  ) WHERE r <= {TOP_K}
+),
+buckets AS ({_sql_buckets_cte(NUM_TABLES, SIGN_BITS)}),
+qb AS (
+  SELECT vec_id AS qid, embedding AS q, t AS qt, bucket AS qbucket
+  FROM buckets WHERE vec_id % {RECALL_QUERY_MOD} = 0
+),
+cand AS (
+  SELECT qid, b.vec_id,
+         any_value(b.embedding) AS embedding, any_value(qb.q) AS q
+  FROM buckets b
+  JOIN qb ON b.t = qb.qt AND b.bucket = qb.qbucket AND b.vec_id != qb.qid
+  GROUP BY qid, b.vec_id
+),
+ann_scored AS (
+  SELECT qid, vec_id,
+         round({dot} / (sqrt({na}) * sqrt({nq})), 4) + 0.0 AS cosine
+  FROM cand
+),
+ann AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (
+      PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS r
+    FROM ann_scored
+  ) WHERE r <= {TOP_K}
+),
+hits AS (
+  SELECT exact.qid, count(*) AS n FROM exact JOIN ann USING (qid, vec_id)
+  GROUP BY exact.qid
+),
+per_q AS (
+  SELECT q.qid, coalesce(hits.n, 0) AS overlap
+  FROM q LEFT JOIN hits ON q.qid = hits.qid
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST(sum(overlap) AS BIGINT) AS sum_overlap,
+       CAST(min(overlap) AS BIGINT) AS min_overlap,
+       round(sum(overlap)::DOUBLE / (count(*) * {TOP_K}), 4) + 0.0
+         AS mean_recall,
+       (sum(overlap) * {RECALL_FLOOR_DEN}
+        >= count(*) * {TOP_K * RECALL_FLOOR_NUM}) AS recall_ge_floor
+FROM per_q
+"""
+
+
 QUERIES = {
     "s01_knn_bruteforce": s01_knn_bruteforce,
     "s02_ann_lsh": s02_ann_lsh,
@@ -1688,6 +1862,7 @@ QUERIES = {
     "s13_pq_ann": s13_pq_ann,
     "s14_embedding_validation": s14_embedding_validation,
     "s15_ivf_pq_ann": s15_ivf_pq_ann,
+    "s16_ann_recall_verdict": s16_ann_recall_verdict,
 }
 
 ORACLE = {
@@ -1706,4 +1881,5 @@ ORACLE = {
     "s13_pq_ann": _S13_SQL,
     "s14_embedding_validation": _S14_SQL,
     "s15_ivf_pq_ann": _S15_SQL,
+    "s16_ann_recall_verdict": _s16_sql(),
 }

@@ -109,3 +109,35 @@ def test_s06_candidate_count_scales_down_with_sign_bits(spark):
     narrow = _s06_candidates(spark, emb, num_tables=4, sign_bits=4).count()
     wide = _s06_candidates(spark, emb, num_tables=4, sign_bits=8).count()
     assert wide < narrow / 3, (narrow, wide)
+
+
+def test_s16_recall_verdict_non_vacuous(spark):
+    """The driver row's verdict must separate a healthy index from a
+    crippled one — at the DEFAULT settings recall clears the 1/4 floor
+    (measured 0.51-0.61 across SFs); at 2 tables it measures ~0.12 and
+    the SAME plan must flip the verdict to False."""
+    from rfb_data_pipeline_spark.operators.similarity import ann_recall
+
+    row = _QUERIES["s16_ann_recall_verdict"](spark, SF_ORACLE).collect()[0]
+    assert row.n_queries == 17 and row.k == 10
+    assert 0 <= row.min_overlap <= 10
+    assert row.recall_ge_floor is True
+    # mean_recall ships rounded to 4 decimals
+    assert abs(row.mean_recall - row.sum_overlap / 170) <= 5e-5
+    crippled = ann_recall(spark, SF_ORACLE, num_tables=2).collect()[0]
+    assert crippled.recall_ge_floor is False, crippled
+    # and a 100% floor is unreachable for any approximate index
+    strict = ann_recall(
+        spark, SF_ORACLE, floor_num=1, floor_den=1
+    ).collect()[0]
+    assert strict.recall_ge_floor is False or strict.sum_overlap == 170
+
+
+def test_s16_recall_monotone_in_tables(spark):
+    """More tables → more candidates → recall can only help (the same
+    monotonicity the single-query test pins, now on the audit panel)."""
+    from rfb_data_pipeline_spark.operators.similarity import ann_recall
+
+    r4 = ann_recall(spark, SF_ORACLE, num_tables=4).collect()[0]
+    r16 = ann_recall(spark, SF_ORACLE, num_tables=16).collect()[0]
+    assert r16.sum_overlap >= r4.sum_overlap, (r4, r16)

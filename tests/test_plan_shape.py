@@ -347,6 +347,7 @@ _SINGLE_PARTITION_OK = {
     "e19_quality_replay",  # nb model's 1-row totals/prior frames (t15 shape)
     "s14_embedding_validation",  # 1-row validation summary
     "x16_quality_mixture",  # t15's 1-row model frames + 1-row t_max
+    "s16_ann_recall_verdict",  # 1-row recall audit over the Q-row panel
 }
 
 

@@ -36,9 +36,12 @@ R05_STALE = {
 def test_r09_window_composition():
     names = _names()
     window = set(names[:50])
-    # Tier 0 — never driver-checked: the r09 codec verdict rows.
+    # Tier 0 — never driver-checked: the r09 codec verdict rows plus
+    # the ANN recall audit row.
     never_checked = {n for n in names if n not in rotation.LAST_DRIVER_ROW}
-    assert never_checked == {"m09_jpeg_roundtrip", "m10_mjpeg_frames"}
+    assert never_checked == {
+        "m09_jpeg_roundtrip", "m10_mjpeg_frames", "s16_ann_recall_verdict",
+    }
     # Tier 1 — rows predating this round's code (r09 touches).
     touched_stale = {
         n
@@ -56,17 +59,19 @@ def test_r09_window_composition():
     }
     # The forced dozen all seat, right after the tier-0/1 entries.
     assert R05_STALE <= window
-    assert set(names[: 5 + len(R05_STALE)]) == (
+    assert set(names[: 6 + len(R05_STALE)]) == (
         never_checked | touched_stale | R05_STALE
     )
-    # Next-oldest green (r06 rows) fill the remaining slots (t19, the
-    # youngest-named r06 entry, spills to position 50 — the two new
-    # tier-0 codec rows cost exactly two green re-confirmations).
+    # Next-oldest green (r06 rows) fill the remaining slots (t11 and
+    # t19, the youngest-named r06 entries, spill to positions 50/51 —
+    # the three new tier-0 rows cost exactly three green
+    # re-confirmations).
     assert {
         "d17_span_dedup_action", "e20_ewma_baseline",
         "q01_pricing_summary", "q36_snapshot_diff",
     } <= window
-    assert names[50] == "t19_bm25_search"
+    assert names[50] == "t11_unigram_surprisal"
+    assert names[51] == "t19_bm25_search"
     # NO slot burns on r07/r08-green untouched code.
     assert not (window & {
         "v01_integrity_report", "v02_duplicate_keys_report",
