@@ -1684,18 +1684,80 @@ LIMIT {TOP_K}
 # skew, candidate loss) breaks the value hash, not just a pytest.
 #
 # Scale contract: the exact tier is the AUDIT (Q sampled queries ×
-# corpus — linear in the corpus per query, run on a sampled batch,
-# the s03 contract); the production serving path is the bucket probe
-# alone. At 100 TB the audit runs on a fixed query panel against the
-# materialized (t, bucket) index, and recall_ge_floor is the gate a
-# retuning of (num_tables, sign_bits) must keep green (the s06 sf1
-# scale note: recall must be re-measured when retuning occupancy).
+# corpus — linear in the corpus per query, run on a BOUNDED panel of
+# at most RECALL_PANEL_CAP queries, the s03 contract); the production
+# serving path is the bucket probe alone. At 100 TB the audit runs
+# the fixed panel against the materialized (t, bucket) index, and
+# recall_ge_floor is the gate a retuning of (num_tables, sign_bits)
+# must keep green (the s06 sf1 scale note: recall must be re-measured
+# when retuning occupancy).
 
-RECALL_QUERY_MOD = 31  # 17 queries at sf0.01, 65 at sf0.1
+RECALL_QUERY_MOD = 31
+# The panel is CAPPED (vec_id % MOD == 0 AND vec_id < MOD*CAP): 17
+# queries at sf0.01, 64 at sf0.1, never more — without the cap the
+# panel (and the audit's cost and the scoring closure) would grow
+# linearly with the corpus instead of being a control-plane constant.
+RECALL_PANEL_CAP = 64
 # floor = 1/4: measured mean recall@10 is 0.51-0.61 across sf0.001/
 # 0.01/0.1 at (16 tables, 6 bits); a crippled index (2 tables)
 # measures 0.12 — the verdict genuinely separates the two regimes.
 RECALL_FLOOR_NUM, RECALL_FLOOR_DEN = 1, 4
+
+
+def _panel_pred() -> Column:
+    return (F.col("vec_id") % RECALL_QUERY_MOD == 0) & (
+        F.col("vec_id") < RECALL_QUERY_MOD * RECALL_PANEL_CAP
+    )
+
+
+def _panel_cos_udf(qmat: "np.ndarray"):
+    """Arrow-batched scorer: embedding → [raw cosine vs each of the
+    ≤RECALL_PANEL_CAP panel vectors]. The per-pair Catalyst fold
+    measured ~10 µs/pair interpreted (2.6 s for the sf0.1 audit); one
+    vectorized batch does the same math in microseconds — the s03
+    justification verbatim. Accumulation is SEQUENTIAL over dims in
+    float64 (vectorized across rows/queries), the exact operation
+    order of Spark's ``aggregate`` fold and the DuckDB twin's
+    list_sum, so cosines are bit-identical across all three forms."""
+    nq = np.zeros(qmat.shape[0])
+    for d in range(DIM):
+        nq += qmat[:, d] * qmat[:, d]
+    if np.any(nq == 0.0) or not np.isfinite(nq).all():
+        raise ValueError(
+            "zero-norm or non-finite panel embedding reached "
+            "ann_recall; gate with s14/valid_embedding_pred"
+        )
+    nq = np.sqrt(nq)
+
+    @F.pandas_udf("array<double>")
+    def panel_cos(emb_s: pd.Series) -> pd.Series:
+        vecs = emb_s.to_numpy()
+        if any(v is None for v in vecs):
+            raise ValueError(
+                "NULL embedding reached ann_recall; gate with "
+                "s14/valid_embedding_pred"
+            )
+        try:
+            m = np.stack(vecs).astype(np.float64)
+        except ValueError as exc:  # ragged (wrong-dim) input
+            raise ValueError(
+                "wrong-dim embedding reached ann_recall; gate with "
+                "s14/valid_embedding_pred"
+            ) from exc
+        dots = np.zeros((m.shape[0], qmat.shape[0]))
+        ne = np.zeros(m.shape[0])
+        for d in range(DIM):  # sequential over dims == engines' fold
+            dots += m[:, d : d + 1] * qmat[None, :, d]
+            ne += m[:, d] * m[:, d]
+        if np.any(ne == 0.0) or not np.isfinite(ne).all():
+            raise ValueError(
+                "zero-norm or non-finite embedding reached ann_recall; "
+                "gate with s14/valid_embedding_pred"
+            )
+        cos = dots / (np.sqrt(ne)[:, None] * nq[None, :])
+        return pd.Series(list(cos))
+
+    return panel_cos
 
 
 def ann_recall(
@@ -1706,34 +1768,87 @@ def ann_recall(
     floor_num: int = RECALL_FLOOR_NUM,
     floor_den: int = RECALL_FLOOR_DEN,
 ) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") % RECALL_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
-    )
-    cos = _dot("embedding", "q") / (_norm("embedding") * _norm("q"))
+    from rfb_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    # Bounded control-plane collect (≤ RECALL_PANEL_CAP rows, the
+    # K-centroids idiom): the panel matrix ships to workers as the
+    # scorer's closure instead of riding every pair through a join.
+    panel = emb.filter(_panel_pred()).orderBy("vec_id").collect()
+    if panel:
+        if any(r.embedding is None for r in panel):
+            raise ValueError(
+                "NULL panel embedding reached ann_recall; gate with "
+                "s14/valid_embedding_pred"
+            )
+        qids = [int(r.vec_id) for r in panel]
+        qmat = np.array(
+            [r.embedding for r in panel], dtype=np.float64
+        ).reshape(len(panel), DIM)
+        qid_arr = F.array(*[F.lit(q).cast("long") for q in qids])
+        # ONE Arrow pass scores every (corpus row, panel query) pair;
+        # both tiers below rank slices of this frame.
+        scored = (
+            emb.select(
+                "vec_id",
+                F.posexplode(_panel_cos_udf(qmat)("embedding")).alias(
+                    "pos", "raw"
+                ),
+            )
+            .select(
+                F.element_at(qid_arr, F.col("pos") + 1).alias("qid"),
+                "vec_id",
+                (F.round(F.col("raw"), 4) + F.lit(0.0)).alias("cosine"),
+            )
+            .filter(F.col("vec_id") != F.col("qid"))
+        )
+    else:  # degenerate corpus with no panel vectors: empty audit
+        scored = emb.select(
+            F.col("vec_id").alias("qid"), "vec_id", F.lit(0.0).alias("cosine")
+        ).filter(F.lit(False))
     rank_w = Window.partitionBy("qid").orderBy(
         F.desc("cosine"), F.asc("vec_id")
     )
-    # Exact top-K per query: one corpus pass against the broadcast
-    # query panel, per-qid WindowGroupLimit (the s11 shape).
     exact = (
-        emb.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid", "vec_id", (F.round(cos, 4) + F.lit(0.0)).alias("cosine")
-        )
-        .withColumn("rank", F.row_number().over(rank_w))
+        scored.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "vec_id")
     )
     # ANN top-K per query: candidates ONLY from shared (t, bucket)
-    # cells — the partition-pruned probe, never a corpus scan.
-    buckets = _bucketed(emb, num_tables, sign_bits)
-    qb = buckets.filter(F.col("vec_id") % RECALL_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("q"),
-        F.col("t").alias("qt"),
-        F.col("bucket").alias("qbucket"),
+    # cells — the partition-pruned probe, never a corpus scan. The
+    # join carries IDS ONLY; scores come from the shared frame above.
+    buckets = emb.select(
+        "vec_id",
+        F.posexplode(
+            _bucket_udf(num_tables, sign_bits)("embedding")
+        ).alias("t", "bucket"),
+    )
+    # The panel's bucket keys come straight from the collected panel
+    # matrix — same float64 dim-ordered accumulation as _bucket_udf,
+    # so the keys are bit-identical to what a corpus-side pass would
+    # produce, without re-scanning the corpus for 64 rows.
+    if panel:
+        hp = _hyperplanes(num_tables, sign_bits)
+        w = np.array(hp, dtype=np.float64).reshape(
+            num_tables * sign_bits, DIM
+        )
+        acc = np.zeros((qmat.shape[0], w.shape[0]))
+        for i in range(DIM):
+            acc += qmat[:, i : i + 1] * w[None, :, i]
+        powers = (1 << np.arange(sign_bits)).astype(np.int64)
+        qbk = (
+            (acc >= 0).reshape(-1, num_tables, sign_bits) * powers
+        ).sum(axis=2)
+        qb_rows = [
+            (qids[r], t, int(qbk[r, t]))
+            for r in range(len(qids))
+            for t in range(num_tables)
+        ]
+    else:
+        qb_rows = []
+    qb = spark.createDataFrame(
+        qb_rows, "qid bigint, qt int, qbucket int"
     )
     cand = (
         buckets.join(
@@ -1742,13 +1857,11 @@ def ann_recall(
             & (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("qid")),
         )
-        .groupBy("qid", "vec_id")
-        .agg(F.first("embedding").alias("embedding"), F.first("q").alias("q"))
+        .select("qid", "vec_id")
+        .distinct()
     )
     ann = (
-        cand.select(
-            "qid", "vec_id", (F.round(cos, 4) + F.lit(0.0)).alias("cosine")
-        )
+        scored.join(cand, ["qid", "vec_id"])
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "vec_id")
@@ -1756,9 +1869,15 @@ def ann_recall(
     hits = exact.join(ann, ["qid", "vec_id"]).groupBy("qid").agg(
         F.count(F.lit(1)).alias("overlap")
     )
-    per_q = queries.select("qid").join(hits, "qid", "left").select(
-        "qid", F.coalesce(F.col("overlap"), F.lit(0)).cast("long").alias(
-            "overlap"
+    per_q = (
+        emb.filter(_panel_pred())
+        .select(F.col("vec_id").alias("qid"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("overlap"), F.lit(0)).cast("long").alias(
+                "overlap"
+            ),
         )
     )
     n_q = F.count(F.lit(1))
@@ -1789,6 +1908,7 @@ def _s16_sql() -> str:
 WITH q AS (
   SELECT vec_id AS qid, embedding AS q FROM embeddings
   WHERE vec_id % {RECALL_QUERY_MOD} = 0
+    AND vec_id < {RECALL_QUERY_MOD * RECALL_PANEL_CAP}
 ),
 scored AS (
   SELECT qid, embeddings.vec_id,
@@ -1806,6 +1926,7 @@ buckets AS ({_sql_buckets_cte(NUM_TABLES, SIGN_BITS)}),
 qb AS (
   SELECT vec_id AS qid, embedding AS q, t AS qt, bucket AS qbucket
   FROM buckets WHERE vec_id % {RECALL_QUERY_MOD} = 0
+    AND vec_id < {RECALL_QUERY_MOD * RECALL_PANEL_CAP}
 ),
 cand AS (
   SELECT qid, b.vec_id,
