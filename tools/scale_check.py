@@ -194,6 +194,7 @@ def _ops() -> dict:
         s10_semantic_dedup,
         s13_pq_ann,
         s15_ivf_pq_ann,
+        s16_ann_recall_verdict,
     )
     from rfb_data_pipeline_spark.operators.text import (
         t11_unigram_surprisal,
@@ -232,6 +233,7 @@ def _ops() -> dict:
         "s10": s10_semantic_dedup,
         "s13": s13_pq_ann,
         "s15": s15_ivf_pq_ann,
+        "s16": s16_ann_recall_verdict,
     }
 
 
