@@ -141,3 +141,43 @@ def test_s16_recall_monotone_in_tables(spark):
     r4 = ann_recall(spark, SF_ORACLE, num_tables=4).collect()[0]
     r16 = ann_recall(spark, SF_ORACLE, num_tables=16).collect()[0]
     assert r16.sum_overlap >= r4.sum_overlap, (r4, r16)
+
+
+def test_s16_empty_panel_degenerate(spark, tmp_path):
+    """A corpus with no panel vectors (no vec_id % 31 == 0 under the
+    cap) must yield the same empty-audit row DuckDB computes: count 0,
+    NULL aggregates, NULL verdict — not a crash and not a fabricated
+    verdict."""
+    import duckdb as _duck
+    import math
+    import os
+
+    from rfb_data_pipeline_spark.operators.similarity import (
+        DIM,
+        ann_recall,
+    )
+    import __spark_entry__ as entry_mod
+
+    rows = [
+        (vid, [float(math.sin(vid + 3 * i)) for i in range(DIM)], vid % 3)
+        for vid in (1, 2, 3, 33, 63)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    row = ann_recall(spark, str(tmp_path)).collect()[0]
+    assert (row.n_queries, row.k) == (0, 10)
+    assert row.sum_overlap is None and row.min_overlap is None
+    assert row.mean_recall is None and row.recall_ge_floor is None
+    # engine parity on the same degenerate input
+    con = _duck.connect()
+    p = os.path.join(str(tmp_path), "embeddings.parquet")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    drow = con.execute(
+        entry_mod.oracle_sql()["s16_ann_recall_verdict"]
+    ).fetchall()[0]
+    assert drow[0] == 0 and drow[1] == 10
+    assert all(v is None for v in drow[2:])
+    con.close()
