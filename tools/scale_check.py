@@ -161,6 +161,7 @@ def _ops() -> dict:
     from rfb_data_pipeline_spark.operators.dedup import (
         d03_minhash_lsh,
         d05_simhash_pairs,
+        d07_dedup_clusters,
         d10_fuzzy_pairs,
         d13_duplicate_spans,
         d15_cc_star,
@@ -186,6 +187,7 @@ def _ops() -> dict:
     )
     from rfb_data_pipeline_spark.operators.sampling import (
         x09_pack_sequences,
+        x12_repetition_gate,
         x15_split_drift,
         x17_cluster_curation,
     )
@@ -223,7 +225,9 @@ def _ops() -> dict:
         "e22": e22_any_click_funnel,
         "e23": e23_cusum_changepoint,
         "t19": t19_bm25_search,
+        "d07": d07_dedup_clusters,
         "x09": x09_pack_sequences,
+        "x12": x12_repetition_gate,
         "x15": x15_split_drift,
         "x17": x17_cluster_curation,
         "e19": e19_quality_replay,
