@@ -7,6 +7,8 @@ fraction) must be measured, not assumed.
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entry_mod
 from rfb_data_pipeline_spark.operators.similarity import (
     ann_lsh,
@@ -181,3 +183,52 @@ def test_s16_empty_panel_degenerate(spark, tmp_path):
     assert drow[0] == 0 and drow[1] == 10
     assert all(v is None for v in drow[2:])
     con.close()
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_s16_differential_random_corpus(spark, tmp_path, seed):
+    """Differential probe: on a RANDOM corpus (not the fixture the
+    floor was tuned on) the full s16 row must stay hash-identical
+    between engines — panel membership, bucket bits, both top-K
+    rankings, and the verdict all recomputed from scratch on both
+    sides. Catches any fixture-shaped assumption in the Arrow scorer
+    or the SQL twin."""
+    import os
+
+    import duckdb as _duck
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+    from tools.check_oracle import _normalize, value_hash
+    from rfb_data_pipeline_spark.operators.similarity import DIM
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(40, 140))
+    rows = [
+        (vid, [float(x) for x in rng.standard_normal(DIM)], vid % 5)
+        for vid in range(n)
+    ]
+    d = tmp_path / f"rand{seed}"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+
+    spdf = (
+        entry_mod.queries()["s16_ann_recall_verdict"](spark, str(d))
+        .toPandas()
+    )
+    con = _duck.connect()
+    p = os.path.join(str(d), "embeddings.parquet")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    opdf = con.execute(
+        entry_mod.oracle_sql()["s16_ann_recall_verdict"]
+    ).fetchdf()
+    con.close()
+    assert sorted(spdf.columns) == sorted(opdf.columns)
+    assert len(spdf) == len(opdf) == 1
+    sn, on = _normalize(spdf), _normalize(opdf)
+    assert value_hash(sn) == value_hash(on), (sn, on)
+    # and the panel really was non-trivial on this corpus
+    assert spdf["n_queries"].iloc[0] >= 2
