@@ -1777,10 +1777,12 @@ def ann_recall(
     # scorer's closure instead of riding every pair through a join.
     panel = emb.filter(_panel_pred()).orderBy("vec_id").collect()
     if panel:
-        if any(r.embedding is None for r in panel):
+        if any(
+            r.embedding is None or len(r.embedding) != DIM for r in panel
+        ):
             raise ValueError(
-                "NULL panel embedding reached ann_recall; gate with "
-                "s14/valid_embedding_pred"
+                "NULL or wrong-dim panel embedding reached ann_recall; "
+                "gate with s14/valid_embedding_pred"
             )
         qids = [int(r.vec_id) for r in panel]
         qmat = np.array(
@@ -1807,6 +1809,12 @@ def ann_recall(
         scored = emb.select(
             F.col("vec_id").alias("qid"), "vec_id", F.lit(0.0).alias("cosine")
         ).filter(F.lit(False))
+    # Both tiers below rank slices of `scored`; without a boundary the
+    # plan inlines the Q×N Arrow scorer into BOTH consumers and the
+    # corpus is scored twice (verified: two ArrowEvalPython nodes,
+    # zero ReusedExchange). Materialize once, the repo's idiom for
+    # multiply-referenced expensive frames.
+    scored = stage_boundary(scored)
     rank_w = Window.partitionBy("qid").orderBy(
         F.desc("cosine"), F.asc("vec_id")
     )
@@ -1869,9 +1877,12 @@ def ann_recall(
     hits = exact.join(ann, ["qid", "vec_id"]).groupBy("qid").agg(
         F.count(F.lit(1)).alias("overlap")
     )
+    # The per-query spine comes from the already-collected panel ids —
+    # a third corpus scan for ≤64 rows would be pure waste, and the
+    # spine agrees with the scored panel by construction.
     per_q = (
-        emb.filter(_panel_pred())
-        .select(F.col("vec_id").alias("qid"))
+        spark.createDataFrame([(q,) for q in qids] if panel else [],
+                              "qid bigint")
         .join(hits, "qid", "left")
         .select(
             "qid",
