@@ -478,3 +478,14 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_s16_panel_scorer_runs_once(spark):
+    """The Q×N Arrow panel scorer must be materialized ONCE behind the
+    stage boundary — if it leaks back into the lazy plan, both the
+    exact and ANN tiers inline it and the corpus is scored twice (the
+    double-pass the round-9 review caught). The only Arrow node in the
+    final plan is the candidate-probe bucket UDF."""
+    plan = pi.explain_string(_q(spark, "s16_ann_recall_verdict"), "simple")
+    assert "panel_cos" not in plan, "scorer leaked into the lazy plan"
+    assert plan.count("ArrowEvalPython") <= 1, plan.count("ArrowEvalPython")
