@@ -129,9 +129,9 @@ def _single_length_spec(symbols: list[int]) -> tuple[list[int], list[int]]:
     code of the same length L = ceil(log2(n + 1)) — the +1 keeps the
     all-ones code unused, as the spec requires."""
     n = len(symbols)
-    length = max(1, (n + 1 - 1).bit_length())
-    if (1 << length) <= n:
-        length += 1
+    # 2^bit_length(n) > n always, so the all-ones code (value n at
+    # this length) is never assigned — no +1 adjustment needed.
+    length = max(1, n.bit_length())
     bits = [0] * 16
     bits[length - 1] = n
     return bits, list(symbols)
@@ -353,6 +353,10 @@ def _encode_planes(
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty raster")
+    if h > 65535 or w > 65535:
+        # the SOF0 dimension fields are 16-bit; without this guard the
+        # failure is a cryptic struct.error deep in segment assembly
+        raise ValueError("raster exceeds the 65535-pixel JPEG limit")
     if subsampling not in ("444", "420", "422", "440"):
         raise ValueError(
             "subsampling must be one of '444', '420', '422', '440'"
@@ -415,10 +419,11 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB (or (h, w) grayscale) -> baseline JFIF
-    bytes. ``subsampling``: '444' (no chroma subsampling) or '420'
-    (2x2 luma sampling, box-mean chroma). ``restart_interval`` > 0
-    emits DRI + RST0-7 every N MCUs — the resync-point layout that
-    lets a 100 TB pipeline split one huge scan across workers."""
+    bytes. ``subsampling``: '444', '420', '422', or '440' (chroma
+    box-mean over the luma sampling cell — 2x2, 1x2, 2x1).
+    ``restart_interval`` > 0 emits DRI + RST0-7 every N MCUs — the
+    resync-point layout that lets a 100 TB pipeline split one huge
+    scan across workers."""
     ql, qc = quant_tables(quality)
     comps, ph, pw = _encode_planes(img, subsampling)
     h, w = img.shape[:2]
@@ -534,12 +539,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     scan = None  # ([(comp_idx, td, ta)], ecs_start)
     restart_interval = 0
     pos = 2
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("malformed JPEG marker stream")
+        # any number of 0xFF fill bytes may precede a marker (B.1.1.2)
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before any scan
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone TEM/RSTn: no length field
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment")
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -627,12 +643,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if h == 0 or w == 0:
         raise ValueError("empty JPEG raster")
     scomps, ecs_start = scan
-    # entropy-coded bytes run to the EOI marker
-    end = payload.rfind(EOI)
-    if end < ecs_start:
+    # Entropy-coded bytes run to the FIRST EOI after the scan start:
+    # byte stuffing guarantees no FF D9 inside the scan data, and
+    # rfind would mis-anchor on trailing junk that happens to contain
+    # FF D9 (e.g. concatenated payloads or sloppy container slices).
+    end = payload.find(EOI, ecs_start)
+    if end < 0:
         raise ValueError("JPEG missing EOI")
     reader = _BitReader(payload[ecs_start:end])
 
+    if len(comps) == 1:
+        # A one-component scan is NON-interleaved (T.81 A.2.2): the
+        # MCU is a single data unit and the declared sampling factors
+        # do not apply — normalize to 1x1 so the MCU grid below IS the
+        # component's block grid and restart counting is per data
+        # unit. Without this, a grayscale file declaring 2x2 factors
+        # would decode its raster-ordered blocks in MCU order.
+        cid0, _, _, tq0 = comps[0]
+        comps = [(cid0, 1, 1, tq0)]
     hmax = max(hi for _, hi, _, _ in comps)
     vmax = max(vi for _, _, vi, _ in comps)
     mcu_rows = -(-h // (8 * vmax))
@@ -646,6 +674,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     preds = [0] * ncomp
     mcus_done = 0
     rst = 0
+    # resolve scan-component tables once; scomps is fixed after SOS
+    resolved = []
+    for idx, td, ta in scomps:
+        if td not in dc_tabs or ta not in ac_tabs:
+            raise ValueError("SOS references missing Huffman table")
+        _, hi, vi, _ = comps[idx]
+        resolved.append((idx, dc_tabs[td], ac_tabs[ta], hi, vi))
     for mr in range(mcu_rows):
         for mc in range(mcu_cols):
             if (
@@ -656,13 +691,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 reader.sync_restart(rst)
                 rst = (rst + 1) & 7
                 preds = [0] * ncomp
-            for idx, td, ta in scomps:
-                if td not in dc_tabs or ta not in ac_tabs:
-                    raise ValueError(
-                        "SOS references missing Huffman table"
-                    )
-                dct, act = dc_tabs[td], ac_tabs[ta]
-                _, hi, vi, _ = comps[idx]
+            for idx, dct, act, hi, vi in resolved:
                 for dr in range(vi):
                     for dc in range(hi):
                         size = dct.decode(reader)
@@ -683,8 +712,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                     raise ValueError(
                                         "invalid AC run/size symbol"
                                     )
-                                k += 16  # ZRL
+                                k += 16  # ZRL: zeros at k..k+15
+                                if k > 64:
+                                    # last zero would land past index
+                                    # 63 — silent desync territory
+                                    raise ValueError(
+                                        "AC coefficient index overflow"
+                                    )
                                 continue
+                            if size > 10:
+                                # 8-bit baseline AC magnitudes cap at
+                                # size 10 (T.81 F.1.2.2.1)
+                                raise ValueError(
+                                    "invalid AC size category"
+                                )
                             k += run
                             if k > 63:
                                 raise ValueError(

@@ -225,3 +225,46 @@ def test_truncation_sweep_fails_closed():
     for cut in range(len(payload)):
         with pytest.raises(ValueError):
             decode_jpeg(payload[:cut])
+
+
+def test_gray_scan_ignores_declared_sampling_factors():
+    """T.81 A.2.2: a one-component scan is non-interleaved — the
+    declared sampling factors do not apply. Patching a grayscale
+    file's SOF factors from 1x1 to 2x2 must decode to the IDENTICAL
+    raster (the pre-fix decoder read the raster-ordered blocks in
+    2x2-MCU order, scrambling pixels or claiming truncation)."""
+    gray = np.random.default_rng(5).integers(
+        0, 256, (32, 16), dtype=np.uint8
+    )
+    payload = bytearray(encode_jpeg(gray, quality=100))
+    base = decode_jpeg(bytes(payload))
+    sof = payload.index(b"\xff\xc0")
+    assert payload[sof + 11] == 0x11  # grayscale encodes 1x1
+    payload[sof + 11] = 0x22
+    assert np.array_equal(decode_jpeg(bytes(payload)), base)
+
+
+def test_fill_bytes_before_markers_accepted():
+    """B.1.1.2: any number of 0xFF fill bytes may precede a marker;
+    the parser must skip them instead of misreading the length."""
+    img = _raster(3, 9, 9)
+    payload = encode_jpeg(img, quality=100)
+    stuffed = payload[:2] + b"\xff\xff" + payload[2:]
+    assert np.array_equal(decode_jpeg(stuffed), decode_jpeg(payload))
+
+
+def test_trailing_junk_containing_eoi_ignored():
+    """The entropy stream ends at the FIRST EOI after the scan; junk
+    after the real EOI (even junk containing FF D9, e.g. a second
+    concatenated payload) must not move the anchor."""
+    img = _raster(4, 9, 9)
+    payload = encode_jpeg(img, quality=100)
+    junk = b"trailing" + b"\xff\xd9" + b"more"
+    assert np.array_equal(decode_jpeg(payload + junk), decode_jpeg(payload))
+
+
+def test_oversized_raster_fails_loud():
+    """SOF0 dimensions are 16-bit: >65535 must raise the contract
+    ValueError, not a struct.error from segment assembly."""
+    with pytest.raises(ValueError, match="65535"):
+        encode_jpeg(np.zeros((70000, 8, 3), dtype=np.uint8))
