@@ -22,11 +22,13 @@ Codec tiers:
 - **Baseline JPEG decodes for real (r09)** — stdlib Huffman decode +
   dequant + IDCT + YCbCr→RGB (``functions/jpeg.py``), and video frame
   sampling gets a REAL tier via MJPEG-in-BMFF (``encode_mjpeg_mp4`` /
-  ``mp4_samples`` demux + per-frame JPEG decode). Remaining formats
-  with no native tier (gif/webp/mp3): ``decode_stub=True`` (default)
-  produces a deterministic fake derived from the payload bytes' md5,
-  and ``decode_stub=False`` raises ValueError for exactly those
-  payloads (inside the worker, fail-loud).
+  ``mp4_samples`` demux + per-frame JPEG decode). ``decode_features``
+  also decodes WAV (waveform envelope embedding) and MJPEG-BMFF
+  (first-frame thumbnail) natively. Remaining formats with no native
+  tier (gif/webp/mp3, metadata-only BMFF): ``decode_stub=True``
+  (default) produces a deterministic fake derived from the payload
+  bytes' md5, and ``decode_stub=False`` raises ValueError for exactly
+  those payloads (inside the worker, fail-loud).
 
 Scale notes: media rows are large — the batch iterator keeps memory
 bounded (Arrow batches, ``spark.sql.execution.arrow.maxRecordsPerBatch``),
@@ -334,21 +336,40 @@ def decode_png(payload: bytes) -> np.ndarray:
             rec = line
         elif ftype == 2:  # Up
             rec = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub/Average/Paeth need left-to-right
-            rec = np.zeros(stride, dtype=np.int16)
+        elif ftype == 1:  # Sub: per-channel cumulative sum mod 256
+            rec = (
+                np.cumsum(
+                    line.reshape(-1, ch).astype(np.uint8),
+                    axis=0,
+                    dtype=np.uint8,  # uint8 accumulate IS the & 0xFF
+                )
+                .reshape(stride)
+                .astype(np.int16)
+            )
+        elif ftype in (3, 4):  # Average/Paeth: left-to-right scan
+            # dependency — plain-int loop (no per-pixel numpy scalar
+            # allocation; ~10× faster than the np.int16 form)
+            ln_l = line.tolist()
+            pv_l = prev.tolist()
+            rec_l = [0] * stride
             for x in range(stride):
-                left = rec[x - ch] if x >= ch else 0
-                up = prev[x]
-                ul = prev[x - ch] if x >= ch else 0
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
+                left = rec_l[x - ch] if x >= ch else 0
+                up = pv_l[x]
+                if ftype == 3:
                     pred = (left + up) // 2
-                else:
-                    pred = int(_paeth(
-                        np.int16(left), np.int16(up), np.int16(ul)
-                    ))
-                rec[x] = (line[x] + pred) & 0xFF
+                else:  # integer Paeth — same math as _paeth
+                    ul = pv_l[x - ch] if x >= ch else 0
+                    pa = abs(up - ul)
+                    pb = abs(left - ul)
+                    pc = abs(left + up - 2 * ul)
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                rec_l[x] = (ln_l[x] + pred) & 0xFF
+            rec = np.array(rec_l, dtype=np.int16)
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
         img[y] = rec.astype(np.uint8)
@@ -392,6 +413,20 @@ def ppm_features(img: np.ndarray, dim: int = FEATURE_DIM) -> list[float]:
     return [float(x) for x in gray.ravel()]
 
 
+def wav_embedding(samples: np.ndarray, dim: int = FEATURE_DIM) -> list[float]:
+    """dim-bin mean-|amplitude| envelope in [0, 1] — the waveform
+    analogue of ppm_features' thumbnail: nearest-neighbor bin
+    boundaries over the full clip, deterministic float64."""
+    if len(samples) == 0:
+        return [0.0] * dim
+    x = np.abs(samples.astype(np.float64)) / 32768.0
+    bounds = [(k * len(x)) // dim for k in range(dim + 1)]
+    return [
+        float(x[a:b].mean()) if b > a else 0.0
+        for a, b in zip(bounds[:-1], bounds[1:])
+    ]
+
+
 # -- Image container headers: real, library-free metadata parse ------------
 #
 # PNG (IHDR), JPEG (marker walk to SOF), GIF (logical screen
@@ -422,8 +457,16 @@ def parse_image_header(raw: bytes):
             while i + 4 <= len(raw):
                 if raw[i] != 0xFF:
                     break
+                # fill bytes before a marker are legal (B.1.1.2)
+                while i + 4 <= len(raw) and raw[i + 1] == 0xFF:
+                    i += 1
                 marker = raw[i + 1]
-                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+                if marker == 0xD9:  # EOI: no SOF found
+                    break
+                if (
+                    marker in (0x01, 0xD8)
+                    or 0xD0 <= marker <= 0xD7
+                ):  # standalone TEM/SOI/RSTn
                     i += 2
                     continue
                 seglen = struct.unpack(">H", raw[i + 2 : i + 4])[0]
@@ -513,8 +556,15 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     while idx + 8 <= len(payload):
         cid = payload[idx : idx + 4]
         size = int.from_bytes(payload[idx + 4 : idx + 8], "little")
+        if idx + 8 + size > len(payload):
+            # a short body would silently yield fewer samples (or a
+            # zero-filled fmt) than the chunk declares — fail loud
+            # like the PNG/MP4 truncation paths
+            raise ValueError("truncated WAV chunk")
         body = payload[idx + 8 : idx + 8 + size]
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
             fmt_tag = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
@@ -614,8 +664,17 @@ def encode_mjpeg_mp4(
     h, w = frames[0].shape[:2]
     samples = [encode_jpeg(f, quality=quality) for f in frames]
     n = len(samples)
-    dur = n * (frame_dur_ms * timescale) // 1000
+    # delta first, dur = n * delta: computing them independently lets
+    # the two roundings disagree (mvhd duration vs sample table), and
+    # a timescale where frame_dur_ms*timescale < 1000 would floor
+    # delta to 0 — every sample at t=0, silently
     delta = (frame_dur_ms * timescale) // 1000
+    if delta <= 0:
+        raise ValueError(
+            "frame_dur_ms * timescale must be >= 1000 (sample delta "
+            "floors to zero ticks)"
+        )
+    dur = n * delta
 
     def box(btype: bytes, body: bytes) -> bytes:
         return struct.pack(">I", 8 + len(body)) + btype + body
@@ -851,7 +910,14 @@ def parse_mp4_meta(payload: bytes) -> tuple[str, int, int]:
         for ctype, cs, ce in _walk_boxes(payload, s, e):
             if ctype != b"mvhd":
                 continue
+            if cs >= ce:
+                raise ValueError("truncated mvhd box")
             version = payload[cs]
+            # bound every read to the box: int.from_bytes(b'') == 0
+            # would otherwise fabricate timescale/duration silently
+            # (the mp4_samples lesson applied here)
+            if ce - cs < (32 if version == 1 else 20):
+                raise ValueError("truncated mvhd box")
             if version == 1:  # 64-bit times
                 timescale = int.from_bytes(payload[cs + 20 : cs + 24], "big")
                 duration = int.from_bytes(payload[cs + 24 : cs + 32], "big")
@@ -886,7 +952,14 @@ def video_meta(media: DataFrame) -> DataFrame:
                 raw = bytes(b or b"")
                 if len(raw) < 12 or raw[4:8] != b"ftyp":
                     continue
-                brand, timescale, dur_ms = parse_mp4_meta(raw)
+                try:
+                    brand, timescale, dur_ms = parse_mp4_meta(raw)
+                except ValueError:
+                    # truncated/corrupt BMFF past the magic: drop the
+                    # row, don't kill the batch (the docstring's
+                    # contract — the magic guard alone can't keep
+                    # parse_mp4_meta from raising)
+                    continue
                 recs.append((int(mid), brand, int(timescale), int(dur_ms)))
             yield pd.DataFrame(
                 recs,
@@ -990,14 +1063,40 @@ def decode_features(
             from rfb_data_pipeline_spark.functions.jpeg import decode_jpeg
 
             return ppm_features(decode_jpeg(raw))
+        if raw.startswith(b"RIFF"):  # real decode tier (WAV chunk walk)
+            _rate, samples = decode_wav(raw)
+            return wav_embedding(samples)
+        if len(raw) >= 12 and raw[4:8] == b"ftyp":
+            # real decode tier for MJPEG-in-BMFF: first frame's visual
+            # descriptor (the sample table + per-frame JPEG decode the
+            # frame_sample tier uses). A metadata-only container
+            # (encode_minimal_mp4: no trak/sample data) has no pixels
+            # to decode: stub mode keeps its md5 fake (the default
+            # behavior for such rows), stub=False fails loud.
+            from rfb_data_pipeline_spark.functions.jpeg import decode_jpeg
+
+            try:
+                samples = mp4_samples(raw)
+            except ValueError:
+                samples = []
+            if samples:
+                off, sz, _t = samples[0]
+                return ppm_features(decode_jpeg(raw[off : off + sz]))
+            if decode_stub:
+                return _fake_features(raw)
+            raise ValueError(
+                "BMFF payload carries no decodable samples (metadata-"
+                "only or truncated sample table)"
+            )
         if decode_stub:
             return _fake_features(raw)
         # decode_stub=False on a format with no native tier (e.g. GIF,
-        # WebP): fail loud — PPM, PNG, and baseline JPEG decode natively.
+        # WebP, mp3): fail loud — PPM, PNG, baseline JPEG, WAV, and
+        # MJPEG-BMFF decode natively.
         raise ValueError(
-            "no native decode tier for this payload format; PPM, PNG and "
-            "baseline JPEG decode natively — use decode_stub=True for "
-            "other formats"
+            "no native decode tier for this payload format; PPM, PNG, "
+            "baseline JPEG, WAV and MJPEG-BMFF decode natively — use "
+            "decode_stub=True for other formats"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1187,7 +1286,10 @@ def image_stats(media: DataFrame) -> DataFrame:
                 raw = bytes(b or b"")
                 if not raw.startswith(b"P6"):
                     continue
-                img = decode_ppm(raw)
+                try:
+                    img = decode_ppm(raw)
+                except ValueError:
+                    continue  # corrupt raster past the magic: drop
                 means = img.astype(np.float64).mean(axis=(0, 1))
                 sums = img.astype(np.int64).sum(axis=(0, 1))
                 recs.append(
@@ -1255,7 +1357,13 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 raw = bytes(b or b"")
                 if not raw.startswith(b"RIFF"):
                     continue
-                rate, samples = decode_wav(raw)
+                try:
+                    rate, samples = decode_wav(raw)
+                except ValueError:
+                    # non-WAVE RIFF (e.g. AVI) or truncated chunks
+                    # past the magic: drop the row, don't kill the
+                    # batch
+                    continue
                 dur, rms, peak, zcr = wav_features(rate, samples)
                 s64 = samples.astype(np.int64)
                 recs.append(
@@ -1319,7 +1427,10 @@ def audio_frame_energy(media: DataFrame, frame_ms: int = 10) -> DataFrame:
                 raw = bytes(b or b"")
                 if not raw.startswith(b"RIFF"):
                     continue
-                rate, samples = decode_wav(raw)
+                try:
+                    rate, samples = decode_wav(raw)
+                except ValueError:
+                    continue  # mislabeled/truncated row: drop
                 x = samples.astype(np.float64) / 32768.0
                 s64 = samples.astype(np.int64)
                 step = max(1, rate * frame_ms // 1000)
@@ -1393,15 +1504,19 @@ def frame_sample(
                     samples = mp4_samples(raw)
                     decoded: dict[int, tuple] = {}
                     last_t = samples[-1][2] if samples else 0
+                    # two-pointer walk: samples arrive in ascending t,
+                    # so the latest-at-or-before index only advances —
+                    # O(ticks + samples), not O(ticks × samples)
+                    ptr = -1
                     for tick in range(0, int(last_t) + 1, every_ms):
-                        # latest sample at or before the tick
-                        idx = max(
-                            (i for i, (_, _, t) in enumerate(samples)
-                             if t <= tick),
-                            default=None,
-                        )
-                        if idx is None:
+                        while (
+                            ptr + 1 < len(samples)
+                            and samples[ptr + 1][2] <= tick
+                        ):
+                            ptr += 1
+                        if ptr < 0:
                             continue
+                        idx = ptr
                         if idx not in decoded:
                             off, sz, _ = samples[idx]
                             img = decode_jpeg(raw[off : off + sz])

@@ -5,6 +5,7 @@ the fail-loud ValueError gate for formats with no native decode tier.
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from pyspark.sql import functions as F
@@ -733,3 +734,123 @@ def test_mp4_samples_truncated_table_fails_loud():
         except ValueError:
             continue
         raise AssertionError(f"cut={cut} did not fail loud")
+
+
+# -- round-9 review regressions: drop-don't-crash and bounded reads --------
+
+
+def test_mislabeled_rows_drop_instead_of_killing_batch(spark):
+    """The magic guards alone can't stop the decoders from raising on
+    payloads that pass the magic but are corrupt past it — the
+    operators must DROP those rows (the docstring contract), not kill
+    the Arrow batch."""
+    rows = [
+        # AVI passes the RIFF guard but is not WAVE
+        (0, "audio", bytearray(b"RIFF" + (1000).to_bytes(4, "little") + b"AVI LIST"),
+         (None, None, None, None, "wav")),
+        # valid WAV survives alongside it
+        (1, "audio", bytearray(mm.encode_wav(np.arange(100, dtype=np.int16))),
+         (None, None, 16000, 6, "wav")),
+        # truncated PPM passes the P6 guard
+        (2, "image", bytearray(b"P6\n8 6\n255\n" + b"\x00" * 10),
+         (8, 6, None, None, "ppm")),
+        # BMFF cut after ftyp passes the ftyp guard
+        (3, "video", bytearray(b"\x00\x00\x00\x14ftypisom\x00\x00\x02\x00isom"),
+         (None, None, None, None, "mp4")),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    audio = mm.audio_stats(media).collect()
+    assert [r.media_id for r in audio] == [1]
+    frames = mm.audio_frame_energy(media, frame_ms=10).collect()
+    assert {r.media_id for r in frames} == {1}
+    assert mm.image_stats(media).collect() == []
+    assert mm.video_meta(media).collect() == []
+
+
+def test_truncated_mvhd_and_wav_fail_loud():
+    """Bounded reads: int.from_bytes(b'') == 0 must not fabricate
+    timescale/duration (mvhd) or silently shorten samples (WAV)."""
+    import pytest as _pytest
+
+    full = mm.encode_minimal_mp4(4000)
+    mv = full.index(b"mvhd")
+    # cut inside mvhd, after timescale but before duration
+    with _pytest.raises(ValueError, match="truncated mvhd"):
+        mm.parse_mp4_meta(full[: mv + 4 + 16])
+    wav = mm.encode_wav(np.arange(200, dtype=np.int16))
+    with _pytest.raises(ValueError, match="truncated WAV chunk"):
+        mm.decode_wav(wav[:-10])
+
+
+def test_image_header_jpeg_fill_bytes():
+    """0xFF fill bytes before a marker are legal (B.1.1.2); the header
+    walk must skip them and still find SOF dimensions."""
+    from rfb_data_pipeline_spark.functions.jpeg import encode_jpeg
+
+    img = np.frombuffer(
+        mm._md5_chain_bytes("fill-img", 6 * 9 * 3), dtype=np.uint8
+    ).reshape(6, 9, 3)
+    payload = encode_jpeg(img, quality=100)
+    stuffed = payload[:2] + b"\xff\xff" + payload[2:]
+    assert mm.parse_image_header(stuffed) == ("jpeg", 9, 6, 8)
+
+
+def test_mjpeg_timescale_floor_fails_loud():
+    """A timescale where frame_dur_ms*timescale < 1000 floors the stts
+    delta to 0 (every sample at t=0) — must raise, not mux silence."""
+    import pytest as _pytest
+
+    frame = np.zeros((8, 8, 3), dtype=np.uint8)
+    with _pytest.raises(ValueError, match="delta"):
+        mm.encode_mjpeg_mp4([frame, frame], frame_dur_ms=33, timescale=20)
+
+
+def test_decode_features_real_tiers_for_wav_and_mjpeg(spark):
+    """decode_stub=False now covers WAV (waveform envelope) and
+    MJPEG-BMFF (first-frame thumbnail) natively; the default stub path
+    keeps the md5 fake ONLY for payloads with nothing to decode
+    (metadata-only BMFF)."""
+    samples = (np.sin(np.arange(800) / 20.0) * 20000).astype(np.int16)
+    frame = np.frombuffer(
+        mm._md5_chain_bytes("ft-frame", 16 * 16 * 3), dtype=np.uint8
+    ).reshape(16, 16, 3)
+    rows = [
+        (0, "audio", bytearray(mm.encode_wav(samples)),
+         (None, None, 16000, 50, "wav")),
+        (1, "video", bytearray(
+            mm.encode_mjpeg_mp4([frame], frame_dur_ms=500)),
+         (16, 16, None, 500, "mp4")),
+        (2, "video", bytearray(mm.encode_minimal_mp4(4000)),
+         (640, 480, None, 4000, "mp4")),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    real = {
+        r.media_id: r.features
+        for r in mm.decode_features(
+            media.filter("media_id < 2"), decode_stub=False
+        ).collect()
+    }
+    # WAV tier: envelope of |sin| ~ 0.39 average, nothing like the fake
+    assert 0.2 < sum(real[0]) / len(real[0]) < 0.8
+    # features travel as float32 in DECODED_SCHEMA
+    assert all(
+        abs(a - b) < 1e-6
+        for a, b in zip(real[0], mm.wav_embedding(samples))
+    )
+    # MJPEG tier: q=100 first-frame thumbnail within codec tolerance
+    want = mm.ppm_features(frame)
+    assert max(abs(a - b) for a, b in zip(real[1], want)) < 0.02
+    # metadata-only BMFF: stub default keeps the fake; stub=False raises
+    stub = {
+        r.media_id: r.features for r in mm.decode_features(media).collect()
+    }
+    assert all(
+        abs(a - b) < 1e-6
+        for a, b in zip(stub[2], mm._fake_features(bytes(rows[2][2])))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no decodable samples"):
+        mm.decode_features(
+            media.filter("media_id = 2"), decode_stub=False
+        ).collect()
