@@ -820,15 +820,25 @@ def _e16_sql() -> str:
 
     stop_vals = ",".join(f"'{s}'" for s in STOPWORDS_EN)
     return f"""
-WITH survived AS (
-  SELECT *,
-         string_split_regex(trim(text), '\\s+') AS toks
-  FROM (
+WITH gated AS (
+  -- quality gate FIRST (r09): gating after dedup let a gate-failing
+  -- case-variant shadow a passing twin under the normalized
+  -- fingerprint; gate-first matches curated_stream/curated_batch
+  SELECT * FROM (
     SELECT *,
+           string_split_regex(trim(text), '\\s+') AS toks,
            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
              AS fingerprint
     FROM documents
   )
+  WHERE len(toks) >= 10
+    AND len(list_filter(toks, t -> t IN ({stop_vals})))::DOUBLE
+        / len(toks) >= 0.01
+    AND length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1) <= 0.3
+),
+survived AS (
+  SELECT * FROM gated
   QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
 ),
 curated AS (
@@ -838,11 +848,6 @@ curated AS (
           + (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)
          ) AS bucket
   FROM survived
-  WHERE len(toks) >= 10
-    AND len(list_filter(toks, t -> t IN ({stop_vals})))::DOUBLE
-        / len(toks) >= 0.01
-    AND length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
-        / greatest(length(text), 1) <= 0.3
 )
 SELECT CASE WHEN CAST(floor(bucket * 100.0 / 256) AS INTEGER) < {TRAIN_PCT}
             THEN 'train'

@@ -514,8 +514,25 @@ def write_span_index(
     )
 
 
+def _stream_spans(spark: SparkSession, path: str):
+    """The stream-append subtree (``spans_stream``, partitioned by
+    (_src_batch, shard)) or None if no stream has appended yet. Kept
+    separate from the batch-written ``spans`` tree so the two never
+    mix partition layouts and a replayed batch can overwrite exactly
+    its own contribution."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{path}/spans_stream")
+    except AnalysisException:
+        return None
+
+
 def probe_span_index(
-    spark: SparkSession, path: str, batch_docs: DataFrame
+    spark: SparkSession,
+    path: str,
+    batch_docs: DataFrame,
+    exclude_src_batch: int | None = None,
 ) -> DataFrame:
     """Per-batch-doc removal budget vs the materialized corpus index:
     reproduces d20's corpus-side marks (plus its batch-internal
@@ -524,7 +541,13 @@ def probe_span_index(
     The batch's shard set is collected driver-side (a control-plane
     frame bounded by SPAN_INDEX_SHARDS rows) and becomes a LITERAL
     partition predicate, so the index scan touches only the batch's
-    shard directories — the LSH/IVF pruning pattern."""
+    shard directories — the LSH/IVF pruning pattern.
+
+    ``exclude_src_batch``: when probing from a streaming replay, spans
+    the SAME batch appended on a previous attempt must not count as
+    corpus — pass the current batch id and only stream appends with
+    ``_src_batch`` strictly below it are visible (a replayed batch
+    sees exactly the index state its first attempt saw)."""
     from pyspark.sql.window import Window
 
     from rfb_data_pipeline_spark.operators.dedup import (
@@ -547,6 +570,17 @@ def probe_span_index(
         .where(F.col("shard").isin([int(s) for s in touched]))
         .select("h")
     )
+    appended = _stream_spans(spark, path)
+    if appended is not None:
+        if exclude_src_batch is not None:
+            appended = appended.where(
+                F.col("_src_batch") < F.lit(int(exclude_src_batch))
+            )
+        idx = idx.unionByName(
+            appended.where(
+                F.col("shard").isin([int(s) for s in touched])
+            ).select("h")
+        )
     vs_corpus = b_sp.join(idx, "h", "left_semi").select("doc_id", "s")
     first_rank = Window.partitionBy("h").orderBy("doc_id", "s")
     within_batch = (

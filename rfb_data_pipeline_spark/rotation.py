@@ -293,6 +293,12 @@ LAST_TOUCHED.update(
         9,
     )
 )
+# r09 streaming review: the curation funnel now gates BEFORE the
+# fingerprint dedup in all three copies (curated_stream,
+# curated_batch, and e16's SQL twin) — a gate-failing case-variant
+# can no longer shadow a passing twin, and the changed code + oracle
+# postdate e16's newest driver row.
+LAST_TOUCHED["e16_stream_replay"] = 9
 
 LAST_DRIVER_ROW.update(
     # CORRECTNESS_r08.json fold-in: 50/50 green (rows+schema+hash),

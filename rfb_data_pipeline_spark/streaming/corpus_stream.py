@@ -36,7 +36,7 @@ from pyspark.sql.types import (
 )
 
 from rfb_data_pipeline_spark.operators.sampling import split_col
-from rfb_data_pipeline_spark.operators.text import STOPWORDS_EN, tokens_col
+from rfb_data_pipeline_spark.operators.text import tokens_col
 
 DOC_STREAM_SCHEMA = StructType(
     [
@@ -82,8 +82,17 @@ def fingerprint_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """The materialized historical fingerprint index (d06's static
     side): a parquet table with at least a ``fingerprint`` column. At
     100 TB this is written bucketed by fingerprint so the per-batch
-    anti-join is co-located; small indexes broadcast automatically."""
-    return spark.read.parquet(index_dir).select("fingerprint").distinct()
+    anti-join is co-located; small indexes broadcast automatically.
+    localCheckpoint pins the distinct set once — stream-static joins
+    re-evaluate the static plan per micro-batch, and without the pin
+    every trigger would re-scan and re-distinct the full index (the
+    train_quality_model/train_reference idiom)."""
+    return (
+        spark.read.parquet(index_dir)
+        .select("fingerprint")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
 
 def curated_stream(
@@ -91,7 +100,16 @@ def curated_stream(
     watermark: str = DEFAULT_DOC_WATERMARK,
     history_index: DataFrame | None = None,
 ) -> DataFrame:
-    """history anti-join → dedup-in-horizon → quality gate → split.
+    """quality gate → history anti-join → dedup-in-horizon → split.
+
+    The gate runs FIRST (r09 review): the fingerprint is
+    case/whitespace-normalized while the gate is not, so gating after
+    dedup let a gate-FAILING case-variant that arrived first shadow a
+    gate-passing twin — the passing document was silently lost and
+    stream/batch parity broke at the fingerprint level. Gating each
+    document on its own text first makes the surviving fingerprint
+    set order-independent: exactly the fingerprints with at least one
+    passing document.
 
     ``history_index`` is the STREAM-STATIC left-anti join — the
     streaming twin of batch d06 (incremental dedup against the
@@ -101,7 +119,9 @@ def curated_stream(
     no store pressure, retriable, and the join is an equi-join on the
     fingerprint key.
     """
-    fingerprinted = docs.withColumn("fingerprint", fingerprint_col())
+    fingerprinted = docs.filter(quality_col()).withColumn(
+        "fingerprint", fingerprint_col()
+    )
     if history_index is not None:
         fingerprinted = fingerprinted.join(
             history_index, "fingerprint", "left_anti"
@@ -111,8 +131,7 @@ def curated_stream(
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
     return (
-        deduped.filter(quality_col())
-        .withColumn("split", split_col(F.col("doc_id")))
+        deduped.withColumn("split", split_col(F.col("doc_id")))
         .withColumn("n_tokens", F.size(tokens_col()))
         .select(
             "doc_id", "lang", "source", "fingerprint", "split", "n_tokens",
@@ -122,9 +141,10 @@ def curated_stream(
 
 
 def curated_batch(docs: DataFrame) -> DataFrame:
-    """The funnel's BATCH replay: identical rule columns, with
-    dropDuplicatesWithinWatermark replaced by a CANONICAL survivorship
-    rule — min doc_id per fingerprint. Used by the driver-visible
+    """The funnel's BATCH replay: identical rule columns in the same
+    gate-first order, with dropDuplicatesWithinWatermark replaced by a
+    CANONICAL survivorship rule — min doc_id per fingerprint AMONG the
+    gate-passing documents. Used by the driver-visible
     e16_stream_replay query and by the stream/batch parity tests, so
     there is exactly one copy of each rule.
 
@@ -134,20 +154,21 @@ def curated_batch(docs: DataFrame) -> DataFrame:
     row per key, which coincides with min doc_id only when each drop
     file is a single split read in order (how the parity test builds
     its backlog, and how maxFilesPerTrigger=1 file drops behave). The
-    batch replay always pins the canonical min-id choice; exact
-    row-parity with a stream whose batches span multi-split files
-    holds at the fingerprint level, not necessarily the doc_id level.
+    batch replay always pins the canonical min-id choice; with the
+    gate first, parity at the FINGERPRINT level is exact regardless of
+    arrival order — only the surviving doc_id can differ.
     """
     from pyspark.sql.window import Window
 
-    fingerprinted = docs.withColumn("fingerprint", fingerprint_col())
+    gated = docs.filter(quality_col()).withColumn(
+        "fingerprint", fingerprint_col()
+    )
     w = Window.partitionBy("fingerprint")
-    survived = fingerprinted.withColumn(
+    survived = gated.withColumn(
         "_first", F.col("doc_id") == F.min("doc_id").over(w)
     ).filter("_first")
     return (
-        survived.filter(quality_col())
-        .withColumn("split", split_col(F.col("doc_id")))
+        survived.withColumn("split", split_col(F.col("doc_id")))
         .withColumn("n_tokens", F.size(tokens_col()))
         .select("doc_id", "lang", "source", "fingerprint", "split", "n_tokens")
     )

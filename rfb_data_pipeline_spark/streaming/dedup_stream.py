@@ -118,20 +118,32 @@ def run_incremental_dedup(
 # doc-id-ordered (the parity test's drop discipline).
 #
 # Idempotency: the budget sink is batch-id-keyed (replay overwrites
-# exactly its own partition). The index append is a SET union —
-# replaying a batch re-appends hashes it already contributed, which
-# is harmless (the probe consumes the index through semi/anti joins,
-# so duplicate hash rows cannot change any verdict); a periodic
-# batch refresh (write_span_index) compacts them away.
+# exactly its own partition) — and so is the index append: each
+# batch's unseen hashes land under spans_stream/_src_batch=<id>,
+# the probe for batch B sees only _src_batch < B, and a replay of B
+# dynamic-overwrites its own _src_batch partition. A replayed batch
+# therefore probes EXACTLY the index state its first attempt saw —
+# its own prior append can neither flip its verdicts (the r09 review
+# finding: the old in-place append made a replayed batch classify
+# ALL of its spans as corpus dups) nor survive as partial files from
+# a mid-append crash. A periodic batch refresh (write_span_index)
+# folds spans_stream into the base tree.
 
 
 def append_unseen_spans(
-    spark: SparkSession, index_path: str, batch_docs: DataFrame
+    spark: SparkSession,
+    index_path: str,
+    batch_docs: DataFrame,
+    src_batch: int = 0,
 ) -> None:
-    """Append the batch's corpus-unseen distinct span hashes to the
-    shard-partitioned index (the accepted-crawl index refresh)."""
+    """Write the batch's corpus-unseen distinct span hashes to its own
+    ``spans_stream/_src_batch=<src_batch>`` partition (the accepted-
+    crawl index refresh, replay-idempotent by dynamic overwrite)."""
     from rfb_data_pipeline_spark.operators.dedup import _doc_spans
-    from rfb_data_pipeline_spark.pipeline.ann_index import _span_shard
+    from rfb_data_pipeline_spark.pipeline.ann_index import (
+        _span_shard,
+        _stream_spans,
+    )
     from rfb_data_pipeline_spark.plans.stage import stage_boundary
 
     b_h = (
@@ -140,14 +152,29 @@ def append_unseen_spans(
         .distinct()
         .withColumn("shard", _span_shard(F.col("h")))
     )
-    idx = spark.read.parquet(f"{index_path}/spans")
+    seen = spark.read.parquet(f"{index_path}/spans").select("h")
+    appended = _stream_spans(spark, index_path)
+    if appended is not None:
+        # earlier batches' appends count as seen; this batch's own
+        # prior attempt (replay) does not — it is about to be
+        # overwritten wholesale
+        seen = seen.unionByName(
+            appended.where(
+                F.col("_src_batch") < F.lit(int(src_batch))
+            ).select("h")
+        )
     # stage_boundary materializes the anti-join BEFORE the append so
     # the write never scans the path it is appending to
-    unseen = b_h.join(idx.select("h"), "h", "left_anti").transform(
-        stage_boundary
+    unseen = (
+        b_h.join(seen, "h", "left_anti")
+        .withColumn("_src_batch", F.lit(int(src_batch)))
+        .transform(stage_boundary)
     )
-    unseen.write.mode("append").partitionBy("shard").parquet(
-        f"{index_path}/spans"
+    (
+        unseen.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_src_batch", "shard")
+        .parquet(f"{index_path}/spans_stream")
     )
 
 
@@ -175,16 +202,16 @@ def run_incremental_span_dedup(
     )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        budgets = probe_span_index(spark, index_path, batch_df).withColumn(
-            "_batch_id", F.lit(batch_id)
-        )
+        budgets = probe_span_index(
+            spark, index_path, batch_df, exclude_src_batch=batch_id
+        ).withColumn("_batch_id", F.lit(batch_id))
         (
             budgets.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")
             .parquet(out_dir)
         )
-        append_unseen_spans(spark, index_path, batch_df)
+        append_unseen_spans(spark, index_path, batch_df, src_batch=batch_id)
 
     q = (
         stream.writeStream.option("checkpointLocation", checkpoint_dir)

@@ -12,7 +12,11 @@ so batch and streaming share one set of semantics:
 
 - ``windowed_counts``  ↔ e01 (tumbling window + watermark)
 - ``sessionized``      ↔ e03 (session_window + watermark)
-- ``deduplicated``     ↔ e04 (dropDuplicatesWithinWatermark)
+- ``deduplicated``     — first event per event_id within the
+  watermark horizon (dropDuplicatesWithinWatermark). NOTE: this is
+  the at-least-once-delivery dedup on the event identity; it is NOT
+  a twin of batch e04, which keeps the first event per
+  (user_id, event_type) — different keys, different outputs.
 
 State sizing note (100 TB design): watermark delay bounds the state
 store; session state is per active (user, session) only, and the
@@ -162,13 +166,32 @@ def idempotent_parquet_sink(out_dir: str):
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        # per-writer option — no session-wide conf leak (ADVICE r03)
+        # per-writer option — no session-wide conf leak (ADVICE r03).
+        # The date partition derives from whatever event-time column
+        # the builder emitted (raw ts, windowed window_start, joined
+        # purchase_ts) — hard-coding "ts" made the sink fail with an
+        # unresolved column for three of the four documented builders
+        # (r09 review); a frame with no event-time column partitions
+        # by batch id alone.
+        date_src = next(
+            (
+                c
+                for c in ("ts", "window_start", "session_start",
+                          "purchase_ts")
+                if c in batch_df.columns
+            ),
+            None,
+        )
+        out = batch_df
+        parts = ["_batch_id"]
+        if date_src is not None:
+            out = out.withColumn("event_date", F.to_date(date_src))
+            parts = ["event_date", "_batch_id"]
         (
-            batch_df.withColumn("event_date", F.to_date("ts"))
-            .withColumn("_batch_id", F.lit(batch_id))
+            out.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("event_date", "_batch_id")
+            .partitionBy(*parts)
             .parquet(out_dir)
         )
 

@@ -33,11 +33,16 @@ def _track(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, mx = state.get if state.exists else (0, float("-inf"))
+    n, mx = state.get if state.exists else (0, None)
     for pdf in pdfs:
         n += len(pdf)
-        if len(pdf):
-            mx = max(mx, float(pdf["value"].max()))
+        # skipna max: a slice whose values are all null yields NaN,
+        # and max(-inf, NaN) is -inf — a sentinel that used to leak
+        # into the output as max_value = -Infinity (r09 review); a
+        # user with no non-null value so far reports null instead
+        vmax = pdf["value"].max()
+        if pd.notna(vmax):
+            mx = float(vmax) if mx is None else max(mx, float(vmax))
     state.update((n, mx))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "max_value": [mx]}
@@ -93,7 +98,12 @@ def _match_sequences(
     else:
         pending, n_signups, n_converted = [], 0, 0
     for pdf in pdfs:
-        ordered = pdf.sort_values(["ts", "event_id"])
+        # null-ts events carry no position on the time axis: the batch
+        # twin e12 skips them (min over when(purchase, ts) is
+        # null-skipping), and NaT.astype('int64') is INT64_MIN — a
+        # t = -9.2e15 µs purchase that would "convert" every pending
+        # signup (r09 review)
+        ordered = pdf.dropna(subset=["ts"]).sort_values(["ts", "event_id"])
         ts_us = ordered["ts"].astype("int64") // 1000  # ns -> us
         for t, etype in zip(ts_us, ordered["event_type"]):
             if etype == "signup":

@@ -36,7 +36,11 @@ def train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(
         spark, sf_dir, tables=("embeddings",), register_views=False
     )["embeddings"]
-    return centroid_arrays(emb)
+    # localCheckpoint pins the trained frame: stream-static joins
+    # re-evaluate the static plan per micro-batch, and without the pin
+    # every trigger would re-run the full centroid aggregation (the
+    # train_quality_model/train_reference idiom)
+    return centroid_arrays(emb).localCheckpoint(eager=True)
 
 
 def _d2(vec_col: str, cent_col) -> F.Column:

@@ -133,3 +133,53 @@ def test_span_stream_budgets_match_d20(spark, tmp_path):
         spark.read.parquet(out_dir).select("_batch_id").distinct().count()
     )
     assert n_batches == 2
+
+
+def test_span_replay_sees_pre_append_index_state(spark, tmp_path):
+    """Replay idempotence (r09 review): a replayed batch must probe
+    EXACTLY the index state its first attempt saw. The old in-place
+    append let the replay find its own spans in the index and classify
+    every one of them as a corpus dup."""
+    from rfb_data_pipeline_spark.pipeline.ann_index import (
+        probe_span_index,
+        write_span_index,
+    )
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index_path = str(tmp_path / "span_idx")
+    write_span_index(spark, corpus, index_path)
+
+    def budgets(exclude):
+        df = probe_span_index(
+            spark, index_path, batch, exclude_src_batch=exclude
+        )
+        return {
+            r["doc_id"]: (r["n_tokens"], r["tokens_removed"])
+            for r in df.collect()
+        }
+
+    first = budgets(0)
+    dds.append_unseen_spans(spark, index_path, batch, src_batch=0)
+    # replay of batch 0: identical budgets despite the prior append
+    assert budgets(0) == first
+    # double-append (second replay) leaves the index set unchanged too
+    dds.append_unseen_spans(spark, index_path, batch, src_batch=0)
+    assert budgets(0) == first
+    # non-vacuous: WITHOUT the exclusion the replay probe is
+    # contaminated by its own append — every batch span reads as a
+    # corpus dup
+    naive = {
+        r["doc_id"]: (r["n_tokens"], r["tokens_removed"])
+        for r in probe_span_index(spark, index_path, batch).collect()
+    }
+    assert naive != first
+    assert sum(v[1] for v in naive.values()) > sum(
+        v[1] for v in first.values()
+    )
+    # the NEXT batch id legitimately sees batch 0's contribution
+    nxt = budgets(1)
+    assert nxt == naive

@@ -56,27 +56,31 @@ def test_r09_window_composition():
         # g07: K-plan driver loop collapsed into one cumulative-over-b
         # plan (VERDICT r08 item 3)
         "g07_edge_stream_replay",
+        # e16: the curation funnel gates BEFORE fingerprint dedup in
+        # all three rule copies (r09 streaming review)
+        "e16_stream_replay",
     }
     # The forced dozen all seat, right after the tier-0/1 entries.
     assert R05_STALE <= window
-    assert set(names[: 6 + len(R05_STALE)]) == (
+    assert set(names[: 7 + len(R05_STALE)]) == (
         never_checked | touched_stale | R05_STALE
     )
-    # Next-oldest green (r06 rows) fill the remaining slots (t11 and
-    # t19, the youngest-named r06 entries, spill to positions 50/51 —
-    # the three new tier-0 rows cost exactly three green
-    # re-confirmations).
+    # Next-oldest green (r06 rows) fill the remaining slots (t10, t11
+    # and t19, the youngest-named r06 entries, spill to positions
+    # 50-52 — the three new tier-0 rows plus the e16 re-gate cost
+    # exactly four green re-confirmations).
     assert {
         "d17_span_dedup_action", "e20_ewma_baseline",
         "q01_pricing_summary", "q36_snapshot_diff",
     } <= window
-    assert names[50] == "t11_unigram_surprisal"
-    assert names[51] == "t19_bm25_search"
+    assert names[50] == "t10_cms_heavy_hitters"
+    assert names[51] == "t11_unigram_surprisal"
+    assert names[52] == "t19_bm25_search"
     # NO slot burns on r07/r08-green untouched code.
     assert not (window & {
         "v01_integrity_report", "v02_duplicate_keys_report",
         "m01_image_metadata", "m05_header_parse",
-        "d01_exact_dedup", "s02_ann_lsh", "e16_stream_replay",
+        "d01_exact_dedup", "s02_ann_lsh",
         "x06_shuffle_shard", "q25_collect_set",
     })
 

@@ -197,3 +197,72 @@ def test_transform_with_state_matches_v1_and_batch(spark, tmp_path):
         n, s = expected[r.user_id]
         assert r.n_events == n
         assert round(r.sum_value, 4) == s
+
+
+def test_tracker_all_null_values_yield_null_max(spark, tmp_path):
+    """A user whose events so far all carry value = NULL must report
+    max_value = NULL — not the -Infinity init sentinel (r09 review:
+    max(-inf, NaN) is -inf, which leaked into the output)."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 100, "view", None, None),
+        (2, datetime(2024, 1, 1, 0, 1), 100, "view", None, None),
+        (3, datetime(2024, 1, 1, 0, 2), 200, "view", 5.0, None),
+    ]
+    df = spark.createDataFrame(rows, es.EVENT_SCHEMA)
+    flat = tmp_path / "in"
+    flat.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(flat))
+    stream = es.read_events_stream(spark, str(flat))
+    q = (
+        user_activity_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("tracker_nulls")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_events, r.max_value)
+        for r in spark.sql("select * from tracker_nulls").collect()
+    }
+    assert got[100] == (2, None)
+    assert got[200] == (1, 5.0)
+
+
+def test_sequence_matcher_skips_null_ts_like_e12(spark, tmp_path):
+    """A null-ts purchase carries no position on the time axis: batch
+    e12 skips it (null-skipping min), so the stream must too — the old
+    NaT→INT64_MIN cast made it a t≈-9.2e15 purchase that 'converted'
+    every pending signup (r09 review)."""
+    from rfb_data_pipeline_spark.streaming.stateful import sequence_matcher
+
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 7, "signup", None, None),
+        (2, None, 7, "purchase", None, None),  # null ts: no position
+    ]
+    df = spark.createDataFrame(rows, es.EVENT_SCHEMA)
+    flat = tmp_path / "in"
+    flat.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(flat))
+    stream = es.read_events_stream(spark, str(flat))
+    q = (
+        sequence_matcher(stream)
+        .writeStream.format("memory")
+        .queryName("seq_nullts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_signups, r.n_converted)
+        for r in spark.sql("select * from seq_nullts").collect()
+    }
+    assert got[7] == (1, 0)

@@ -205,3 +205,29 @@ def test_stream_stream_join_matches_batch(spark, tmp_path, event_drop):
         ).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_parquet_sink_works_for_every_documented_builder(
+    spark, tmp_path, event_drop
+):
+    """run_to_completion(out_dir=...) must work for ALL four builders
+    the module documents with it — the sink used to hard-code
+    F.to_date('ts') and failed with an unresolved column for
+    windowed_counts/sessionized (r09 review); the date partition now
+    derives from whichever event-time column the builder emitted."""
+    path, _ev = event_drop
+    for name, build, mode in (
+        ("win", es.windowed_counts, "complete"),
+        ("sess", es.sessionized, "complete"),
+        ("dedup", es.deduplicated, "append"),
+    ):
+        out = str(tmp_path / f"out_{name}")
+        es.run_to_completion(
+            build(es.read_events_stream(spark, path)),
+            str(tmp_path / f"ckpt_{name}"),
+            out_dir=out,
+            output_mode=mode,
+        )
+        got = spark.read.parquet(out)
+        assert got.count() > 0, name
+        assert "event_date" in got.columns, name
