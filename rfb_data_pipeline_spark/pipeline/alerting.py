@@ -86,7 +86,12 @@ def evaluate_run(manifest: DataFrame, ref_ym: str) -> Alert:
         for r in mf.status_report(manifest).collect()
     }
     n = sum(tally.values())
-    n_loaded = tally.get(mf.SUCCESS, 0)
+    # IGNORED is a TERMINAL non-failure state (run.py: a zip whose
+    # members route to no table) — counting it as pending raised a
+    # monthly false 'carga incompleta' alert and made the success
+    # notification unreachable for any month with an unroutable zip
+    # (r09 review).
+    n_loaded = tally.get(mf.SUCCESS, 0) + tally.get(mf.IGNORED, 0)
     if not failures and n_loaded < n:
         return Alert(
             severity="failure",

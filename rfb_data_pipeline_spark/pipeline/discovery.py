@@ -58,7 +58,14 @@ def discover_files(
     the manifest's planning input (manifest.new_manifest)."""
     html = fetch(base_url)
     out = []
+    seen: set[str] = set()
     for href in parse_zip_links(html):
         name = href.rstrip("/").split("/")[-1]
+        # dedupe: Apache-autoindex listings carry two anchors per file
+        # (icon + name); duplicate rows would race two downloads onto
+        # one dest path and fan out every manifest join (r09 review)
+        if name in seen:
+            continue
+        seen.add(name)
         out.append((name, urljoin(base_url, href)))
     return out

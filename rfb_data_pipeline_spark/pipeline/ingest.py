@@ -32,9 +32,22 @@ from rfb_data_pipeline_spark.pipeline.validate import (
 from rfb_data_pipeline_spark.schemas import TABLE_SCHEMAS
 from rfb_data_pipeline_spark.sources.rfb_csv import (
     read_rfb_csv,
-    scan_counts,
     split_corrupt,
 )
+
+
+def _clear_quarantine_partition(
+    out_dir: str, table: str, ref_ym: str
+) -> None:
+    """Remove ``_quarantine/<table>/ref_ym=<ym>`` if present. Local
+    filesystem semantics (the reference pipeline's deployment); on an
+    object store, route through the Hadoop FS API instead."""
+    import shutil
+    from pathlib import Path
+
+    part = Path(out_dir) / "_quarantine" / table / f"ref_ym={ref_ym}"
+    if part.exists():
+        shutil.rmtree(part, ignore_errors=True)
 
 
 @dataclass
@@ -92,6 +105,19 @@ def load_table(
             raw = raw.unionByName(part)
     else:
         raw = read_rfb_csv(spark, paths, schema, encoding=encoding)
+    # Raw-side Observation ABOVE the clean filter: n_raw/n_corrupt are
+    # computed by the silver write's own scan — the docstring's
+    # "no second scan" claim is now literally true (the r09 review
+    # found scan_counts re-reading the whole CSV after the write).
+    # first-col count satisfies the raw-scan corrupt-column rule.
+    first_col = next(c for c in raw.columns if c != "_corrupt_record")
+    raw_obs = Observation(f"raw_{table}_{ref_ym}")
+    raw = raw.observe(
+        raw_obs,
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.count(first_col).alias("_touch"),
+    )
     clean, corrupt = split_corrupt(raw)
 
     silver = to_silver(table, clean).withColumn("ref_ym", F.lit(ref_ym))
@@ -117,18 +143,30 @@ def load_table(
     )
     n_written = int(obs.get["n_written"])
 
-    n_raw, n_corrupt = scan_counts(raw)
+    raw_metrics = raw_obs.get
+    n_raw = int(raw_metrics["n_raw"])
+    n_corrupt = int(raw_metrics["n_corrupt"])
     n_clean = n_raw - n_corrupt
 
     if quarantine and n_corrupt > 0:
         (
             # full row width: a projection of only the corrupt column
-            # is rejected on raw CSV scans (see sources.rfb_csv)
+            # is rejected on raw CSV scans (see sources.rfb_csv).
+            # DYNAMIC overwrite (r09 review): the default static mode
+            # truncated the whole quarantine table, destroying other
+            # months' quarantined evidence.
             corrupt.withColumn("ref_ym", F.lit(ref_ym))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ref_ym")
             .parquet(f"{out_dir}/_quarantine/{table}")
         )
+    elif quarantine:
+        # a clean RE-run must not leave the previous attempt's stale
+        # quarantine partition claiming corruption that no longer
+        # exists (r09 review); dynamic overwrite with an empty frame
+        # touches nothing, so the partition is removed explicitly
+        _clear_quarantine_partition(out_dir, table, ref_ym)
 
     metrics = dict(obs.get)
     n_dups = 0

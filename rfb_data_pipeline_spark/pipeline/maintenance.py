@@ -107,6 +107,13 @@ def cluster_table_zorder(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).collect()[0]
     limit = 1 << bits
+    if any(v is None for v in (lo_a, hi_a, lo_b, hi_b)):
+        # empty table / all-NULL columns: min/max are None and the
+        # range comparison below would be an opaque TypeError
+        raise ValueError(
+            f"zorder columns have no values to cluster on "
+            f"({col_a}, {col_b}: empty input or all NULL)"
+        )
     if lo_a < 0 or lo_b < 0 or hi_a >= limit or hi_b >= limit:
         raise ValueError(
             f"zorder columns must lie in [0, {limit}): "

@@ -133,9 +133,17 @@ def save_manifest(manifest: DataFrame, path: str) -> None:
 def load_manifest(spark: SparkSession, path: str) -> DataFrame:
     with open(path, encoding="utf-8") as f:
         records = json.load(f)
+    val_fields = [
+        f.name
+        for f in MANIFEST_SCHEMA["validacoes"].dataType.fields  # type: ignore[union-attr]
+    ]
     rows = [
         tuple(
-            tuple(rec[name].values())
+            # look the struct fields up BY NAME: dict.values() depends
+            # on JSON key order, so a hand-edited or key-sorted
+            # manifest would silently load the counts into the wrong
+            # slots (r09 review)
+            tuple(rec[name].get(f) for f in val_fields)
             if name == "validacoes" and rec[name] is not None
             else rec[name]
             for name in MANIFEST_SCHEMA.fieldNames()

@@ -54,6 +54,11 @@ class RunConfig:
 class RunReport:
     loads: list[LoadResult] = field(default_factory=list)
     manifest_path: str = ""
+    # files whose download/extract has not succeeded when the load
+    # stage came up — the tables they feed are HELD (not loaded, their
+    # contributing files left pending) rather than risking a partial
+    # (table, ref_ym) overwrite; alerting reports the incompleteness
+    held_for: list[str] = field(default_factory=list)
 
     @property
     def passed(self) -> bool:
@@ -62,6 +67,20 @@ class RunReport:
 
 def _route_one(filename: str) -> str | None:
     return route_table_py(filename)
+
+
+def _zip_expected_table(zip_name: str) -> str | None:
+    """Table a portal zip is expected to feed, from its name stem
+    (``Empresas3.zip`` → ``rfb_empresas``) — the dados-abertos naming
+    contract. None for unrecognized names (callers treat that
+    conservatively)."""
+    import re
+
+    from rfb_data_pipeline_spark.schemas import TABLE_SCHEMAS
+
+    stem = re.sub(r"\d+$", "", zip_name.rsplit(".", 1)[0]).lower()
+    t = f"rfb_{stem}"
+    return t if t in TABLE_SCHEMAS else None
 
 
 def run_month(spark: SparkSession, cfg: RunConfig) -> RunReport:
@@ -109,9 +128,15 @@ def run_month(spark: SparkSession, cfg: RunConfig) -> RunReport:
                 members = [m for m in zf.namelist() if not m.endswith("/")]
                 zf.extractall(extract_dir)
             updates_rows.append((r.arquivo, mf.SUCCESS, mf.PENDING, members))
-        except zipfile.BadZipFile:
-            # self-heal: reopen the download stage (src/main.py:116-119)
-            os.remove(r.caminho_zip)
+        except (zipfile.BadZipFile, OSError):
+            # self-heal: reopen the download stage (src/main.py:116-119).
+            # OSError covers the zip VANISHING between runs (a crash
+            # after the per-row os.remove but before the stage's
+            # manifest save left caminho_zip dangling — r09 review:
+            # FileNotFoundError used to abort run_month on every
+            # resume until the manifest was hand-edited)
+            if r.caminho_zip and os.path.exists(r.caminho_zip):
+                os.remove(r.caminho_zip)
             updates_rows.append((r.arquivo, mf.PENDING, mf.PENDING, None))
     if updates_rows:
         updates = spark.createDataFrame(
@@ -146,10 +171,42 @@ def run_month(spark: SparkSession, cfg: RunConfig) -> RunReport:
     # same TRUNCATE-per-file quirk at src/main.py:200; we fix it).
     report = RunReport(manifest_path=manifest_path)
     pending = mf.pending_for_stage(manifest, "correcao").collect()
+    # Completeness gate (r09 review): a file that has not extracted
+    # has unknown members, and load_table's atomic partition overwrite
+    # demands EVERY part of a table in one call — loading around a
+    # failed Empresas3.zip would silently ship a 90%-complete
+    # rfb_empresas partition marked sucesso. The portal's naming
+    # contract identifies each zip's table (Empresas3.zip →
+    # rfb_empresas), so only the AFFECTED tables are held (their
+    # contributing files stay pending for the resume); an
+    # unrecognizable zip name conservatively holds everything.
+    held_tables: set[str] = set()
+    hold_all = False
+    incomplete_files = []
+    for r in manifest.collect():
+        if r.status_extracao == mf.SUCCESS:
+            continue
+        incomplete_files.append(r.arquivo)
+        t = _zip_expected_table(r.arquivo)
+        if t is None:
+            hold_all = True
+        else:
+            held_tables.add(t)
+    if pending and incomplete_files:
+        report.held_for = sorted(incomplete_files)
+    # Group by routed table over ALL extracted files — not only the
+    # correcao-pending ones: on a resume where one part's zip was
+    # reset and re-done, the table must still re-load with its
+    # already-loaded sibling parts in the same csv_paths list, or the
+    # partition overwrite would clobber them (r09 review).
     zip_tables: dict[str, set[str | None]] = {}
     table_inputs: dict[str, list[str]] = {}
     table_encodings: dict[str, dict[str, str]] = {}
-    for r in pending:
+    pending_names = {r.arquivo for r in pending}
+    tables_to_load: set[str] = set()
+    for r in manifest.collect() if pending else []:
+        if r.status_extracao != mf.SUCCESS:
+            continue
         zip_tables[r.arquivo] = set()
         for member in r.arquivos_extraidos or []:
             path = os.path.join(extract_dir, member)
@@ -159,9 +216,16 @@ def run_month(spark: SparkSession, cfg: RunConfig) -> RunReport:
                 continue
             table_inputs.setdefault(table, []).append(path)
             table_encodings.setdefault(table, {})[path] = sniff_encoding(path)
+            if r.arquivo in pending_names:
+                tables_to_load.add(table)
+
+    if hold_all:
+        tables_to_load = set()
+    else:
+        tables_to_load -= held_tables
 
     table_passed: dict[str, bool] = {}
-    for table in sorted(table_inputs):
+    for table in sorted(tables_to_load):
         lr = load_table(
             spark,
             table,
@@ -178,6 +242,10 @@ def run_month(spark: SparkSession, cfg: RunConfig) -> RunReport:
         for r in pending:
             tables = zip_tables[r.arquivo]
             routed = {t for t in tables if t is not None}
+            if routed and not routed <= set(table_passed):
+                # routes to a HELD table: this run did not load it, so
+                # the file stays pending for the resume
+                continue
             if routed and any(not table_passed[t] for t in routed):
                 final = mf.FAILED
             elif not routed and tables:

@@ -279,3 +279,27 @@ def test_check_month_published_survives_malformed_http(monkeypatch):
     )
     assert [r.published for r in results] == [False, False]
     assert sent == []
+
+
+def test_ignored_files_do_not_block_success(spark):
+    """status_carga='ignorada' is a TERMINAL non-failure state (a zip
+    whose members route to no table) — it must not raise the monthly
+    'carga incompleta' alert or make success unreachable (r09
+    review)."""
+    from rfb_data_pipeline_spark.pipeline import manifest as mf
+    from rfb_data_pipeline_spark.pipeline.alerting import evaluate_run
+
+    m = mf.new_manifest(
+        spark, [("A.zip", "http://x/A.zip"), ("B.zip", "http://x/B.zip")]
+    )
+    done = spark.createDataFrame(
+        [
+            ("A.zip", mf.SUCCESS, mf.SUCCESS, mf.SUCCESS, mf.SUCCESS),
+            ("B.zip", mf.SUCCESS, mf.SUCCESS, mf.SUCCESS, mf.IGNORED),
+        ],
+        "arquivo string, new_status_download string, "
+        "new_status_extracao string, new_status_correcao string, "
+        "new_status_carga string",
+    )
+    alert = evaluate_run(mf.apply_updates(m, done), "202405")
+    assert alert.severity == "success"

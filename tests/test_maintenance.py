@@ -162,3 +162,21 @@ def test_zorder_clustering_prunes_on_both_columns(spark, tmp_path):
     # and the z layout still prunes on x too
     xh_z, xt_z = hit_ratio(zdir, "x", 100, 109)
     assert xh_z <= xt_z // 2, (xh_z, xt_z)
+
+
+def test_zorder_empty_input_fails_with_diagnostic(spark, tmp_path):
+    """Empty table / all-NULL cluster columns: the range guard used to
+    compare None < int (opaque TypeError); now a diagnostic ValueError
+    (r09 review)."""
+    import pytest as _pytest
+
+    from rfb_data_pipeline_spark.pipeline.maintenance import (
+        cluster_table_zorder,
+    )
+
+    src = str(tmp_path / "empty_in")
+    spark.createDataFrame([], "a int, b int").write.parquet(src)
+    with _pytest.raises(ValueError, match="no values to cluster"):
+        cluster_table_zorder(
+            spark, src, str(tmp_path / "out"), "a", "b"
+        )

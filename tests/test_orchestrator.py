@@ -156,3 +156,132 @@ def test_month_name_ptbr(spark):
         "202412",
         "12. Dezembro",
     )
+
+
+# -- round-9 review regressions --------------------------------------------
+
+
+def test_multipart_table_held_until_every_part_arrives(spark, tmp_path):
+    """A failed Empresas1.zip must HOLD rfb_empresas (not ship a
+    half-complete partition marked sucesso), while unrelated tables
+    still load; the resume then loads BOTH parts in one call."""
+    p = tmp_path / "portal"
+    p.mkdir()
+    with zipfile.ZipFile(p / "Empresas0.zip", "w") as zf:
+        zf.writestr(
+            "K001.EMPRECSV", (EMPRESAS[0] + "\n").encode("latin-1")
+        )
+    (p / "Empresas1.zip").write_bytes(b"NOT A ZIP")  # fails extract
+    with zipfile.ZipFile(p / "Cnaes.zip", "w") as zf:
+        zf.writestr("K002.CNAECSV", "\n".join(CNAES) + "\n")
+    (p / "index.html").write_text(
+        _listing_html(["Empresas0.zip", "Empresas1.zip", "Cnaes.zip"])
+    )
+    cfg = RunConfig(
+        base_url=f"file://{p}/index.html",
+        work_dir=str(tmp_path / "work"),
+        out_dir=str(tmp_path / "silver"),
+        ref_ym="202405",
+        fetch=_file_fetch,
+        stream=_file_stream,
+    )
+    report = run_month(spark, cfg)
+    # the unaffected table loaded; the incomplete one was held
+    assert {lr.table for lr in report.loads} == {"rfb_cnaes"}
+    assert report.held_for == ["Empresas1.zip"]
+    assert not os.path.exists(str(tmp_path / "silver" / "rfb_empresas"))
+    m = mf.load_manifest(spark, report.manifest_path)
+    st = {r.arquivo: r for r in m.collect()}
+    # the healthy part stays PENDING (not falsely sucesso)
+    assert st["Empresas0.zip"].status_carga == mf.PENDING
+    assert st["Cnaes.zip"].status_carga == mf.SUCCESS
+
+    # heal the portal; resume must load BOTH parts together
+    with zipfile.ZipFile(p / "Empresas1.zip", "w") as zf:
+        zf.writestr(
+            "K009.EMPRECSV", (EMPRESAS[1] + "\n").encode("latin-1")
+        )
+    report2 = run_month(spark, cfg)
+    assert {lr.table for lr in report2.loads} == {"rfb_empresas"}
+    assert report2.held_for == []
+    emp = spark.read.parquet(str(tmp_path / "silver" / "rfb_empresas"))
+    assert emp.count() == 2  # both parts in one atomic partition write
+    m2 = mf.load_manifest(spark, report2.manifest_path)
+    assert all(r.status_carga == mf.SUCCESS for r in m2.collect())
+
+
+def test_extract_survives_vanished_zip(spark, portal, tmp_path):
+    """A zip that vanished after the manifest recorded its download
+    (crash between os.remove and save_manifest) must self-heal back to
+    pending download, not abort every resume (r09 review)."""
+    cfg = RunConfig(
+        base_url=f"file://{portal}/index.html",
+        work_dir=str(tmp_path / "work"),
+        out_dir=str(tmp_path / "silver"),
+        ref_ym="202405",
+        fetch=_file_fetch,
+        stream=_file_stream,
+    )
+    report = run_month(spark, cfg)  # Socios0 healed to pending
+    # simulate the wedge: mark Socios0 downloaded at a path that does
+    # not exist (the crash-window manifest state)
+    m = mf.load_manifest(spark, report.manifest_path)
+    upd = spark.createDataFrame(
+        [("Socios0.zip", mf.SUCCESS, str(tmp_path / "work/zips/gone.zip"))],
+        "arquivo string, new_status_download string, new_caminho_zip string",
+    )
+    mf.save_manifest(mf.apply_updates(m, upd), report.manifest_path)
+    report2 = run_month(spark, cfg)  # must not raise
+    m2 = mf.load_manifest(spark, report2.manifest_path)
+    socios = next(r for r in m2.collect() if r.arquivo == "Socios0.zip")
+    # healed back to pending download (or already re-downloaded if the
+    # portal had it — here the portal copy is still corrupt, so the
+    # extract self-heal leaves it pending again)
+    assert socios.status_carga == mf.PENDING
+
+
+def test_discovery_dedupes_double_anchors(tmp_path):
+    """Apache-autoindex listings carry icon+name anchors per file —
+    one manifest row each, not two racing downloads (r09 review)."""
+    p = tmp_path / "portal2"
+    p.mkdir()
+    (p / "index.html").write_text(
+        "<html><body>"
+        '<a href="Empresas0.zip"><img src="i.gif"></a>'
+        '<a href="Empresas0.zip">Empresas0.zip</a>'
+        '<a href="Cnaes.zip">Cnaes.zip</a>'
+        "</body></html>"
+    )
+    files = discover_files(f"file://{p}/index.html", fetch=_file_fetch)
+    assert [f[0] for f in files] == ["Empresas0.zip", "Cnaes.zip"]
+
+
+def test_manifest_roundtrip_survives_key_reorder(spark, portal, tmp_path):
+    """validacoes fields must load BY NAME: a key-sorted manifest (any
+    JSON tool) used to silently permute the counts (r09 review)."""
+    import json
+
+    cfg = RunConfig(
+        base_url=f"file://{portal}/index.html",
+        work_dir=str(tmp_path / "work"),
+        out_dir=str(tmp_path / "silver"),
+        ref_ym="202405",
+        fetch=_file_fetch,
+        stream=_file_stream,
+    )
+    report = run_month(spark, cfg)
+    with open(report.manifest_path, encoding="utf-8") as f:
+        records = json.load(f)
+    before = {
+        r["arquivo"]: r["validacoes"] for r in records if r["validacoes"]
+    }
+    assert before, "fixture produced no validacoes"
+    with open(report.manifest_path, "w", encoding="utf-8") as f:
+        json.dump(records, f, sort_keys=True)  # permute all keys
+    m = mf.load_manifest(spark, report.manifest_path)
+    for r in m.collect():
+        if r.validacoes is None:
+            continue
+        want = before[r.arquivo]
+        assert r.validacoes.linhas_originais == want["linhas_originais"]
+        assert r.validacoes.registros_no_banco == want["registros_no_banco"]

@@ -380,3 +380,45 @@ def test_month_diff_classifies_adds_removes_changes(spark):
         for r in month_diff_summary(may, june, ["cnpj_basico"]).collect()
     }
     assert summary == {"added": 1, "removed": 1, "changed": 2}
+
+
+def test_quarantine_preserves_other_months_and_clears_when_clean(
+    spark, tmp_path
+):
+    """r09 review: (a) month 2's quarantine write must not truncate
+    month 1's quarantined evidence (the missing dynamic-overwrite
+    option did exactly that); (b) a clean RE-run of a month must clear
+    its own stale quarantine partition."""
+    out = str(tmp_path / "s3")
+
+    def month_csv(name, corrupt):
+        p = tmp_path / name
+        rows = ["00000001;OK LTDA;2062;49;100,00;03;"]
+        if corrupt:
+            rows.append("shifted;row;with;far;too;many;fields;x1;x2;x3")
+        p.write_text("\n".join(rows) + "\n", encoding="utf-8")
+        return str(p)
+
+    load_table(
+        spark, "rfb_empresas", month_csv("m1.EMPRECSV.csv", True), out,
+        ref_ym="202405",
+    )
+    load_table(
+        spark, "rfb_empresas", month_csv("m2.EMPRECSV.csv", True), out,
+        ref_ym="202406",
+    )
+    q = spark.read.parquet(f"{out}/_quarantine/rfb_empresas")
+    # BOTH months' evidence present
+    assert sorted(
+        str(r.ref_ym) for r in q.select("ref_ym").distinct().collect()
+    ) == ["202405", "202406"]
+    # clean re-run of month 1 clears its stale partition, keeps month 2
+    res = load_table(
+        spark, "rfb_empresas", month_csv("m1b.EMPRECSV.csv", False), out,
+        ref_ym="202405",
+    )
+    assert res.n_corrupt == 0
+    q2 = spark.read.parquet(f"{out}/_quarantine/rfb_empresas")
+    assert [
+        str(r.ref_ym) for r in q2.select("ref_ym").distinct().collect()
+    ] == ["202406"]
