@@ -45,6 +45,10 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     # Partition pruning across joins (month-partitioned RFB layout).
     "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+    # Projection-independent corrupt-row detection for the permissive
+    # RFB CSV scans (read_rfb_csv re-sets this at runtime for bare
+    # sessions; having it in the builder avoids the mid-session flip).
+    "spark.sql.csv.parser.columnPruning.enabled": "false",
     "spark.ui.enabled": "false",
     # local[N] runs everything in one JVM whose default heap (1g) is
     # sized for a thin driver, not for 32 executor threads; candidate-

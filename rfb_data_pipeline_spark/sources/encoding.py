@@ -57,8 +57,18 @@ def sniff_encoding(path: str, sample_bytes: int = SAMPLE_BYTES) -> str:
     try:
         head.decode("utf-8", errors="strict")
         return "utf-8"
-    except UnicodeDecodeError:
-        pass
+    except UnicodeDecodeError as e:
+        # The sample boundary can cut a multibyte sequence: a decode
+        # error STARTING in the last 3 bytes of a full sample is an
+        # incomplete trailing character, not evidence of non-UTF-8 —
+        # falling through here misdetected valid UTF-8 files as
+        # latin-1 and mojibake'd the whole read (r09 review, verified)
+        if len(head) == sample_bytes and e.start >= len(head) - 3:
+            try:
+                head[: e.start].decode("utf-8", errors="strict")
+                return "utf-8"
+            except UnicodeDecodeError:
+                pass
     c1 = [b for b in head if 0x80 <= b <= 0x9F]
     if c1 and all(b not in _CP1252_UNDEFINED for b in c1):
         return "cp1252"
@@ -70,18 +80,20 @@ def transcode_file(
 ) -> tuple[int, int]:
     """Line-by-line transcode to UTF-8 (reference errors='replace'
     semantics, src/main.py:145-148). Returns (lines_in, lines_out);
-    the caller asserts equality (validation A7).
+    the caller asserts equality (validation A7). lines_out is an
+    INDEPENDENT re-count of the written file — counting inside the
+    write loop made the pair (n, n) by construction, so the A7 gate
+    could never fail (r09 review).
     """
     enc = src_encoding or sniff_encoding(src)
-    lines_in = lines_out = 0
+    lines_in = 0
     with open(src, "r", encoding=enc, errors=errors) as fin, open(
         dst, "w", encoding="utf-8"
     ) as fout:
         for line in fin:
             lines_in += 1
             fout.write(line)
-            lines_out += 1
-    return lines_in, lines_out
+    return lines_in, count_lines(dst)
 
 
 def count_lines(path: str, encoding: str = "utf-8") -> int:
@@ -93,11 +105,25 @@ def count_lines(path: str, encoding: str = "utf-8") -> int:
     return n
 
 
-def detect_all(directory: str, suffix: str = ".csv") -> dict[str, str]:
-    """Sniff every matching file in a directory → {path: encoding}."""
+def detect_all(
+    directory: str, suffix: str | None = None
+) -> dict[str, str]:
+    """Sniff every matching file in a directory → {path: encoding}.
+
+    Default (``suffix=None``): files that ROUTE to an RFB table —
+    real drop members are named like ``K3241...EMPRECSV``, so the old
+    '.csv' default matched nothing and returned {} silently (r09
+    review). Pass an explicit suffix to filter by extension instead.
+    """
+    from rfb_data_pipeline_spark.sources.rfb_csv import route_table_py
+
     out: dict[str, str] = {}
     for name in sorted(os.listdir(directory)):
-        if name.lower().endswith(suffix):
+        if (
+            name.lower().endswith(suffix)
+            if suffix is not None
+            else route_table_py(name) is not None
+        ):
             p = os.path.join(directory, name)
             out[p] = sniff_encoding(p)
     return out

@@ -61,6 +61,14 @@ def read_jdbc(
 ) -> DataFrame:
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the datasource as the literal
+            # "None" and die in a NumberFormatException far from the
+            # call site (r09 review)
+            raise ValueError(
+                "lower_bound and upper_bound are required when "
+                "partition_column is set"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

@@ -49,6 +49,13 @@ def read_rfb_csv(
     count-aggregate parses fewer fields than the write path and sees
     different corrupt rows — observed, not hypothetical). Column-shift
     detection (READme.md:29) must be projection-independent.
+
+    Known tradeoff (r09 review): this conf is SESSION-WIDE and set at
+    runtime because callers may hold a bare session (the driver runs
+    queries in its own SparkSession with no repo confs) — it also
+    disables pruning for unrelated CSV scans in the same session.
+    session.get_spark sets it from the start; sessions mixing RFB and
+    wide non-RFB CSV reads should isolate them.
     """
     spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
     full_schema = StructType(

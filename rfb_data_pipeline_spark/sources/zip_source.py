@@ -81,6 +81,17 @@ def read_zip_lines(
     binaries = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def lines(rows: Iterator[Row]) -> Iterator[Row]:
+        import zlib
+
+        def one_terminator(s: str) -> str:
+            # strip exactly ONE line terminator: rstrip("\r\n") also
+            # ate a field's own trailing \r before a CRLF (r09 review)
+            if s.endswith("\n"):
+                s = s[:-1]
+            if s.endswith("\r"):
+                s = s[:-1]
+            return s
+
         for row in rows:
             try:
                 zf = zipfile.ZipFile(io.BytesIO(row.content))
@@ -90,15 +101,34 @@ def read_zip_lines(
                 for info in zf.infolist():
                     if info.is_dir():
                         continue
-                    with zf.open(info) as member:
-                        text = io.TextIOWrapper(
-                            member, encoding=encoding, errors=errors
+                    try:
+                        # member-data corruption (CRC mismatch,
+                        # garbled deflate) raises DURING the read
+                        # loop, not at ZipFile() — buffer the member
+                        # inside the guard so one damaged archive
+                        # skips instead of killing the job (r09
+                        # review, verified: BadZipFile('Bad CRC-32')
+                        # and zlib.error both escape mid-iteration)
+                        payload = zf.read(info)
+                    except (zipfile.BadZipFile, zlib.error, OSError):
+                        continue
+                    # newline="\n": only LF terminates a line. The
+                    # default universal mode also breaks on a BARE \r,
+                    # so a field value ending in \r split the row in
+                    # two before rstrip even ran (r09 review). RFB
+                    # drops are LF/CRLF; \r-only files are out of
+                    # contract.
+                    text = io.TextIOWrapper(
+                        io.BytesIO(payload),
+                        encoding=encoding,
+                        errors=errors,
+                        newline="\n",
+                    )
+                    for line in text:
+                        yield Row(
+                            archive=row.path,
+                            member=info.filename,
+                            line=one_terminator(line),
                         )
-                        for line in text:
-                            yield Row(
-                                archive=row.path,
-                                member=info.filename,
-                                line=line.rstrip("\r\n"),
-                            )
 
     return spark.createDataFrame(binaries.rdd.mapPartitions(lines), LINE_SCHEMA)

@@ -422,3 +422,101 @@ def test_quarantine_preserves_other_months_and_clears_when_clean(
     assert [
         str(r.ref_ym) for r in q2.select("ref_ym").distinct().collect()
     ] == ["202406"]
+
+
+# -- round-9 sources review regressions -------------------------------------
+
+
+def test_sniff_survives_sample_boundary_mid_character(tmp_path):
+    """A valid UTF-8 file whose sample boundary cuts a multibyte
+    sequence must still sniff as UTF-8 — falling through mojibake'd
+    the whole read as latin-1 (r09 review, verified)."""
+    from rfb_data_pipeline_spark.sources.encoding import sniff_encoding
+
+    p = tmp_path / "cut.csv"
+    p.write_bytes(b"a" * 99_999 + "é".encode("utf-8") + b"tail\n")
+    assert sniff_encoding(str(p)) == "utf-8"
+    # a genuinely non-UTF-8 file still detects correctly
+    q = tmp_path / "latin.csv"
+    q.write_bytes("coração".encode("latin-1") + b";x\n")
+    assert sniff_encoding(str(q)) != "utf-8"
+
+
+def test_transcode_count_is_independent(tmp_path):
+    """(lines_in, lines_out) must be two independent measurements —
+    counting both inside the write loop made the A7 gate vacuous
+    (r09 review)."""
+    from rfb_data_pipeline_spark.sources.encoding import transcode_file
+
+    src = tmp_path / "s.csv"
+    src.write_text("a;b\nc;d\ne;f\n", encoding="latin-1")
+    n_in, n_out = transcode_file(
+        str(src), str(tmp_path / "d.csv"), src_encoding="latin-1"
+    )
+    assert (n_in, n_out) == (3, 3)
+
+
+def test_detect_all_matches_real_rfb_names(tmp_path):
+    """The default filter must match real drop members (EMPRECSV,
+    CNAECSV, ...) — the old '.csv' default matched nothing and
+    silently returned {} (r09 review)."""
+    from rfb_data_pipeline_spark.sources.encoding import detect_all
+
+    (tmp_path / "K3241.K03200Y0.D50510.EMPRECSV").write_bytes(b"x;y\n")
+    (tmp_path / "K002.CNAECSV").write_bytes(b"1;z\n")
+    (tmp_path / "notes.txt").write_bytes(b"skip me")
+    got = detect_all(str(tmp_path))
+    assert sorted(os.path.basename(p) for p in got) == [
+        "K002.CNAECSV", "K3241.K03200Y0.D50510.EMPRECSV",
+    ]
+
+
+def test_zip_lines_skips_member_level_corruption(spark, tmp_path):
+    """CRC/deflate corruption raises DURING member read, after
+    ZipFile() succeeds — one damaged archive must skip, not kill the
+    job (r09 review, verified)."""
+    import io as _io
+    import zipfile as _zf
+
+    from rfb_data_pipeline_spark.sources.zip_source import read_zip_lines
+
+    zdir = tmp_path / "zips"
+    zdir.mkdir()
+    with _zf.ZipFile(zdir / "good.zip", "w") as zf:
+        zf.writestr("m.csv", "one;1\ntwo;2\n")
+    # corrupt a member's compressed payload but keep the directory
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w", compression=_zf.ZIP_DEFLATED) as zf:
+        zf.writestr("m.csv", "payload;line\n" * 50)
+    raw = bytearray(buf.getvalue())
+    body_at = raw.index(b"m.csv") + len(b"m.csv")
+    raw[body_at + 5 : body_at + 25] = b"\x00" * 20  # garble the deflate
+    (zdir / "bad.zip").write_bytes(bytes(raw))
+    got = read_zip_lines(spark, str(zdir)).collect()
+    archives = {os.path.basename(r.archive) for r in got}
+    assert archives == {"good.zip"}  # bad member skipped, job alive
+    assert sorted(r.line for r in got) == ["one;1", "two;2"]
+
+
+def test_zip_lines_strips_exactly_one_terminator(spark, tmp_path):
+    """A field value legitimately ending in \\r before the CRLF must
+    keep that \\r (rstrip('\\r\\n') ate it — r09 review)."""
+    import zipfile as _zf
+
+    from rfb_data_pipeline_spark.sources.zip_source import read_zip_lines
+
+    zdir = tmp_path / "z2"
+    zdir.mkdir()
+    with _zf.ZipFile(zdir / "a.zip", "w") as zf:
+        zf.writestr("m.csv", "a;b;val\r\r\nnext;x\r\n")
+    got = sorted(r.line for r in read_zip_lines(spark, str(zdir)).collect())
+    assert got == ["a;b;val\r", "next;x"]
+
+
+def test_read_jdbc_bounds_required_with_partition_column(spark):
+    import pytest as _pytest
+
+    from rfb_data_pipeline_spark.sources.jdbc import read_jdbc
+
+    with _pytest.raises(ValueError, match="lower_bound and upper_bound"):
+        read_jdbc(spark, "jdbc:x", "t", partition_column="id")
