@@ -28,10 +28,10 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimensions that should always end up on the broadcast side of a
-# join. region/nation are O(10^1-10^2) rows at any scale factor; the RFB
-# analogue is the 6 code tables (reference src/main.py:168-171).
-BROADCAST_TABLES = frozenset({"region", "nation"})
+# Broadcast behavior for the small dimensions (region/nation, the RFB
+# code tables) is enforced by spark.sql.autoBroadcastJoinThreshold in
+# session.py plus explicit F.broadcast calls at the join sites — no
+# table list to drift out of date here.
 
 
 def data_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> tuple:
@@ -79,8 +79,14 @@ def load_tables(
         df = spark.read.parquet(path)
         if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn(
+                # pmod-floor, not `div`: integral div truncates toward
+                # zero, so a pre-epoch (negative) nanosecond value
+                # would round to the WRONG microsecond (r09 review;
+                # the fixtures are post-1970, so latent)
                 "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+                F.timestamp_micros(
+                    F.expr("(ts - pmod(ts, 1000)) div 1000")
+                ).cast("timestamp_ntz"),
             )
         out[name] = df
         if register_views:

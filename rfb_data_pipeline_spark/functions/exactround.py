@@ -80,15 +80,17 @@ def _half_up_div(a: Column, d: Column) -> Column:
     dividend is an exact multiple of the divisor, so the quotient is
     exact whenever it stays below 2^52 (the documented long-mode
     bound); decimal mode divides in decimal."""
-    if _mode() == "long":
-        # Within the long-mode bound, double division of (2a+d)/(2d)
-        # can never land on the wrong side of an integer (distinct
-        # rationals with denominator 2d sit >= 1/(2d) from integers,
-        # which is wider than an ulp while a*d < 2^51), so truncation
-        # IS floor and the pmod can be skipped entirely.
-        return ((a * 2 + d) / (d * 2)).cast("long")
-    e = a * 2 + d
-    return (e - F.pmod(e, d * 2)) / (d * 2)
+    # The division is ALWAYS decimal-exact: in long mode only the
+    # per-ROW accumulation stays long (the fast path) — the one
+    # division per GROUP row widens to DECIMAL and uses the pmod
+    # floor. The old long-mode shortcut divided in double, which is
+    # exact only while a < 2^51 units and SILENTLY off-by-one-cent
+    # above (r09 review: ANSI overflow fires only past 2^63, a 2048×
+    # window with no error); real sums (q01 at sf0.1 ≈ 3×10^16
+    # units) live inside that window.
+    e = a.cast(_DEC) * 2 + d
+    q = (e - F.pmod(e, d * 2)) / (d * 2)
+    return q.cast("long") if _mode() == "long" else q
 
 
 def units(expr: Column, grid_decimals: int) -> Column:

@@ -26,16 +26,25 @@ def empty_to_null(col: str | Column) -> Column:
 
 
 def decimal_comma(col: str | Column, precision: int = 38, scale: int = 2) -> Column:
-    """'1234,56' → DECIMAL; empty/malformed → NULL (cast semantics)."""
+    """'1234,56' → DECIMAL; empty/malformed → NULL. try_cast, not
+    cast: under ANSI (the session default) a plain cast RAISES on
+    field-level junk like '12a,56' — which survives the column-count
+    quarantine — and one bad cell aborted the month's load (r09
+    review, reproduced)."""
     c = empty_to_null(col)
-    return F.replace(c, F.lit(","), F.lit(".")).cast(f"decimal({precision},{scale})")
+    return F.replace(c, F.lit(","), F.lit(".")).try_cast(
+        f"decimal({precision},{scale})"
+    )
 
 
 def yyyymmdd(col: str | Column) -> Column:
-    """RFB date strings → DATE; '0', '00000000' and empty are NULL."""
+    """RFB date strings → DATE; '0', '00000000', empty, and malformed
+    values are NULL. try_to_date, not to_date: under ANSI a plain
+    to_date RAISES on junk like '20230230' and aborted the whole
+    silver write (r09 review, reproduced)."""
     c = empty_to_null(col)
     c = F.when(c.isin("0", "00000000"), F.lit(None)).otherwise(c)
-    return F.to_date(c, "yyyyMMdd")
+    return F.try_to_date(c, "yyyyMMdd")
 
 
 def code_list(col: str | Column) -> Column:
@@ -47,16 +56,27 @@ def code_list(col: str | Column) -> Column:
 
 
 def zero_pad(col: str | Column, width: int) -> Column:
-    return F.lpad(empty_to_null(col), width, "0")
+    """Left-pad to ``width`` — but NEVER truncate: lpad silently cuts
+    an overlong value to width, turning field-level junk into a
+    syntactically valid key that joins to the WRONG row (r09 review).
+    Overlong values pass through unpadded, where the v4 referential
+    check surfaces them as orphans instead."""
+    c = empty_to_null(col)
+    return F.when(F.length(c) > width, c).otherwise(F.lpad(c, width, "0"))
 
 
 def normalize_strings(df: DataFrame) -> DataFrame:
-    """Apply empty→NULL to every string column (idempotent)."""
-    out = df
-    for f in df.schema.fields:
-        if f.dataType.typeName() == "string":
-            out = out.withColumn(f.name, empty_to_null(f.name))
-    return out
+    """Apply empty→NULL to every string column (idempotent) — one
+    select, not a withColumn-per-column loop (each withColumn stacks
+    a nested Project; r09 review)."""
+    return df.select(
+        *[
+            empty_to_null(f.name).alias(f.name)
+            if f.dataType.typeName() == "string"
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
 
 
 def empresas_silver(raw: DataFrame) -> DataFrame:

@@ -34,12 +34,17 @@ def read_schemas(df: DataFrame) -> list[str]:
 
 
 def operator_counts(df: DataFrame) -> dict[str, int]:
+    """Operator-name histogram over the simple plan. The key is the
+    operator's FIRST word only, and nested-tree prefixes (':  +-')
+    parse (r09 review: the old pattern dropped ':'-prefixed lines and
+    folded operand words into the key)."""
     plan = explain_string(df, mode="simple")
-    ops = re.findall(r"^\s*[+:]*-?\s*\*?\(?\d*\)?\s*([A-Za-z][A-Za-z ]*)", plan, re.M)
+    ops = re.findall(
+        r"^[\s:+\-]*\*?\(?\d*\)?\s*([A-Za-z]\w*)", plan, re.M
+    )
     out: dict[str, int] = {}
     for o in ops:
-        key = o.strip()
-        out[key] = out.get(key, 0) + 1
+        out[o] = out.get(o, 0) + 1
     return out
 
 
@@ -59,6 +64,10 @@ def has_python_eval(df: DataFrame) -> bool:
 
 
 def n_exchanges(df: DataFrame) -> int:
-    """Shuffle exchange count (broadcast exchanges excluded)."""
+    """Shuffle exchange count. Broadcast exchanges are excluded, and
+    so are ReusedExchange nodes — a reused exchange replays an
+    existing map output, it is not a new shuffle (r09 review: the
+    'Exchange' suffix of 'ReusedExchange' used to count, so a reused
+    BROADCAST side inflated the shuffle budget)."""
     plan = explain_string(df, mode="simple")
-    return len(re.findall(r"(?<!Broadcast)Exchange", plan))
+    return len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange", plan))

@@ -368,3 +368,21 @@ def test_exactround_long_mode_fails_loud_past_bound(spark, monkeypatch):
     monkeypatch.setenv("RFB_EXACTROUND_MODE", "decimal")
     got = big.agg(money_sum(F.col("v"), 0, 0).alias("s")).collect()[0]["s"]
     assert got == float(4 * 2**61)
+
+
+def test_exactround_half_up_exact_beyond_double_window(spark):
+    """The half-up division must stay EXACT past 2^51 units: the old
+    long-mode double shortcut was silently off by one cent there
+    (r09 review) — the division now widens to DECIMAL. 10^17+50 cents
+    at a .5 tie must round AWAY (…+1), the case doubles get wrong."""
+    from pyspark.sql import functions as F
+
+    from rfb_data_pipeline_spark.functions.exactround import finish_sum
+
+    ok = spark.createDataFrame([(12345,)], "s long")
+    assert (
+        ok.select(finish_sum(F.col("s"), 2, 0).alias("v")).first().v == 123.0
+    )
+    big = spark.createDataFrame([(10**17 + 50,)], "s long")
+    got = big.select(finish_sum(F.col("s"), 2, 0).alias("v")).first().v
+    assert got == float(10**15 + 1), got

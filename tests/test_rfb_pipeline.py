@@ -520,3 +520,46 @@ def test_read_jdbc_bounds_required_with_partition_column(spark):
 
     with _pytest.raises(ValueError, match="lower_bound and upper_bound"):
         read_jdbc(spark, "jdbc:x", "t", partition_column="id")
+
+
+def test_silver_survives_field_level_junk_under_ansi(spark, tmp_path):
+    """Field-level junk in a column-count-valid row (which quarantine
+    canNOT catch) must normalize to NULL, not abort the month's load
+    under ANSI (r09 review, reproduced: to_date('20230230') and
+    cast('12a,56') both raised)."""
+    bad = tmp_path / "junk.EMPRECSV.csv"
+    bad.write_text(
+        "00000001;OK LTDA;2062;49;12a,56;03;\n"  # junk money
+        "123456789;LONG KEY;2062;49;100,00;03;\n",  # overlong key
+        encoding="utf-8",
+    )
+    res = load_table(
+        spark, "rfb_empresas", str(bad), str(tmp_path / "s4"),
+        ref_ym="202405",
+    )
+    assert res.n_written == 2  # loaded, not crashed
+    got = {
+        r.cnpj_basico: r
+        for r in spark.read.parquet(
+            str(tmp_path / "s4/rfb_empresas")
+        ).collect()
+    }
+    assert got["00000001"].capital_social is None  # junk -> NULL
+    # overlong key passes through UNtruncated: it must not silently
+    # become a valid-looking 8-char key that joins to the wrong row
+    assert "123456789" in got
+    # dates: junk value -> NULL (estabelecimentos path)
+    est = tmp_path / "junk.ESTABELE.csv"
+    est.write_text(
+        "00000001;0001;57;1;X;02;20230230;" + ";" * 22 + "\n",
+        encoding="utf-8",
+    )
+    res2 = load_table(
+        spark, "rfb_estabelecimentos", str(est), str(tmp_path / "s4"),
+        ref_ym="202405",
+    )
+    assert res2.n_written == 1
+    row = spark.read.parquet(
+        str(tmp_path / "s4/rfb_estabelecimentos")
+    ).first()
+    assert row.data_situacao_cadastral is None
