@@ -35,6 +35,7 @@ def _registry() -> tuple[dict, dict]:
         graph,
         integrity,
         media,
+        pipeline_e2e,
         relational,
         sampling,
         similarity,
@@ -47,7 +48,7 @@ def _registry() -> tuple[dict, dict]:
     oracle: dict[str, str] = {}
     for mod in (
         relational, events, dedup, text, similarity, sampling, media, graph,
-        integrity,
+        integrity, pipeline_e2e,
     ):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)

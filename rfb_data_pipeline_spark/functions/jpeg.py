@@ -713,9 +713,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                         "invalid AC run/size symbol"
                                     )
                                 k += 16  # ZRL: zeros at k..k+15
-                                if k > 64:
-                                    # last zero would land past index
-                                    # 63 — silent desync territory
+                                if k >= 64:
+                                    # ZRL's 16 zeros must be FOLLOWED
+                                    # by a coefficient at index <= 63
+                                    # (T.81 F.1.2.2); landing on 64
+                                    # exactly leaves no room for it —
+                                    # silent desync territory
                                     raise ValueError(
                                         "AC coefficient index overflow"
                                     )

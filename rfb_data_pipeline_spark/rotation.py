@@ -37,7 +37,7 @@ Maintenance contract (enforced by tests/test_registry_window.py):
 
 from __future__ import annotations
 
-CURRENT_ROUND = 9
+CURRENT_ROUND = 10
 
 # name -> newest driver CORRECTNESS round containing the name
 # (union of CORRECTNESS_r01..r05; absent = never driver-checked).
@@ -331,6 +331,52 @@ LAST_DRIVER_ROW.update(
             "s12_embedding_outliers",
         ),
         8,
+    )
+)
+
+
+# r10: the jpeg decoder's ZRL overflow guard tightened to k >= 64
+# (ADVICE r09) — m09/m10 execute decode_jpeg on every row, so their
+# executed code changed even though valid streams decode identically.
+LAST_TOUCHED.update(
+    dict.fromkeys(("m09_jpeg_roundtrip", "m10_mjpeg_frames"), 10)
+)
+
+LAST_DRIVER_ROW.update(
+    # CORRECTNESS_r09.json fold-in: 50/50 green (rows+schema+hash),
+    # seating the r08 verdict's forced set (the 12 r05-stale rows,
+    # the three tier-0 codec/ANN-audit rows m09/m10/s16, and the
+    # r09-touched q24/q33/g07/e16) plus the oldest r06-green block.
+    dict.fromkeys(
+        (
+            "m09_jpeg_roundtrip", "m10_mjpeg_frames",
+            "s16_ann_recall_verdict",
+            "e16_stream_replay", "g07_edge_stream_replay",
+            "q24_approx_distinct", "q33_approx_quantiles",
+            "s14_embedding_validation",
+            "t12_zipf_slope", "t13_pii_redaction",
+            "t15_quality_classifier", "t16_html_extract",
+            "t17_url_filter",
+            "x11_curriculum_buckets", "x12_repetition_gate",
+            "x13_weighted_sample", "x14_epoch_plan", "x15_split_drift",
+            "x16_quality_mixture",
+            "d17_span_dedup_action", "d18_cleaned_corpus",
+            "d19_decontaminate_action", "d20_incremental_span_dedup",
+            "e12_sequence_match", "e20_ewma_baseline",
+            "e21_transition_matrix", "e22_any_click_funnel",
+            "e23_cusum_changepoint",
+            "q01_pricing_summary", "q03_topk_revenue",
+            "q04_revenue_by_nation", "q05_region_revenue",
+            "q06_forecast_revenue", "q14_date_functions",
+            "q15_conditional_agg", "q16_having", "q18_range_join",
+            "q29_ntile_percentile", "q34_histogram", "q35_unpivot",
+            "q36_snapshot_diff",
+            "s09_vector_stats", "s10_semantic_dedup",
+            "t01_token_stats", "t02_quality_score", "t03_langid",
+            "t04_fingerprint", "t05_top_terms", "t06_tfidf_top_terms",
+            "t09_bpe_token_count",
+        ),
+        9,
     )
 )
 

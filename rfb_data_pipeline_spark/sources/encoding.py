@@ -62,13 +62,38 @@ def sniff_encoding(path: str, sample_bytes: int = SAMPLE_BYTES) -> str:
         # error STARTING in the last 3 bytes of a full sample is an
         # incomplete trailing character, not evidence of non-UTF-8 —
         # falling through here misdetected valid UTF-8 files as
-        # latin-1 and mojibake'd the whole read (r09 review, verified)
+        # latin-1 and mojibake'd the whole read (r09 review, verified).
+        # But a clean-ASCII-prefix file whose FIRST genuinely non-UTF-8
+        # byte happens to fall in that tail would be misdetected the
+        # other way (ADVICE r09), so re-sample 4 bytes wider to
+        # disambiguate: a truncated character COMPLETES in <= 3 more
+        # bytes, junk fails at the same offset regardless.
         if len(head) == sample_bytes and e.start >= len(head) - 3:
-            try:
-                head[: e.start].decode("utf-8", errors="strict")
-                return "utf-8"
-            except UnicodeDecodeError:
-                pass
+            with open(path, "rb") as f:
+                ext = f.read(sample_bytes + 4)
+            if len(ext) == len(head):
+                # the FILE ends here: an incomplete final character,
+                # damage bounded to the last char under errors=replace
+                try:
+                    head[: e.start].decode("utf-8", errors="strict")
+                    return "utf-8"
+                except UnicodeDecodeError:
+                    pass
+            else:
+                try:
+                    ext.decode("utf-8", errors="strict")
+                    return "utf-8"
+                except UnicodeDecodeError as e2:
+                    # the cut character completed and the WIDER sample
+                    # was cut again at its own tail → UTF-8; a failure
+                    # at the original offset means real junk → fall
+                    # through to the 8-bit discrimination below
+                    if e2.start > e.start and e2.start >= len(ext) - 3:
+                        try:
+                            ext[: e2.start].decode("utf-8", errors="strict")
+                            return "utf-8"
+                        except UnicodeDecodeError:
+                            pass
     c1 = [b for b in head if 0x80 <= b <= 0x9F]
     if c1 and all(b not in _CP1252_UNDEFINED for b in c1):
         return "cp1252"

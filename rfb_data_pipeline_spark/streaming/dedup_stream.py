@@ -128,13 +128,80 @@ def run_incremental_dedup(
 # ALL of its spans as corpus dups) nor survive as partial files from
 # a mid-append crash. A periodic batch refresh (write_span_index)
 # folds spans_stream into the base tree.
+#
+# The batch-id keying assumes ONE checkpoint lineage: if the stream
+# checkpoint is reset (batch ids restart at 0) while index_path is
+# reused, the new run would both ignore the old run's appends and
+# dynamic-overwrite its same-numbered partitions (ADVICE r09). The
+# runner therefore records the checkpoint's query id in a
+# ``spans_stream/_lineage`` marker and REFUSES to run against a
+# marker from a different lineage — fold spans_stream into the base
+# tree (write_span_index) before reusing the index path with a fresh
+# checkpoint.
+
+
+def assert_stream_lineage(
+    spark: SparkSession, index_path: str, lineage: str
+) -> None:
+    """Fail loudly when ``spans_stream`` carries appends from a
+    DIFFERENT checkpoint lineage (batch-id collisions would silently
+    regress dedup verdicts); records ``lineage`` on first use. The
+    marker lives under a ``_``-prefixed dir so parquet discovery of
+    spans_stream ignores it."""
+    from pyspark.errors import AnalysisException
+
+    marker = f"{index_path}/spans_stream/_lineage"
+    existing = None
+    try:
+        existing = spark.read.json(marker).first()["lineage"]
+    except AnalysisException:
+        pass
+    if existing is None:
+        (
+            spark.createDataFrame([(lineage,)], "lineage string")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(marker)
+        )
+    elif existing != lineage:
+        raise RuntimeError(
+            f"span index {index_path!r} carries spans_stream appends "
+            f"from checkpoint lineage {existing!r}, but this run's "
+            f"checkpoint lineage is {lineage!r}: batch ids would "
+            "collide and silently corrupt dedup verdicts. Fold the "
+            "stream appends into the base tree (write_span_index over "
+            "the accepted corpus) before reusing the index path with "
+            "a new checkpoint."
+        )
+
+
+def _checkpoint_lineage(spark: SparkSession, checkpoint_dir: str) -> str:
+    """The streaming query id Spark records at ``<checkpoint>/metadata``
+    on stream start — stable across restarts of one checkpoint, fresh
+    when the checkpoint is wiped (exactly the lineage the span index
+    keys batches by). Read as text + json.loads so a format-version
+    prefix line (the offsets-file convention) can never silently
+    yield a null id."""
+    import json as _json
+
+    for row in spark.read.text(f"{checkpoint_dir}/metadata").collect():
+        line = row["value"].strip()
+        if line.startswith("{"):
+            qid = _json.loads(line).get("id")
+            if qid:
+                return str(qid)
+    raise RuntimeError(
+        f"no query id found in {checkpoint_dir}/metadata — cannot "
+        "establish the checkpoint lineage the span index requires"
+    )
 
 
 def append_unseen_spans(
     spark: SparkSession,
     index_path: str,
     batch_docs: DataFrame,
-    src_batch: int = 0,
+    *,
+    src_batch: int,
 ) -> None:
     """Write the batch's corpus-unseen distinct span hashes to its own
     ``spans_stream/_src_batch=<src_batch>`` partition (the accepted-
@@ -201,7 +268,17 @@ def run_incremental_span_dedup(
         .parquet(in_dir)
     )
 
+    lineage_checked: list[bool] = []
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        if not lineage_checked:
+            # once per run, BEFORE the first probe: a reused index
+            # path under a reset checkpoint must fail loudly, not
+            # silently collide on batch ids (ADVICE r09)
+            assert_stream_lineage(
+                spark, index_path, _checkpoint_lineage(spark, checkpoint_dir)
+            )
+            lineage_checked.append(True)
         budgets = probe_span_index(
             spark, index_path, batch_df, exclude_src_batch=batch_id
         ).withColumn("_batch_id", F.lit(batch_id))

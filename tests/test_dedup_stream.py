@@ -183,3 +183,70 @@ def test_span_replay_sees_pre_append_index_state(spark, tmp_path):
     # the NEXT batch id legitimately sees batch 0's contribution
     nxt = budgets(1)
     assert nxt == naive
+
+
+def test_stream_lineage_guard(spark, tmp_path):
+    """ADVICE r09: reusing a span index path under a RESET checkpoint
+    (batch ids restart at 0) must fail loudly — the marker records the
+    first lineage, re-asserting it is idempotent, and a different
+    lineage raises with the compaction instruction."""
+    import pytest
+
+    idx = str(tmp_path / "idx")
+    dds.assert_stream_lineage(spark, idx, "run-A")
+    dds.assert_stream_lineage(spark, idx, "run-A")  # idempotent
+    with pytest.raises(RuntimeError, match="lineage"):
+        dds.assert_stream_lineage(spark, idx, "run-B")
+    # the marker's _-prefixed dir is invisible to spans_stream parquet
+    # discovery (no data appended yet -> None, not an error)
+    from rfb_data_pipeline_spark.pipeline.ann_index import _stream_spans
+
+    assert _stream_spans(spark, idx) is None
+
+
+def test_span_stream_refuses_reset_checkpoint(spark, tmp_path):
+    """End-to-end: run the span stream once, wipe ONLY the checkpoint,
+    rerun against the same index path — the second run must refuse
+    (RuntimeError via the foreachBatch guard) instead of silently
+    colliding on batch ids."""
+    import pytest
+
+    from rfb_data_pipeline_spark.pipeline.ann_index import write_span_index
+    from rfb_data_pipeline_spark.streaming.dedup_stream import (
+        run_incremental_span_dedup,
+    )
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(20)
+    index_path = str(tmp_path / "span_idx")
+    write_span_index(spark, corpus, index_path)
+
+    in_dir = tmp_path / "in"
+    _drop(batch, in_dir, "b0")
+    run_incremental_span_dedup(
+        spark,
+        str(in_dir),
+        str(tmp_path / "out1"),
+        str(tmp_path / "ckpt1"),
+        index_path,
+    )
+    # same lineage restart is fine (availableNow drains nothing new)
+    run_incremental_span_dedup(
+        spark,
+        str(in_dir),
+        str(tmp_path / "out1"),
+        str(tmp_path / "ckpt1"),
+        index_path,
+    )
+    # fresh checkpoint + reused index: fail loudly
+    with pytest.raises(Exception, match="lineage"):
+        run_incremental_span_dedup(
+            spark,
+            str(in_dir),
+            str(tmp_path / "out2"),
+            str(tmp_path / "ckpt2"),
+            index_path,
+        )

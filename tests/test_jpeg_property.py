@@ -268,3 +268,29 @@ def test_oversized_raster_fails_loud():
     ValueError, not a struct.error from segment assembly."""
     with pytest.raises(ValueError, match="65535"):
         encode_jpeg(np.zeros((70000, 8, 3), dtype=np.uint8))
+
+def test_zrl_landing_exactly_on_64_fails_loud():
+    """ADVICE r09: ZRL's 16 zeros must be FOLLOWED by a coefficient at
+    an index <= 63 (T.81 F.1.2.2) — a ZRL taking k exactly to 64 is
+    invalid baseline data and must raise, not silently end the block
+    with the bit reader misaligned."""
+    import struct
+
+    import rfb_data_pipeline_spark.functions.jpeg as J
+
+    payload = bytes(encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quality=100))
+    sos = payload.find(b"\xff\xda")
+    assert sos > 0
+    scan_start = sos + 2 + struct.unpack(">H", payload[sos + 2 : sos + 4])[0]
+    w = J._BitWriter()
+    w.put(*J._DC_CODES[0])  # DC size 0 -> diff 0
+    code, ln = J._AC_CODES[0xE1]  # run=14, size=1: place at 15, k -> 16
+    w.put(code, ln)
+    w.put(1, 1)  # the size-1 magnitude bit
+    zrl, zln = J._AC_CODES[0xF0]
+    for _ in range(3):  # ZRL x3: k 16 -> 32 -> 48 -> 64, exactly
+        w.put(zrl, zln)
+    w.flush()
+    corrupt = payload[:scan_start] + bytes(w.out) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="AC coefficient index overflow"):
+        decode_jpeg(corrupt)

@@ -6,7 +6,7 @@ out of (or a stale one into) the round's window.
 Since r06 the order is COMPUTED from the rotation ledger
 (rfb_data_pipeline_spark/rotation.py): never-driver-checked first,
 then touched-since-their-row, then green oldest-first. These tests pin
-the r09 composition the ledger must produce AND the ledger's own
+the r10 composition the ledger must produce AND the ledger's own
 freshness invariants, so a ledger edit that starves an entry fails
 loudly.
 """
@@ -21,67 +21,53 @@ def _names():
     return list(entry_mod.queries())
 
 
-# The r05-stale dozen the r08 verdict flagged: their newest driver rows
-# are r05 (== CURRENT_ROUND - 4 at r09), so the freshness invariant
-# FORCES them into the r09 window — the round's primary rotation goal.
-R05_STALE = {
-    "s14_embedding_validation", "t12_zipf_slope", "t13_pii_redaction",
-    "t15_quality_classifier", "t16_html_extract", "t17_url_filter",
-    "x11_curriculum_buckets", "x12_repetition_gate",
-    "x13_weighted_sample", "x14_epoch_plan", "x15_split_drift",
-    "x16_quality_mixture",
+# The r06-stale tail the r09 verdict flagged: their newest driver rows
+# are r06 (== CURRENT_ROUND - 4 at r10), so the freshness invariant
+# FORCES them into the r10 window — the round's primary rotation goal.
+R06_STALE = {
+    "t10_cms_heavy_hitters", "t11_unigram_surprisal", "t19_bm25_search",
+    "x01_split_assign", "x02_cap_per_group", "x03_stratified_sample",
+    "x04_chunk_documents", "x05_corpus_curation",
 }
 
 
-def test_r09_window_composition():
+def test_r10_window_composition():
     names = _names()
     window = set(names[:50])
-    # Tier 0 — never driver-checked: the r09 codec verdict rows plus
-    # the ANN recall audit row.
+    # Tier 0 — never driver-checked: the end-to-end RFB pipeline row
+    # (VERDICT r09 item 2, the registry's 150th slot).
     never_checked = {n for n in names if n not in rotation.LAST_DRIVER_ROW}
-    assert never_checked == {
-        "m09_jpeg_roundtrip", "m10_mjpeg_frames", "s16_ann_recall_verdict",
-    }
-    # Tier 1 — rows predating this round's code (r09 touches).
+    assert never_checked == {"p01_pipeline_month_e2e"}
+    # Tier 1 — rows predating this round's code (r10 touches): the
+    # jpeg ZRL guard tightened to k >= 64 (ADVICE r09), executed by
+    # both codec rows.
     touched_stale = {
         n
         for n in names
         if rotation.LAST_TOUCHED.get(n, 0)
         > rotation.LAST_DRIVER_ROW.get(n, 99)
     }
-    assert touched_stale == {
-        # q24: NULL-key mirroring in the exact tier (ADVICE r08 #2);
-        # q33: boundary-consistent error bucket (ADVICE r08 #1)
-        "q24_approx_distinct", "q33_approx_quantiles",
-        # g07: K-plan driver loop collapsed into one cumulative-over-b
-        # plan (VERDICT r08 item 3)
-        "g07_edge_stream_replay",
-        # e16: the curation funnel gates BEFORE fingerprint dedup in
-        # all three rule copies (r09 streaming review)
-        "e16_stream_replay",
-    }
-    # The forced dozen all seat, right after the tier-0/1 entries.
-    assert R05_STALE <= window
-    assert set(names[: 7 + len(R05_STALE)]) == (
-        never_checked | touched_stale | R05_STALE
+    assert touched_stale == {"m09_jpeg_roundtrip", "m10_mjpeg_frames"}
+    # The forced r06 tail all seat, right after the tier-0/1 entries.
+    assert R06_STALE <= window
+    assert set(names[: 3 + len(R06_STALE)]) == (
+        never_checked | touched_stale | R06_STALE
     )
-    # Next-oldest green (r06 rows) fill the remaining slots (t10, t11
-    # and t19, the youngest-named r06 entries, spill to positions
-    # 50-52 — the three new tier-0 rows plus the e16 re-gate cost
-    # exactly four green re-confirmations).
+    # Next-oldest green (r07 rows) fill the remaining 39 slots; the
+    # youngest-named r07 entries spill to positions 50-52.
     assert {
-        "d17_span_dedup_action", "e20_ewma_baseline",
-        "q01_pricing_summary", "q36_snapshot_diff",
+        "d02_ngram_jaccard", "e01_tumbling_hourly", "g05_graph_summary",
+        "v01_integrity_report", "x06_shuffle_shard",
     } <= window
-    assert names[50] == "t10_cms_heavy_hitters"
-    assert names[51] == "t11_unigram_surprisal"
-    assert names[52] == "t19_bm25_search"
-    # NO slot burns on r07/r08-green untouched code.
+    assert names[50] == "x08_split_leakage"
+    assert names[51] == "x09_pack_sequences"
+    assert names[52] == "x10_domain_mixture"
+    # NO slot burns on r08/r09-green untouched code.
     assert not (window & {
-        "v01_integrity_report", "v02_duplicate_keys_report",
+        "v02_duplicate_keys_report", "q24_approx_distinct",
         "m01_image_metadata", "m05_header_parse",
-        "d01_exact_dedup", "s02_ann_lsh",
-        "x06_shuffle_shard", "q25_collect_set",
+        "d01_exact_dedup", "s02_ann_lsh", "s16_ann_recall_verdict",
+        "q25_collect_set", "t01_token_stats", "e16_stream_replay",
     })
 
 

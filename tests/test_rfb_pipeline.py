@@ -563,3 +563,36 @@ def test_silver_survives_field_level_junk_under_ansi(spark, tmp_path):
         str(tmp_path / "s4/rfb_estabelecimentos")
     ).first()
     assert row.data_situacao_cadastral is None
+
+
+# -- round-10 ADVICE regressions ---------------------------------------------
+
+
+def test_sniff_boundary_junk_is_not_utf8(tmp_path):
+    """ADVICE r09: a clean-ASCII-prefix file whose FIRST genuinely
+    non-UTF-8 byte falls in the sample's last 3 bytes must NOT ride
+    the truncated-multibyte heuristic into a utf-8 verdict — the wider
+    re-sample fails at the same offset and falls through to the 8-bit
+    discrimination."""
+    from rfb_data_pipeline_spark.sources.encoding import sniff_encoding
+
+    # latin-1 high byte (0xE9 'e-acute') as the 2nd-to-last sample
+    # byte, more latin-1 content beyond the boundary
+    p = tmp_path / "junk_tail.csv"
+    p.write_bytes(b"a" * 99_998 + b"\xe9" + b"x" * 50 + b"\xe9fim\n")
+    assert sniff_encoding(str(p)) == "latin-1"
+    # cp1252 smart quote at the boundary discriminates to cp1252
+    q = tmp_path / "cp_tail.csv"
+    q.write_bytes(b"a" * 99_998 + b"\x93" + b"x" * 50 + b"\x94\n")
+    assert sniff_encoding(str(q)) == "cp1252"
+    # a multibyte char CUT by the boundary still sniffs utf-8 (the r09
+    # fix must survive the re-sample): first byte of a 2-byte char at
+    # the last sample position, completion + utf-8 tail beyond it
+    r = tmp_path / "cut_char.csv"
+    r.write_bytes(b"a" * 99_999 + "é".encode("utf-8") + "ação\n".encode("utf-8"))
+    assert sniff_encoding(str(r)) == "utf-8"
+    # file ENDING exactly at the sample boundary mid-character: the
+    # incomplete final char is EOF truncation, still utf-8
+    s = tmp_path / "eof_cut.csv"
+    s.write_bytes(b"a" * 99_999 + "é".encode("utf-8")[:1])
+    assert sniff_encoding(str(s)) == "utf-8"
