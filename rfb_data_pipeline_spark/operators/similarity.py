@@ -517,9 +517,18 @@ def s06_near_dup_pairs_banded(
     # hence shuffle bytes — grow ~N² (measured 1 : 8.2 : 97.5 at
     # 1x/3x/10x). sign_bits is therefore a PARAMETER: grow it as
     # ~log2(N / target_bucket_occupancy) so occupancy (and per-vector
-    # candidate work) stays constant — candidates then scale ~N at the
-    # same recall operating point (re-measure recall vs s03 when
-    # retuning; tests/test_ann_recall.py is the harness).
+    # candidate work) stays constant — and GROW num_tables WITH it,
+    # because finer buckets cut per-table capture probability (p^bits)
+    # and recall must be re-bought with more tables. Measured on the
+    # 10x fixture (r10, the s16 panel as the audit): the naive
+    # bits-only retune (16, 6)→(16, 9) restored the linear band
+    # (85 s/507 MB → 16.6 s/74 MB) but dropped recall@10 0.66 → 0.22,
+    # BELOW the 0.25 floor — s16's recall_ge_floor flags it. The
+    # correct operating point is (32 tables, 9 bits): s06 25 s/146 MB
+    # (3.5x less shuffle than (16, 6)) at recall 0.43 ≥ floor, scan
+    # fraction 32/2^9 = 6.3% (vs 25% at (16, 6)). Always re-run the
+    # s16 panel at a candidate retune before adopting it;
+    # tests/test_ann_recall.py is the harness.
     emb = _emb(spark, sf_dir)
     cand = _s06_candidates(spark, emb, num_tables, sign_bits)
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
@@ -1690,7 +1699,10 @@ LIMIT {TOP_K}
 # the fixed panel against the materialized (t, bucket) index, and
 # recall_ge_floor is the gate a retuning of (num_tables, sign_bits)
 # must keep green (the s06 sf1 scale note: recall must be re-measured
-# when retuning occupancy).
+# when retuning occupancy). The gate BINDS: the r09 bits-only retune
+# (16, 9) measured 0.22 on the 10x fixture — below floor, rejected —
+# while the corrected (32, 9) point measures 0.43 (see the s06
+# retuning note).
 
 RECALL_QUERY_MOD = 31
 # The panel is CAPPED (vec_id % MOD == 0 AND vec_id < MOD*CAP): 17
