@@ -1063,6 +1063,16 @@ def decode_features(
             from rfb_data_pipeline_spark.functions.jpeg import decode_jpeg
 
             return ppm_features(decode_jpeg(raw))
+        if raw.startswith(b"BM"):  # real decode tier (uncompressed
+            # 24 bpp BMP — r10, the m05 residual note)
+            from rfb_data_pipeline_spark.functions.bmpgif import decode_bmp
+
+            return ppm_features(decode_bmp(raw))
+        if raw[:6] in (b"GIF87a", b"GIF89a"):  # real decode tier
+            # (GIF LZW, first frame through its palette — r10)
+            from rfb_data_pipeline_spark.functions.bmpgif import decode_gif
+
+            return ppm_features(decode_gif(raw))
         if raw.startswith(b"RIFF"):  # real decode tier (WAV chunk walk)
             _rate, samples = decode_wav(raw)
             return wav_embedding(samples)
@@ -1090,13 +1100,13 @@ def decode_features(
             )
         if decode_stub:
             return _fake_features(raw)
-        # decode_stub=False on a format with no native tier (e.g. GIF,
-        # WebP, mp3): fail loud — PPM, PNG, baseline JPEG, WAV, and
-        # MJPEG-BMFF decode natively.
+        # decode_stub=False on a format with no native tier (e.g.
+        # WebP, mp3): fail loud — PPM, PNG, baseline JPEG, BMP, GIF,
+        # WAV, and MJPEG-BMFF decode natively.
         raise ValueError(
             "no native decode tier for this payload format; PPM, PNG, "
-            "baseline JPEG, WAV and MJPEG-BMFF decode natively — use "
-            "decode_stub=True for other formats"
+            "baseline JPEG, BMP, GIF, WAV and MJPEG-BMFF decode "
+            "natively — use decode_stub=True for other formats"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

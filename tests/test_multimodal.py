@@ -122,11 +122,20 @@ def test_real_decode_gate(spark):
     ) < 0.02
     assert feats[2] != mm._fake_features(bytes(ok_rows[2][2]))
 
-    gif_like = [(3, "image", bytearray(b"GIF89a" + b"\x00" * 16),
-                 (None, None, None, None, "gif"))]
-    bad = spark.createDataFrame(gif_like, mm.MEDIA_SCHEMA)
+    mp3_like = [(3, "audio", bytearray(b"ID3" + b"\x00" * 16),
+                 (None, None, None, None, "mp3"))]
+    bad = spark.createDataFrame(mp3_like, mm.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="no native decode tier"):
         mm.decode_features(bad, decode_stub=False).collect()
+    # GIF has a REAL tier since r10: a junk GIF-prefixed payload now
+    # fails as corrupt GIF, not as tier-less
+    gif_like = [(5, "image", bytearray(b"GIF89a" + b"\x00" * 16),
+                 (None, None, None, None, "gif"))]
+    with pytest.raises(Exception, match="GIF"):
+        mm.decode_features(
+            spark.createDataFrame(gif_like, mm.MEDIA_SCHEMA),
+            decode_stub=False,
+        ).collect()
 
     corrupt = [(4, "image", bytearray(b"\xff\xd8\xff\xe0JFIF-ish"),
                 (None, None, None, None, "jpg"))]
