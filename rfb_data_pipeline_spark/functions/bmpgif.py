@@ -34,6 +34,13 @@ _BMP_HDR = 14  # BITMAPFILEHEADER
 _DIB_HDR = 40  # BITMAPINFOHEADER
 
 
+class UnsupportedBmpVariant(ValueError):
+    """A well-formed BMP OUTSIDE the decode tier (paletted/RLE/16-32
+    bpp/pre-BITMAPINFO): distinct from corruption so ``decode_features``
+    stub mode can fall back to fake features for out-of-tier variants
+    while corrupt payloads still fail loud (r10 review)."""
+
+
 def encode_bmp(img: np.ndarray) -> bytes:
     """(h, w, 3) uint8 RGB -> 24 bpp uncompressed bottom-up BMP."""
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
@@ -62,9 +69,11 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         "<IiiHHI", payload, _BMP_HDR
     )
     if dib_size < _DIB_HDR:
-        raise ValueError("unsupported BMP DIB header (pre-BITMAPINFO)")
+        raise UnsupportedBmpVariant(
+            "unsupported BMP DIB header (pre-BITMAPINFO)"
+        )
     if planes != 1 or bpp != 24 or comp != 0:
-        raise ValueError(
+        raise UnsupportedBmpVariant(
             f"unsupported BMP variant (planes={planes}, bpp={bpp}, "
             f"compression={comp}); only uncompressed 24 bpp decodes"
         )

@@ -24,11 +24,16 @@ Codec tiers:
   sampling gets a REAL tier via MJPEG-in-BMFF (``encode_mjpeg_mp4`` /
   ``mp4_samples`` demux + per-frame JPEG decode). ``decode_features``
   also decodes WAV (waveform envelope embedding) and MJPEG-BMFF
-  (first-frame thumbnail) natively. Remaining formats with no native
-  tier (gif/webp/mp3, metadata-only BMFF): ``decode_stub=True``
-  (default) produces a deterministic fake derived from the payload
-  bytes' md5, and ``decode_stub=False`` raises ValueError for exactly
-  those payloads (inside the worker, fail-loud).
+  (first-frame thumbnail) natively.
+- **BMP and GIF decode for real (r10)** — ``functions/bmpgif.py``:
+  uncompressed 24 bpp BMP and GIF87a/89a LZW (first frame through its
+  palette, interlace included). Remaining formats with no native tier
+  (webp/mp3, metadata-only BMFF, out-of-tier BMP variants like
+  paletted/RLE): ``decode_stub=True`` (default) produces a
+  deterministic fake derived from the payload bytes' md5, and
+  ``decode_stub=False`` raises ValueError for exactly those payloads
+  (inside the worker, fail-loud). Corrupt payloads of an in-tier
+  format raise in BOTH modes.
 
 Scale notes: media rows are large — the batch iterator keeps memory
 bounded (Arrow batches, ``spark.sql.execution.arrow.maxRecordsPerBatch``),
@@ -1065,9 +1070,20 @@ def decode_features(
             return ppm_features(decode_jpeg(raw))
         if raw.startswith(b"BM"):  # real decode tier (uncompressed
             # 24 bpp BMP — r10, the m05 residual note)
-            from rfb_data_pipeline_spark.functions.bmpgif import decode_bmp
+            from rfb_data_pipeline_spark.functions.bmpgif import (
+                UnsupportedBmpVariant,
+                decode_bmp,
+            )
 
-            return ppm_features(decode_bmp(raw))
+            try:
+                return ppm_features(decode_bmp(raw))
+            except UnsupportedBmpVariant:
+                # well-formed but OUT-OF-TIER (paletted/RLE/16-32 bpp):
+                # stub mode keeps the pre-r10 fake-feature contract;
+                # corruption still raises in both modes (like PNG/JPEG)
+                if decode_stub:
+                    return _fake_features(raw)
+                raise
         if raw[:6] in (b"GIF87a", b"GIF89a"):  # real decode tier
             # (GIF LZW, first frame through its palette — r10)
             from rfb_data_pipeline_spark.functions.bmpgif import decode_gif

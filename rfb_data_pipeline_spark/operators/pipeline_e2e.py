@@ -156,8 +156,14 @@ def p01_pipeline_month_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         portal = os.path.join(root, "portal")
         os.makedirs(portal)
 
-        # ---- fixture month: distributed line derivation, zipped drop
-        lines = _empresas_lines(tables["orders"])
+        # ---- fixture month: distributed line derivation, zipped drop.
+        # stage_boundary: the union references `lines` twice and the
+        # two parity writes re-evaluate the whole frame — without the
+        # boundary that is 4 scans of orders per invocation (r10
+        # review); with it, one.
+        from rfb_data_pipeline_spark.plans.stage import stage_boundary
+
+        lines = _empresas_lines(tables["orders"]).transform(stage_boundary)
         fixture = lines.unionAll(
             lines.where(F.pmod(F.col("k"), F.lit(31)) == 0)  # the re-load
         )

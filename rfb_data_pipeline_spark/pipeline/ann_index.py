@@ -500,7 +500,18 @@ def write_span_index(
     spark: SparkSession, corpus_docs: DataFrame, path: str
 ) -> None:
     """Materialize the shard-partitioned distinct span-hash index for
-    ``corpus_docs`` (doc_id, text)."""
+    ``corpus_docs`` (doc_id, text). This IS the periodic fold the
+    streaming tier's lineage guard prescribes, so it also CLEARS the
+    ``spans_stream`` append tree (and its ``_lineage`` marker): the
+    rebuilt base supersedes every stream append by definition —
+    leaving them in place would re-raise the lineage error after a
+    fold and double-count stale batches (r10 review). Local
+    filesystem semantics, like the quarantine cleanup in
+    ``pipeline/ingest.py``; route through the Hadoop FS API on an
+    object store."""
+    import shutil
+    from pathlib import Path
+
     from rfb_data_pipeline_spark.operators.dedup import _doc_spans
 
     (
@@ -512,6 +523,9 @@ def write_span_index(
         .partitionBy("shard")
         .parquet(f"{path}/spans")
     )
+    stream_tree = Path(path) / "spans_stream"
+    if stream_tree.exists():
+        shutil.rmtree(stream_tree, ignore_errors=True)
 
 
 def _stream_spans(spark: SparkSession, path: str):

@@ -71,11 +71,19 @@ def sniff_encoding(path: str, sample_bytes: int = SAMPLE_BYTES) -> str:
         if len(head) == sample_bytes and e.start >= len(head) - 3:
             with open(path, "rb") as f:
                 ext = f.read(sample_bytes + 4)
-            if len(ext) == len(head):
-                # the FILE ends here: an incomplete final character,
-                # damage bounded to the last char under errors=replace
+            if len(ext) < sample_bytes + 4:
+                # the widened window reaches EOF — the file's true
+                # tail is in hand. An incremental decode with
+                # final=False accepts an incomplete TRAILING character
+                # (EOF truncation, damage bounded to the last char
+                # under errors=replace) while genuine junk anywhere
+                # still raises. This also covers files ending 1-3
+                # bytes PAST the sample boundary, which the first
+                # version of this fix misdetected (r10 review,
+                # reproduced).
+                dec = codecs.getincrementaldecoder("utf-8")()
                 try:
-                    head[: e.start].decode("utf-8", errors="strict")
+                    dec.decode(ext, False)
                     return "utf-8"
                 except UnicodeDecodeError:
                     pass

@@ -150,6 +150,8 @@ def assert_stream_lineage(
     spans_stream ignores it."""
     from pyspark.errors import AnalysisException
 
+    from rfb_data_pipeline_spark.pipeline.ann_index import _stream_spans
+
     marker = f"{index_path}/spans_stream/_lineage"
     existing = None
     try:
@@ -157,6 +159,19 @@ def assert_stream_lineage(
     except AnalysisException:
         pass
     if existing is None:
+        if _stream_spans(spark, index_path) is not None:
+            # appends exist but no marker (a pre-marker index, or a
+            # hand-deleted marker): adopting the new lineage here
+            # would re-create the exact batch-id collision this guard
+            # exists to prevent (r10 review)
+            raise RuntimeError(
+                f"span index {index_path!r} carries spans_stream "
+                "appends with no lineage marker (written before the "
+                "lineage guard, or the marker was removed): batch ids "
+                "cannot be attributed. Fold the stream appends into "
+                "the base tree (write_span_index over the accepted "
+                "corpus) before streaming against this index path."
+            )
         (
             spark.createDataFrame([(lineage,)], "lineage string")
             .coalesce(1)

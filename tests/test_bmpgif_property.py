@@ -183,3 +183,40 @@ def test_decode_features_real_tiers_for_bmp_and_gif(spark):
     }
     assert feats[0] == feats[1] == feats[2]
     assert feats[1] != mm._fake_features(bytes(rows[1][2]))
+
+
+def test_out_of_tier_bmp_variant_keeps_stub_contract(spark):
+    """r10 review: a well-formed but out-of-tier BMP (8 bpp paletted)
+    must get fake features in stub mode (the pre-r10 contract for
+    unhandled formats) and raise only with decode_stub=False; a
+    CORRUPT 24 bpp BMP raises in both modes, like PNG/JPEG."""
+    import struct
+
+    import pytest
+
+    from rfb_data_pipeline_spark.functions import multimodal as mm
+    from rfb_data_pipeline_spark.functions.bmpgif import (
+        UnsupportedBmpVariant,
+    )
+
+    img = _raster(11, 4, 4)
+    paletted = bytearray(encode_bmp(img))
+    struct.pack_into("<H", paletted, 14 + 14, 8)  # bpp 24 -> 8
+    with pytest.raises(UnsupportedBmpVariant):
+        decode_bmp(bytes(paletted))
+    rows = [(0, "image", paletted, (4, 4, None, None, "bmp"))]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = mm.decode_features(media).collect()[0]  # stub mode: no raise
+    # features travel as array<float> (float32): compare post-cast
+    assert got.features == [
+        float(np.float32(v)) for v in mm._fake_features(bytes(paletted))
+    ]
+    with pytest.raises(Exception, match="unsupported BMP variant"):
+        mm.decode_features(media, decode_stub=False).collect()
+    # corruption (truncated pixel data) raises in BOTH modes
+    corrupt = bytearray(encode_bmp(img))[:-8]
+    bad = spark.createDataFrame(
+        [(1, "image", corrupt, (4, 4, None, None, "bmp"))], mm.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="truncated BMP"):
+        mm.decode_features(bad).collect()

@@ -204,6 +204,39 @@ def test_stream_lineage_guard(spark, tmp_path):
     assert _stream_spans(spark, idx) is None
 
 
+def test_lineage_guard_refuses_pre_marker_appends(spark, tmp_path):
+    """r10 review: an index whose spans_stream already carries appends
+    but NO marker (written before the guard existed, or marker
+    deleted) must refuse — silently adopting a new lineage re-creates
+    the batch-id collision. write_span_index is the fold: it clears
+    spans_stream (and the marker), after which streaming is allowed
+    again."""
+    import pytest
+
+    from rfb_data_pipeline_spark.pipeline.ann_index import (
+        _stream_spans,
+        write_span_index,
+    )
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(10)
+    idx = str(tmp_path / "idx")
+    write_span_index(spark, corpus, idx)
+    # pre-marker appends (the old API shape: no lineage recorded)
+    dds.append_unseen_spans(spark, idx, batch, src_batch=0)
+    assert _stream_spans(spark, idx) is not None
+    with pytest.raises(RuntimeError, match="no lineage marker"):
+        dds.assert_stream_lineage(spark, idx, "run-A")
+    # the documented remediation actually works: the fold clears the
+    # stream tree, and a fresh lineage can then be established
+    write_span_index(spark, corpus, idx)
+    assert _stream_spans(spark, idx) is None
+    dds.assert_stream_lineage(spark, idx, "run-A")
+
+
 def test_span_stream_refuses_reset_checkpoint(spark, tmp_path):
     """End-to-end: run the span stream once, wipe ONLY the checkpoint,
     rerun against the same index path — the second run must refuse
@@ -250,3 +283,20 @@ def test_span_stream_refuses_reset_checkpoint(spark, tmp_path):
             str(tmp_path / "ckpt2"),
             index_path,
         )
+    # the error's remediation works end-to-end (r10 review): fold the
+    # index, then the fresh checkpoint streams cleanly
+    write_span_index(
+        spark,
+        spark.read.parquet(SF_SMALL + "/documents.parquet").select(
+            "doc_id", "text", "lang", "source"
+        ),
+        index_path,
+    )
+    run_incremental_span_dedup(
+        spark,
+        str(in_dir),
+        str(tmp_path / "out3"),
+        str(tmp_path / "ckpt3"),
+        index_path,
+    )
+    assert spark.read.parquet(str(tmp_path / "out3")).count() > 0

@@ -596,3 +596,14 @@ def test_sniff_boundary_junk_is_not_utf8(tmp_path):
     s = tmp_path / "eof_cut.csv"
     s.write_bytes(b"a" * 99_999 + "é".encode("utf-8")[:1])
     assert sniff_encoding(str(s)) == "utf-8"
+    # file ending 1-3 bytes PAST the boundary, still mid-character
+    # (r10 review, reproduced): a 4-byte char starts at the last
+    # sample byte and the file EOFs before completing it — valid
+    # UTF-8 truncation, must not fall to latin-1
+    t = tmp_path / "eof_past.csv"
+    t.write_bytes(b"a" * 99_999 + "𝄞".encode("utf-8")[:3])
+    assert sniff_encoding(str(t)) == "utf-8"
+    # and genuine junk in the same just-past-EOF shape stays latin-1
+    u = tmp_path / "junk_past.csv"
+    u.write_bytes(b"a" * 99_999 + b"\xe9x")
+    assert sniff_encoding(str(u)) == "latin-1"
