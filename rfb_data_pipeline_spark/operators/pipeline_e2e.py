@@ -120,15 +120,16 @@ def _cnaes_lines(nation: DataFrame) -> DataFrame:
 def _spark_text_to_zip(text_dir: str, zip_path: str, member: str) -> None:
     """Package a Spark text-write output directory into one zip member
     (concatenated parts — row order is irrelevant to every summary
-    figure). Control-plane file I/O, the download-fixture idiom."""
-    buf = bytearray()
-    for part in sorted(glob.glob(os.path.join(text_dir, "part-*"))):
-        if part.endswith(".crc"):
-            continue
-        with open(part, "rb") as f:
-            buf += f.read()
+    figure). Control-plane file I/O, the download-fixture idiom;
+    STREAMED part by part so driver memory stays O(chunk), not
+    O(table) (r10 review follow-up)."""
     with zipfile.ZipFile(zip_path, "w") as zf:
-        zf.writestr(member, bytes(buf))
+        with zf.open(member, "w") as out:
+            for part in sorted(glob.glob(os.path.join(text_dir, "part-*"))):
+                if part.endswith(".crc"):
+                    continue
+                with open(part, "rb") as f:
+                    shutil.copyfileobj(f, out, length=1 << 20)
 
 
 def _listing_html(names: list[str]) -> str:
