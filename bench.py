@@ -143,6 +143,52 @@ def main() -> None:
                     pass
     qs["q01_pricing_summary"](spark, sf_dir).collect()
 
+    # Pin shared-base cost attribution (VERDICT r10 item 3): the
+    # session-memoized bases are built ONCE per session, so whichever
+    # query first forces a memo used to pay its materialization — and
+    # run order differs between the driver's harness and --full runs,
+    # which made d03 swing 0.8↔2.0 s on byte-identical code (the r10
+    # adjudication). Build every base HERE, at a fixed point before
+    # any warmup or timed rep, and record each build as its own line:
+    # per-query numbers then measure steady-state plans only, on every
+    # harness, in every run order. stage_boundary is eager
+    # (localCheckpoint(eager=True)), so the builder call itself pays
+    # the full materialization.
+    bases: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    def _time_base(base_name: str, build) -> None:
+        t0 = time.time()
+        try:
+            build()
+            bases[base_name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - recorded, not fatal
+            errors[f"base:{base_name}"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    from rfb_data_pipeline_spark.operators.dedup import (
+        _doc_shingles_cached,
+        _simhash_df,
+    )
+    from rfb_data_pipeline_spark.operators.graph import _graph_shared
+    from rfb_data_pipeline_spark.operators.media import _N_MEDIA, _media_cached
+    from rfb_data_pipeline_spark.operators.similarity import (
+        K_PQ,
+        PQ_M,
+        _pq_model_cached,
+    )
+    from rfb_data_pipeline_spark.operators.text import (
+        _toks_cached,
+        t15_scores_cached,
+    )
+
+    _time_base("doc_shingles", lambda: _doc_shingles_cached(spark, sf_dir))
+    _time_base("simhash_fingerprints", lambda: _simhash_df(spark, sf_dir))
+    _time_base("engagement_graph", lambda: _graph_shared(spark, sf_dir))
+    _time_base("token_stream", lambda: _toks_cached(spark, sf_dir))
+    _time_base("t15_scores", lambda: t15_scores_cached(spark, sf_dir))
+    _time_base("pq_model", lambda: _pq_model_cached(spark, sf_dir, PQ_M, K_PQ))
+    _time_base("media_frame", lambda: _media_cached(spark, _N_MEDIA))
+
     # The r01-baseline subset is the official cross-round comparison
     # (the driver diffs its sum against BASELINE.md), so it gets the
     # strongest variance treatment (VERDICT r07 item 2 — the subset
@@ -179,7 +225,6 @@ def main() -> None:
     # noise — record min/median/max/stddev per query so a future diff
     # can test a "regression" against the run's own spread.
     all_dispersion: dict[str, dict] = {}
-    errors: dict[str, str] = {}
     bench_names = list(qs) if full else [n for n in HEADLINE if n in qs]
     for name in bench_names:
         runs: list[float] = []
@@ -216,6 +261,11 @@ def main() -> None:
             n: all_dispersion[n] for n in HEADLINE if n in all_dispersion
         },
         "total_median": round(sum(medians.values()), 3),
+        # One-time session-memoized base builds, timed at a fixed
+        # point before any warmup/timed rep — per-query numbers are
+        # steady-state only (VERDICT r10 item 3).
+        "bases": bases,
+        "bases_total": round(sum(bases.values()), 3),
         "sf": sf,
     }
     if full:
@@ -256,6 +306,7 @@ def main() -> None:
         "unit": "sec",
         "total_median": payload["total_median"],
         "n_queries": len(timings),
+        "bases_total": payload["bases_total"],
         "sf": sf,
         "detail": "BENCH_local.json",
     }

@@ -62,8 +62,21 @@ def encode_bmp(img: np.ndarray) -> bytes:
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24 bpp BITMAPINFOHEADER BMP -> (h, w, 3) uint8 RGB.
     Fails loud (ValueError) on any other BMP variant or truncation."""
-    if len(payload) < _BMP_HDR + _DIB_HDR or payload[:2] != b"BM":
+    if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < _BMP_HDR + _DIB_HDR:
+        # A 'BM'-prefixed payload too short to even carry the headers
+        # cannot be ATTRIBUTED to the 24 bpp tier — the 2-byte magic is
+        # weak enough that this is routinely a false positive of the
+        # dispatch, not a truncated tier member. Classify as out-of-
+        # tier so decode_features stub mode keeps its pre-r10 contract
+        # (fake features) for weak-magic hits; plain ValueError stays
+        # reserved for payloads with a VALID 24 bpp header and
+        # truncated/degenerate pixel data (ADVICE r10).
+        raise UnsupportedBmpVariant(
+            "payload too short for BMP headers (weak 'BM' magic, "
+            "cannot attribute to the 24 bpp tier)"
+        )
     off = struct.unpack_from("<I", payload, 10)[0]
     dib_size, w, h_raw, planes, bpp, comp = struct.unpack_from(
         "<IiiHHI", payload, _BMP_HDR
@@ -300,6 +313,11 @@ def encode_gif(
         raise ValueError("encode_gif expects a (h, w) uint8 index raster")
     if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) < 2:
         raise ValueError("encode_gif expects a (n>=2, 3) palette")
+    if len(palette) > 256:
+        # GIF color tables cap at 256 entries; a larger palette makes
+        # pal_bits > 8 and the header's 3-bit size field (& 0x07)
+        # would silently emit a corrupt stream (ADVICE r10).
+        raise ValueError("encode_gif palette exceeds GIF's 256-color cap")
     h, w = indices.shape
     if int(indices.max(initial=0)) >= len(palette):
         raise ValueError("index raster addresses beyond the palette")

@@ -23,6 +23,7 @@ cosine outputs are rounded at the edge anyway.
 from __future__ import annotations
 
 import hashlib
+import math
 from functools import lru_cache
 
 import numpy as np
@@ -47,6 +48,51 @@ DIM = 64
 SIGN_BITS = 6
 NUM_TABLES = 16
 NEAR_DUP_COS = 0.45
+# The corpus size (16, 6) was adopted at: sf0.1's 2000 vectors —
+# occupancy 2000/2^6 ≈ 31 vectors/bucket. The sizing ladder below is
+# anchored here; every test SF (500, 2000) lands on the defaults, so
+# promoting the ladder into s06 moves no oracle hash.
+LSH_ANCHOR_N = 2000
+MAX_SIGN_BITS = 30  # buckets are int32 (2^30 cells ≫ any real corpus)
+
+
+def lsh_operating_point(
+    n_vectors: int,
+    base_n: int = LSH_ANCHOR_N,
+    base_tables: int = NUM_TABLES,
+    base_bits: int = SIGN_BITS,
+) -> tuple[int, int]:
+    """N-adaptive ``(num_tables, sign_bits)`` — the s06 sizing rule
+    promoted from the r10 doc-note into code (VERDICT r10 item 2).
+
+    With ``sign_bits`` fixed the bucket count is constant, occupancy
+    grows ~N and candidate pairs ~N² (measured 1 : 9.2 : 111 at
+    1×/3×/10×, tools/scale_check.py). So:
+
+    - ``sign_bits`` grows by round(log2(N / anchor)) — constant
+      expected bucket occupancy, keeping per-vector candidate work
+      (and the bucket self-join's shuffle) linear in N;
+    - ``num_tables`` DOUBLES per +3 bits — finer buckets cut the
+      per-table capture probability p^bits (p ≈ 2/3 on near-uniform
+      64-d corpora), so recall must be re-bought with more tables.
+      The measured rung: (16, 6) at 2k vectors → (32, 9) at 20k —
+      25 s / 146 MB shuffle (3.5× less than (16, 6)'s quadratic
+      507 MB) at recall@10 0.43 ≥ the s16 floor 0.25, scan fraction
+      32/2^9 = 6.3%. The naive bits-only retune (16, 9) measured
+      recall 0.22 < floor and is exactly what this function exists
+      to prevent.
+
+    Any derived point must keep ``s16_ann_recall_verdict``'s
+    ``recall_ge_floor`` green — tests/test_ann_recall.py asserts the
+    ladder's rungs and re-measures the floor at the derived point on
+    the 10× replica fixture.
+    """
+    if n_vectors <= base_n:
+        return base_tables, base_bits
+    delta = min(
+        round(math.log2(n_vectors / base_n)), MAX_SIGN_BITS - base_bits
+    )
+    return base_tables * 2 ** ((delta + 2) // 3), base_bits + delta
 
 
 def _rademacher(t: int, j: int, i: int) -> float:
@@ -501,9 +547,25 @@ def _s06_candidates(
 def s06_near_dup_pairs_banded(
     spark: SparkSession,
     sf_dir: str,
-    num_tables: int = NUM_TABLES,
-    sign_bits: int = SIGN_BITS,
+    num_tables: int | None = None,
+    sign_bits: int | None = None,
 ) -> DataFrame:
+    # N-ADAPTIVE BY DEFAULT (VERDICT r10 item 2): when the caller
+    # doesn't pin the operating point, derive it from the corpus size
+    # via the measured ladder (lsh_operating_point) — at every test SF
+    # the derivation lands on the anchor (16, 6), so the oracle SQL
+    # (frozen at the anchor) stays hash-identical; at 10× it lands on
+    # the s16-gated (32, 9). The count is a parquet-metadata job (row-
+    # group counts, no data scan) — negligible next to the bucket
+    # self-join it sizes. Explicit kwargs bypass the ladder (the
+    # calibration tests' knob), falling back to the anchor constants
+    # for whichever knob is left unset.
+    emb = _emb(spark, sf_dir)
+    if num_tables is None and sign_bits is None:
+        num_tables, sign_bits = lsh_operating_point(emb.count())
+    else:
+        num_tables = NUM_TABLES if num_tables is None else num_tables
+        sign_bits = SIGN_BITS if sign_bits is None else sign_bits
     # Checkpoint: the 96-projection bucket table feeds both join
     # sides; at pipeline scale it is the materialized (t, bucket)-
     # partitioned index this query would read back. Only the NARROW
@@ -528,8 +590,8 @@ def s06_near_dup_pairs_banded(
     # (3.5x less shuffle than (16, 6)) at recall 0.43 ≥ floor, scan
     # fraction 32/2^9 = 6.3% (vs 25% at (16, 6)). Always re-run the
     # s16 panel at a candidate retune before adopting it;
-    # tests/test_ann_recall.py is the harness.
-    emb = _emb(spark, sf_dir)
+    # tests/test_ann_recall.py is the harness — and since r11 the
+    # ladder is CODE, not a note: lsh_operating_point above.
     cand = _s06_candidates(spark, emb, num_tables, sign_bits)
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))

@@ -37,7 +37,7 @@ Maintenance contract (enforced by tests/test_registry_window.py):
 
 from __future__ import annotations
 
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 
 # name -> newest driver CORRECTNESS round containing the name
 # (union of CORRECTNESS_r01..r05; absent = never driver-checked).
@@ -381,6 +381,76 @@ LAST_DRIVER_ROW.update(
 )
 
 
+# r11: s06's (num_tables, sign_bits) defaults became N-adaptive via
+# lsh_operating_point (VERDICT r10 item 2) — at every test SF the
+# derivation lands on the frozen anchor (16, 6) so the oracle hash is
+# unchanged, but the executed code path (count + derivation) changed.
+# Other r11 fixes (encode_gif palette cap, dedup_stream marker guard,
+# decode_bmp weak-magic classification) touch test-only surfaces — no
+# registry row executes them.
+LAST_TOUCHED["s06_near_dup_pairs_banded"] = 11
+# r11: sniff_encoding's widened re-sample tail check tightened to the
+# incremental decode (junk in the widened tail now falls through to
+# 8-bit discrimination instead of reading as utf-8, ADVICE r10) — p01
+# executes sniff_encoding on every month file, so its executed code
+# changed even though the fixture files classify identically.
+LAST_TOUCHED["p01_pipeline_month_e2e"] = 11
+
+LAST_DRIVER_ROW.update(
+    # CORRECTNESS_r10.json fold-in: 50/50 green (rows+schema+hash),
+    # seating the r09 verdict's forced set (p01 first-ever row, the
+    # jpeg-guard-touched m09/m10, the full r06-stale tail
+    # t10/t11/t19/x01-x05) plus the oldest r07-green block through
+    # x07 (spill at x08_split_leakage per the r10 record).
+    dict.fromkeys(
+        (
+            "p01_pipeline_month_e2e",
+            "m09_jpeg_roundtrip", "m10_mjpeg_frames",
+            "t10_cms_heavy_hitters", "t11_unigram_surprisal",
+            "t19_bm25_search",
+            "x01_split_assign", "x02_cap_per_group",
+            "x03_stratified_sample", "x04_chunk_documents",
+            "x05_corpus_curation",
+            "d02_ngram_jaccard", "d03_minhash_lsh", "d04_simhash",
+            "d05_simhash_pairs", "d07_dedup_clusters",
+            "d08_decontaminate", "d09_containment",
+            "d12_minhash_calibration", "d15_cc_star",
+            "d16_incremental_minhash",
+            "e01_tumbling_hourly", "e02_sliding_window", "e03_sessionize",
+            "e04_dedup_first", "e05_funnel", "e06_event_gaps",
+            "e07_json_extract", "e08_pivot_event_types", "e09_asof_join",
+            "e10_retention_cohorts", "e11_spike_detection",
+            "e13_variant_extract", "e14_max_concurrency",
+            "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
+            "g04_item_similarity", "g05_graph_summary",
+            "g06_lpa_communities",
+            "s03_near_dup_pairs", "s13_pq_ann", "s15_ivf_pq_ann",
+            "t07_repetition", "t08_top_bigrams", "t14_bigram_surprisal",
+            "t18_posting_lists",
+            "v01_integrity_report",
+            "x06_shuffle_shard", "x07_upsert_merge",
+        ),
+        10,
+    )
+)
+
+
+# The registry is at its 150-entry cap (3 rounds x 50 slots), so any
+# future net addition must retire a row first. The ranked candidates
+# below were reviewed in COVERAGE.md (r11, VERDICT r10 item 5) BEFORE
+# any retirement was needed — a retirement takes the list's head, not
+# an under-pressure pick. Retiring = dropping the queries()/oracle
+# entries and this ledger's rows; the implementation and its pytest
+# coverage stay.
+RETIREMENT_POLICY: tuple[str, ...] = (
+    "q26_intersect",        # near-twin of q12_set_ops
+    "m05_header_parse",     # subsumed by the real decode tiers (m01/m09/m10)
+    "d14_dup_span_fraction",  # re-aggregation of d13's span table
+    "q22_union_parts",      # set-op family overlap (q12/q26)
+    "e02_sliding_window",   # parameterization of e01/e14/q30 shapes
+)
+
+
 def window_order(names: list[str], oracle_names: set[str]) -> list[str]:
     """Full registry order under the rotation priority; the first
     ``window`` entries are the round's correctness window."""
@@ -445,5 +515,7 @@ def assert_next_round_feasible(
     ]
     assert len(required) <= window, (
         f"r{nxt} must seat {len(required)} entries in a {window}-slot "
-        f"window: {sorted(required)[:12]}..."
+        f"window: {sorted(required)[:12]}... The registry is over-"
+        "subscribed — retire the head of RETIREMENT_POLICY (ranked in "
+        "COVERAGE.md r11) before adding rows."
     )

@@ -95,10 +95,23 @@ def sniff_encoding(path: str, sample_bytes: int = SAMPLE_BYTES) -> str:
                     # the cut character completed and the WIDER sample
                     # was cut again at its own tail → UTF-8; a failure
                     # at the original offset means real junk → fall
-                    # through to the 8-bit discrimination below
+                    # through to the 8-bit discrimination below.
+                    # The tail is re-checked with an INCREMENTAL decode
+                    # (final=False), which accepts only a valid
+                    # incomplete TRAILING character: junk bytes in the
+                    # widened tail raise and fall through, instead of
+                    # being waved past on a clean prefix (ADVICE r10 —
+                    # the prefix-only check re-created the original
+                    # boundary ambiguity one window later). Residual,
+                    # irreducible ambiguity of any bounded sample: a
+                    # tail that IS a valid incomplete multibyte prefix
+                    # whose true continuation past the widened window
+                    # is junk still reads as utf-8 — damage is bounded
+                    # to errors=replace on the junk at transcode time.
                     if e2.start > e.start and e2.start >= len(ext) - 3:
+                        dec = codecs.getincrementaldecoder("utf-8")()
                         try:
-                            ext[: e2.start].decode("utf-8", errors="strict")
+                            dec.decode(ext, False)
                             return "utf-8"
                         except UnicodeDecodeError:
                             pass

@@ -155,7 +155,15 @@ def assert_stream_lineage(
     marker = f"{index_path}/spans_stream/_lineage"
     existing = None
     try:
-        existing = spark.read.json(marker).first()["lineage"]
+        row = spark.read.json(marker).first()
+        # A crash between the old marker's delete and the new write can
+        # leave the _lineage dir present but empty/corrupt: first() is
+        # then None, or the inferred row lacks the field (corrupt JSON
+        # surfaces as _corrupt_record). Treat both exactly like an
+        # unreadable marker — the no-marker path below fails closed
+        # when appends exist — instead of a TypeError/KeyError
+        # (ADVICE r10).
+        existing = None if row is None else row.asDict().get("lineage")
     except AnalysisException:
         pass
     if existing is None:

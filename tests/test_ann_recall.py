@@ -113,6 +113,81 @@ def test_s06_candidate_count_scales_down_with_sign_bits(spark):
     assert wide < narrow / 3, (narrow, wide)
 
 
+def test_lsh_operating_point_ladder():
+    """The s06 sizing rule as CODE (VERDICT r10 item 2): derived
+    operating points at the 1× and 10× fixture sizes must land exactly
+    on the measured ladder, and the derivation must be monotone (a
+    bigger corpus can never get a coarser index)."""
+    from rfb_data_pipeline_spark.operators.similarity import (
+        MAX_SIGN_BITS,
+        lsh_operating_point,
+    )
+
+    # every test SF lands on the anchor — the frozen (16, 6) oracle
+    # SQL stays hash-identical under the N-adaptive default
+    assert lsh_operating_point(500) == (16, 6)    # sf0.001 / sf0.01
+    assert lsh_operating_point(2000) == (16, 6)   # sf0.1 (the anchor)
+    # the 10× replica fixture lands on the r10-adopted, s16-gated rung
+    assert lsh_operating_point(20_000) == (32, 9)
+    # monotone in N: occupancy control can only widen the index
+    pts = [
+        lsh_operating_point(n)
+        for n in (2_000, 4_000, 8_000, 20_000, 200_000, 2_000_000)
+    ]
+    for (t0, b0), (t1, b1) in zip(pts, pts[1:]):
+        assert b1 >= b0 and t1 >= t0, pts
+    # the int32-bucket cap binds instead of overflowing the bucket key
+    _tables, bits = lsh_operating_point(10**12)
+    assert bits <= MAX_SIGN_BITS
+
+
+def test_s06_defaults_derive_anchor_point(spark):
+    """At every test SF the N-adaptive default must produce the exact
+    anchor-point plan — same pairs as an explicit (16, 6) call — so
+    the driver's frozen oracle SQL cannot drift."""
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in _QUERIES["s06_near_dup_pairs_banded"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    pinned = {
+        (r.vec_a, r.vec_b)
+        for r in _QUERIES["s06_near_dup_pairs_banded"](
+            spark, SF_ORACLE, num_tables=16, sign_bits=6
+        ).collect()
+    }
+    assert got == pinned
+
+
+def test_derived_point_keeps_s16_floor_at_10x(spark):
+    """The ladder's 10× rung re-measured, not narrated: on the 10×
+    sign-flip replica fixture (20k vectors) the DERIVED point (32, 9)
+    must keep the s16 recall floor green, while the naive bits-only
+    retune (16, 9) — the r09 note this rule exists to prevent — must
+    fail it. Matches the r10 panel measurements (0.43 vs 0.22 against
+    the 0.25 floor)."""
+    from rfb_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+        lsh_operating_point,
+    )
+    from tools.scale_check import _fixture_dir, build_embeddings_fixture
+
+    build_embeddings_fixture(spark, 10)  # cached under /tmp after once
+    fixture = _fixture_dir(10)
+    n = spark.read.parquet(f"{fixture}/embeddings.parquet").count()
+    assert n == 20_000
+    tables, bits = lsh_operating_point(n)
+    assert (tables, bits) == (32, 9)
+    derived = ann_recall(
+        spark, fixture, num_tables=tables, sign_bits=bits
+    ).collect()[0]
+    assert derived.recall_ge_floor is True, derived
+    naive = ann_recall(spark, fixture, num_tables=16, sign_bits=9).collect()[0]
+    assert naive.recall_ge_floor is False, naive
+    assert derived.sum_overlap > naive.sum_overlap
+
+
 def test_s16_recall_verdict_non_vacuous(spark):
     """The driver row's verdict must separate a healthy index from a
     crippled one — at the DEFAULT settings recall clears the 1/4 floor

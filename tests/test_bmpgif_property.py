@@ -71,7 +71,16 @@ def test_bmp_contract_failures():
         decode_bmp(b"GIF89a junk")
     with pytest.raises(ValueError, match="truncated"):
         decode_bmp(bytes(payload[:-4]))  # inside the pixel data
-    with pytest.raises(ValueError, match="not a BMP"):
+    # ADVICE r10: a 'BM'-prefixed payload too short for the headers is
+    # a weak-magic dispatch false positive, not a truncated tier
+    # member — classified OUT-OF-TIER (UnsupportedBmpVariant) so stub
+    # mode keeps its fake-feature contract; still a ValueError for
+    # strict callers.
+    from rfb_data_pipeline_spark.functions.bmpgif import (
+        UnsupportedBmpVariant,
+    )
+
+    with pytest.raises(UnsupportedBmpVariant, match="too short"):
         decode_bmp(bytes(payload[:20]))  # inside the headers
     comp = bytearray(payload)
     comp[14 + 16] = 1  # BI_RLE8 compression
@@ -137,6 +146,18 @@ def test_gif_contract_failures():
     # trailer with no image frame
     with pytest.raises(ValueError, match="no image frame"):
         decode_gif(payload[:13] + bytes(pal.tobytes().ljust(6, b"\x00")) + b"\x3b")
+    # ADVICE r10: a palette past GIF's 256-color cap must fail loud —
+    # pal_bits > 8 under the header's 3-bit size field (& 0x07) used
+    # to silently emit a corrupt stream (verified: encoded fine,
+    # failed decode at an unexpected block byte).
+    big_pal = np.zeros((300, 3), dtype=np.uint8)
+    big_pal[:, 0] = (np.arange(300) % 256).astype(np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(np.zeros((2, 2), dtype=np.uint8), big_pal)
+    # 256 exactly (the cap itself) still round-trips
+    pal256 = np.arange(768, dtype=np.uint8).reshape(256, 3)
+    idx256 = (np.arange(16) * 16 % 256).astype(np.uint8).reshape(4, 4)
+    assert (decode_gif(encode_gif(idx256, pal256)) == pal256[idx256]).all()
 
 
 def test_gif_truncation_sweep_fails_closed():

@@ -300,3 +300,62 @@ def test_span_stream_refuses_reset_checkpoint(spark, tmp_path):
         index_path,
     )
     assert spark.read.parquet(str(tmp_path / "out3")).count() > 0
+
+
+def test_lineage_guard_corrupt_marker_fails_closed(spark, tmp_path):
+    """ADVICE r10: a crash between the old marker's delete and the new
+    write can leave _lineage present but empty or corrupt. With
+    appends in spans_stream the guard must fail CLOSED with its clean
+    RuntimeError (batch ids unattributable), not a TypeError/KeyError
+    from first() returning None or a field-less corrupt-record row."""
+    import os
+
+    import pytest
+
+    from rfb_data_pipeline_spark.pipeline.ann_index import (
+        _stream_spans,
+        write_span_index,
+    )
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(10)
+
+    def _fresh_index(name: str) -> str:
+        idx = str(tmp_path / name)
+        write_span_index(spark, corpus, idx)
+        dds.assert_stream_lineage(spark, idx, "run-A")
+        dds.append_unseen_spans(spark, idx, batch, src_batch=0)
+        assert _stream_spans(spark, idx) is not None
+        return idx
+
+    # marker dir present but EMPTY (delete survived, write didn't)
+    idx = _fresh_index("idx_empty")
+    marker = os.path.join(idx, "spans_stream", "_lineage")
+    for f in os.listdir(marker):
+        os.remove(os.path.join(marker, f))
+    with pytest.raises(RuntimeError, match="no lineage marker"):
+        dds.assert_stream_lineage(spark, idx, "run-A")
+
+    # marker file present but CORRUPT (non-JSON bytes: the row comes
+    # back as _corrupt_record with no 'lineage' field)
+    idx2 = _fresh_index("idx_corrupt")
+    marker2 = os.path.join(idx2, "spans_stream", "_lineage")
+    for f in os.listdir(marker2):
+        os.remove(os.path.join(marker2, f))
+    with open(os.path.join(marker2, "part-corrupt.json"), "w") as fh:
+        fh.write("!!! not json !!!\n")
+    with pytest.raises(RuntimeError, match="no lineage marker"):
+        dds.assert_stream_lineage(spark, idx2, "run-A")
+
+    # and a JSON row carrying the WRONG field behaves the same
+    idx3 = _fresh_index("idx_wrongfield")
+    marker3 = os.path.join(idx3, "spans_stream", "_lineage")
+    for f in os.listdir(marker3):
+        os.remove(os.path.join(marker3, f))
+    with open(os.path.join(marker3, "part-wrong.json"), "w") as fh:
+        fh.write('{"not_lineage": "x"}\n')
+    with pytest.raises(RuntimeError, match="no lineage marker"):
+        dds.assert_stream_lineage(spark, idx3, "run-A")

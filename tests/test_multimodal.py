@@ -863,3 +863,36 @@ def test_decode_features_real_tiers_for_wav_and_mjpeg(spark):
         mm.decode_features(
             media.filter("media_id = 2"), decode_stub=False
         ).collect()
+
+
+def test_bm_weak_magic_short_payload_stubs_not_raises(spark):
+    """ADVICE r10: a payload shorter than the BMP headers that merely
+    STARTS with 'BM' is a weak-magic dispatch false positive — stub
+    mode must keep the pre-r10 contract (fake features), reserving
+    the loud ValueError for stub=False and for payloads with a valid
+    24 bpp header and corrupt pixel data."""
+    short_bm = b"BM plain text that is not a bitmap"
+    rows = [(7, "image", bytearray(short_bm), (None, None, None, None, "bmp"))]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = mm.decode_features(df, decode_stub=True).collect()[0]
+    # features travel as array<float>: compare under float32 rounding
+    assert all(
+        abs(a - b) < 1e-6
+        for a, b in zip(got.features, mm._fake_features(short_bm))
+    )
+    with pytest.raises(Exception, match="too short"):
+        mm.decode_features(df, decode_stub=False).collect()
+    # corruption with a VALID header still fails loud in BOTH modes
+    import numpy as np
+
+    from rfb_data_pipeline_spark.functions.bmpgif import encode_bmp
+
+    img = np.zeros((4, 5, 3), dtype=np.uint8)
+    trunc = encode_bmp(img)[:-6]  # inside the pixel data
+    bad = spark.createDataFrame(
+        [(8, "image", bytearray(trunc), (5, 4, None, None, "bmp"))],
+        mm.MEDIA_SCHEMA,
+    )
+    for stub in (True, False):
+        with pytest.raises(Exception, match="truncated BMP"):
+            mm.decode_features(bad, decode_stub=stub).collect()

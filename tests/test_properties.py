@@ -380,3 +380,162 @@ def test_merge_islands_matches_python_union(spark, docs_windows, width):
         if windows
     }
     assert got == want
+
+
+# -- sniff_encoding boundary fuzz (VERDICT r10 item 7) -----------------------
+#
+# The widened re-sample (ADVICE r09 → r10 → r11) has been fixed, then
+# regressed, then re-fixed across three rounds; this sweep closes the
+# loop by fuzzing the whole EOF-offset × multibyte-boundary × junk-tail
+# space the four hand-written probe suites sample pointwise. A small
+# sample window (64 bytes) makes each example microscopic while
+# exercising exactly the same code paths as the production 100 KB one.
+
+_SNIFF_SAMPLE = 64
+# multibyte UTF-8 chars of every width
+_MB = ["é", "€", "\U0001d11e"]  # 2, 3, 4 bytes
+
+
+def _sniff(payload: bytes, tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("sniff_fuzz")
+    p = d / "f.bin"
+    p.write_bytes(payload)
+    return sniff_encoding(str(p), sample_bytes=_SNIFF_SAMPLE)
+
+
+@_SETTINGS
+@given(
+    prefix=st.integers(min_value=0, max_value=_SNIFF_SAMPLE + 2),
+    chars=st.lists(st.sampled_from(_MB), min_size=0, max_size=4),
+    eof_cut=st.integers(min_value=0, max_value=3),
+)
+def test_sniff_valid_utf8_any_boundary(
+    tmp_path_factory, prefix, chars, eof_cut
+):
+    """Valid UTF-8 — any ASCII prefix length around the sample
+    boundary, any multibyte chars straddling it, optionally
+    EOF-truncated mid-character — must always sniff utf-8."""
+    body = b"a" * prefix + "".join(chars).encode("utf-8")
+    if eof_cut:
+        if eof_cut >= len(body):
+            return
+        cut = body[:-eof_cut]
+        # only keep the case where the cut is mid-character (a valid
+        # incomplete tail); cutting whole chars is the eof_cut=0 case
+        try:
+            cut.decode("utf-8")
+            payload = body  # cut landed on a char boundary — use full
+        except UnicodeDecodeError:
+            payload = cut
+        # EOF-truncation forgiveness requires the prior evidence of a
+        # FULL sample window of valid UTF-8 before the tail — a short
+        # file ending mid-char is indistinguishable from latin-1 text
+        # ending in a high byte, and classifying it utf-8 would
+        # mojibake real latin-1 files (ex: b'caf\xe9'). The contract:
+        # forgiveness only at/past the sample boundary.
+        if len(payload) < _SNIFF_SAMPLE:
+            return
+    else:
+        payload = body
+    assert _sniff(payload, tmp_path_factory) in ("utf-8", "utf-8-sig")
+
+
+@_SETTINGS
+@given(
+    prefix=st.integers(min_value=0, max_value=_SNIFF_SAMPLE - 1),
+    junk=st.sampled_from([b"\xe9", b"\xff", b"\xc3\x28", b"\x80"]),
+    straddle=st.sampled_from([None] + _MB),
+    # tail >= 1: junk followed by at least one byte inside the window.
+    # A plausible-lead junk byte (\xe9) as the very LAST byte of the
+    # file/window is indistinguishable from an EOF-truncated utf-8
+    # char — the documented ambiguity, pinned pointwise below.
+    tail=st.integers(min_value=1, max_value=8),
+)
+def test_sniff_junk_inside_window_never_utf8(
+    tmp_path_factory, prefix, junk, straddle, tail
+):
+    """A genuinely non-UTF-8 byte anywhere inside the PRIMARY sample —
+    including the last-3-bytes tail region, with or without a
+    multibyte char cut at the boundary before it — must never yield a
+    utf-8 verdict (the ADVICE r10 case: junk at the new tail of the
+    WIDENED window rode a clean prefix into utf-8)."""
+    head = b"a" * prefix
+    if straddle is not None:
+        head += straddle.encode("utf-8")
+    payload = head + junk + b"x" * tail
+    # the first junk byte must land inside the primary window for the
+    # no-false-negative guarantee (past-the-sample junk is the
+    # documented, irreducible sampling limit)
+    if len(head) >= _SNIFF_SAMPLE:
+        return
+    got = _sniff(payload, tmp_path_factory)
+    assert got in ("latin-1", "cp1252"), (got, prefix, junk, straddle, tail)
+
+
+@_SETTINGS
+@given(
+    # \xff is never a UTF-8 lead byte and \x80 is a bare continuation:
+    # either one raises even under the incremental (final=False)
+    # decode, ANYWHERE in the widened tail. \xe9-style plausible lead
+    # bytes at the window's final position are the irreducible
+    # ambiguity, pinned pointwise below.
+    junk=st.sampled_from([b"\xff", b"\x80"]),
+    gap=st.integers(min_value=0, max_value=3),
+    mb=st.sampled_from(_MB),
+)
+def test_sniff_junk_in_widened_tail_never_utf8(
+    tmp_path_factory, junk, gap, mb
+):
+    """The exact ADVICE r10 shape: a multibyte char CUT by the sample
+    boundary completes in the widened window, and the first genuine
+    junk byte falls in the widened window's last 3 bytes — the
+    incremental tail check must fall through to 8-bit discrimination,
+    not classify utf-8."""
+    enc = mb.encode("utf-8")
+    # place the char so its first byte is the last PRIMARY sample byte
+    head = b"a" * (_SNIFF_SAMPLE - 1) + enc
+    # pad so the junk lands inside the widened window's tail
+    pad = b"x" * min(gap, _SNIFF_SAMPLE + 4 - len(head) - 1)
+    payload = head + pad + junk + b"y" * 4
+    if len(head + pad) >= _SNIFF_SAMPLE + 4:
+        return
+    got = _sniff(payload, tmp_path_factory)
+    assert got in ("latin-1", "cp1252"), (got, junk, gap, mb)
+    # and the SAME shape with a valid continuation instead of junk
+    # stays utf-8 (no over-correction)
+    clean = head + pad + "fim".encode("utf-8")
+    assert _sniff(clean, tmp_path_factory) == "utf-8"
+
+
+def test_sniff_plausible_lead_at_window_end_is_documented_ambiguity(
+    tmp_path_factory,
+):
+    """A valid-lead byte (\\xe9) sitting exactly at the widened
+    window's final position, continuation outside the window: an
+    incremental decoder must buffer it as a potentially-truncated
+    char, so the verdict is utf-8 — the residual ambiguity the
+    sniff_encoding docstring documents (bounded damage: that one char
+    replaces at transcode). Pinned so a future 'fix' that flips this
+    knows it is trading away EOF-truncation forgiveness."""
+    d = tmp_path_factory.mktemp("sniff_amb")
+    # 4-byte char starts at the last primary-sample byte, ends at
+    # widened-window position 66; \xe9 lands at 67 (the final widened
+    # byte), its latin-1 continuation lies beyond the window
+    p = d / "amb.bin"
+    p.write_bytes(
+        b"a" * (_SNIFF_SAMPLE - 1)
+        + "\U0001d11e".encode("utf-8")
+        + b"\xe9"
+        + b"yyyy"
+    )
+    assert sniff_encoding(str(p), sample_bytes=_SNIFF_SAMPLE) == "utf-8"
+    # the SAME byte one position earlier (continuation inside the
+    # window) is detected
+    q = d / "caught.bin"
+    q.write_bytes(
+        b"a" * (_SNIFF_SAMPLE - 2)
+        + "\U0001d11e".encode("utf-8")
+        + b"\xe9"
+        + b"yyyy"
+    )
+    assert sniff_encoding(str(q), sample_bytes=_SNIFF_SAMPLE) == "latin-1"
