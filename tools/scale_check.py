@@ -71,6 +71,40 @@ def build_embeddings_fixture(spark, mult: int) -> None:
     df.repartition(32).write.mode("overwrite").parquet(dest)
 
 
+def build_orders_fixture(spark, mult: int) -> None:
+    """Replica k shifts o_orderkey by k*n: p01's fixture MONTH grows
+    linearly in company lines (one CSV line per order key, plus the
+    %31 re-load slice) while nation — the v4 referential dimension —
+    stays fixed: the realistic growth axis for the RFB monthly drop
+    (more CNPJs, same natureza-code catalog). Keys stay well under
+    the 1e8 injectivity guard (sf0.1 max ~6e5; 10x shift ~6e6)."""
+    from pyspark.sql import functions as F
+
+    out = _fixture_dir(mult)
+    dest = os.path.join(out, "orders.parquet")
+    if os.path.exists(dest):
+        return
+    base = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    n = base.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    others = [c for c in base.columns if c != "o_orderkey"]
+    reps = [
+        base.select(
+            (F.col("o_orderkey") + F.lit(k * n)).alias("o_orderkey"), *others
+        )
+        for k in range(mult)
+    ]
+    df = reps[0]
+    for r in reps[1:]:
+        df = df.unionByName(r)
+    df.repartition(32).write.mode("overwrite").parquet(dest)
+    # the dimension does NOT replicate (fixed natureza catalog)
+    nat_dest = os.path.join(out, "nation.parquet")
+    if not os.path.exists(nat_dest):
+        spark.read.parquet(
+            "/root/testdata/sf0.1/nation.parquet"
+        ).coalesce(1).write.mode("overwrite").parquet(nat_dest)
+
+
 def build_events_fixture(spark, mult: int) -> None:
     """Replica k shifts user_id/event_id by k*max: the USER population
     multiplies while the item catalog (props.k) stays fixed — the
@@ -204,7 +238,12 @@ def _ops() -> dict:
         t19_bm25_search,
     )
 
+    from rfb_data_pipeline_spark.operators.pipeline_e2e import (
+        p01_pipeline_month_e2e,
+    )
+
     return {
+        "p01": p01_pipeline_month_e2e,
         "d13": d13_duplicate_spans,
         "d03": d03_minhash_lsh,
         "d05": d05_simhash_pairs,
@@ -388,6 +427,8 @@ def main() -> None:
     )
     for m in mults:
         build_fixture(boot, m)
+        if "p01" in ops:  # p01 derives its month from orders+nation
+            build_orders_fixture(boot, m)
     boot.stop()
 
     for op_name, fn in ops.items():
