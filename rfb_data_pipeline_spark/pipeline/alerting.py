@@ -92,6 +92,22 @@ def evaluate_run(manifest: DataFrame, ref_ym: str) -> Alert:
     # notification unreachable for any month with an unroutable zip
     # (r09 review).
     n_loaded = tally.get(mf.SUCCESS, 0) + tally.get(mf.IGNORED, 0)
+    if n == 0:
+        # An EMPTY manifest means discovery produced nothing for a
+        # month the caller believed was loaded/loadable — mailing
+        # "todos os 0 arquivos foram processados" as a SUCCESS buries
+        # exactly the signal the alert exists to surface (r11 review;
+        # unreachable via vigilante_once, whose publication probe
+        # requires >0 zips, but evaluate_run is a library surface).
+        return Alert(
+            severity="failure",
+            subject=f"[RFB {ref_ym}] ALERTA: manifesto vazio",
+            body=(
+                f"O manifesto do mes {ref_ym} nao contem nenhum "
+                "arquivo: a descoberta nao encontrou zips ou o "
+                "manifesto foi apagado."
+            ),
+        )
     if not failures and n_loaded < n:
         return Alert(
             severity="failure",

@@ -52,14 +52,32 @@ def write_lsh_index(
     spark: SparkSession,
     sf_dir: str,
     path: str,
-    num_tables: int = NUM_TABLES,
-    sign_bits: int = SIGN_BITS,
+    num_tables: int | None = None,
+    sign_bits: int | None = None,
 ) -> None:
     """Materialize the multi-table sign-LSH index partitioned by
     (t, bucket). Each vector appears once per table; the stored norm
     saves two dot products per candidate at probe time (the s03
-    layout note)."""
-    idx = _bucketed(_emb(spark, sf_dir), num_tables, sign_bits).select(
+    layout note).
+
+    When the operating point isn't pinned by the caller it derives
+    from the corpus size (lsh_operating_point — the s06 sizing
+    ladder, r11), and EITHER WAY it is persisted in a ``_meta``
+    sidecar: an index is an artifact, and a probe that must remember
+    the writer's (num_tables, sign_bits) out of band is one forgotten
+    copy-paste from silently reading the wrong buckets (zero recall,
+    no error). ``probe_lsh_index`` reads the sidecar by default."""
+    from rfb_data_pipeline_spark.operators.similarity import (
+        lsh_operating_point,
+    )
+
+    emb = _emb(spark, sf_dir)
+    if num_tables is None and sign_bits is None:
+        num_tables, sign_bits = lsh_operating_point(emb.count())
+    else:
+        num_tables = NUM_TABLES if num_tables is None else num_tables
+        sign_bits = SIGN_BITS if sign_bits is None else sign_bits
+    idx = _bucketed(emb, num_tables, sign_bits).select(
         "vec_id",
         "label",
         "embedding",
@@ -68,6 +86,80 @@ def write_lsh_index(
         "bucket",
     )
     idx.write.mode("overwrite").partitionBy("t", "bucket").parquet(path)
+    _write_index_meta(
+        spark, path, num_tables=num_tables, sign_bits=sign_bits
+    )
+
+
+def _write_index_meta(spark: SparkSession, path: str, **fields: int) -> None:
+    """Persist an index's layout parameters as a ``_meta`` sidecar
+    (underscore dir: invisible to the index's parquet discovery;
+    written through Spark so it works on any Hadoop-compatible FS)."""
+    (
+        spark.createDataFrame(
+            [tuple(int(v) for v in fields.values())],
+            ", ".join(f"{k} int" for k in fields),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(f"{path}/_meta")
+    )
+
+
+def _read_index_meta(spark: SparkSession, path: str) -> dict | None:
+    """The sidecar's fields, or None for a pre-r11 index (no sidecar)
+    or an unreadable one — callers either fall back to the module
+    constants (LSH: any point is valid, the sidecar just has to agree
+    with the writer) or degrade to assuming the current constants
+    (minhash/span: the pre-meta back-compat path, the
+    ``_prune_doc_shards`` discipline)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.json(f"{path}/_meta").first()
+    except AnalysisException:
+        return None
+    return None if row is None else row.asDict()
+
+
+def read_lsh_meta(spark: SparkSession, path: str) -> tuple[int, int] | None:
+    d = _read_index_meta(spark, path)
+    if d is None:
+        return None
+    nt, sb = d.get("num_tables"), d.get("sign_bits")
+    if nt is None or sb is None:
+        return None
+    return int(nt), int(sb)
+
+
+def _assert_layout_constants(
+    meta: dict | None, expected: dict, path: str, kind: str
+) -> None:
+    """Fail LOUD when a probe's layout constants disagree with the
+    constants the index was WRITTEN with. These values (signature
+    length, banding, shard counts, span width) are baked into the
+    on-disk content: a silent mismatch doesn't error — it hashes into
+    different buckets/shards and returns zero or wrong pairs with
+    every job green, which for a dedup index means duplicate data
+    flows downstream unflagged. A pre-meta index (None) degrades to
+    assuming the current constants, documented back-compat."""
+    if meta is None:
+        return
+    bad = {
+        k: (int(meta[k]), v)
+        for k, v in expected.items()
+        if meta.get(k) is not None and int(meta[k]) != v
+    }
+    if bad:
+        detail = ", ".join(
+            f"{k}: index={got} code={want}" for k, (got, want) in bad.items()
+        )
+        raise RuntimeError(
+            f"{kind} index at {path!r} was written with different layout "
+            f"constants than this code probes with ({detail}): the probe "
+            "would silently miss matches. Rebuild the index with the "
+            "current code, or probe with the writer's."
+        )
 
 
 def query_buckets(
@@ -94,12 +186,22 @@ def probe_lsh_index(
     qvec: list[float],
     exclude_vec_id: int | None = None,
     top_k: int = TOP_K,
-    num_tables: int = NUM_TABLES,
-    sign_bits: int = SIGN_BITS,
+    num_tables: int | None = None,
+    sign_bits: int | None = None,
 ) -> DataFrame:
     """Partition-pruned probe: read ONLY the query's bucket
     directories, dedup candidates, exact-score against the broadcast
-    literal query vector. Output schema/ordering matches s02."""
+    literal query vector. Output schema/ordering matches s02.
+
+    The operating point defaults to the index's own ``_meta`` sidecar
+    (whatever the writer used — fixed or N-derived); a pre-r11 index
+    without a sidecar falls back to the module constants."""
+    if num_tables is None and sign_bits is None:
+        meta = read_lsh_meta(spark, path)
+        if meta is not None:
+            num_tables, sign_bits = meta
+    num_tables = NUM_TABLES if num_tables is None else num_tables
+    sign_bits = SIGN_BITS if sign_bits is None else sign_bits
     pairs = query_buckets(qvec, num_tables, sign_bits)
     cond = reduce(
         lambda a, b: a | b,
@@ -353,6 +455,21 @@ def write_minhash_index(
     sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")).withColumn(
         "dshard", _doc_shard(F.col("doc_id"))
     ).write.mode("overwrite").partitionBy("dshard").parquet(f"{path}/sizes")
+    # layout constants are baked into the stored bucket/shard VALUES:
+    # persist them so a probe under drifted constants fails loud
+    # instead of silently missing every match (r11 review)
+    from rfb_data_pipeline_spark.operators.dedup import (
+        MINHASH_BAND_ROWS,
+        MINHASH_K,
+    )
+
+    _write_index_meta(
+        spark,
+        path,
+        minhash_k=MINHASH_K,
+        band_rows=MINHASH_BAND_ROWS,
+        shards=MINHASH_INDEX_SHARDS,
+    )
 
 
 def _prune_doc_shards(store: DataFrame, cand_shards: list[int]) -> DataFrame:
@@ -412,10 +529,22 @@ def probe_minhash_index(
     """
     from rfb_data_pipeline_spark.operators.dedup import (
         JACCARD_THRESHOLD,
+        MINHASH_BAND_ROWS,
+        MINHASH_K,
         _doc_shingles,
         _minhash_buckets,
     )
 
+    _assert_layout_constants(
+        _read_index_meta(spark, path),
+        {
+            "minhash_k": MINHASH_K,
+            "band_rows": MINHASH_BAND_ROWS,
+            "shards": MINHASH_INDEX_SHARDS,
+        },
+        path,
+        "minhash",
+    )
     b_sh = _doc_shingles(batch_docs).transform(stage_boundary)
     b_buckets = _minhash_buckets(b_sh).select(
         F.col("doc_id").alias("doc_batch"),
@@ -526,6 +655,11 @@ def write_span_index(
     stream_tree = Path(path) / "spans_stream"
     if stream_tree.exists():
         shutil.rmtree(stream_tree, ignore_errors=True)
+    from rfb_data_pipeline_spark.operators.dedup import SPAN_TOKENS
+
+    _write_index_meta(
+        spark, path, span_tokens=SPAN_TOKENS, shards=SPAN_INDEX_SHARDS
+    )
 
 
 def _stream_spans(spark: SparkSession, path: str):
@@ -571,6 +705,12 @@ def probe_span_index(
     )
     from rfb_data_pipeline_spark.operators.text import tokens_col
 
+    _assert_layout_constants(
+        _read_index_meta(spark, path),
+        {"span_tokens": SPAN_TOKENS, "shards": SPAN_INDEX_SHARDS},
+        path,
+        "span",
+    )
     b_sp = (
         _doc_spans(batch_docs)
         .withColumn("shard", _span_shard(F.col("h")))

@@ -303,3 +303,16 @@ def test_ignored_files_do_not_block_success(spark):
     )
     alert = evaluate_run(mf.apply_updates(m, done), "202405")
     assert alert.severity == "success"
+
+
+def test_empty_manifest_is_a_failure_alert(spark):
+    """r11 review: an EMPTY manifest must never mail 'todos os 0
+    arquivos foram processados' as a success — a month believed
+    loadable whose discovery produced nothing is exactly the signal
+    the alert exists to surface. (Unreachable via vigilante_once,
+    whose publication probe requires >0 zips; evaluate_run is a
+    library surface.)"""
+    alert = alerting.evaluate_run(_manifest(spark, []), "202405")
+    assert alert.severity == "failure"
+    assert "manifesto vazio" in alert.subject
+    assert "202405" in alert.subject

@@ -417,3 +417,99 @@ def test_minhash_probe_reads_pre_r08_index_without_dshard(spark, tmp_path):
         tuple(r) for r in probe_minhash_index(spark, legacy, batch).collect()
     )
     assert got == want
+
+
+def test_lsh_index_meta_sidecar_roundtrip(spark, tmp_path):
+    """r11: the index persists its own operating point — a probe must
+    never need to remember the writer's (num_tables, sign_bits) out
+    of band (the s06 forgotten-copy-paste hazard applied to a
+    persisted artifact: mismatched widths read the wrong buckets and
+    return plausible-but-wrong neighbors with zero errors)."""
+    from rfb_data_pipeline_spark.operators.similarity import ann_lsh
+    from rfb_data_pipeline_spark.pipeline.ann_index import read_lsh_meta
+
+    path = str(tmp_path / "lsh_meta")
+    # a NON-default operating point the probe cannot guess
+    write_lsh_index(spark, SF, path, num_tables=8, sign_bits=4)
+    assert read_lsh_meta(spark, path) == (8, 4)
+    qvec = _query_vec(spark)
+    # no params: the probe reads the sidecar and matches the explicit
+    # query-time operator at the SAME point
+    probe = probe_lsh_index(
+        spark, path, qvec, exclude_vec_id=QUERY_VEC_ID
+    ).collect()
+    direct = ann_lsh(
+        spark, SF, num_tables=8, sign_bits=4
+    ).collect()
+    assert [tuple(r) for r in probe] == [tuple(r) for r in direct]
+    # the sidecar is invisible to the index's parquet discovery
+    assert "_meta" in os.listdir(path)
+
+
+def test_lsh_probe_reads_pre_r11_index_without_meta(spark, tmp_path):
+    """On-disk compatibility (the _prune_doc_shards discipline): a
+    pre-r11 index has no _meta sidecar — the probe must fall back to
+    the module constants, not fail."""
+    import shutil
+
+    from rfb_data_pipeline_spark.operators.similarity import s02_ann_lsh
+    from rfb_data_pipeline_spark.pipeline.ann_index import read_lsh_meta
+
+    path = str(tmp_path / "lsh_premeta")
+    write_lsh_index(spark, SF, path)  # derives (16, 6) at this SF
+    shutil.rmtree(os.path.join(path, "_meta"))
+    assert read_lsh_meta(spark, path) is None
+    qvec = _query_vec(spark)
+    probe = probe_lsh_index(
+        spark, path, qvec, exclude_vec_id=QUERY_VEC_ID
+    ).collect()
+    direct = s02_ann_lsh(spark, SF).collect()
+    assert [tuple(r) for r in probe] == [tuple(r) for r in direct]
+
+
+def test_index_layout_constant_mismatch_fails_loud(spark, tmp_path):
+    """r11 review: banding/shard constants are baked into the stored
+    bucket and shard VALUES — probing an index written under different
+    constants doesn't error, it silently misses every match (for a
+    dedup index: duplicates flow downstream unflagged). The persisted
+    _meta sidecar must turn that into a loud RuntimeError naming the
+    drifted constant; a pre-meta index (no sidecar) degrades to
+    assuming the current constants."""
+    import shutil
+
+    import pytest
+
+    from rfb_data_pipeline_spark.pipeline.ann_index import (
+        _write_index_meta,
+        probe_minhash_index,
+        probe_span_index,
+        write_minhash_index,
+        write_span_index,
+    )
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1).limit(8)
+
+    # minhash: drifted signature length
+    mh = str(tmp_path / "mh_drift")
+    write_minhash_index(spark, corpus, mh)
+    assert probe_minhash_index(spark, mh, batch).count() >= 0  # sane
+    _write_index_meta(spark, mh, minhash_k=16, band_rows=3, shards=32)
+    with pytest.raises(RuntimeError, match="minhash_k: index=16"):
+        probe_minhash_index(spark, mh, batch)
+
+    # span: drifted span width
+    sp = str(tmp_path / "sp_drift")
+    write_span_index(spark, corpus, sp)
+    assert probe_span_index(spark, sp, batch).count() >= 0
+    _write_index_meta(spark, sp, span_tokens=8, shards=64)
+    with pytest.raises(RuntimeError, match="span_tokens: index=8"):
+        probe_span_index(spark, sp, batch)
+
+    # pre-meta back-compat: no sidecar -> probe assumes current
+    # constants and still answers
+    shutil.rmtree(f"{sp}/_meta")
+    assert probe_span_index(spark, sp, batch).count() >= 0
