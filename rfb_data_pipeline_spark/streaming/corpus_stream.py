@@ -213,9 +213,17 @@ def run_curation(
             else None
         ),
     )
+    from rfb_data_pipeline_spark.streaming.lineage import (
+        reconcile_on_first_batch,
+    )
+
     q = (
         stream.writeStream.option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(idempotent_corpus_sink(out_dir))
+        .foreachBatch(
+            reconcile_on_first_batch(
+                spark, out_dir, checkpoint_dir, idempotent_corpus_sink(out_dir)
+            )
+        )
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

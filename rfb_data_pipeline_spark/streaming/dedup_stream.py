@@ -199,24 +199,12 @@ def assert_stream_lineage(
 
 
 def _checkpoint_lineage(spark: SparkSession, checkpoint_dir: str) -> str:
-    """The streaming query id Spark records at ``<checkpoint>/metadata``
-    on stream start — stable across restarts of one checkpoint, fresh
-    when the checkpoint is wiped (exactly the lineage the span index
-    keys batches by). Read as text + json.loads so a format-version
-    prefix line (the offsets-file convention) can never silently
-    yield a null id."""
-    import json as _json
+    """The ONE copy lives in streaming/lineage.py since r11 (every
+    batch-id-keyed sink needs it); kept as a module name because the
+    span-stream tests and docs reference it here."""
+    from rfb_data_pipeline_spark.streaming.lineage import checkpoint_lineage
 
-    for row in spark.read.text(f"{checkpoint_dir}/metadata").collect():
-        line = row["value"].strip()
-        if line.startswith("{"):
-            qid = _json.loads(line).get("id")
-            if qid:
-                return str(qid)
-    raise RuntimeError(
-        f"no query id found in {checkpoint_dir}/metadata — cannot "
-        "establish the checkpoint lineage the span index requires"
-    )
+    return checkpoint_lineage(spark, checkpoint_dir)
 
 
 def append_unseen_spans(
@@ -297,10 +285,19 @@ def run_incremental_span_dedup(
         if not lineage_checked:
             # once per run, BEFORE the first probe: a reused index
             # path under a reset checkpoint must fail loudly, not
-            # silently collide on batch ids (ADVICE r09)
-            assert_stream_lineage(
-                spark, index_path, _checkpoint_lineage(spark, checkpoint_dir)
+            # silently collide on batch ids (ADVICE r09). The budget
+            # SINK, by contrast, is a recomputable projection: after a
+            # fold (write_span_index clears the appends, so the index
+            # guard passes) a fresh checkpoint would otherwise leave
+            # the old lineage's higher-numbered budget partitions
+            # mixed in (r11 review).
+            from rfb_data_pipeline_spark.streaming.lineage import (
+                reconcile_sink_lineage,
             )
+
+            lin = _checkpoint_lineage(spark, checkpoint_dir)
+            assert_stream_lineage(spark, index_path, lin)
+            reconcile_sink_lineage(spark, out_dir, lin)
             lineage_checked.append(True)
         budgets = probe_span_index(
             spark, index_path, batch_df, exclude_src_batch=batch_id

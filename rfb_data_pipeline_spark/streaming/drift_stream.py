@@ -107,9 +107,15 @@ def run_drift_monitor(
             .parquet(out_dir)
         )
 
+    from rfb_data_pipeline_spark.streaming.lineage import (
+        reconcile_on_first_batch,
+    )
+
     q = (
         stream.writeStream.option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(write)
+        .foreachBatch(
+            reconcile_on_first_batch(spark, out_dir, checkpoint_dir, write)
+        )
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

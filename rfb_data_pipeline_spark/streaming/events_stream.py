@@ -218,8 +218,19 @@ def run_to_completion(
             .start()
         )
     else:
+        from rfb_data_pipeline_spark.streaming.lineage import (
+            reconcile_on_first_batch,
+        )
+
         q = (
-            writer.foreachBatch(idempotent_parquet_sink(out_dir))
+            writer.foreachBatch(
+                reconcile_on_first_batch(
+                    stream_df.sparkSession,
+                    out_dir,
+                    checkpoint_dir,
+                    idempotent_parquet_sink(out_dir),
+                )
+            )
             .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()

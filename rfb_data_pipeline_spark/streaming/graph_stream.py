@@ -176,7 +176,25 @@ def run_incremental_graph(
         .parquet(in_dir)
     )
 
+    from rfb_data_pipeline_spark.streaming.lineage import (
+        checkpoint_lineage,
+        reconcile_sink_lineage,
+    )
+
+    lineage_done: list[bool] = []
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        if not lineage_done:
+            # BOTH trees are projections of the drained backlog (the
+            # log is the union of per-batch count partitions, each
+            # derived from its batch alone), so a fresh checkpoint —
+            # which re-drains the whole backlog — re-derives them
+            # completely; stale partitions from the old lineage must
+            # be cleared, not mixed (r11 review)
+            lin = checkpoint_lineage(spark, checkpoint_dir)
+            reconcile_sink_lineage(spark, log_dir, lin)
+            reconcile_sink_lineage(spark, delta_dir, lin)
+            lineage_done.append(True)
         apply_batch(spark, log_dir, delta_dir, batch_df, batch_id)
 
     q = (

@@ -71,9 +71,15 @@ def run_quality_scoring(
             .parquet(out_dir)
         )
 
+    from rfb_data_pipeline_spark.streaming.lineage import (
+        reconcile_on_first_batch,
+    )
+
     q = (
         stream.writeStream.option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(write)
+        .foreachBatch(
+            reconcile_on_first_batch(spark, out_dir, checkpoint_dir, write)
+        )
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

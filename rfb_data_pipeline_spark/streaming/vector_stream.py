@@ -99,6 +99,20 @@ def run_vector_ingest(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(in_dir)
     )
+    from rfb_data_pipeline_spark.streaming.lineage import (
+        reconcile_on_first_batch,
+    )
+
+    if centroids.isEmpty():
+        # an untrained/empty centroid frame would assign every vector
+        # a NULL cell (array_min over an empty array) and land the
+        # whole stream in the NULL partition — a misconfigured
+        # centroid path must fail loud, not build a junk index
+        # (r11 review)
+        raise ValueError(
+            "run_vector_ingest requires a non-empty trained centroid "
+            "frame (train_centroids over the corpus)"
+        )
     assigned = assign_cells(stream, centroids)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -112,7 +126,9 @@ def run_vector_ingest(
 
     q = (
         assigned.writeStream.option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(write)
+        .foreachBatch(
+            reconcile_on_first_batch(spark, out_dir, checkpoint_dir, write)
+        )
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
