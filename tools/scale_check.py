@@ -235,6 +235,7 @@ def _ops() -> dict:
     from rfb_data_pipeline_spark.operators.text import (
         t11_unigram_surprisal,
         t15_quality_classifier,
+        t18_posting_lists,
         t19_bm25_search,
     )
 
@@ -263,6 +264,7 @@ def _ops() -> dict:
         "g07": g07_edge_stream_replay,
         "e22": e22_any_click_funnel,
         "e23": e23_cusum_changepoint,
+        "t18": t18_posting_lists,
         "t19": t19_bm25_search,
         "d07": d07_dedup_clusters,
         "x09": x09_pack_sequences,
