@@ -204,15 +204,39 @@ def run_month(spark: SparkSession, cfg: RunConfig) -> RunReport:
     table_encodings: dict[str, dict[str, str]] = {}
     pending_names = {r.arquivo for r in pending}
     tables_to_load: set[str] = set()
+    member_owner: dict[str, str] = {}
     for r in manifest.collect() if pending else []:
         if r.status_extracao != mf.SUCCESS:
             continue
         zip_tables[r.arquivo] = set()
         for member in r.arquivos_extraidos or []:
+            # Member names must be UNIQUE across the month: every zip
+            # extracts into one shared dir, so a repeated name means
+            # the extracted file's content is whichever zip ran last —
+            # and the repeated path would ride csv_paths twice,
+            # double-reading its rows past the count gate (which
+            # compares two counts of the same doubled scan). Silent
+            # data corruption either way: fail loud (r11 review; the
+            # real portal's member names are unique by contract).
+            owner = member_owner.setdefault(member, r.arquivo)
+            if owner != r.arquivo:
+                raise RuntimeError(
+                    f"extracted member name collision: {member!r} is "
+                    f"claimed by both {owner!r} and {r.arquivo!r} — the "
+                    "shared extract dir holds only one of the two "
+                    "files, and loading it twice would double its "
+                    "rows. The month's drop violates the unique-name "
+                    "contract; inspect the portal listing."
+                )
             path = os.path.join(extract_dir, member)
             table = _route_one(member)
             zip_tables[r.arquivo].add(table)
             if table is None:
+                continue
+            if path in table_inputs.get(table, ()):  # same zip listed
+                # the member twice (duplicate entries in one archive:
+                # extractall kept one file; counting it once is the
+                # only consistent reading)
                 continue
             table_inputs.setdefault(table, []).append(path)
             table_encodings.setdefault(table, {})[path] = sniff_encoding(path)

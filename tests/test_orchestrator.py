@@ -285,3 +285,60 @@ def test_manifest_roundtrip_survives_key_reorder(spark, portal, tmp_path):
         want = before[r.arquivo]
         assert r.validacoes.linhas_originais == want["linhas_originais"]
         assert r.validacoes.registros_no_banco == want["registros_no_banco"]
+
+
+def test_member_name_collision_fails_loud(spark, tmp_path):
+    """r11 review: two zips carrying the SAME member name extract into
+    one shared dir (last wins) and the repeated path would ride
+    csv_paths twice — doubling that file's rows past the count gate,
+    which compares two counts of the same doubled scan. A collision
+    must abort the month loudly, naming both zips."""
+    p = tmp_path / "portal"
+    p.mkdir()
+    with zipfile.ZipFile(p / "Empresas0.zip", "w") as zf:
+        zf.writestr("K001.EMPRECSV", EMPRESAS[0] + "\n")
+    with zipfile.ZipFile(p / "Empresas1.zip", "w") as zf:
+        zf.writestr("K001.EMPRECSV", EMPRESAS[1] + "\n")  # same member!
+    (p / "index.html").write_text(
+        _listing_html(["Empresas0.zip", "Empresas1.zip"])
+    )
+    cfg = RunConfig(
+        base_url=f"file://{p}/index.html",
+        work_dir=str(tmp_path / "work"),
+        out_dir=str(tmp_path / "silver"),
+        ref_ym="202405",
+        fetch=_file_fetch,
+        stream=_file_stream,
+    )
+    with pytest.raises(RuntimeError, match="K001.EMPRECSV"):
+        run_month(spark, cfg)
+
+
+def test_duplicate_member_within_one_zip_counts_once(spark, tmp_path):
+    """A single archive listing the same member name twice (legal in
+    the zip format; extractall keeps the last) must load that file
+    ONCE — appending the path per entry double-read its rows, and the
+    count gate couldn't see it (both sides doubled)."""
+    import io
+
+    p = tmp_path / "portal"
+    p.mkdir()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("K001.EMPRECSV", EMPRESAS[0] + "\n")
+        zf.writestr("K001.EMPRECSV", "\n".join(EMPRESAS) + "\n")
+    (p / "Empresas0.zip").write_bytes(buf.getvalue())
+    (p / "index.html").write_text(_listing_html(["Empresas0.zip"]))
+    cfg = RunConfig(
+        base_url=f"file://{p}/index.html",
+        work_dir=str(tmp_path / "work"),
+        out_dir=str(tmp_path / "silver"),
+        ref_ym="202405",
+        fetch=_file_fetch,
+        stream=_file_stream,
+    )
+    report = run_month(spark, cfg)
+    assert report.passed
+    emp = spark.read.parquet(str(tmp_path / "silver" / "rfb_empresas"))
+    # the LAST entry's content (2 rows), counted exactly once
+    assert emp.count() == 2
