@@ -108,13 +108,23 @@ def _random_events(spark, d, seed: int, n: int = 150) -> str:
     return str(d)
 
 
-def _compare(spark, sf_dir: str, name: str, table: str) -> None:
+def _compare(spark, sf_dir: str, name: str, table: str | None = None) -> None:
     spdf = _QUERIES[name](spark, sf_dir).toPandas()
     con = _duck.connect()
-    p = os.path.join(sf_dir, f"{table}.parquet")
-    con.execute(
-        f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    tables = (
+        [table]
+        if table
+        else [
+            f[: -len(".parquet")]
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        ]
     )
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+        )
     opdf = con.execute(_ORACLES[name]).fetchdf()
     con.close()
     assert sorted(spdf.columns) == sorted(opdf.columns), name
@@ -172,3 +182,129 @@ def test_event_queries_differential_random_stream(
     d.mkdir()
     sf_dir = _random_events(spark, d, seed)
     _compare(spark, sf_dir, name, "events")
+
+
+def _perturbed_tpch(spark, d, seed: int) -> str:
+    """Bootstrap-perturbed copies of every sf0.001 TPC-H table:
+    row-level sampling WITH replacement (duplicates + dropped rows —
+    empty/singleton groups appear), cents-exact price rescaling, and
+    date shifts. Mutations stay inside the data contract (no NULLs in
+    NOT-NULL TPC-H columns) while breaking every distributional
+    assumption the fixtures bake in. FK values remain drawn from the
+    real key population, so joins stay meaningful."""
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001"
+    rng = np.random.RandomState(seed)
+    frac = float(rng.uniform(0.5, 1.2))
+    shift = int(rng.randint(-90, 90))
+    scale_cents = int(rng.randint(50, 200))  # price x0.50..x2.00 exact
+    for f in sorted(os.listdir(src)):
+        if not f.endswith(".parquet"):
+            continue
+        t = f[: -len(".parquet")]
+        df = spark.read.parquet(os.path.join(src, f))
+        if t in ("lineitem", "orders"):
+            # bootstrap: union of two independent samples approximates
+            # sampling with replacement (duplicates guaranteed at
+            # frac > 0.5) — seeded, so both engines read identical data
+            df = df.sample(frac, seed=seed).unionAll(
+                df.sample(max(0.0, frac - 0.4), seed=seed + 1)
+            )
+        if t == "lineitem":
+            src_type = dict(df.dtypes)["l_extendedprice"]
+            df = df.withColumn(
+                "l_extendedprice",
+                # cents-exact rescale, PRESERVING the source column's
+                # dtype — a dtype change would alter the aggregate's
+                # result type on the Spark side only (decimal str vs
+                # float canon) and fake a mismatch
+                (
+                    F.round(F.col("l_extendedprice") * scale_cents / 100, 2)
+                ).cast(src_type),
+            ).withColumn("l_shipdate", F.date_add("l_shipdate", shift))
+        if t == "orders":
+            df = df.withColumn(
+                "o_orderdate", F.date_add("o_orderdate", shift)
+            )
+        df.coalesce(1).write.parquet(str(d / f))
+    return str(d)
+
+
+_REL_QUERIES = [
+    "q01_pricing_summary",
+    "q07_semi_join",
+    "q08_anti_join",
+    "q15_conditional_agg",
+    "q16_having",
+    "q23_median_stats",
+    "q27_above_nation_avg",
+    "q31_stats_agg",
+    "q34_histogram",
+]
+
+
+@pytest.mark.parametrize("seed", [5, 83])
+@pytest.mark.parametrize("name", _REL_QUERIES)
+def test_relational_differential_perturbed_tpch(spark, tmp_path, seed, name):
+    d = tmp_path / f"tpch{seed}"
+    d.mkdir()
+    sf_dir = _perturbed_tpch(spark, d, seed)
+    _compare(spark, sf_dir, name)
+
+
+def _random_embeddings(
+    spark, d, seed: int, n: int = 80, dirty: bool = False
+) -> str:
+    from rfb_data_pipeline_spark.operators.similarity import DIM
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for vid in range(n):
+        emb = [float(x) for x in rng.standard_normal(DIM)]
+        if dirty:
+            k = rng.randint(0, 10)
+            if k == 0:
+                emb = None
+            elif k == 1:
+                emb = emb[: DIM - 3]  # wrong dim
+            elif k == 2:
+                emb[int(rng.randint(0, DIM))] = float("nan")
+            elif k == 3:
+                emb = [0.0] * DIM  # zero norm
+        rows.append((vid, emb, int(vid % 5)))
+    (
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        )
+        .coalesce(1)
+        .write.parquet(str(d / "embeddings.parquet"))
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("seed", [3, 71])
+@pytest.mark.parametrize(
+    "name",
+    ["s01_knn_bruteforce", "s04_label_centroids", "s09_vector_stats"],
+)
+def test_similarity_differential_random_embeddings(
+    spark, tmp_path, seed, name
+):
+    d = tmp_path / f"emb{seed}"
+    d.mkdir()
+    sf_dir = _random_embeddings(spark, d, seed)
+    _compare(spark, sf_dir, name, "embeddings")
+
+
+@pytest.mark.parametrize("seed", [29, 101])
+def test_s14_validation_differential_dirty_embeddings(
+    spark, tmp_path, seed
+):
+    """s14's whole job is flagging invalid vectors — fuzz it with the
+    invalid shapes themselves (NULL, wrong-dim, NaN, zero-norm) and
+    require both engines to agree on every verdict."""
+    d = tmp_path / f"dirty{seed}"
+    d.mkdir()
+    sf_dir = _random_embeddings(spark, d, seed, dirty=True)
+    _compare(spark, sf_dir, "s14_embedding_validation", "embeddings")
