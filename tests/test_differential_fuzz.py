@@ -308,3 +308,46 @@ def test_s14_validation_differential_dirty_embeddings(
     d.mkdir()
     sf_dir = _random_embeddings(spark, d, seed, dirty=True)
     _compare(spark, sf_dir, "s14_embedding_validation", "embeddings")
+
+
+# Graph rows consume events.props.k items; e-rows below cover the
+# session/asof/concurrency shapes whose window semantics are the
+# likeliest place for engine drift under random timestamps (ties!).
+_EVENT_QUERIES_2 = [
+    "e03_sessionize",
+    "e09_asof_join",
+    "e14_max_concurrency",
+    "e21_transition_matrix",
+    "g01_item_pagerank",
+    "g02_item_triangles",
+    "g04_item_similarity",
+    "g06_lpa_communities",
+]
+
+_DOC_QUERIES_2 = [
+    "x03_stratified_sample",
+    "x09_pack_sequences",
+    "x13_weighted_sample",
+    "x16_quality_mixture",
+    "t13_pii_redaction",
+]
+
+
+@pytest.mark.parametrize("seed", [17])
+@pytest.mark.parametrize("name", _EVENT_QUERIES_2)
+def test_event_graph_differential_random_stream(spark, tmp_path, seed, name):
+    d = tmp_path / f"evg{seed}"
+    d.mkdir()
+    sf_dir = _random_events(spark, d, seed, n=220)
+    _compare(spark, sf_dir, name, "events")
+
+
+@pytest.mark.parametrize("seed", [23])
+@pytest.mark.parametrize("name", _DOC_QUERIES_2)
+def test_doc_queries_2_differential_random_corpus(
+    spark, tmp_path, seed, name
+):
+    d = tmp_path / f"docs2_{seed}"
+    d.mkdir()
+    sf_dir = _random_docs(spark, d, seed, n=90)
+    _compare(spark, sf_dir, name, "documents")
