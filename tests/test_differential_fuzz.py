@@ -184,7 +184,7 @@ def test_event_queries_differential_random_stream(
     _compare(spark, sf_dir, name, "events")
 
 
-def _perturbed_tpch(spark, d, seed: int) -> str:
+def _perturbed_tpch(spark, d, seed: int, unique_keys: bool = False) -> str:
     """Bootstrap-perturbed copies of every sf0.001 TPC-H table:
     row-level sampling WITH replacement (duplicates + dropped rows —
     empty/singleton groups appear), cents-exact price rescaling, and
@@ -196,7 +196,7 @@ def _perturbed_tpch(spark, d, seed: int) -> str:
 
     src = "/root/testdata/sf0.001"
     rng = np.random.RandomState(seed)
-    frac = float(rng.uniform(0.5, 1.2))
+    frac = float(rng.uniform(0.5, 1.0))  # sample() caps at 1 w/o repl.
     shift = int(rng.randint(-90, 90))
     scale_cents = int(rng.randint(50, 200))  # price x0.50..x2.00 exact
     for f in sorted(os.listdir(src)):
@@ -205,12 +205,22 @@ def _perturbed_tpch(spark, d, seed: int) -> str:
         t = f[: -len(".parquet")]
         df = spark.read.parquet(os.path.join(src, f))
         if t in ("lineitem", "orders"):
-            # bootstrap: union of two independent samples approximates
-            # sampling with replacement (duplicates guaranteed at
-            # frac > 0.5) — seeded, so both engines read identical data
-            df = df.sample(frac, seed=seed).unionAll(
-                df.sample(max(0.0, frac - 0.4), seed=seed + 1)
-            )
+            if unique_keys:
+                # PK-preserving subset: the v-rows' oracles are
+                # INJECTION-PREDICATE closed forms, valid only under
+                # the orders primary-key contract — duplicated keys
+                # make the Spark side's REAL detector right and the
+                # closed form wrong by construction (found by this
+                # suite's own first run)
+                df = df.sample(frac, seed=seed)
+            else:
+                # bootstrap: union of two independent samples
+                # approximates sampling with replacement (duplicates
+                # guaranteed) — seeded, so both engines read the
+                # identical bytes
+                df = df.sample(frac, seed=seed).unionAll(
+                    df.sample(max(0.0, frac - 0.4), seed=seed + 1)
+                )
         if t == "lineitem":
             src_type = dict(df.dtypes)["l_extendedprice"]
             df = df.withColumn(
@@ -351,3 +361,42 @@ def test_doc_queries_2_differential_random_corpus(
     d.mkdir()
     sf_dir = _random_docs(spark, d, seed, n=90)
     _compare(spark, sf_dir, name, "documents")
+
+
+# Window/rank/set-op/integrity rows: duplicates and dropped rows from
+# the bootstrap hit exactly the frames (ties in rank order, lag over
+# repeated dates, set-op multiplicity, duplicate-key detection) where
+# engine semantics classically differ.
+_REL_QUERIES_2 = [
+    "q02_argmin_supplier",
+    "q09_topk_per_group",
+    "q10_monthly_lag",
+    "q12_set_ops",
+    "q20_running_total",
+    "q26_intersect",
+    "q36_snapshot_diff",
+]
+
+# injection-predicate rows: their oracles are closed forms over the
+# %-rule injections and REQUIRE the orders PK contract to hold
+_REL_QUERIES_PK = ["v01_integrity_report", "v02_duplicate_keys_report"]
+
+
+@pytest.mark.parametrize("seed", [37])
+@pytest.mark.parametrize("name", _REL_QUERIES_2)
+def test_relational_2_differential_perturbed_tpch(
+    spark, tmp_path, seed, name
+):
+    d = tmp_path / f"tpch2_{seed}"
+    d.mkdir()
+    sf_dir = _perturbed_tpch(spark, d, seed)
+    _compare(spark, sf_dir, name)
+
+
+@pytest.mark.parametrize("seed", [37, 61])
+@pytest.mark.parametrize("name", _REL_QUERIES_PK)
+def test_integrity_differential_pk_preserving(spark, tmp_path, seed, name):
+    d = tmp_path / f"tpchpk{seed}"
+    d.mkdir()
+    sf_dir = _perturbed_tpch(spark, d, seed, unique_keys=True)
+    _compare(spark, sf_dir, name)
