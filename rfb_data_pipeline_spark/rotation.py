@@ -37,7 +37,7 @@ Maintenance contract (enforced by tests/test_registry_window.py):
 
 from __future__ import annotations
 
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
 
 # name -> newest driver CORRECTNESS round containing the name
 # (union of CORRECTNESS_r01..r05; absent = never driver-checked).
@@ -431,6 +431,41 @@ LAST_DRIVER_ROW.update(
             "x06_shuffle_shard", "x07_upsert_merge",
         ),
         10,
+    )
+)
+
+
+LAST_DRIVER_ROW.update(
+    # CORRECTNESS_r11.json fold-in: 50/50 green (rows+schema+hash),
+    # seating the r10 verdict's forced set (r11-touched s06/p01 first,
+    # then the r07-stale x08/x09/x10/x17 tail) plus the oldest
+    # r08-green block (spill at s11_batch_knn per the r11 record).
+    dict.fromkeys(
+        (
+            "s06_near_dup_pairs_banded", "p01_pipeline_month_e2e",
+            "x08_split_leakage", "x09_pack_sequences",
+            "x10_domain_mixture", "x17_cluster_curation",
+            "d01_exact_dedup", "d06_incremental_dedup",
+            "d10_fuzzy_pairs", "d13_duplicate_spans",
+            "d14_dup_span_fraction",
+            "e15_gap_fill_locf", "e17_multistep_funnel",
+            "e18_drift_replay", "e19_quality_replay",
+            "m01_image_metadata", "m02_media_stats", "m03_frame_sample",
+            "m04_audio_frames", "m05_header_parse",
+            "m06_subtitle_parse", "m07_id3_tag_parse",
+            "m08_wav_header_parse",
+            "q02_argmin_supplier", "q07_semi_join", "q08_anti_join",
+            "q09_topk_per_group", "q10_monthly_lag", "q11_rollup_report",
+            "q12_set_ops", "q13_string_functions", "q17_distinct_agg",
+            "q19_cube", "q20_running_total", "q21_rank_suppliers",
+            "q22_union_parts", "q23_median_stats", "q25_collect_set",
+            "q26_intersect", "q27_above_nation_avg",
+            "q28_grouping_sets", "q30_moving_range_sum",
+            "q31_stats_agg", "q32_window_values",
+            "s01_knn_bruteforce", "s02_ann_lsh", "s04_label_centroids",
+            "s05_ann_ivf", "s07_quantized_knn", "s08_kmeans_lloyd",
+        ),
+        11,
     )
 )
 

@@ -6,7 +6,7 @@ out of (or a stale one into) the round's window.
 Since r06 the order is COMPUTED from the rotation ledger
 (rfb_data_pipeline_spark/rotation.py): never-driver-checked first,
 then touched-since-their-row, then green oldest-first. These tests pin
-the r11 composition the ledger must produce AND the ledger's own
+the r12 composition the ledger must produce AND the ledger's own
 freshness invariants, so a ledger edit that starves an entry fails
 loudly.
 """
@@ -21,58 +21,50 @@ def _names():
     return list(entry_mod.queries())
 
 
-# The r07-green block whose rows are CURRENT_ROUND - 4 at r11: the
-# freshness invariant FORCES every one of them into the r11 window
-# (the r10 record's predicted spill started at x08_split_leakage).
-R07_STALE = {
-    "x08_split_leakage", "x09_pack_sequences", "x10_domain_mixture",
-    "x17_cluster_curation",
-}
+# The only rows without a driver CORRECTNESS check since r08 — the
+# r10 verdict's #1 forced set. The freshness invariant forces them to
+# HEAD the r12 window.
+R08_STALE = (
+    "s11_batch_knn", "s12_embedding_outliers",
+    "v02_duplicate_keys_report",
+)
 
 
-def test_r11_window_composition():
+def test_r12_window_composition():
     names = _names()
     window = set(names[:50])
     # Tier 0 — never driver-checked: EMPTY since the r10 fold (p01 was
     # the last never-checked entry; the registry is at its 150 cap).
     never_checked = {n for n in names if n not in rotation.LAST_DRIVER_ROW}
     assert never_checked == set()
-    # Tier 1 — rows predating this round's code: s06's defaults became
-    # N-adaptive (lsh_operating_point, VERDICT r10 item 2) so its r08
-    # row predates the executed derivation path, and p01 executes the
-    # r11-tightened sniff_encoding tail check (ADVICE r10).
+    # Tier 1 — rows predating this round's code: EMPTY after the r11
+    # fold (s06/p01 were re-seated by CORRECTNESS_r11, both green).
     touched_stale = {
         n
         for n in names
         if rotation.LAST_TOUCHED.get(n, 0)
         > rotation.LAST_DRIVER_ROW.get(n, 99)
     }
-    assert touched_stale == {
-        "s06_near_dup_pairs_banded", "p01_pipeline_month_e2e",
-    }
-    assert names[0] == "s06_near_dup_pairs_banded"
-    assert names[1] == "p01_pipeline_month_e2e"
-    # The forced r07 tail all seat, right after the tier-1 entries.
-    assert R07_STALE <= window
-    assert set(names[: 2 + len(R07_STALE)]) == touched_stale | R07_STALE
-    # Next-oldest green (r08 rows) fill the remaining 44 slots; the
-    # two youngest-named r08 entries spill to positions 50-51, then
-    # the r09 block begins.
+    assert touched_stale == set()
+    # The r08-stale trio heads the window, then the r09-green block
+    # (47 of its 48 rows) fills the remaining slots oldest-first;
+    # x16_quality_mixture is the predicted spill at position 50.
+    assert names[:3] == list(R08_STALE)
+    assert names[3] == "d17_span_dedup_action"
     assert {
-        "d01_exact_dedup", "e15_gap_fill_locf", "m01_image_metadata",
-        "q02_argmin_supplier", "s01_knn_bruteforce",
+        "d20_incremental_span_dedup", "e16_stream_replay",
+        "g07_edge_stream_replay", "q24_approx_distinct",
+        "q36_snapshot_diff", "s16_ann_recall_verdict",
+        "t13_pii_redaction", "x15_split_drift",
     } <= window
-    assert names[50] == "s11_batch_knn"
-    assert names[51] == "s12_embedding_outliers"
-    assert names[52] == "v02_duplicate_keys_report"
-    assert names[53] == "d17_span_dedup_action"
-    # NO slot burns on r09/r10-green untouched code.
+    assert names[50] == "x16_quality_mixture"
+    assert names[51] == "d02_ngram_jaccard"
+    # NO slot burns on r10/r11-green untouched code.
     assert not (window & {
-        "m09_jpeg_roundtrip",
-        "m10_mjpeg_frames", "t10_cms_heavy_hitters",
-        "x01_split_assign", "d02_ngram_jaccard", "e01_tumbling_hourly",
-        "g05_graph_summary", "s16_ann_recall_verdict",
-        "q24_approx_distinct", "e16_stream_replay",
+        "s06_near_dup_pairs_banded", "p01_pipeline_month_e2e",
+        "x08_split_leakage", "x17_cluster_curation",
+        "d01_exact_dedup", "q26_intersect", "s01_knn_bruteforce",
+        "e01_tumbling_hourly", "d03_minhash_lsh", "g05_graph_summary",
     })
 
 
