@@ -168,6 +168,7 @@ def main() -> None:
     from rfb_data_pipeline_spark.operators.dedup import (
         _doc_shingles_cached,
         _simhash_df,
+        _span_table_cached,
     )
     from rfb_data_pipeline_spark.operators.graph import _graph_shared
     from rfb_data_pipeline_spark.operators.media import _N_MEDIA, _media_cached
@@ -182,6 +183,7 @@ def main() -> None:
     )
 
     _time_base("doc_shingles", lambda: _doc_shingles_cached(spark, sf_dir))
+    _time_base("span_table", lambda: _span_table_cached(spark, sf_dir))
     _time_base("simhash_fingerprints", lambda: _simhash_df(spark, sf_dir))
     _time_base("engagement_graph", lambda: _graph_shared(spark, sf_dir))
     _time_base("token_stream", lambda: _toks_cached(spark, sf_dir))

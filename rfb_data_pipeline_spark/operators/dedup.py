@@ -1120,14 +1120,19 @@ JOIN sig sb ON doc_b = sb.doc_id
 SPAN_TOKENS = 16
 
 
-def _span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _span_table(
+    spark: SparkSession, sf_dir: str, wide: bool = False
+) -> DataFrame:
     """Materialized stride-1 W-token window fingerprints: one narrow
     (doc_id, span_hash) row per window position.
 
-    The span table feeds multiple plan branches in its consumers
-    (d13's counts + semi-join, d14's totals + dup counts); it is
-    localCheckpoint-materialized so the explode+hash — the hot map —
-    runs once (the d02/d03 stage-boundary idiom).
+    The span table feeds multiple plan branches ACROSS its consumers
+    (d13's counts + semi-join, d14's totals + dup counts, x12's gate
+    via d14); it is localCheckpoint-materialized AND session-memoized
+    (``_span_table_cached``) so the explode+hash — the hot map — runs
+    once per session, and bench.py times the build as its own
+    ``bases`` line (VERDICT r11 item 4: d13's number must measure the
+    steady-state plan, not whichever query pays the base first).
 
     xxhash64, not md5: the hash never leaves either query (outputs are
     structural counts), so only grouping equality matters — an 8-byte
@@ -1137,9 +1142,13 @@ def _span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical (count parity IS the no-collision check). Collision
     honesty at the extreme: 1e12 distinct spans → ~n²/2^65 ≈ 3e7
     birthday-colliding PAIRS, a ~1e-5 relative overcount on dup-span
-    totals — acceptable for the d13/d14/x12 gate metrics; if exact
-    counts are required at that scale, widen the key to 128 bits (two
-    xxhash64 seeds — still 2x narrower than the hex string).
+    totals — acceptable for the d13/d14/x12 gate metrics; where exact
+    counts are required at that scale, ``wide=True`` widens the key
+    to 128 bits (two independent xxhash64 families via a seed-prefix
+    column, packed in a struct — 16-byte shuffle key, still 2x
+    narrower than the hex string, collision term ~n²/2^129 ≈ nil).
+    The flag flips ONLY the grouping key; both modes are pinned
+    output-identical at test SF (tests/test_dedup_spans.py).
     """
     from rfb_data_pipeline_spark.operators.text import tokens_col
 
@@ -1150,14 +1159,36 @@ def _span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") >= SPAN_TOKENS
     )
     starts = F.sequence(F.lit(0), F.col("n") - SPAN_TOKENS, F.lit(1))
+    win = F.array_join(F.slice(F.col("t"), F.col("s") + 1, SPAN_TOKENS), " ")
+    key = (
+        F.struct(
+            F.xxhash64(win).alias("h1"),
+            F.xxhash64(F.lit("span128"), win).alias("h2"),
+        )
+        if wide
+        else F.xxhash64(win)
+    )
     return with_t.select(
         "doc_id", "t", F.explode(starts).alias("s")
-    ).select(
-        "doc_id",
-        F.xxhash64(
-            F.array_join(F.slice(F.col("t"), F.col("s") + 1, SPAN_TOKENS), " ")
-        ).alias("span_hash"),
-    ).transform(stage_boundary)
+    ).select("doc_id", key.alias("span_hash")).transform(stage_boundary)
+
+
+_SPAN_TABLE_CACHE: dict[tuple, tuple[SparkSession, tuple]] = {}
+
+
+def _span_table_cached(
+    spark: SparkSession, sf_dir: str, wide: bool = False
+) -> DataFrame:
+    from rfb_data_pipeline_spark.memo import session_memo
+
+    return session_memo(
+        _SPAN_TABLE_CACHE,
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: _span_table(spark, sf_dir, wide=wide),
+        extra=(wide,),
+    )
 
 
 _SPANS_CTE = f"""
@@ -1175,8 +1206,10 @@ spans AS (
 """.replace("{W}", str(SPAN_TOKENS))
 
 
-def d13_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spans = _span_table(spark, sf_dir)
+def d13_duplicate_spans(
+    spark: SparkSession, sf_dir: str, wide: bool = False
+) -> DataFrame:
+    spans = _span_table_cached(spark, sf_dir, wide=wide)
     per_span = spans.groupBy("span_hash").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_occ"),
@@ -1228,8 +1261,10 @@ FROM dup
 # 8-byte hash, linear in corpus tokens, no all-pairs anywhere.
 
 
-def d14_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spans = _span_table(spark, sf_dir)
+def d14_dup_span_fraction(
+    spark: SparkSession, sf_dir: str, wide: bool = False
+) -> DataFrame:
+    spans = _span_table_cached(spark, sf_dir, wide=wide)
     dup = (
         spans.groupBy("span_hash")
         .agg(F.countDistinct("doc_id").alias("_nd"))

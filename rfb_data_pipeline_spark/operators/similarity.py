@@ -119,6 +119,44 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
 
+# s06 / write_lsh_index derive their LSH operating point from the
+# corpus size; the count is parquet row-group metadata, but it still
+# rides through load_tables' projection/casts, so memoize it per
+# (session, sf_dir) like the other shared bases (ADVICE r11).
+_EMB_COUNT_CACHE: dict[tuple, tuple[SparkSession, tuple]] = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    from rfb_data_pipeline_spark.memo import session_memo
+
+    return session_memo(
+        _EMB_COUNT_CACHE,
+        spark,
+        sf_dir,
+        ("embeddings",),
+        lambda: _emb(spark, sf_dir).count(),
+    )
+
+
+def _fill_operating_point(
+    spark: SparkSession,
+    sf_dir: str,
+    num_tables: int | None,
+    sign_bits: int | None,
+) -> tuple[int, int]:
+    """Resolve an LSH operating point: unset knobs derive from the
+    sizing ladder at the (memoized) corpus count. Pinning only ONE
+    knob used to silently revert the other to the anchor constant — a
+    probe/written-index mismatch footgun (ADVICE r11); now the ladder
+    fills whichever knobs the caller leaves unset, so a partial pin
+    composes with the same derivation a full default would use."""
+    if num_tables is not None and sign_bits is not None:
+        return num_tables, sign_bits
+    dt, db = lsh_operating_point(_emb_count(spark, sf_dir))
+    return (dt if num_tables is None else num_tables,
+            db if sign_bits is None else sign_bits)
+
+
 def _dot(a: str, b: str) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -550,22 +588,19 @@ def s06_near_dup_pairs_banded(
     num_tables: int | None = None,
     sign_bits: int | None = None,
 ) -> DataFrame:
-    # N-ADAPTIVE BY DEFAULT (VERDICT r10 item 2): when the caller
-    # doesn't pin the operating point, derive it from the corpus size
-    # via the measured ladder (lsh_operating_point) — at every test SF
-    # the derivation lands on the anchor (16, 6), so the oracle SQL
-    # (frozen at the anchor) stays hash-identical; at 10× it lands on
-    # the s16-gated (32, 9). The count is a parquet-metadata job (row-
-    # group counts, no data scan) — negligible next to the bucket
-    # self-join it sizes. Explicit kwargs bypass the ladder (the
-    # calibration tests' knob), falling back to the anchor constants
-    # for whichever knob is left unset.
+    # N-ADAPTIVE BY DEFAULT (VERDICT r10 item 2): knobs the caller
+    # doesn't pin derive from the corpus size via the measured ladder
+    # (lsh_operating_point) — at every test SF the derivation lands on
+    # the anchor (16, 6), so the oracle SQL (frozen at the anchor)
+    # stays hash-identical; at 10× it lands on the s16-gated (32, 9).
+    # The corpus count behind the derivation is memoized per
+    # (session, sf_dir) alongside the other shared bases, and a
+    # PARTIAL pin (one knob) fills the other from the same ladder
+    # instead of silently reverting it to the anchor (ADVICE r11).
     emb = _emb(spark, sf_dir)
-    if num_tables is None and sign_bits is None:
-        num_tables, sign_bits = lsh_operating_point(emb.count())
-    else:
-        num_tables = NUM_TABLES if num_tables is None else num_tables
-        sign_bits = SIGN_BITS if sign_bits is None else sign_bits
+    num_tables, sign_bits = _fill_operating_point(
+        spark, sf_dir, num_tables, sign_bits
+    )
     # Checkpoint: the 96-projection bucket table feeds both join
     # sides; at pipeline scale it is the materialized (t, bucket)-
     # partitioned index this query would read back. Only the NARROW

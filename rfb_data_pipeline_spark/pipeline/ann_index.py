@@ -60,23 +60,35 @@ def write_lsh_index(
     saves two dot products per candidate at probe time (the s03
     layout note).
 
-    When the operating point isn't pinned by the caller it derives
-    from the corpus size (lsh_operating_point — the s06 sizing
-    ladder, r11), and EITHER WAY it is persisted in a ``_meta``
+    Knobs the caller doesn't pin derive from the corpus size
+    (lsh_operating_point — the s06 sizing ladder, r11; a PARTIAL pin
+    fills the unset knob from the same ladder, mirroring s06), and
+    EITHER WAY the resolved point is persisted in a ``_meta``
     sidecar: an index is an artifact, and a probe that must remember
     the writer's (num_tables, sign_bits) out of band is one forgotten
     copy-paste from silently reading the wrong buckets (zero recall,
-    no error). ``probe_lsh_index`` reads the sidecar by default."""
+    no error). ``probe_lsh_index`` reads the sidecar by default.
+
+    Write ORDER is sidecar-first (ADVICE r11): the old data-then-meta
+    order left a crash window where an N-derived index existed with
+    no sidecar, and the probe silently fell back to the anchor
+    constants — wrong bucket partitions, near-zero recall, no error.
+    Sidecar-first inverts the failure: a crash between the two leaves
+    a marker with NO data files, which every read fails on loudly.
+    The clear uses local-filesystem semantics like
+    ``write_span_index``; route through the Hadoop FS API on an
+    object store."""
+    import shutil
+    from pathlib import Path
+
     from rfb_data_pipeline_spark.operators.similarity import (
-        lsh_operating_point,
+        _fill_operating_point,
     )
 
     emb = _emb(spark, sf_dir)
-    if num_tables is None and sign_bits is None:
-        num_tables, sign_bits = lsh_operating_point(emb.count())
-    else:
-        num_tables = NUM_TABLES if num_tables is None else num_tables
-        sign_bits = SIGN_BITS if sign_bits is None else sign_bits
+    num_tables, sign_bits = _fill_operating_point(
+        spark, sf_dir, num_tables, sign_bits
+    )
     idx = _bucketed(emb, num_tables, sign_bits).select(
         "vec_id",
         "label",
@@ -85,10 +97,15 @@ def write_lsh_index(
         "t",
         "bucket",
     )
-    idx.write.mode("overwrite").partitionBy("t", "bucket").parquet(path)
+    p = Path(path)
+    if p.exists():
+        shutil.rmtree(p, ignore_errors=True)
     _write_index_meta(
         spark, path, num_tables=num_tables, sign_bits=sign_bits
     )
+    # append: the dir was just cleared and now holds only _meta; an
+    # overwrite here would delete the sidecar written above
+    idx.write.mode("append").partitionBy("t", "bucket").parquet(path)
 
 
 def _write_index_meta(spark: SparkSession, path: str, **fields: int) -> None:
@@ -194,12 +211,18 @@ def probe_lsh_index(
     literal query vector. Output schema/ordering matches s02.
 
     The operating point defaults to the index's own ``_meta`` sidecar
-    (whatever the writer used — fixed or N-derived); a pre-r11 index
-    without a sidecar falls back to the module constants."""
-    if num_tables is None and sign_bits is None:
+    (whatever the writer used — fixed or N-derived); the sidecar is
+    consulted whenever EITHER knob is unset, filling only the missing
+    one (a partial pin used to bypass it entirely and silently revert
+    the other knob to the anchor constant — ADVICE r11). A pre-r11
+    index without a sidecar falls back to the module constants."""
+    if num_tables is None or sign_bits is None:
         meta = read_lsh_meta(spark, path)
         if meta is not None:
-            num_tables, sign_bits = meta
+            if num_tables is None:
+                num_tables = meta[0]
+            if sign_bits is None:
+                sign_bits = meta[1]
     num_tables = NUM_TABLES if num_tables is None else num_tables
     sign_bits = SIGN_BITS if sign_bits is None else sign_bits
     pairs = query_buckets(qvec, num_tables, sign_bits)

@@ -210,14 +210,26 @@ def run_month(spark: SparkSession, cfg: RunConfig) -> RunReport:
             continue
         zip_tables[r.arquivo] = set()
         for member in r.arquivos_extraidos or []:
-            # Member names must be UNIQUE across the month: every zip
-            # extracts into one shared dir, so a repeated name means
-            # the extracted file's content is whichever zip ran last —
-            # and the repeated path would ride csv_paths twice,
-            # double-reading its rows past the count gate (which
-            # compares two counts of the same doubled scan). Silent
-            # data corruption either way: fail loud (r11 review; the
-            # real portal's member names are unique by contract).
+            path = os.path.join(extract_dir, member)
+            table = _route_one(member)
+            zip_tables[r.arquivo].add(table)
+            if table is None:
+                # An unroutable member (readme/layout file) never
+                # feeds csv_paths, so a cross-zip name collision on it
+                # cannot double-count rows — not worth aborting the
+                # month over (ADVICE r11). It still can't claim
+                # ownership of a loadable name, so skip before the
+                # owner bookkeeping.
+                continue
+            # ROUTABLE member names must be UNIQUE across the month:
+            # every zip extracts into one shared dir, so a repeated
+            # name means the extracted file's content is whichever zip
+            # ran last — and the repeated path would ride csv_paths
+            # twice, double-reading its rows past the count gate
+            # (which compares two counts of the same doubled scan).
+            # Silent data corruption either way: fail loud (r11
+            # review; the real portal's member names are unique by
+            # contract).
             owner = member_owner.setdefault(member, r.arquivo)
             if owner != r.arquivo:
                 raise RuntimeError(
@@ -228,11 +240,6 @@ def run_month(spark: SparkSession, cfg: RunConfig) -> RunReport:
                     "rows. The month's drop violates the unique-name "
                     "contract; inspect the portal listing."
                 )
-            path = os.path.join(extract_dir, member)
-            table = _route_one(member)
-            zip_tables[r.arquivo].add(table)
-            if table is None:
-                continue
             if path in table_inputs.get(table, ()):  # same zip listed
                 # the member twice (duplicate entries in one archive:
                 # extractall kept one file; counting it once is the

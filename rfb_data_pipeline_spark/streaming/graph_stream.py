@@ -192,8 +192,12 @@ def run_incremental_graph(
             # completely; stale partitions from the old lineage must
             # be cleared, not mixed (r11 review)
             lin = checkpoint_lineage(spark, checkpoint_dir)
-            reconcile_sink_lineage(spark, log_dir, lin)
-            reconcile_sink_lineage(spark, delta_dir, lin)
+            reconcile_sink_lineage(
+                spark, log_dir, lin, checkpoint_dir=checkpoint_dir
+            )
+            reconcile_sink_lineage(
+                spark, delta_dir, lin, checkpoint_dir=checkpoint_dir
+            )
             lineage_done.append(True)
         apply_batch(spark, log_dir, delta_dir, batch_df, batch_id)
 

@@ -87,20 +87,48 @@ def _sink_has_data(out_dir: str) -> bool:
     return False
 
 
+def _checkpoint_has_commits(checkpoint_dir: str | None) -> bool:
+    """Whether the checkpoint has at least one COMMITTED batch — i.e.
+    this run RESUMES an existing lineage rather than starting one."""
+    if not checkpoint_dir:
+        return False
+    d = os.path.join(checkpoint_dir, "commits")
+    return os.path.isdir(d) and any(
+        not f.startswith((".", "_")) for f in os.listdir(d)
+    )
+
+
 def reconcile_sink_lineage(
-    spark: SparkSession, out_dir: str, lineage: str
+    spark: SparkSession,
+    out_dir: str,
+    lineage: str,
+    checkpoint_dir: str | None = None,
 ) -> bool:
     """Make ``out_dir`` safe for this lineage's batch ids. Same
-    lineage → no-op (resume). Different/unknown lineage over existing
-    data → CLEAR the sink (a recomputable projection re-derives; a
-    stale-partition mix does not) and record the new lineage. Returns
-    True when the sink was cleared."""
+    lineage → no-op (resume). Marker present but DIFFERENT → a
+    confirmed lineage change: CLEAR the sink (a recomputable
+    projection re-derives from the re-drained backlog; a
+    stale-partition mix does not) and record the new lineage.
+
+    No marker at all splits on the checkpoint (ADVICE r11): data under
+    a checkpoint that already has committed batches is this very
+    lineage's own pre-marker output (the upgrade path) — availableNow
+    on a resumed checkpoint only processes NEW input, so clearing
+    would be unrecoverable loss; ADOPT the lineage without clearing.
+    Data under a fresh checkpoint (no commits) is unknown-origin and
+    the run re-derives from batch 0, so clearing is both safe and
+    required. Returns True when the sink was cleared."""
     marker = f"{out_dir}/_lineage"
     existing = _read_marker(spark, marker)
     if existing == lineage:
         return False
     cleared = False
-    if _sink_has_data(out_dir) or existing is not None:
+    if existing is not None:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        cleared = True
+    elif _sink_has_data(out_dir) and not _checkpoint_has_commits(
+        checkpoint_dir
+    ):
         shutil.rmtree(out_dir, ignore_errors=True)
         cleared = True
     (
@@ -123,7 +151,10 @@ def reconcile_on_first_batch(
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if not done:
             reconcile_sink_lineage(
-                spark, out_dir, checkpoint_lineage(spark, checkpoint_dir)
+                spark,
+                out_dir,
+                checkpoint_lineage(spark, checkpoint_dir),
+                checkpoint_dir=checkpoint_dir,
             )
             done.append(True)
         inner(batch_df, batch_id)

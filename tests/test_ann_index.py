@@ -446,6 +446,81 @@ def test_lsh_index_meta_sidecar_roundtrip(spark, tmp_path):
     assert "_meta" in os.listdir(path)
 
 
+def test_lsh_partial_pin_fills_other_knob_from_sidecar(spark, tmp_path):
+    """ADVICE r11: pinning only ONE knob at probe time used to bypass
+    the sidecar entirely, silently reverting the other knob to the
+    anchor constant — wrong bucket widths, plausible-but-wrong
+    neighbors. The sidecar must fill whichever knob is unset."""
+    path = str(tmp_path / "lsh_partial")
+    write_lsh_index(spark, SF, path, num_tables=8, sign_bits=4)
+    qvec = _query_vec(spark)
+    full = probe_lsh_index(
+        spark, path, qvec, exclude_vec_id=QUERY_VEC_ID
+    ).collect()
+    # pin num_tables only: sign_bits must come from the sidecar (4,
+    # not the anchor 6)
+    half = probe_lsh_index(
+        spark, path, qvec, exclude_vec_id=QUERY_VEC_ID, num_tables=8
+    ).collect()
+    assert [tuple(r) for r in half] == [tuple(r) for r in full]
+    # and the symmetric pin
+    half2 = probe_lsh_index(
+        spark, path, qvec, exclude_vec_id=QUERY_VEC_ID, sign_bits=4
+    ).collect()
+    assert [tuple(r) for r in half2] == [tuple(r) for r in full]
+
+
+def test_lsh_write_is_sidecar_first_and_clears_stale_layout(
+    spark, tmp_path
+):
+    """ADVICE r11: the old data-then-meta order left a crash window
+    where an N-derived index existed with no sidecar and the probe
+    silently fell back to the anchor constants. Sidecar-first inverts
+    the failure: crash residue (marker, no data) fails LOUDLY on
+    read. A rewrite must also clear the previous layout's partitions
+    (append-after-clear, not a stale mix)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from rfb_data_pipeline_spark.pipeline.ann_index import read_lsh_meta
+
+    # crash residue: a dir holding only the sidecar
+    residue = str(tmp_path / "lsh_residue")
+    from rfb_data_pipeline_spark.pipeline.ann_index import _write_index_meta
+
+    _write_index_meta(spark, residue, num_tables=32, sign_bits=9)
+    with pytest.raises(AnalysisException):
+        probe_lsh_index(spark, residue, _query_vec(spark)).collect()
+
+    # rewrite at a different operating point: no stale t= partitions
+    path = str(tmp_path / "lsh_rewrite")
+    write_lsh_index(spark, SF, path, num_tables=16, sign_bits=6)
+    assert any(d.startswith("t=15") for d in os.listdir(path))
+    write_lsh_index(spark, SF, path, num_tables=8, sign_bits=4)
+    assert read_lsh_meta(spark, path) == (8, 4)
+    stale = [d for d in os.listdir(path) if d.startswith("t=") and
+             int(d.split("=")[1]) >= 8]
+    assert stale == []
+
+
+def test_fill_operating_point_partial_pin_uses_ladder(spark, monkeypatch):
+    """ADVICE r11 (s06 twin of the probe fix): an unset knob derives
+    from the sizing ladder at the memoized corpus count, not the
+    anchor constant — at N=20k the ladder is (32, 9), so a partial
+    pin must compose with it."""
+    from rfb_data_pipeline_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "_emb_count", lambda *_: 20000)
+    assert sim._fill_operating_point(spark, SF, None, None) == (32, 9)
+    assert sim._fill_operating_point(spark, SF, None, 9) == (32, 9)
+    assert sim._fill_operating_point(spark, SF, 32, None) == (32, 9)
+    # full pins bypass the ladder (and never touch the count)
+    monkeypatch.setattr(
+        sim, "_emb_count", lambda *_: (_ for _ in ()).throw(AssertionError)
+    )
+    assert sim._fill_operating_point(spark, SF, 16, 6) == (16, 6)
+
+
 def test_lsh_probe_reads_pre_r11_index_without_meta(spark, tmp_path):
     """On-disk compatibility (the _prune_doc_shards discipline): a
     pre-r11 index has no _meta sidecar — the probe must fall back to

@@ -314,6 +314,36 @@ def test_member_name_collision_fails_loud(spark, tmp_path):
         run_month(spark, cfg)
 
 
+def test_unroutable_member_collision_does_not_abort(spark, tmp_path):
+    """ADVICE r11: two zips sharing an UNROUTABLE member name (a
+    readme/layout file _route_one maps to None, never loaded) cannot
+    double-count rows — the month must still load, not hard-fail on a
+    file that never feeds csv_paths."""
+    p = tmp_path / "portal"
+    p.mkdir()
+    with zipfile.ZipFile(p / "Empresas0.zip", "w") as zf:
+        zf.writestr("K001.EMPRECSV", EMPRESAS[0] + "\n")
+        zf.writestr("LEIAME.txt", "layout v1\n")  # unroutable
+    with zipfile.ZipFile(p / "Cnaes.zip", "w") as zf:
+        zf.writestr("K001.CNAECSV", CNAES[0] + "\n")
+        zf.writestr("LEIAME.txt", "layout v2\n")  # same member name!
+    (p / "index.html").write_text(
+        _listing_html(["Empresas0.zip", "Cnaes.zip"])
+    )
+    cfg = RunConfig(
+        base_url=f"file://{p}/index.html",
+        work_dir=str(tmp_path / "work"),
+        out_dir=str(tmp_path / "silver"),
+        ref_ym="202405",
+        fetch=_file_fetch,
+        stream=_file_stream,
+    )
+    report = run_month(spark, cfg)
+    assert report.loads and report.passed, (
+        "month should load despite the collision"
+    )
+
+
 def test_duplicate_member_within_one_zip_counts_once(spark, tmp_path):
     """A single archive listing the same member name twice (legal in
     the zip format; extractall keeps the last) must load that file

@@ -61,6 +61,70 @@ def test_reconcile_sink_lineage_unit(spark, tmp_path):
     assert ln._read_marker(spark, f"{out}/_lineage") == "L3"
 
 
+def test_premarker_sink_resumed_checkpoint_adopts(spark, tmp_path):
+    """ADVICE r11 (medium): a sink with data but NO _lineage marker
+    under a checkpoint that already committed batches is this
+    lineage's own pre-marker output — availableNow on the resumed
+    checkpoint never re-derives history, so it must be ADOPTED, not
+    cleared."""
+    out = str(tmp_path / "sink")
+    spark.range(5).write.parquet(f"{out}/_batch_id=0")
+    ck = tmp_path / "ck"
+    (ck / "commits").mkdir(parents=True)
+    (ck / "commits" / "0").write_text("v1\n{}")
+    assert (
+        ln.reconcile_sink_lineage(spark, out, "L1", checkpoint_dir=str(ck))
+        is False
+    )
+    assert spark.read.parquet(f"{out}/_batch_id=0").count() == 5
+    assert ln._read_marker(spark, f"{out}/_lineage") == "L1"
+    # but the SAME markerless sink under a FRESH checkpoint (no
+    # commits) is unknown-origin data a from-batch-0 run re-derives:
+    # cleared
+    import shutil as _sh
+
+    _sh.rmtree(f"{out}/_lineage")
+    fresh = tmp_path / "ck_fresh"
+    (fresh / "commits").mkdir(parents=True)
+    assert (
+        ln.reconcile_sink_lineage(
+            spark, out, "L1", checkpoint_dir=str(fresh)
+        )
+        is True
+    )
+    assert not ln._sink_has_data(out)
+    # a confirmed lineage CHANGE clears even on a resumed checkpoint
+    spark.range(4).write.parquet(f"{out}/_batch_id=0")
+    assert (
+        ln.reconcile_sink_lineage(spark, out, "L2", checkpoint_dir=str(ck))
+        is True
+    )
+    assert not ln._sink_has_data(out)
+
+
+def test_premarker_sink_survives_resumed_run_end_to_end(spark, tmp_path):
+    """Upgrade-path e2e: simulate a pre-r11 sink by deleting the
+    marker after a first run, then resume the SAME checkpoint with a
+    new drop — historical batch partitions must survive."""
+    import os
+
+    from rfb_data_pipeline_spark.streaming.corpus_stream import run_curation
+
+    in_dir = _stage_drops(spark, tmp_path, 2, rows_per_drop=12)
+    held = os.path.join(str(tmp_path), "held.parquet")
+    os.rename(os.path.join(in_dir, "drop1.parquet"), held)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    run_curation(spark, in_dir, out, ck)
+    first = spark.read.parquet(out).count()
+    shutil.rmtree(f"{out}/_lineage")  # pre-marker sink
+    os.rename(held, os.path.join(in_dir, "drop1.parquet"))
+    run_curation(spark, in_dir, out, ck)  # same checkpoint: resume
+    after = spark.read.parquet(out)
+    assert {r["_batch_id"] for r in after.collect()} == {0, 1}
+    assert after.filter(F.col("_batch_id") == 0).count() == first
+
+
 def test_fresh_checkpoint_smaller_backlog_drops_stale_batches(
     spark, tmp_path
 ):
