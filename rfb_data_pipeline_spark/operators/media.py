@@ -66,7 +66,9 @@ def _media_cached(spark: SparkSession, n: int) -> DataFrame:
     return df
 
 
-def m01_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m01_image_metadata(
+    spark: SparkSession, sf_dir: str, n_media: int = _N_MEDIA
+) -> DataFrame:
     """Container-header metadata + decoded-pixel stats, reconciled.
 
     The header parse (library-free PNG/JPEG/GIF/BMP/PPM walk) and the
@@ -77,7 +79,7 @@ def m01_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     regenerates the md5-hex-chain pixel bytes and re-sums them, so a
     raster-offset or channel-order bug on either side breaks the hash.
     """
-    media = _media_cached(spark, _N_MEDIA)
+    media = _media_cached(spark, n_media)
     hdr = image_header_meta(media).select(
         "media_id", F.col("width").alias("w_hdr"),
         F.col("height").alias("h_hdr"),
@@ -113,7 +115,9 @@ def m01_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def m02_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m02_media_stats(
+    spark: SparkSession, sf_dir: str, n_media: int = _N_MEDIA
+) -> DataFrame:
     """Per-kind decode summary over the full media table: audio
     durations from the REAL RIFF/PCM16 decode (sample count / rate, in
     exact milliseconds), video durations from the REAL ISO-BMFF
@@ -121,7 +125,7 @@ def m02_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     column — the oracle twin recomputes every figure analytically from
     the synthesis parameters, so a decoder or encoder size bug breaks
     the hash."""
-    media = _media_cached(spark, _N_MEDIA)
+    media = _media_cached(spark, n_media)
     sizes = media.groupBy("kind").agg(
         F.sum(F.length("content")).alias("total_payload_bytes")
     )
@@ -137,10 +141,18 @@ def m02_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("duration_ms_real").alias("total_duration_ms"),
         F.max("duration_ms_real").alias("max_duration_ms"),
     )
-    return audio.unionByName(video).join(F.broadcast(sizes), "kind")
+    # LEFT join: a kind with zero rows (legal corpus: no videos) still
+    # reports its count-0/NULL summary row, matching the SQL twin's
+    # UNION ALL branches — an inner join silently dropped it
+    # (found sizing the r12 media fuzz generators)
+    return audio.unionByName(video).join(
+        F.broadcast(sizes), "kind", "left"
+    )
 
 
-def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m03_frame_sample(
+    spark: SparkSession, sf_dir: str, n_media: int = _N_MEDIA
+) -> DataFrame:
     """Frame-sampling contract: one row per sampled frame per video
     (1 video → N frames row explosion), summarized per video. Offsets
     come from the typed duration metadata (real codec decode is gated
@@ -148,7 +160,7 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-video summary are the operator's contract."""
     from rfb_data_pipeline_spark.functions.multimodal import frame_sample
 
-    media = _media_cached(spark, _N_MEDIA)
+    media = _media_cached(spark, n_media)
     frames = frame_sample(media, every_ms=500)
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
@@ -164,7 +176,9 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ENERGY_FLOOR_RAW = 57_000_000_000
 
 
-def m04_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m04_audio_frames(
+    spark: SparkSession, sf_dir: str, n_media: int = _N_MEDIA
+) -> DataFrame:
     """Audio windowed-energy contract (the m03 row-explosion shape on
     the audio axis): every clip explodes into 10 ms windows from the
     REAL PCM decode, summarized per clip with an active-frame count
@@ -174,7 +188,7 @@ def m04_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle twin recomputes them exactly from the regenerated samples."""
     from rfb_data_pipeline_spark.functions.multimodal import audio_frame_energy
 
-    media = _media_cached(spark, _N_MEDIA)
+    media = _media_cached(spark, n_media)
     frames = audio_frame_energy(media, frame_ms=10)
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
@@ -215,12 +229,13 @@ hexes AS (
 
 # Audio sample regeneration shared by m02/m04: int16 LE pairs out of
 # the wav-{i} chain. n = 800 + (i%5)*160 samples, need = 2n bytes.
-_WAV_SV_SQL = _chain_hexes_sql(
-    "wav",
-    f"""SELECT i, 800 + (i % 5) * 160 AS n,
+def _wav_sv_sql(n_media: int = _N_MEDIA) -> str:
+    return _chain_hexes_sql(
+        "wav",
+        f"""SELECT i, 800 + (i % 5) * 160 AS n,
          ((800 + (i % 5) * 160) * 2 + 15) // 16 AS nblk
-  FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 1""",
-) + """,
+  FROM range({n_media}) t(i) WHERE i % 3 = 1""",
+    ) + """,
 samp AS (
   SELECT s.i, p.p AS sidx,
          (('0x' || substring(x.hexstr, (p.p * 4 + 1)::INT, 2))::BIGINT
@@ -235,13 +250,14 @@ sv AS (
 )"""
 
 
-_M01_SQL = _chain_hexes_sql(
-    "img",
-    f"""SELECT i, (8 + i % 13) AS w, (6 + i % 7) AS h,
+def _m01_sql(n_media: int = _N_MEDIA) -> str:
+    return _chain_hexes_sql(
+        "img",
+        f"""SELECT i, (8 + i % 13) AS w, (6 + i % 7) AS h,
          (8 + i % 13) * (6 + i % 7) * 3 AS need,
          ((8 + i % 13) * (6 + i % 7) * 3 + 15) // 16 AS nblk
-  FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 0""",
-) + """,
+  FROM range({n_media}) t(i) WHERE i % 3 = 0""",
+    ) + """,
 pix AS (
   SELECT s.i, s.w, s.h, p.p % 3 AS ch,
          ('0x' || substring(x.hexstr, (p.p * 2 + 1)::INT, 2))::INT AS v
@@ -268,17 +284,21 @@ GROUP BY 1
 """
 
 
+_M01_SQL = _m01_sql()
+
+
 # WAV payload = 44-byte RIFF/fmt/data header + 2 bytes per sample; the
 # minimal ISO-BMFF container (ftyp 28 + moov[mvhd] 116) is 144 bytes —
 # both sizes are re-derived from length(content) on the Spark side, so
 # an encoder framing bug breaks the hash.
-_M02_SQL = f"""
+def _m02_sql(n_media: int = _N_MEDIA) -> str:
+    return f"""
 WITH audio AS (
-  SELECT 800 + (i % 5) * 160 AS n FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 1
+  SELECT 800 + (i % 5) * 160 AS n FROM range({n_media}) t(i) WHERE i % 3 = 1
 ),
 video AS (
   SELECT 4000 + (i % 4) * 250 AS dur
-  FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 2
+  FROM range({n_media}) t(i) WHERE i % 3 = 2
 )
 SELECT 'audio' AS kind, count(*) AS n_rows,
        CAST(sum(n // 16) AS BIGINT) AS total_duration_ms,
@@ -293,19 +313,27 @@ FROM video
 """
 
 
-_M03_SQL = f"""
+_M02_SQL = _m02_sql()
+
+
+def _m03_sql(n_media: int = _N_MEDIA) -> str:
+    return f"""
 SELECT i AS media_id,
        CAST(dur // 500 + 1 AS BIGINT) AS n_frames,
        CAST(0 AS INTEGER) AS first_ms,
        CAST((dur // 500) * 500 AS INTEGER) AS last_ms
 FROM (
   SELECT i, 4000 + (i % 4) * 250 AS dur
-  FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 2
+  FROM range({n_media}) t(i) WHERE i % 3 = 2
 ) v
 """
 
 
-_M04_SQL = _WAV_SV_SQL + f""",
+_M03_SQL = _m03_sql()
+
+
+def _m04_sql(n_media: int = _N_MEDIA) -> str:
+    return _wav_sv_sql(n_media) + f""",
 frames AS (
   SELECT i, sidx // 160 AS f,
          CAST(sum(v * v) AS BIGINT) AS energy,
@@ -321,6 +349,9 @@ SELECT i AS media_id,
 FROM frames
 GROUP BY i
 """
+
+
+_M04_SQL = _m04_sql()
 
 
 # The P6 preamble grammar shared by the m05 expression parse (Spark
@@ -898,21 +929,25 @@ def _m09_agg(stats, tol: int):
     )
 
 
-def m09_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m09_jpeg_roundtrip(
+    spark: SparkSession, sf_dir: str, n_images: int | None = None
+) -> DataFrame:
     from rfb_data_pipeline_spark.functions.multimodal import (
         jpeg_roundtrip_stats,
     )
 
-    return _m09_agg(jpeg_roundtrip_stats(spark, _JPEG_N), _JPEG_TOL)
+    n = _JPEG_N if n_images is None else n_images
+    return _m09_agg(jpeg_roundtrip_stats(spark, n), _JPEG_TOL)
 
 
-_M09_SQL = _chain_hexes_sql(
-    "jpg",
-    f"""SELECT i, (8 + i % 13) AS w, (6 + i % 7) AS h,
+def _m09_sql(n_images: int | None = None) -> str:
+    return _chain_hexes_sql(
+        "jpg",
+        f"""SELECT i, (8 + i % 13) AS w, (6 + i % 7) AS h,
          (8 + i % 13) * (6 + i % 7) * 3 AS need,
          ((8 + i % 13) * (6 + i % 7) * 3 + 15) // 16 AS nblk
-  FROM range({_JPEG_N}) t(i)""",
-) + """,
+  FROM range({_JPEG_N if n_images is None else n_images}) t(i)""",
+    ) + """,
 pix AS (
   SELECT s.i, s.w, s.h, p.p % 3 AS ch,
          ('0x' || substring(x.hexstr, (p.p * 2 + 1)::INT, 2))::INT AS v
@@ -936,6 +971,9 @@ SELECT CASE WHEN w * h >= 120 THEN 'large' ELSE 'small' END AS size_class,
 FROM per_img
 GROUP BY 1
 """
+
+
+_M09_SQL = _m09_sql()
 
 
 # --------------------------------------------------------------------------
@@ -967,31 +1005,39 @@ def _m10_verdict(stats, tol: int):
     )
 
 
-def m10_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m10_mjpeg_frames(
+    spark: SparkSession,
+    sf_dir: str,
+    n_videos: int = _MJPEG_N_VIDEOS,
+    n_frames: int = _MJPEG_N_FRAMES,
+) -> DataFrame:
     from rfb_data_pipeline_spark.functions.multimodal import (
         mjpeg_roundtrip_stats,
     )
 
     return _m10_verdict(
-        mjpeg_roundtrip_stats(spark, _MJPEG_N_VIDEOS, _MJPEG_N_FRAMES),
+        mjpeg_roundtrip_stats(spark, n_videos, n_frames),
         _JPEG_TOL,
     )
 
 
 # 16x16x3 = 768 bytes per frame; flat frame ids i*n_frames + k.
-_M10_SQL = _chain_hexes_sql(
-    "vidf",
-    f"""SELECT i, 768 AS need, (768 + 15) // 16 AS nblk
-  FROM range({_MJPEG_N_VIDEOS * _MJPEG_N_FRAMES}) t(i)""",
-) + f""",
+def _m10_sql(
+    n_videos: int = _MJPEG_N_VIDEOS, n_frames: int = _MJPEG_N_FRAMES
+) -> str:
+    return _chain_hexes_sql(
+        "vidf",
+        f"""SELECT i, 768 AS need, (768 + 15) // 16 AS nblk
+  FROM range({n_videos * n_frames}) t(i)""",
+    ) + f""",
 pix AS (
-  SELECT s.i // {_MJPEG_N_FRAMES} AS video_id, p.p % 3 AS ch,
+  SELECT s.i // {n_frames} AS video_id, p.p % 3 AS ch,
          ('0x' || substring(x.hexstr, (p.p * 2 + 1)::INT, 2))::INT AS v
   FROM sized s JOIN hexes x ON s.i = x.i
        JOIN range(768) p(p) ON p.p < s.need
 )
 SELECT video_id,
-       CAST({_MJPEG_N_FRAMES} AS INTEGER) AS n_frames_decoded,
+       CAST({n_frames} AS INTEGER) AS n_frames_decoded,
        CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_src_r,
        CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_src_g,
        CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_src_b,
@@ -1000,6 +1046,9 @@ SELECT video_id,
 FROM pix
 GROUP BY video_id
 """
+
+
+_M10_SQL = _m10_sql()
 
 
 QUERIES = {

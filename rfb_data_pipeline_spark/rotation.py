@@ -470,6 +470,29 @@ LAST_DRIVER_ROW.update(
 )
 
 
+# r12 touches: s06's operating-point derivation now memoizes the
+# corpus count and ladder-fills partial pins (_fill_operating_point,
+# ADVICE r11); p01 executes the reordered routable-only member
+# collision gate (pipeline/run.py, ADVICE r11); d13/d14 consume the
+# session-memoized _span_table_cached (the r07 shared-frame
+# precedent: consumers switched from private builds to a shared
+# memoized frame) and x12 transitively via d14; the media codec tier
+# m01-m04/m09/m10 now threads a size parameter through to the
+# synthesizer (the r12 fuzz axis) and m02's per-kind size join became
+# a left join (empty-kind parity).
+LAST_TOUCHED.update(
+    dict.fromkeys(
+        (
+            "s06_near_dup_pairs_banded", "p01_pipeline_month_e2e",
+            "d13_duplicate_spans", "d14_dup_span_fraction",
+            "x12_repetition_gate",
+            "m01_image_metadata", "m02_media_stats", "m03_frame_sample",
+            "m04_audio_frames", "m09_jpeg_roundtrip", "m10_mjpeg_frames",
+        ),
+        12,
+    )
+)
+
 # The registry is at its 150-entry cap (3 rounds x 50 slots), so any
 # future net addition must retire a row first. The ranked candidates
 # below were reviewed in COVERAGE.md (r11, VERDICT r10 item 5) BEFORE

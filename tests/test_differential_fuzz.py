@@ -31,10 +31,20 @@ _WORDS = [
 ]
 
 
-def _random_docs(spark, d, seed: int, n: int = 60) -> str:
+def _random_docs(
+    spark, d, seed: int, n: int = 60, sparse_ids: bool = False
+) -> str:
     rng = np.random.RandomState(seed)
+    # sparse_ids: unique random doc_ids instead of 0..n-1 — the media
+    # header tier (m05-m08) derives its payload bytes from doc_id, so
+    # the id VALUES are the fuzz axis there (r12)
+    ids = (
+        sorted(int(x) for x in rng.choice(10**9, size=n, replace=False))
+        if sparse_ids
+        else list(range(n))
+    )
     rows = []
-    for i in range(n):
+    for i in ids:
         kind = rng.randint(0, 12)
         if kind == 0:
             text = None
@@ -127,6 +137,10 @@ def _compare(spark, sf_dir: str, name: str, table: str | None = None) -> None:
         )
     opdf = con.execute(_ORACLES[name]).fetchdf()
     con.close()
+    _assert_frames_match(name, spdf, opdf)
+
+
+def _assert_frames_match(name: str, spdf, opdf) -> None:
     assert sorted(spdf.columns) == sorted(opdf.columns), name
     assert len(spdf) == len(opdf), (name, len(spdf), len(opdf))
     try:
@@ -400,3 +414,102 @@ def test_integrity_differential_pk_preserving(spark, tmp_path, seed, name):
     d.mkdir()
     sf_dir = _perturbed_tpch(spark, d, seed, unique_keys=True)
     _compare(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# r12 extensions (VERDICT r11 item 2): the families the suite did not
+# cover — media (was 0/10), the span-dedup family, and s06.
+
+# Header tier: payload bytes are pure functions of documents.doc_id,
+# so SPARSE RANDOM id values are the fuzz axis (pmod/slicing edges the
+# sequential fixture ids never exercise).
+_MEDIA_DOC_QUERIES = [
+    "m05_header_parse",
+    "m06_subtitle_parse",
+    "m07_id3_tag_parse",
+    "m08_wav_header_parse",
+]
+
+
+@pytest.mark.parametrize("seed", [7, 43])
+@pytest.mark.parametrize("name", _MEDIA_DOC_QUERIES)
+def test_media_header_differential_sparse_ids(spark, tmp_path, seed, name):
+    d = tmp_path / f"md{seed}"
+    d.mkdir()
+    sf_dir = _random_docs(spark, d, seed, n=50, sparse_ids=True)
+    _compare(spark, sf_dir, name, "documents")
+
+
+@pytest.mark.parametrize("seed", [19, 53])
+def test_media_codec_differential_random_sizes(spark, seed):
+    """Codec tier (m01-m04, m09, m10): the corpus is synthesized from
+    a size constant baked into BOTH engines, so the constant itself is
+    the fuzz axis — every query accepts a size override (r12) and the
+    SQL twin is a builder over the same parameter. Random sizes move
+    every id's payload length, kind assignment, and md5 chain."""
+    from rfb_data_pipeline_spark.operators import media as M
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(3, 64))
+    n_jpeg = int(rng.randint(1, 16))
+    nv, nf = int(rng.randint(1, 5)), int(rng.randint(1, 6))
+    con = _duck.connect()
+    try:
+        cases = [
+            ("m01", M.m01_image_metadata(spark, "", n_media=n), M._m01_sql(n)),
+            ("m02", M.m02_media_stats(spark, "", n_media=n), M._m02_sql(n)),
+            ("m03", M.m03_frame_sample(spark, "", n_media=n), M._m03_sql(n)),
+            ("m04", M.m04_audio_frames(spark, "", n_media=n), M._m04_sql(n)),
+            (
+                "m09",
+                M.m09_jpeg_roundtrip(spark, "", n_images=n_jpeg),
+                M._m09_sql(n_jpeg),
+            ),
+            (
+                "m10",
+                M.m10_mjpeg_frames(spark, "", n_videos=nv, n_frames=nf),
+                M._m10_sql(nv, nf),
+            ),
+        ]
+        for name, spdf, sql in cases:
+            _assert_frames_match(
+                f"{name}@n={n}", spdf.toPandas(), con.execute(sql).fetchdf()
+            )
+    finally:
+        con.close()
+
+
+# Span-dedup family: random corpora with planted exact-duplicate docs
+# (kind==3 in _random_docs) guarantee shared >=W-token windows, so
+# d13/d14's span tables and d17/d18's removal intervals stay
+# non-vacuous while lengths/whitespace/NULLs fuzz the tokenizer edge.
+_SPAN_QUERIES = [
+    "d13_duplicate_spans",
+    "d14_dup_span_fraction",
+    "d17_span_dedup_action",
+    "d18_cleaned_corpus",
+    "d20_incremental_span_dedup",
+]
+
+
+@pytest.mark.parametrize("seed", [31, 67])
+@pytest.mark.parametrize("name", _SPAN_QUERIES)
+def test_span_family_differential_random_corpus(spark, tmp_path, seed, name):
+    d = tmp_path / f"span{seed}"
+    d.mkdir()
+    # longer docs than the default corpus: the W=16 span window needs
+    # token runs to fuzz against, not 1-word documents alone
+    sf_dir = _random_docs(spark, d, seed, n=70)
+    _compare(spark, sf_dir, name, "documents")
+
+
+@pytest.mark.parametrize("seed", [41, 89])
+def test_s06_banded_differential_random_embeddings(spark, tmp_path, seed):
+    """s06 is the banded approximation with the most downstream
+    consumers; at n<=anchor the N-adaptive ladder stays at (16, 6),
+    matching the frozen SQL twin, so random corpora fuzz the banding/
+    verify/dedup pipeline itself."""
+    d = tmp_path / f"s06e{seed}"
+    d.mkdir()
+    sf_dir = _random_embeddings(spark, d, seed, n=120)
+    _compare(spark, sf_dir, "s06_near_dup_pairs_banded", "embeddings")

@@ -22,11 +22,21 @@ def _names():
 
 
 # The only rows without a driver CORRECTNESS check since r08 — the
-# r10 verdict's #1 forced set. The freshness invariant forces them to
-# HEAD the r12 window.
+# r10 verdict's #1 forced set; they follow the r12-touched tier.
 R08_STALE = (
     "s11_batch_knn", "s12_embedding_outliers",
     "v02_duplicate_keys_report",
+)
+
+# Rows whose executed code changed in r12 (rotation.LAST_TOUCHED):
+# ordered by oldest driver row first within the tier.
+R12_TOUCHED = (
+    "x12_repetition_gate",                       # dr=9
+    "m09_jpeg_roundtrip", "m10_mjpeg_frames",    # dr=10
+    "d13_duplicate_spans", "d14_dup_span_fraction",
+    "m01_image_metadata", "m02_media_stats", "m03_frame_sample",
+    "m04_audio_frames", "p01_pipeline_month_e2e",
+    "s06_near_dup_pairs_banded",                 # dr=11
 )
 
 
@@ -37,31 +47,33 @@ def test_r12_window_composition():
     # the last never-checked entry; the registry is at its 150 cap).
     never_checked = {n for n in names if n not in rotation.LAST_DRIVER_ROW}
     assert never_checked == set()
-    # Tier 1 — rows predating this round's code: EMPTY after the r11
-    # fold (s06/p01 were re-seated by CORRECTNESS_r11, both green).
+    # Tier 1 — rows predating this round's code: exactly the r12
+    # touch set (span-table memo consumers, operating-point
+    # derivation, collision-gate reorder, size-parameterized codec
+    # tier).
     touched_stale = {
         n
         for n in names
         if rotation.LAST_TOUCHED.get(n, 0)
         > rotation.LAST_DRIVER_ROW.get(n, 99)
     }
-    assert touched_stale == set()
-    # The r08-stale trio heads the window, then the r09-green block
-    # (47 of its 48 rows) fills the remaining slots oldest-first;
-    # x16_quality_mixture is the predicted spill at position 50.
-    assert names[:3] == list(R08_STALE)
-    assert names[3] == "d17_span_dedup_action"
+    assert touched_stale == set(R12_TOUCHED)
+    assert names[:11] == list(R12_TOUCHED)
+    # then the r08-stale trio (the r11 verdict's #1 forced set)
+    assert names[11:14] == list(R08_STALE)
+    assert names[14] == "d17_span_dedup_action"
+    # the r09-green block fills the rest oldest-first
     assert {
         "d20_incremental_span_dedup", "e16_stream_replay",
         "g07_edge_stream_replay", "q24_approx_distinct",
         "q36_snapshot_diff", "s16_ann_recall_verdict",
-        "t13_pii_redaction", "x15_split_drift",
+        "t06_tfidf_top_terms",
     } <= window
-    assert names[50] == "x16_quality_mixture"
-    assert names[51] == "d02_ngram_jaccard"
+    # predicted spill: the tail of the r09 block from t09 onwards
+    assert names[50] == "t09_bpe_token_count"
+    assert names[51] == "t12_zipf_slope"
     # NO slot burns on r10/r11-green untouched code.
     assert not (window & {
-        "s06_near_dup_pairs_banded", "p01_pipeline_month_e2e",
         "x08_split_leakage", "x17_cluster_curation",
         "d01_exact_dedup", "q26_intersect", "s01_knn_bruteforce",
         "e01_tumbling_hourly", "d03_minhash_lsh", "g05_graph_summary",

@@ -57,6 +57,25 @@ def main() -> int:
         probe("emb_dirty", seed,
               lambda s, d, sd: fz._random_embeddings(s, d, sd, dirty=True),
               ["s14_embedding_validation"], "embeddings")
+        # r12 families: media header tier (sparse ids), span-dedup
+        # family (longer random corpora), s06's banded pipeline
+        probe("media_docs", seed,
+              lambda s, d, sd: fz._random_docs(s, d, sd, n=50,
+                                               sparse_ids=True),
+              fz._MEDIA_DOC_QUERIES, "documents")
+        probe("span", seed,
+              lambda s, d, sd: fz._random_docs(s, d, sd, n=70),
+              fz._SPAN_QUERIES, "documents")
+        probe("s06", seed,
+              lambda s, d, sd: fz._random_embeddings(s, d, sd, n=120),
+              ["s06_near_dup_pairs_banded"], "embeddings")
+        # codec tier: size-parameterized twins, not table views
+        try:
+            fz.test_media_codec_differential_random_sizes(spark, seed)
+            print(f"ok   media_codec seed={seed}", flush=True)
+        except AssertionError as exc:
+            failures += 1
+            print(f"FAIL media_codec seed={seed}: {exc}", flush=True)
     print(f"\nsoak done: {failures} failures")
     return 1 if failures else 0
 

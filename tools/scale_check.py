@@ -397,10 +397,105 @@ def probe_main(mults: list[int]) -> None:
         spark.stop()
 
 
+def cc_rounds_main(mults: list[int]) -> None:
+    """g05/d15 fixpoint audit (VERDICT r11 item 6): the two iterative
+    graph rows' cost model is rounds x per-round-shuffle, so report
+    BOTH per multiplier: rounds-to-fixpoint (measured through
+    cc_star's public max_iters contract — min k that converges; the
+    guard raises below it) and the converged run's wall + shuffle,
+    with shuffle/rounds as the per-round figure. Edges are
+    localCheckpoint-materialized first so the edge-generation shuffle
+    (d03's banding / the engagement-graph build) is excluded from the
+    fixpoint's accounting."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    boot = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    for m in mults:
+        build_fixture(boot, m)
+    boot.stop()
+
+    for m in mults:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.ui.enabled", "true")
+            .config("spark.ui.port", "4055")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.driver.memory", "16g")
+            .getOrCreate()
+        )
+        from rfb_data_pipeline_spark.operators.dedup import (
+            cc_star,
+            d03_minhash_lsh,
+        )
+        from rfb_data_pipeline_spark.operators.graph import _graph_base
+
+        sf_dir = _fixture_dir(m)
+
+        def _engagement_edges():
+            arcs, _ = _graph_base(spark, sf_dir)
+            return arcs.where(F.col("src") < F.col("dst")).select(
+                F.col("src").cast("bigint").alias("u"),
+                F.col("dst").cast("bigint").alias("v"),
+            )
+
+        def _neardup_edges():
+            return d03_minhash_lsh(spark, sf_dir).select(
+                F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+            )
+
+        for op, mk in (
+            ("g05_engagement_cc", _engagement_edges),
+            ("d15_neardup_cc", _neardup_edges),
+        ):
+            edges = mk().localCheckpoint(eager=True)
+            n_edges = edges.count()
+            rounds = None
+            for k in range(1, 25):
+                try:
+                    cc_star(edges, max_iters=k).count()
+                    rounds = k
+                    break
+                except RuntimeError:
+                    continue
+            pre = shuffle_write_bytes(spark)
+            t0 = time.time()
+            n_labels = cc_star(edges).count()
+            wall = time.time() - t0
+            run_bytes = shuffle_write_bytes(spark) - pre
+            print(
+                json.dumps(
+                    {
+                        "probe": "cc_rounds",
+                        "op": op,
+                        "mult": m,
+                        "n_edges": n_edges,
+                        "n_labeled_nodes": n_labels,
+                        "rounds_to_fixpoint": rounds,
+                        "wall_s": round(wall, 2),
+                        "shuffle_bytes": run_bytes,
+                        "per_round_bytes": run_bytes // max(rounds or 1, 1),
+                    }
+                ),
+                flush=True,
+            )
+        spark.stop()
+
+
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--probe":
         probe_main([int(a) for a in args[1:]] or [1, 10])
+        return
+    if args and args[0] == "--cc-rounds":
+        cc_rounds_main([int(a) for a in args[1:]] or [1, 3, 10])
         return
     op_names = ["d13"]
     if args and args[0].startswith("--ops"):
