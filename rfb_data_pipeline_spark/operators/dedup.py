@@ -1673,7 +1673,7 @@ def _merge_islands(removed: DataFrame) -> DataFrame:
     )
 
 
-def _doc_spans(docs: DataFrame, *cols: str) -> DataFrame:
+def _doc_spans(docs: DataFrame, *cols: str, wide: bool = False) -> DataFrame:
     """Stride-1 W-token span hashes for every eligible document:
     one narrow row (doc_id, *cols, n, s, h) per window."""
     from rfb_data_pipeline_spark.operators.text import tokens_col
@@ -1684,22 +1684,33 @@ def _doc_spans(docs: DataFrame, *cols: str) -> DataFrame:
         "doc_id", *cols, toks.alias("t"), n.alias("n")
     ).filter(F.col("n") >= SPAN_TOKENS)
     starts = F.sequence(F.lit(0), F.col("n") - SPAN_TOKENS, F.lit(1))
+    win = F.array_join(
+        F.slice(F.col("t"), F.col("s") + 1, SPAN_TOKENS), " "
+    )
+    # wide: the 128-bit grouping key of _span_table (same two-family
+    # construction) for the ACTION tier — removal decisions become
+    # collision-proof at 1e12+ spans with the same flag flip. Only
+    # the equality key changes; window ordering stays (doc_id, s).
+    # The PERSISTED span index (write_span_index/d20) keeps the
+    # 64-bit key until a layout version bump: its shard partitioning
+    # derives from the long h, and a silent key-type change would
+    # strand existing indexes.
+    key = (
+        F.struct(
+            F.xxhash64(win).alias("h1"),
+            F.xxhash64(F.lit("span128"), win).alias("h2"),
+        )
+        if wide
+        else F.xxhash64(win)
+    )
     return with_t.select(
         "doc_id", *cols, "n", "t", F.explode(starts).alias("s")
-    ).select(
-        "doc_id",
-        *cols,
-        "n",
-        "s",
-        F.xxhash64(
-            F.array_join(
-                F.slice(F.col("t"), F.col("s") + 1, SPAN_TOKENS), " "
-            )
-        ).alias("h"),
-    )
+    ).select("doc_id", *cols, "n", "s", key.alias("h"))
 
 
-def _span_removal_intervals(spark: SparkSession, sf_dir: str):
+def _span_removal_intervals(
+    spark: SparkSession, sf_dir: str, wide: bool = False
+):
     """Shared d17/d18 core: (eligible-docs frame, merged removal
     intervals).  Returns ``with_t`` = (doc_id, t, n) for documents
     with >= SPAN_TOKENS tokens, and ``intervals`` = one row per
@@ -1715,7 +1726,7 @@ def _span_removal_intervals(spark: SparkSession, sf_dir: str):
     with_t = docs.select("doc_id", toks.alias("t"), n.alias("n")).filter(
         F.col("n") >= SPAN_TOKENS
     )
-    sp = _doc_spans(docs).transform(stage_boundary)
+    sp = _doc_spans(docs, wide=wide).transform(stage_boundary)
     first_rank = Window.partitionBy("h").orderBy("doc_id", "s")
     removed = (
         sp.withColumn("rn", F.row_number().over(first_rank))
@@ -1725,8 +1736,10 @@ def _span_removal_intervals(spark: SparkSession, sf_dir: str):
     return with_t, _merge_islands(removed)
 
 
-def d17_span_dedup_action(spark: SparkSession, sf_dir: str) -> DataFrame:
-    with_t, intervals = _span_removal_intervals(spark, sf_dir)
+def d17_span_dedup_action(
+    spark: SparkSession, sf_dir: str, wide: bool = False
+) -> DataFrame:
+    with_t, intervals = _span_removal_intervals(spark, sf_dir, wide=wide)
     # occ folds into the island aggregation: counting removed windows
     # alongside per-island coverage keeps the whole budget a SINGLE
     # chain (one h-shuffle, one doc_id-shuffle — both two-level aggs
@@ -1849,14 +1862,16 @@ LEFT JOIN cov c USING (doc_id)
 # per-doc interval join.
 
 
-def d18_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d18_cleaned_corpus(
+    spark: SparkSession, sf_dir: str, wide: bool = False
+) -> DataFrame:
     from rfb_data_pipeline_spark.operators.text import tokens_col
 
     docs = _spread(_docs(spark, sf_dir))
     base = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", tokens_col().alias("t")
     )
-    _, intervals = _span_removal_intervals(spark, sf_dir)
+    _, intervals = _span_removal_intervals(spark, sf_dir, wide=wide)
     iv = intervals.groupBy("doc_id").agg(
         F.collect_list(F.struct("s0", "e0")).alias("iv")
     )

@@ -488,6 +488,11 @@ LAST_TOUCHED.update(
             "x12_repetition_gate",
             "m01_image_metadata", "m02_media_stats", "m03_frame_sample",
             "m04_audio_frames", "m09_jpeg_roundtrip", "m10_mjpeg_frames",
+            # _doc_spans grew the wide-key branch (evaluated default-
+            # off on every call): d17/d18 thread the kwarg, d20's
+            # probe path executes the changed function
+            "d17_span_dedup_action", "d18_cleaned_corpus",
+            "d20_incremental_span_dedup",
         ),
         12,
     )

@@ -16,6 +16,8 @@ from rfb_data_pipeline_spark.operators.dedup import (
     _span_table,
     d13_duplicate_spans,
     d14_dup_span_fraction,
+    d17_span_dedup_action,
+    d18_cleaned_corpus,
 )
 from tests.conftest import SF_SMALL as SF
 
@@ -33,6 +35,19 @@ def test_d13_wide_mode_parity(spark):
 def test_d14_wide_mode_parity(spark):
     assert _sorted_rows(d14_dup_span_fraction(spark, SF)) == _sorted_rows(
         d14_dup_span_fraction(spark, SF, wide=True)
+    )
+
+
+def test_d17_d18_wide_mode_parity(spark):
+    """The ACTION tier (removal decisions) carries the same flag: at
+    test SF no 64-bit collision exists, so the removed intervals —
+    and hence every kept-token figure and cleaned_md5 — must be
+    identical across modes."""
+    assert _sorted_rows(d17_span_dedup_action(spark, SF)) == _sorted_rows(
+        d17_span_dedup_action(spark, SF, wide=True)
+    )
+    assert _sorted_rows(d18_cleaned_corpus(spark, SF)) == _sorted_rows(
+        d18_cleaned_corpus(spark, SF, wide=True)
     )
 
 

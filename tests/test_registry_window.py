@@ -31,12 +31,16 @@ R08_STALE = (
 # Rows whose executed code changed in r12 (rotation.LAST_TOUCHED):
 # ordered by oldest driver row first within the tier.
 R12_TOUCHED = (
-    "x12_repetition_gate",                       # dr=9
-    "m09_jpeg_roundtrip", "m10_mjpeg_frames",    # dr=10
+    # dr=9 tier (name order)
+    "d17_span_dedup_action", "d18_cleaned_corpus",
+    "d20_incremental_span_dedup", "x12_repetition_gate",
+    # dr=10 tier
+    "m09_jpeg_roundtrip", "m10_mjpeg_frames",
+    # dr=11 tier
     "d13_duplicate_spans", "d14_dup_span_fraction",
     "m01_image_metadata", "m02_media_stats", "m03_frame_sample",
     "m04_audio_frames", "p01_pipeline_month_e2e",
-    "s06_near_dup_pairs_banded",                 # dr=11
+    "s06_near_dup_pairs_banded",
 )
 
 
@@ -58,13 +62,13 @@ def test_r12_window_composition():
         > rotation.LAST_DRIVER_ROW.get(n, 99)
     }
     assert touched_stale == set(R12_TOUCHED)
-    assert names[:11] == list(R12_TOUCHED)
+    assert names[:14] == list(R12_TOUCHED)
     # then the r08-stale trio (the r11 verdict's #1 forced set)
-    assert names[11:14] == list(R08_STALE)
-    assert names[14] == "d17_span_dedup_action"
+    assert names[14:17] == list(R08_STALE)
+    assert names[17] == "d19_decontaminate_action"
     # the r09-green block fills the rest oldest-first
     assert {
-        "d20_incremental_span_dedup", "e16_stream_replay",
+        "d19_decontaminate_action", "e16_stream_replay",
         "g07_edge_stream_replay", "q24_approx_distinct",
         "q36_snapshot_diff", "s16_ann_recall_verdict",
         "t06_tfidf_top_terms",
