@@ -136,6 +136,49 @@ def build_events_fixture(spark, mult: int) -> None:
     df.repartition(32).write.mode("overwrite").parquet(dest)
 
 
+def build_events_fixture_items(spark, mult: int) -> str:
+    """ITEM-growth variant (r12): the user-replication fixture cannot
+    grow the co-engagement graph — the item catalog is fixed, so the
+    projection saturates at the complete item graph (measured: 4,950
+    edges at every mult). Here replica k ALSO shifts props.k by
+    k*n_items, so the graph gains a fresh item block per replica
+    (block-diagonal growth: nodes and edges multiply, components
+    multiply — the 100 TB regime where the item vocabulary grows with
+    the corpus). props is re-serialized as {"k": shifted}; rows with
+    NULL/malformed props stay NULL (they never reach the graph).
+    Separate fixture dir so the user-axis fixtures stay bit-stable."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(FIXTURES, f"items{mult}")
+    dest = os.path.join(out, "events.parquet")
+    if os.path.exists(dest):
+        return out
+    base = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    nu = base.agg(F.max("user_id")).collect()[0][0] + 1
+    ne = base.agg(F.max("event_id")).collect()[0][0] + 1
+    item = F.from_json("props", "struct<k:int>").getField("k")
+    ni = base.select(F.max(item)).collect()[0][0] + 1
+    reps = [
+        base.select(
+            (F.col("event_id") + F.lit(k * ne)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(k * nu)).alias("user_id"),
+            "event_type",
+            "value",
+            F.when(
+                item.isNotNull(),
+                F.to_json(F.struct((item + F.lit(k * ni)).alias("k"))),
+            ).alias("props"),
+        )
+        for k in range(mult)
+    ]
+    df = reps[0]
+    for r in reps[1:]:
+        df = df.unionByName(r)
+    df.repartition(32).write.mode("overwrite").parquet(dest)
+    return out
+
+
 def build_fixture(spark, mult: int) -> str:
     from pyspark.sql import functions as F
 
@@ -417,8 +460,10 @@ def cc_rounds_main(mults: list[int]) -> None:
         .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
+    items_dirs = {}
     for m in mults:
         build_fixture(boot, m)
+        items_dirs[m] = build_events_fixture_items(boot, m)
     boot.stop()
 
     for m in mults:
@@ -439,8 +484,8 @@ def cc_rounds_main(mults: list[int]) -> None:
 
         sf_dir = _fixture_dir(m)
 
-        def _engagement_edges():
-            arcs, _ = _graph_base(spark, sf_dir)
+        def _engagement_edges(base_dir=sf_dir):
+            arcs, _ = _graph_base(spark, base_dir)
             return arcs.where(F.col("src") < F.col("dst")).select(
                 F.col("src").cast("bigint").alias("u"),
                 F.col("dst").cast("bigint").alias("v"),
@@ -453,6 +498,13 @@ def cc_rounds_main(mults: list[int]) -> None:
 
         for op, mk in (
             ("g05_engagement_cc", _engagement_edges),
+            # item-growth axis: the user fixture saturates the item
+            # graph, so g05's growing-edge evidence comes from the
+            # replicated-item-catalog fixture (block-diagonal growth)
+            (
+                "g05_engagement_cc_items",
+                lambda: _engagement_edges(items_dirs[m]),
+            ),
             ("d15_neardup_cc", _neardup_edges),
         ):
             edges = mk().localCheckpoint(eager=True)
