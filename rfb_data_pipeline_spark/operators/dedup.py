@@ -1120,6 +1120,21 @@ JOIN sig sb ON doc_b = sb.doc_id
 SPAN_TOKENS = 16
 
 
+def _span_key(win, wide: bool):
+    """The span grouping key both tiers share: xxhash64 of the joined
+    window text, or — wide mode — a struct of two independent xxhash64
+    families (the second via a seed-prefix column), 128 bits for
+    collision-proof exactness at 1e12+ spans. ONE definition so the
+    metric tier (_span_table: d13/d14) and the action tier
+    (_doc_spans: d17/d18) can never diverge on the key family."""
+    if not wide:
+        return F.xxhash64(win)
+    return F.struct(
+        F.xxhash64(win).alias("h1"),
+        F.xxhash64(F.lit("span128"), win).alias("h2"),
+    )
+
+
 def _span_table(
     spark: SparkSession, sf_dir: str, wide: bool = False
 ) -> DataFrame:
@@ -1160,17 +1175,11 @@ def _span_table(
     )
     starts = F.sequence(F.lit(0), F.col("n") - SPAN_TOKENS, F.lit(1))
     win = F.array_join(F.slice(F.col("t"), F.col("s") + 1, SPAN_TOKENS), " ")
-    key = (
-        F.struct(
-            F.xxhash64(win).alias("h1"),
-            F.xxhash64(F.lit("span128"), win).alias("h2"),
-        )
-        if wide
-        else F.xxhash64(win)
-    )
     return with_t.select(
         "doc_id", "t", F.explode(starts).alias("s")
-    ).select("doc_id", key.alias("span_hash")).transform(stage_boundary)
+    ).select(
+        "doc_id", _span_key(win, wide).alias("span_hash")
+    ).transform(stage_boundary)
 
 
 _SPAN_TABLE_CACHE: dict[tuple, tuple[SparkSession, tuple]] = {}
@@ -1687,25 +1696,16 @@ def _doc_spans(docs: DataFrame, *cols: str, wide: bool = False) -> DataFrame:
     win = F.array_join(
         F.slice(F.col("t"), F.col("s") + 1, SPAN_TOKENS), " "
     )
-    # wide: the 128-bit grouping key of _span_table (same two-family
-    # construction) for the ACTION tier — removal decisions become
-    # collision-proof at 1e12+ spans with the same flag flip. Only
-    # the equality key changes; window ordering stays (doc_id, s).
-    # The PERSISTED span index (write_span_index/d20) keeps the
-    # 64-bit key until a layout version bump: its shard partitioning
-    # derives from the long h, and a silent key-type change would
-    # strand existing indexes.
-    key = (
-        F.struct(
-            F.xxhash64(win).alias("h1"),
-            F.xxhash64(F.lit("span128"), win).alias("h2"),
-        )
-        if wide
-        else F.xxhash64(win)
-    )
+    # wide: the shared 128-bit key (_span_key) for the ACTION tier —
+    # removal decisions become collision-proof at 1e12+ spans with
+    # the same flag flip. Only the equality key changes; window
+    # ordering stays (doc_id, s). The PERSISTED span index
+    # (write_span_index/d20) keeps the 64-bit key until a layout
+    # version bump: its shard partitioning derives from the long h,
+    # and a silent key-type change would strand existing indexes.
     return with_t.select(
         "doc_id", *cols, "n", "t", F.explode(starts).alias("s")
-    ).select("doc_id", *cols, "n", "s", key.alias("h"))
+    ).select("doc_id", *cols, "n", "s", _span_key(win, wide).alias("h"))
 
 
 def _span_removal_intervals(

@@ -75,12 +75,11 @@ def write_lsh_index(
     constants — wrong bucket partitions, near-zero recall, no error.
     Sidecar-first inverts the failure: a crash between the two leaves
     a marker with NO data files, which every read fails on loudly.
-    The clear uses local-filesystem semantics like
-    ``write_span_index``; route through the Hadoop FS API on an
-    object store."""
-    import shutil
-    from pathlib import Path
-
+    The clear goes through the Hadoop FS API (not shutil), so file:/,
+    hdfs:// and object-store paths all clear for real — a clear that
+    silently no-ops would leave the OLD layout's partitions mixed
+    under the NEW sidecar (r12 review), which is why a failed delete
+    raises instead of proceeding."""
     from rfb_data_pipeline_spark.operators.similarity import (
         _fill_operating_point,
     )
@@ -97,15 +96,26 @@ def write_lsh_index(
         "t",
         "bucket",
     )
-    p = Path(path)
-    if p.exists():
-        shutil.rmtree(p, ignore_errors=True)
+    _hadoop_rmtree(spark, path)
     _write_index_meta(
         spark, path, num_tables=num_tables, sign_bits=sign_bits
     )
     # append: the dir was just cleared and now holds only _meta; an
     # overwrite here would delete the sidecar written above
     idx.write.mode("append").partitionBy("t", "bucket").parquet(path)
+
+
+def _hadoop_rmtree(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FS API: resolves whatever
+    filesystem the path names (local, file:/, hdfs://, s3a://), so a
+    pre-write clear works everywhere Spark can write. Raises when the
+    FS reports a failed delete on an existing path — proceeding would
+    append a new layout into the old one under a fresh sidecar."""
+    jvm = spark._sc._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p) and not fs.delete(p, True):
+        raise RuntimeError(f"could not clear existing index at {path!r}")
 
 
 def _write_index_meta(spark: SparkSession, path: str, **fields: int) -> None:

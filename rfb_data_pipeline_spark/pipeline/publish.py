@@ -32,13 +32,25 @@ from pyspark.sql import DataFrame, SparkSession
 from rfb_data_pipeline_spark.sources.jdbc import overwrite_table, read_jdbc
 
 
-def ensure_schema(spark: SparkSession, url: str, schema: str) -> None:
+def ensure_schema(
+    spark: SparkSession,
+    url: str,
+    schema: str,
+    properties: dict[str, str] | None = None,
+) -> None:
     """CREATE SCHEMA IF NOT EXISTS (reference A10, src/main.py:177),
     dialect-tolerantly: issued through a plain JDBC connection from
     the driver JVM (Spark's datasource API has no DDL verb). Dialects
     without IF NOT EXISTS (Derby) get a bare CREATE SCHEMA with the
-    already-exists SQLState swallowed."""
-    conn = spark._sc._jvm.java.sql.DriverManager.getConnection(url)
+    already-exists SQLState swallowed. ``properties`` carries the
+    same user/password map the Spark JDBC reader/writer uses —
+    without it the Postgres path would fail authentication right
+    here, before any table published (r12 review)."""
+    jvm = spark._sc._jvm
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
     try:
         stmt = conn.createStatement()
         try:
@@ -99,7 +111,7 @@ def publish_silver_to_jdbc(
             and os.path.isdir(os.path.join(silver_dir, d))
         )
     if schema:
-        ensure_schema(spark, url, schema)
+        ensure_schema(spark, url, schema, properties=properties)
     rows = []
     for t in tables:
         n_silver, n_db = publish_table(

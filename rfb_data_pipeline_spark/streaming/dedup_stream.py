@@ -297,7 +297,12 @@ def run_incremental_span_dedup(
 
             lin = _checkpoint_lineage(spark, checkpoint_dir)
             assert_stream_lineage(spark, index_path, lin)
-            reconcile_sink_lineage(spark, out_dir, lin)
+            # checkpoint_dir lets a pre-marker budget sink under a
+            # RESUMED checkpoint be adopted instead of cleared
+            # (ADVICE r12 review — the r11 fix missed this call site)
+            reconcile_sink_lineage(
+                spark, out_dir, lin, checkpoint_dir=checkpoint_dir
+            )
             lineage_checked.append(True)
         budgets = probe_span_index(
             spark, index_path, batch_df, exclude_src_batch=batch_id

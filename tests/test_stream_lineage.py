@@ -214,3 +214,36 @@ def test_span_budget_sink_reconciles_after_fold(spark, tmp_path):
     assert {
         r["_batch_id"] for r in spark.read.parquet(out).collect()
     } == {0}
+
+
+def test_span_budget_premarker_sink_survives_resume(spark, tmp_path):
+    """r12 review: the adopt-on-resumed-checkpoint fix must cover the
+    span stream's budget sink too — a pre-marker budget sink under
+    the SAME checkpoint resumes without losing batch 0."""
+    import os
+
+    from rfb_data_pipeline_spark.pipeline.ann_index import write_span_index
+    from rfb_data_pipeline_spark.streaming.dedup_stream import (
+        run_incremental_span_dedup,
+    )
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    idx = str(tmp_path / "idx")
+    write_span_index(spark, corpus, idx)
+
+    in_dir = _stage_drops(spark, tmp_path, 2, rows_per_drop=10)
+    held = os.path.join(str(tmp_path), "held.parquet")
+    os.rename(os.path.join(in_dir, "drop1.parquet"), held)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    run_incremental_span_dedup(spark, in_dir, out, ck, idx)
+    first = spark.read.parquet(out).count()
+    shutil.rmtree(f"{out}/_lineage")  # pre-marker budget sink
+    os.rename(held, os.path.join(in_dir, "drop1.parquet"))
+    run_incremental_span_dedup(spark, in_dir, out, ck, idx)  # resume
+    after = spark.read.parquet(out)
+    assert {r["_batch_id"] for r in after.collect()} == {0, 1}
+    assert after.filter(F.col("_batch_id") == 0).count() == first
