@@ -109,6 +109,50 @@ HEADLINE = [
 # pair operator in the timed set is s06.
 
 
+def base_builders(spark, sf_dir: str) -> dict:
+    """name -> thunk for every session-memoized shared base, in build
+    order. One list, shared with tools/qbench.py, so per-query numbers
+    measure steady-state plans on every harness (VERDICT r10 item 3).
+    r13 adds the bases introduced by the optimization round: the
+    capped-shingle table (d02/d09), the banded MinHash buckets
+    (d03/d15/d16), and the narrow span-hash table (d17/d18/d19/d20);
+    engagement_graph now materializes the full g-family frame set
+    (nodes/deg/oriented arcs/strength-annotated arcs)."""
+    from rfb_data_pipeline_spark.operators.dedup import (
+        _capped_shingles_cached,
+        _doc_shingles_cached,
+        _doc_spans_cached,
+        _minhash_buckets_cached,
+        _simhash_df,
+        _span_table_cached,
+    )
+    from rfb_data_pipeline_spark.operators.graph import _graph_shared
+    from rfb_data_pipeline_spark.operators.media import _N_MEDIA, _media_cached
+    from rfb_data_pipeline_spark.operators.similarity import (
+        K_PQ,
+        PQ_M,
+        _pq_model_cached,
+    )
+    from rfb_data_pipeline_spark.operators.text import (
+        _toks_cached,
+        t15_scores_cached,
+    )
+
+    return {
+        "doc_shingles": lambda: _doc_shingles_cached(spark, sf_dir),
+        "capped_shingles": lambda: _capped_shingles_cached(spark, sf_dir),
+        "minhash_buckets": lambda: _minhash_buckets_cached(spark, sf_dir),
+        "doc_spans": lambda: _doc_spans_cached(spark, sf_dir),
+        "span_table": lambda: _span_table_cached(spark, sf_dir),
+        "simhash_fingerprints": lambda: _simhash_df(spark, sf_dir),
+        "engagement_graph": lambda: _graph_shared(spark, sf_dir),
+        "token_stream": lambda: _toks_cached(spark, sf_dir),
+        "t15_scores": lambda: t15_scores_cached(spark, sf_dir),
+        "pq_model": lambda: _pq_model_cached(spark, sf_dir, PQ_M, K_PQ),
+        "media_frame": lambda: _media_cached(spark, _N_MEDIA),
+    }
+
+
 def main() -> None:
     # --full: time EVERY registered query (not just the headline set)
     # and fold the extra medians into BENCH_local.json, so each round
@@ -165,31 +209,8 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - recorded, not fatal
             errors[f"base:{base_name}"] = f"{type(exc).__name__}: {exc}"[:200]
 
-    from rfb_data_pipeline_spark.operators.dedup import (
-        _doc_shingles_cached,
-        _simhash_df,
-        _span_table_cached,
-    )
-    from rfb_data_pipeline_spark.operators.graph import _graph_shared
-    from rfb_data_pipeline_spark.operators.media import _N_MEDIA, _media_cached
-    from rfb_data_pipeline_spark.operators.similarity import (
-        K_PQ,
-        PQ_M,
-        _pq_model_cached,
-    )
-    from rfb_data_pipeline_spark.operators.text import (
-        _toks_cached,
-        t15_scores_cached,
-    )
-
-    _time_base("doc_shingles", lambda: _doc_shingles_cached(spark, sf_dir))
-    _time_base("span_table", lambda: _span_table_cached(spark, sf_dir))
-    _time_base("simhash_fingerprints", lambda: _simhash_df(spark, sf_dir))
-    _time_base("engagement_graph", lambda: _graph_shared(spark, sf_dir))
-    _time_base("token_stream", lambda: _toks_cached(spark, sf_dir))
-    _time_base("t15_scores", lambda: t15_scores_cached(spark, sf_dir))
-    _time_base("pq_model", lambda: _pq_model_cached(spark, sf_dir, PQ_M, K_PQ))
-    _time_base("media_frame", lambda: _media_cached(spark, _N_MEDIA))
+    for base_name, build in base_builders(spark, sf_dir).items():
+        _time_base(base_name, build)
 
     # The r01-baseline subset is the official cross-round comparison
     # (the driver diffs its sum against BASELINE.md), so it gets the

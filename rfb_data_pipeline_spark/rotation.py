@@ -37,7 +37,7 @@ Maintenance contract (enforced by tests/test_registry_window.py):
 
 from __future__ import annotations
 
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 
 # name -> newest driver CORRECTNESS round containing the name
 # (union of CORRECTNESS_r01..r05; absent = never driver-checked).
@@ -495,6 +495,64 @@ LAST_TOUCHED.update(
             "d20_incremental_span_dedup",
         ),
         12,
+    )
+)
+
+LAST_DRIVER_ROW.update(
+    # CORRECTNESS_r12.json fold-in: 50/50 green (rows+schema+hash).
+    dict.fromkeys(
+        (
+            "d13_duplicate_spans", "d14_dup_span_fraction",
+            "d17_span_dedup_action", "d18_cleaned_corpus",
+            "d19_decontaminate_action", "d20_incremental_span_dedup",
+            "e12_sequence_match", "e16_stream_replay", "e20_ewma_baseline",
+            "e21_transition_matrix", "e22_any_click_funnel",
+            "e23_cusum_changepoint", "g07_edge_stream_replay",
+            "m01_image_metadata", "m02_media_stats", "m03_frame_sample",
+            "m04_audio_frames", "m09_jpeg_roundtrip", "m10_mjpeg_frames",
+            "p01_pipeline_month_e2e", "q01_pricing_summary",
+            "q03_topk_revenue", "q04_revenue_by_nation",
+            "q05_region_revenue", "q06_forecast_revenue",
+            "q14_date_functions", "q15_conditional_agg", "q16_having",
+            "q18_range_join", "q24_approx_distinct",
+            "q29_ntile_percentile", "q33_approx_quantiles",
+            "q34_histogram", "q35_unpivot", "q36_snapshot_diff",
+            "s06_near_dup_pairs_banded", "s09_vector_stats",
+            "s10_semantic_dedup", "s11_batch_knn",
+            "s12_embedding_outliers", "s14_embedding_validation",
+            "s16_ann_recall_verdict", "t01_token_stats",
+            "t02_quality_score", "t03_langid", "t04_fingerprint",
+            "t05_top_terms", "t06_tfidf_top_terms",
+            "v01_integrity_report", "v02_duplicate_keys_report",
+            "x12_repetition_gate",
+        ),
+        12,
+    )
+)
+
+# r13 touches (optimization round 1): shared-base memos extended —
+# the g-family consumes memoized nodes/deg/oriented-arcs/arcs_s
+# (g01/g03/g06 additionally restructured their iteration loops:
+# fewer exchanges per round, bit-identical values), d02/d09 consume
+# the memoized capped-shingle table, d03/d16 (and d15 transitively)
+# the memoized MinHash bucket table, d17/d18/d19/d20 the memoized
+# narrow span-hash table, s06 the memoized narrow LSH bucket index;
+# cc_star's nodes frame went lazy (d15/g05/x17 execute the changed
+# helper); d12 transitively via d02.
+LAST_TOUCHED.update(
+    dict.fromkeys(
+        (
+            "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
+            "g04_item_similarity", "g05_graph_summary",
+            "g06_lpa_communities",
+            "d02_ngram_jaccard", "d03_minhash_lsh", "d09_containment",
+            "d12_minhash_calibration", "d15_cc_star",
+            "d16_incremental_minhash",
+            "d17_span_dedup_action", "d18_cleaned_corpus",
+            "d19_decontaminate_action", "d20_incremental_span_dedup",
+            "s06_near_dup_pairs_banded", "x17_cluster_curation",
+        ),
+        13,
     )
 )
 

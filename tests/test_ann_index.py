@@ -588,3 +588,20 @@ def test_index_layout_constant_mismatch_fails_loud(spark, tmp_path):
     # constants and still answers
     shutil.rmtree(f"{sp}/_meta")
     assert probe_span_index(spark, sp, batch).count() >= 0
+
+
+def test_lsh_probe_requires_job_commit_marker(spark, tmp_path):
+    """ADVICE r12 (fixed r13): sidecar-first writing fails loud on a
+    marker-with-no-data crash, but a crash DURING the append's commit
+    (or committer v2) can leave a valid _meta over PARTIALLY published
+    bucket partitions, which reads cleanly with silently reduced
+    recall. probe_lsh_index must refuse an index whose parquet
+    _SUCCESS job-commit marker is missing."""
+    import pytest
+
+    path = str(tmp_path / "lsh_uncommitted")
+    write_lsh_index(spark, SF, path)
+    os.remove(os.path.join(path, "_SUCCESS"))
+    qvec = _query_vec(spark)
+    with pytest.raises(RuntimeError, match="_SUCCESS"):
+        probe_lsh_index(spark, path, qvec, exclude_vec_id=QUERY_VEC_ID)

@@ -21,66 +21,68 @@ def _names():
     return list(entry_mod.queries())
 
 
-# The only rows without a driver CORRECTNESS check since r08 — the
-# r10 verdict's #1 forced set; they follow the r12-touched tier.
-R08_STALE = (
-    "s11_batch_knn", "s12_embedding_outliers",
-    "v02_duplicate_keys_report",
+# The 11 rows whose newest driver row is r09 — the r12 verdict's #1
+# forced set; they follow the r13-touched tier and all fit the window.
+R09_STALE = (
+    "t09_bpe_token_count", "t12_zipf_slope", "t13_pii_redaction",
+    "t15_quality_classifier", "t16_html_extract", "t17_url_filter",
+    "x11_curriculum_buckets", "x13_weighted_sample", "x14_epoch_plan",
+    "x15_split_drift", "x16_quality_mixture",
 )
 
-# Rows whose executed code changed in r12 (rotation.LAST_TOUCHED):
+# Rows whose executed code changed in r13 (rotation.LAST_TOUCHED):
+# the optimization round's shared-base memos + loop restructures,
 # ordered by oldest driver row first within the tier.
-R12_TOUCHED = (
-    # dr=9 tier (name order)
-    "d17_span_dedup_action", "d18_cleaned_corpus",
-    "d20_incremental_span_dedup", "x12_repetition_gate",
-    # dr=10 tier
-    "m09_jpeg_roundtrip", "m10_mjpeg_frames",
+R13_TOUCHED = (
+    # dr=10 tier (name order)
+    "d02_ngram_jaccard", "d03_minhash_lsh", "d09_containment",
+    "d12_minhash_calibration", "d15_cc_star", "d16_incremental_minhash",
+    "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
+    "g04_item_similarity", "g05_graph_summary", "g06_lpa_communities",
     # dr=11 tier
-    "d13_duplicate_spans", "d14_dup_span_fraction",
-    "m01_image_metadata", "m02_media_stats", "m03_frame_sample",
-    "m04_audio_frames", "p01_pipeline_month_e2e",
+    "x17_cluster_curation",
+    # dr=12 tier
+    "d17_span_dedup_action", "d18_cleaned_corpus",
+    "d19_decontaminate_action", "d20_incremental_span_dedup",
     "s06_near_dup_pairs_banded",
 )
 
 
-def test_r12_window_composition():
+def test_r13_window_composition():
     names = _names()
     window = set(names[:50])
     # Tier 0 — never driver-checked: EMPTY since the r10 fold (p01 was
     # the last never-checked entry; the registry is at its 150 cap).
     never_checked = {n for n in names if n not in rotation.LAST_DRIVER_ROW}
     assert never_checked == set()
-    # Tier 1 — rows predating this round's code: exactly the r12
-    # touch set (span-table memo consumers, operating-point
-    # derivation, collision-gate reorder, size-parameterized codec
-    # tier).
+    # Tier 1 — rows predating this round's code: exactly the r13
+    # touch set (optimization-round memo consumers + restructured
+    # iteration loops).
     touched_stale = {
         n
         for n in names
         if rotation.LAST_TOUCHED.get(n, 0)
         > rotation.LAST_DRIVER_ROW.get(n, 99)
     }
-    assert touched_stale == set(R12_TOUCHED)
-    assert names[:14] == list(R12_TOUCHED)
-    # then the r08-stale trio (the r11 verdict's #1 forced set)
-    assert names[14:17] == list(R08_STALE)
-    assert names[17] == "d19_decontaminate_action"
-    # the r09-green block fills the rest oldest-first
+    assert touched_stale == set(R13_TOUCHED)
+    assert names[:18] == list(R13_TOUCHED)
+    # then the full r09-stale block (the r12 verdict's #1 forced set):
+    # every one of the 11 lands inside THIS round's window.
+    assert names[18:29] == list(R09_STALE)
+    # the r10-green block fills the rest oldest-first
     assert {
-        "d19_decontaminate_action", "e16_stream_replay",
-        "g07_edge_stream_replay", "q24_approx_distinct",
-        "q36_snapshot_diff", "s16_ann_recall_verdict",
-        "t06_tfidf_top_terms",
+        "d04_simhash", "d07_dedup_clusters", "e01_tumbling_hourly",
+        "e09_asof_join", "s03_near_dup_pairs", "s13_pq_ann",
     } <= window
-    # predicted spill: the tail of the r09 block from t09 onwards
-    assert names[50] == "t09_bpe_token_count"
-    assert names[51] == "t12_zipf_slope"
-    # NO slot burns on r10/r11-green untouched code.
+    # predicted spill: the r10-green tail from t08 onwards
+    assert names[50] == "t08_top_bigrams"
+    assert names[51] == "t10_cms_heavy_hitters"
+    # NO slot burns on r11/r12-green untouched code.
     assert not (window & {
-        "x08_split_leakage", "x17_cluster_curation",
-        "d01_exact_dedup", "q26_intersect", "s01_knn_bruteforce",
-        "e01_tumbling_hourly", "d03_minhash_lsh", "g05_graph_summary",
+        "x08_split_leakage", "d01_exact_dedup", "q26_intersect",
+        "s01_knn_bruteforce", "q01_pricing_summary",
+        "m01_image_metadata", "p01_pipeline_month_e2e",
+        "d13_duplicate_spans", "e16_stream_replay",
     })
 
 

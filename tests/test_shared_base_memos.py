@@ -72,9 +72,12 @@ def test_graph_shared_memo_hits_and_invalidates(spark, tmp_path):
     from rfb_data_pipeline_spark.operators.graph import _graph_shared
 
     sf = _mini_sf(spark, tmp_path)
-    eng1, edges1 = _graph_shared(spark, str(sf))
-    eng2, edges2 = _graph_shared(spark, str(sf))
+    gb1 = _graph_shared(spark, str(sf))
+    eng1, edges1 = gb1.eng, gb1.edges
+    gb2 = _graph_shared(spark, str(sf))
+    eng2, edges2 = gb2.eng, gb2.edges
     assert eng2 is eng1 and edges2 is edges1
+    assert gb2.nodes is gb1.nodes and gb2.tri_arcs is gb1.tri_arcs
     assert edges1.count() > 0
 
     # rewrite events: only item 0 remains -> no co-engagement pairs
@@ -86,7 +89,8 @@ def test_graph_shared_memo_hits_and_invalidates(spark, tmp_path):
         " props string, ts timestamp",
     ).coalesce(1).write.parquet(str(sf / "events.parquet"))
 
-    eng3, edges3 = _graph_shared(spark, str(sf))
+    gb3 = _graph_shared(spark, str(sf))
+    eng3, edges3 = gb3.eng, gb3.edges
     assert eng3 is not eng1
     assert edges3.count() == 0  # single item: no pairs
 
@@ -171,3 +175,38 @@ def test_memo_live_sessions_coexist(spark, tmp_path):
     assert session_memo(cache, spark, str(sf), ("documents",), build) is a1
     assert session_memo(cache, sibling, str(sf), ("documents",), build) is b1
     assert builds["n"] == 2 and len(cache) == 2
+
+
+def test_r13_memos_hit_on_second_call(spark):
+    """r13 optimization memos (capped shingles, minhash buckets, doc
+    spans, s06 bucket ids): second call must serve the SAME frame
+    object — the eager localCheckpoint builds run once per session."""
+    from rfb_data_pipeline_spark.operators.dedup import (
+        _capped_shingles_cached,
+        _doc_spans_cached,
+        _minhash_buckets_cached,
+    )
+    from rfb_data_pipeline_spark.operators.similarity import (
+        _bucket_ids_cached,
+    )
+
+    assert _capped_shingles_cached(spark, SF_SMALL) is (
+        _capped_shingles_cached(spark, SF_SMALL)
+    )
+    assert _minhash_buckets_cached(spark, SF_SMALL) is (
+        _minhash_buckets_cached(spark, SF_SMALL)
+    )
+    assert _doc_spans_cached(spark, SF_SMALL) is (
+        _doc_spans_cached(spark, SF_SMALL)
+    )
+    # wide flag keys a DISTINCT spans frame
+    assert _doc_spans_cached(spark, SF_SMALL, wide=True) is not (
+        _doc_spans_cached(spark, SF_SMALL)
+    )
+    assert _bucket_ids_cached(spark, SF_SMALL, 4, 4) is (
+        _bucket_ids_cached(spark, SF_SMALL, 4, 4)
+    )
+    # params key distinct indexes
+    assert _bucket_ids_cached(spark, SF_SMALL, 4, 8) is not (
+        _bucket_ids_cached(spark, SF_SMALL, 4, 4)
+    )
