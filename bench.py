@@ -278,6 +278,13 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        # Host load at the end of the run (1/5/15-min averages):
+        # byte-identical code has measured 0.76x-1.11x across runs on
+        # drifting hosts (VERDICT r12), and this round saw 3-7x VM
+        # throttling — a bench diff first checks the recorded load
+        # before adjudicating a delta. Additive field; the driver's
+        # parsed line is unchanged.
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
         "queries": timings,
         "queries_median": medians,
         "queries_dispersion": {

@@ -477,10 +477,10 @@ def test_lsh_write_is_sidecar_first_and_clears_stale_layout(
     where an N-derived index existed with no sidecar and the probe
     silently fell back to the anchor constants. Sidecar-first inverts
     the failure: crash residue (marker, no data) fails LOUDLY on
-    read. A rewrite must also clear the previous layout's partitions
-    (append-after-clear, not a stale mix)."""
+    read — since r13 even earlier, at the probe's _SUCCESS commit-
+    marker gate (ADVICE r12). A rewrite must also clear the previous
+    layout's partitions (append-after-clear, not a stale mix)."""
     import pytest
-    from pyspark.errors import AnalysisException
 
     from rfb_data_pipeline_spark.pipeline.ann_index import read_lsh_meta
 
@@ -489,7 +489,7 @@ def test_lsh_write_is_sidecar_first_and_clears_stale_layout(
     from rfb_data_pipeline_spark.pipeline.ann_index import _write_index_meta
 
     _write_index_meta(spark, residue, num_tables=32, sign_bits=9)
-    with pytest.raises(AnalysisException):
+    with pytest.raises(RuntimeError, match="_SUCCESS"):
         probe_lsh_index(spark, residue, _query_vec(spark)).collect()
 
     # rewrite at a different operating point: no stale t= partitions
