@@ -1382,7 +1382,12 @@ FROM per_doc p LEFT JOIN per_dup d USING (doc_id)
 # algorithm cross-check.
 
 
-def cc_star(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> DataFrame:
+def cc_star(
+    edges: DataFrame,
+    max_iters: int = MAX_CC_ITERS,
+    pre_oriented: bool = False,
+    materialized: bool = False,
+) -> DataFrame:
     """Component labels for an undirected edge list (``u``, ``v``).
 
     Returns (doc_id, label) for every node incident to an edge, where
@@ -1390,6 +1395,19 @@ def cc_star(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> DataFrame:
     (link every larger neighbor to the neighborhood min) and
     small-star (link every smaller neighbor to the smaller-neighbor
     min) until the star forest is stable.
+
+    ``pre_oriented``: the caller guarantees ``edges`` is already
+    DISTINCT with ``u > v`` strictly on every row — the intake
+    normalization below reduces to a no-op, so its orient + distinct
+    exchange is skipped (r13: every production caller feeds pairs that
+    are strict and distinct by construction; the normalization only
+    earns its shuffle on raw symmetric intakes like d07-style
+    (a,b)+(b,a) lists).  ``materialized``: the caller additionally
+    guarantees the frame is already materialized (a memoized base or
+    its column-swap), so the intake stage boundary — there because
+    round 1 and the final ``nodes`` union consume the intake three
+    times — re-reads cached blocks anyway and is skipped outright.
+    Both flags change only which plan prefix runs, never the labels.
     """
     # Intake normalization: orient every edge big→small before the
     # distinct, so a symmetric input (d07-style (a,b)+(b,a) lists)
@@ -1399,13 +1417,16 @@ def cc_star(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> DataFrame:
     # symmetrize step below never needs its own distinct: the two
     # union branches cannot overlap. One full-edge-list shuffle saved
     # per round.
-    edges = stage_boundary(
-        edges.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    if not pre_oriented:
+        edges = (
+            edges.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    if not materialized:
+        edges = stage_boundary(edges)
     # nodes stays LAZY (r13): it is consumed exactly once, by the
     # final labels join, and derives from the already-checkpointed
     # intake edges — an eager boundary here was one extra
@@ -1474,8 +1495,14 @@ def cc_star(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> DataFrame:
         if prev is not None:
             target = max(1, min(target, prev[0] // 50_000 + 1))
         # per-round boundary: THE lineage-loss hot spot on a real
-        # cluster — storage mode makes each round restartable
-        edges = stage_boundary(small.coalesce(target))
+        # cluster — storage mode makes each round restartable. Lazy
+        # (eager=False): the fixpoint checksum right below is a
+        # full-frame aggregate, so ONE job both materializes the round
+        # and returns the checksum — the eager form paid a
+        # materialize job plus a cached-block re-scan job per round.
+        # Storage mode ignores the flag (stays eager) and keeps its
+        # checkpoint-then-checksum pair.
+        edges = stage_boundary(small.coalesce(target), eager=False)
         cur = checksum(edges)
         if cur == prev:
             break
@@ -1503,10 +1530,15 @@ def d15_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is a measured, data-dependent property — pinned on stock data by
     # tests/test_ops_r04c.py::test_d15_equals_d07_on_the_corpus and
     # quantified by d12's calibration — not part of this oracle row.
+    # d03's verified pairs are DISTINCT with doc_a < doc_b strictly, so
+    # the big→small intake orientation is a plain column swap
+    # (pre_oriented skips the orient+distinct exchange); the intake
+    # boundary stays (the pair build is the expensive part and round 1
+    # + nodes consume it three times).
     pairs = d03_minhash_lsh(spark, sf_dir).select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
     )
-    return _cluster_summary(cc_star(pairs))
+    return _cluster_summary(cc_star(pairs, pre_oriented=True))
 
 
 _D15_SQL = _cc_summary_sql(_minhash_sql())
@@ -1527,10 +1559,11 @@ def cc_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rfb_data_pipeline_spark.memo import session_memo
 
     def _build() -> DataFrame:
+        # Same pre-oriented intake as d15: doc_a < doc_b strictly.
         pairs = d03_minhash_lsh(spark, sf_dir).select(
-            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+            F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
         )
-        return cc_star(pairs).transform(stage_boundary)
+        return cc_star(pairs, pre_oriented=True).transform(stage_boundary)
 
     return session_memo(
         _CC_LABEL_CACHE, spark, sf_dir, ("documents",), _build

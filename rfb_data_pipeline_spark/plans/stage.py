@@ -39,10 +39,25 @@ def _resolve_mode(mode: str | None) -> str:
     return resolved
 
 
-def stage_boundary(df: DataFrame, mode: str | None = None) -> DataFrame:
-    """Materialize ``df`` and return a frame with truncated lineage."""
+def stage_boundary(
+    df: DataFrame, mode: str | None = None, eager: bool = True
+) -> DataFrame:
+    """Materialize ``df`` and return a frame with truncated lineage.
+
+    ``eager=False`` defers materialization to the CALLER'S next action
+    over the returned frame, fusing the checkpoint with work the
+    caller runs anyway (cc_star fuses each round's boundary with its
+    fixpoint checksum: one job instead of a materialize job plus a
+    re-scan job). Only a full-frame action qualifies — a ``limit``/
+    ``first`` that skips partitions would leave blocks uncached and
+    the truncated lineage would recompute per consumer. ``storage``
+    mode ignores the flag and stays eager: a non-eager reliable
+    checkpoint writes its files by RE-RUNNING the frame's lineage
+    after the first action (RDD.checkpoint semantics), doubling the
+    work the boundary exists to save.
+    """
     if _resolve_mode(mode) == "local":
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         # On a cluster RFB_CHECKPOINT_DIR points at HDFS/object store
