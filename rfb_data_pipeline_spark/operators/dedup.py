@@ -2175,19 +2175,23 @@ def d20_incremental_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = _doc_spans_cached(spark, sf_dir)
     corpus_h = sp.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
     batch_sp = sp.filter(F.col("doc_id") % 2 == 1)
-    vs_corpus = batch_sp.join(corpus_h, "h", "left_semi").select(
-        "doc_id", "s"
-    )
-    # batch-internal first-copy rule for corpus-unseen spans
+    # One pass decides both removal rules (r13, guide §2.4): the old
+    # shape ran a left_semi (corpus-seen spans) AND a left_anti + rank
+    # window (batch first-copy rule) against the SAME corpus_h — two
+    # joins, each rebuilding the corpus-distinct aggregate and
+    # re-shuffling batch_sp by h. A single left join with a presence
+    # marker keeps both row sets apart, and the rank window reuses the
+    # join's hash partitioning on h (sort only, no new exchange). A
+    # span is removed iff its hash exists in the corpus (membership —
+    # every occurrence goes) OR it is a corpus-unseen span that is not
+    # the batch's first copy (rn > 1); for an unseen h the window
+    # partition holds exactly the rows the old anti-join window held,
+    # so the rn values — and the removed row set — are identical.
     first_rank = Window.partitionBy("h").orderBy("doc_id", "s")
-    within_batch = (
-        batch_sp.join(corpus_h, "h", "left_anti")
-        .withColumn("rn", F.row_number().over(first_rank))
-        .filter(F.col("rn") > 1)
-        .select("doc_id", "s")
-    )
     removed = (
-        vs_corpus.unionByName(within_batch)
+        batch_sp.join(corpus_h.withColumn("seen", F.lit(1)), "h", "left")
+        .withColumn("rn", F.row_number().over(first_rank))
+        .filter(F.col("seen").isNotNull() | (F.col("rn") > 1))
         .select("doc_id", "s", (F.col("s") + SPAN_TOKENS - 1).alias("e"))
     )
     cov = (

@@ -1016,15 +1016,19 @@ FROM flagged
 def e18_drift_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rfb_data_pipeline_spark.catalog import load_tables
     from rfb_data_pipeline_spark.streaming.drift_stream import kl_vs_reference
-    from rfb_data_pipeline_spark.operators.text import tokens_col
+    from rfb_data_pipeline_spark.operators.text import _toks_cached
 
     docs = load_tables(
         spark, sf_dir, tables=("documents",), register_views=False
     )["documents"]
+    # r13: the REFERENCE side reads the memoized token stream (same
+    # multiset — the t05 substitution); the batch side keeps passing
+    # raw documents into kl_vs_reference because that is the live
+    # micro-batch code path this replay row vouches for.
     reference = (
-        docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
-        .select(F.explode(tokens_col()).alias("term"))
-        .filter(F.length("term") > 0)
+        _toks_cached(spark, sf_dir)
+        .filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+        .select(F.col("w").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c_ref"))
     )

@@ -279,11 +279,19 @@ def g01_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nodes (s = 0), no join. 3 exchanges/iteration → 2. Every rank
     # expression is unchanged term for term, so the quantized doubles
     # are bit-identical to the old plan (the module-head discipline).
+    #
+    # r13 session 2: the isolated-node union is gone from the loop
+    # entirely — iso items (s = 0) are by construction absent from
+    # arcs_s.src (w >= 1 ⇒ any item with an arc has s > 0), so the
+    # unioned rows never matched the join, and nothing else reads the
+    # intermediate ranks: they were dead state. Dropping them also
+    # stops the union erasing the groupBy's hash partitioning on item,
+    # so the next round's join reuses it (sort only, no ranks
+    # exchange): 2 exchanges/iteration → 1. The final left join
+    # against the full node universe re-attaches isolated items with
+    # u = NULL exactly as before — identical rank expressions,
+    # bit-identical output.
     ranks = nodes.select("item", (F.lit(1.0) / F.col("n")).alias("rank"))
-    iso = nodes.where(F.col("s") == 0).select(
-        "item",
-        (F.lit(0.15) / F.col("n")).alias("rank"),
-    )
     units = None
     for _ in range(_PR_ITERS):
         units = (
@@ -304,7 +312,7 @@ def g01_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.85)
                 * (F.coalesce(F.col("u"), F.lit(0)) / F.lit(_PR_SCALE))
             ).alias("rank"),
-        ).unionByName(iso)
+        )
     return nodes.join(units, "item", "left").select(
         "item",
         F.col("s").alias("strength"),
@@ -817,6 +825,14 @@ def g06_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # votes` recomposition is a UNION with the constant isolated-node
     # labels instead. One exchange + one sort fewer per round; label
     # values are integers, unchanged.
+    # r13 session 2: the isolated-node union is HOISTED out of the
+    # loop — iso items (s = 0) receive no vote and cast none (absent
+    # from arcs.src), so carrying their constant labels through every
+    # round only erased the groupBy's hash partitioning on item and
+    # forced a labels re-exchange at the next round's join. Loop state
+    # is now the voted (non-isolated) labels only; the single
+    # post-loop union restores the exact final row set. Identical
+    # labels, one fewer exchange per round.
     iso_lbl = nodes.where(F.col("s") == 0).select(
         "item", F.col("item").alias("lbl")
     )
@@ -834,9 +850,10 @@ def g06_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("top")
             )
             .select("item", F.col("top.lbl").alias("lbl"))
-            .unionByName(iso_lbl)
         )
-    out = labels.select("item", F.col("lbl").alias("community"))
+    out = labels.unionByName(iso_lbl).select(
+        "item", F.col("lbl").alias("community")
+    )
     # size via groupBy + equi-join, NOT a community-partitioned
     # window: a giant community would land in one window task, while
     # the aggregate keeps map-side partial combining.

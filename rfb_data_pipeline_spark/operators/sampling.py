@@ -1244,11 +1244,15 @@ FROM (
 
 
 def x15_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rfb_data_pipeline_spark.operators.text import tokens_col
+    from rfb_data_pipeline_spark.operators.text import _toks_cached
 
-    docs = _docs(spark, sf_dir).withColumn("split", split_col(F.col("doc_id")))
-    terms = docs.select("split", F.explode(tokens_col()).alias("term")).filter(
-        F.length("term") > 0
+    # r13: memoized token stream instead of a per-invocation corpus
+    # re-tokenization — split_col is a pure doc_id expression, so
+    # recomputing it per token row off the memo yields the identical
+    # (split, term) multiset (the t05 substitution; guide §2.4).
+    terms = _toks_cached(spark, sf_dir).select(
+        split_col(F.col("doc_id")).alias("split"),
+        F.col("w").alias("term"),
     )
     counts = terms.groupBy("split", "term").agg(F.count(F.lit(1)).alias("c"))
 

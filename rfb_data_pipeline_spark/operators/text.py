@@ -269,10 +269,13 @@ FROM documents
 
 
 def t05_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    # r13: consume the session-memoized token stream (same multiset —
+    # posexplode emits the explode elements, the length>0 filter is
+    # already applied in the memo) instead of re-scanning + re-splitting
+    # the corpus per invocation (guide §2.4).
     return (
-        docs.select(F.explode(tokens_col()).alias("term"))
-        .filter(F.length("term") > 0)
+        _toks_cached(spark, sf_dir)
+        .select(F.col("w").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("term"))
@@ -300,9 +303,10 @@ LIMIT 20
 
 def t06_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    terms = docs.select(
-        "doc_id", F.explode(tokens_col()).alias("term")
-    ).filter(F.length("term") > 0)
+    # r13: memoized token stream (identical multiset) — see t05.
+    terms = _toks_cached(spark, sf_dir).select(
+        "doc_id", F.col("w").alias("term")
+    )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.countDistinct("doc_id").alias("n"))
@@ -547,10 +551,10 @@ def _cms_bucket(seed: int, term) -> "F.Column":
 
 
 def t10_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    # r13: memoized token stream (identical multiset) — see t05.
     counts = (
-        docs.select(F.explode(tokens_col()).alias("term"))
-        .filter(F.length("term") > 0)
+        _toks_cached(spark, sf_dir)
+        .select(F.col("w").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n_exact"))
         .transform(stage_boundary)  # feeds sketch, top-k, and probe
@@ -634,9 +638,9 @@ GROUP BY t.term, t.n_exact
 
 
 def t11_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    terms = docs.select("doc_id", F.explode(tokens_col()).alias("term")).filter(
-        F.length("term") > 0
+    # r13: memoized token stream (identical multiset) — see t05.
+    terms = _toks_cached(spark, sf_dir).select(
+        "doc_id", F.col("w").alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("c_w"))
@@ -701,10 +705,10 @@ ZIPF_TERMS = 40
 
 
 def t12_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    # r13: memoized token stream (identical multiset) — see t05.
     head = (
-        docs.select(F.explode(tokens_col()).alias("term"))
-        .filter(F.length("term") > 0)
+        _toks_cached(spark, sf_dir)
+        .select(F.col("w").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("term"))
@@ -1485,10 +1489,10 @@ BM25_QUERY = ("dup", "spark", "sort")
 
 
 def t19_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    terms = docs.select(
-        "doc_id", F.explode(tokens_col()).alias("term")
-    ).filter(F.length("term") > 0)
+    # r13: memoized token stream (identical multiset) — see t05.
+    terms = _toks_cached(spark, sf_dir).select(
+        "doc_id", F.col("w").alias("term")
+    )
     dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     totals = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_tokens")
