@@ -246,7 +246,7 @@ EVAL_MOD = 97  # doc_id % 97 == 0 → held-out benchmark slice (as d08)
 
 
 def x05_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rfb_data_pipeline_spark.operators.dedup import _doc_shingles
+    from rfb_data_pipeline_spark.operators.dedup import _doc_shingles_cached
     from rfb_data_pipeline_spark.operators.text import quality_gate, tokens_col
 
     docs = _docs(spark, sf_dir)
@@ -264,7 +264,10 @@ def x05_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Stage 3 — decontamination: any 3-gram shared with the held-out
     # slice taints the doc (d08's broadcast-able semi-join shape).
-    sh = _doc_shingles(docs)
+    # r13: the session-memoized shingle table (identical frame — the
+    # memo IS _doc_shingles over these docs) instead of re-exploding
+    # the corpus per invocation, matching d08 (guide §2.4).
+    sh = _doc_shingles_cached(spark, sf_dir)
     eval_sh = (
         sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("shingle").distinct()
     )
