@@ -1247,15 +1247,17 @@ FROM (
 
 
 def x15_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rfb_data_pipeline_spark.operators.text import _toks_cached
+    from rfb_data_pipeline_spark.operators.text import tokens_col
 
-    # r13: memoized token stream instead of a per-invocation corpus
-    # re-tokenization — split_col is a pure doc_id expression, so
-    # recomputing it per token row off the memo yields the identical
-    # (split, term) multiset (the t05 substitution; guide §2.4).
-    terms = _toks_cached(spark, sf_dir).select(
-        split_col(F.col("doc_id")).alias("split"),
-        F.col("w").alias("term"),
+    # r13 note: the t05-class token-stream-memo substitution was
+    # prototyped here and REVERTED on a paired same-host measurement —
+    # inline 0.83 s min / 12 jobs vs memo 1.09 s / 11 jobs at sf0.1.
+    # x15's (split, term) aggregate is consumed four ways but AQE
+    # already reuses its one exchange, so the memo only traded a
+    # single fused scan+explode for a cached-table rescan and lost.
+    docs = _docs(spark, sf_dir).withColumn("split", split_col(F.col("doc_id")))
+    terms = docs.select("split", F.explode(tokens_col()).alias("term")).filter(
+        F.length("term") > 0
     )
     counts = terms.groupBy("split", "term").agg(F.count(F.lit(1)).alias("c"))
 
