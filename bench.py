@@ -336,11 +336,17 @@ def main() -> None:
     ) as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    # Bases-inclusive headline (VERDICT r13 item 2): r13 moved shared
+    # work into timed-but-unheadlined base builds, so the bases-blind
+    # "value" is not comparable across rounds whose base list differs.
+    # total_with_bases is the like-for-like round-over-round number.
+    payload["total_with_bases"] = round(total + payload["bases_total"], 3)
     compact = {
         "metric": payload["metric"],
         "value": payload["value"],
         "unit": "sec",
         "total_median": payload["total_median"],
+        "total_with_bases": payload["total_with_bases"],
         "n_queries": len(timings),
         "bases_total": payload["bases_total"],
         "sf": sf,
@@ -350,7 +356,19 @@ def main() -> None:
         compact["baseline_subset"] = payload["baseline_subset"]
     if errors:
         compact["n_errors"] = len(errors)
-    print(json.dumps(compact))
+    # Driver-parseable per-query map (VERDICT r13 item 2). The driver
+    # keeps only the LAST 2000 bytes of output, which is why the r04
+    # full-name map broke parsing (76 full names alone are ~2 KB);
+    # every registered name's family prefix (q01, d20, ...) is unique,
+    # so a prefix-keyed map carries the whole headline in ~0.9 KB.
+    # Full names + medians + dispersion stay in BENCH_local.json.
+    compact["queries_key"] = "family-prefix; full names in BENCH_local.json"
+    compact["queries"] = {n.split("_")[0]: t for n, t in timings.items()}
+    line = json.dumps(compact)
+    if len(line) > 1800:  # never risk evicting "value" from the tail
+        del compact["queries"], compact["queries_key"]
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -37,7 +37,7 @@ Maintenance contract (enforced by tests/test_registry_window.py):
 
 from __future__ import annotations
 
-CURRENT_ROUND = 13
+CURRENT_ROUND = 14
 
 # name -> newest driver CORRECTNESS round containing the name
 # (union of CORRECTNESS_r01..r05; absent = never driver-checked).
@@ -551,6 +551,57 @@ LAST_TOUCHED.update(
             "d17_span_dedup_action", "d18_cleaned_corpus",
             "d19_decontaminate_action", "d20_incremental_span_dedup",
             "s06_near_dup_pairs_banded", "x17_cluster_curation",
+        ),
+        13,
+    )
+)
+
+# r13 session-2 touches the r13 ledger update missed (VERDICT r13
+# item 2): commits aa221a7/6de526d substituted the memoized token
+# stream into t05/t06/t10/t11/t19, the memoized shingle table into
+# x05, and the memoized reference unigrams into e18 AFTER the 18-name
+# list above was recorded — their newest driver rows (r12 or r10)
+# predate the executed code, so they must rotate into the r14 window.
+LAST_TOUCHED.update(
+    dict.fromkeys(
+        (
+            "t05_top_terms", "t06_tfidf_top_terms",
+            "t10_cms_heavy_hitters", "t11_unigram_surprisal",
+            "t19_bm25_search", "x05_corpus_curation",
+            "e18_drift_replay",
+        ),
+        13,
+    )
+)
+
+LAST_DRIVER_ROW.update(
+    # CORRECTNESS_r13.json fold-in: 50/50 green (rows+schema+hash),
+    # covering every r13-ledger-declared touched row.
+    dict.fromkeys(
+        (
+            "d02_ngram_jaccard", "d03_minhash_lsh", "d04_simhash",
+            "d05_simhash_pairs", "d07_dedup_clusters",
+            "d08_decontaminate", "d09_containment",
+            "d12_minhash_calibration", "d15_cc_star",
+            "d16_incremental_minhash",
+            "d17_span_dedup_action", "d18_cleaned_corpus",
+            "d19_decontaminate_action", "d20_incremental_span_dedup",
+            "e01_tumbling_hourly", "e02_sliding_window", "e03_sessionize",
+            "e04_dedup_first", "e05_funnel", "e06_event_gaps",
+            "e07_json_extract", "e08_pivot_event_types", "e09_asof_join",
+            "e10_retention_cohorts", "e11_spike_detection",
+            "e13_variant_extract", "e14_max_concurrency",
+            "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
+            "g04_item_similarity", "g05_graph_summary",
+            "g06_lpa_communities",
+            "s03_near_dup_pairs", "s06_near_dup_pairs_banded",
+            "s13_pq_ann", "s15_ivf_pq_ann",
+            "t07_repetition", "t09_bpe_token_count", "t12_zipf_slope",
+            "t13_pii_redaction", "t15_quality_classifier",
+            "t16_html_extract", "t17_url_filter",
+            "x11_curriculum_buckets", "x13_weighted_sample",
+            "x14_epoch_plan", "x15_split_drift", "x16_quality_mixture",
+            "x17_cluster_curation",
         ),
         13,
     )

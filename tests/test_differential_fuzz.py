@@ -140,6 +140,29 @@ def _compare(spark, sf_dir: str, name: str, table: str | None = None) -> None:
     _assert_frames_match(name, spdf, opdf)
 
 
+def _cells_close(a: str, b: str) -> bool:
+    """Half-cent tolerance for 2-decimal-rounded float cells (VERDICT
+    r13 item 1): Spark and DuckDB interpolate even-count medians /
+    quantiles in float arithmetic and can land one float ulp apart on
+    opposite sides of a round(x, 2) half-way boundary (252721.355 ->
+    .35 vs .36 — seed-83 perturbed q23). The tolerance applies ONLY to
+    cells that are exact multiples of 0.01 on BOTH sides (the rounded
+    money/median class); integers, strings and full-precision fractions
+    keep the exact comparison."""
+    if a == b:
+        return True
+    if "." not in a or "." not in b:
+        return False
+    try:
+        fa, fb = float(a), float(b)
+    except ValueError:
+        return False
+    cents_a, cents_b = fa * 100, fb * 100
+    if abs(cents_a - round(cents_a)) > 1e-6 or abs(cents_b - round(cents_b)) > 1e-6:
+        return False  # not a round(x, 2) output: stay exact
+    return abs(fa - fb) <= 0.01 + 1e-9
+
+
 def _assert_frames_match(name: str, spdf, opdf) -> None:
     assert sorted(spdf.columns) == sorted(opdf.columns), name
     assert len(spdf) == len(opdf), (name, len(spdf), len(opdf))
@@ -147,9 +170,13 @@ def _assert_frames_match(name: str, spdf, opdf) -> None:
         sn, on = _normalize(spdf), _normalize(opdf)
     except UnhashableCell as exc:  # would crash the driver canon too
         raise AssertionError(f"{name}: {exc}") from exc
-    if value_hash(sn) != value_hash(on):
-        diff = next((a, b) for a, b in zip(sn, on) if a != b)
-        raise AssertionError(f"{name}: first diff spark={diff[0]} duckdb={diff[1]}")
+    if value_hash(sn) == value_hash(on):
+        return
+    for a, b in zip(sn, on):
+        if a == b:
+            continue
+        if not all(_cells_close(x, y) for x, y in zip(a, b)):
+            raise AssertionError(f"{name}: first diff spark={a} duckdb={b}")
 
 
 _DOC_QUERIES = [
