@@ -977,26 +977,51 @@ _D10_MINLEN = 48
 
 
 def _d10_grams(pfx: DataFrame, n: int) -> DataFrame:
+    # The gram STRING never reaches the join: the candidate join only
+    # needs equality evidence (the levenshtein verify recomputes the
+    # exact distance), so the 8-24 byte gram is folded to an 8-byte
+    # xxhash64 before the exchange (guide §2.3 "shuffle keys and
+    # metadata instead of payloads"). A hash collision can only ADD a
+    # candidate pair, which the verify discards — recall is unchanged.
     return pfx.select(
         "doc_id",
+        F.length("pfx").alias("len"),
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, length(pfx) - {n - 1}),"
-                f" i -> substring(pfx, i, {n}))"
+                f" i -> xxhash64(substring(pfx, i, {n})))"
             )
         ).alias("pos", "gram"),
     )
 
 
-def _d10_candidates(idx_grams: DataFrame, probe_grams: DataFrame) -> DataFrame:
+def _d10_candidates(
+    idx_grams: DataFrame,
+    probe_grams: DataFrame,
+    self_join: bool = False,
+    len_banded: bool = False,
+) -> DataFrame:
     """Canonical (doc_a < doc_b) candidate pairs from a positional
-    banded gram join (index at band b, probe at b-1..b+1)."""
+    banded gram join (index at band b, probe at b-1..b+1).
+
+    self_join: both sides enumerate the SAME gram set, so every true
+    pair is matched in both orientations — requiring doc_id < doc_id
+    on the raw join halves the candidate mass with no recall loss
+    (the condition is symmetric in the two sides). Never set it when
+    the index side is a subset of the probe side.
+
+    len_banded: lev(a, b) <= 4 implies abs(len(a) - len(b)) <= 4, so
+    the length band is a free exact pre-filter on the join — it is
+    what keeps the short tier (8-gram fallback) from pairing 48-char
+    prefixes with the ~98% of the corpus that is full-64 (measured
+    5x the tier's candidate mass at sf0.1)."""
     band = _D10_MAXLEV + 1
     idx = idx_grams.select(
-        "doc_id", "pos", "gram", (F.col("pos") / band).cast("int").alias("b")
+        "doc_id", "len", "pos", "gram", (F.col("pos") / band).cast("int").alias("b")
     )
     probe = probe_grams.select(
         "doc_id",
+        "len",
         "pos",
         "gram",
         F.explode(
@@ -1007,15 +1032,20 @@ def _d10_candidates(idx_grams: DataFrame, probe_grams: DataFrame) -> DataFrame:
             )
         ).alias("b"),
     )
+    cond = (
+        (F.col("a.gram") == F.col("p.gram"))
+        & (F.col("a.b") == F.col("p.b"))
+        & (F.abs(F.col("a.pos") - F.col("p.pos")) <= _D10_MAXLEV)
+    )
+    if self_join:
+        cond = cond & (F.col("a.doc_id") < F.col("p.doc_id"))
+    else:
+        cond = cond & (F.col("a.doc_id") != F.col("p.doc_id"))
+    if len_banded:
+        cond = cond & (F.abs(F.col("a.len") - F.col("p.len")) <= _D10_MAXLEV)
     return (
         idx.alias("a")
-        .join(
-            probe.alias("p"),
-            (F.col("a.gram") == F.col("p.gram"))
-            & (F.col("a.b") == F.col("p.b"))
-            & (F.col("a.doc_id") != F.col("p.doc_id"))
-            & (F.abs(F.col("a.pos") - F.col("p.pos")) <= _D10_MAXLEV),
-        )
+        .join(probe.alias("p"), cond)
         .select(
             F.least(F.col("a.doc_id"), F.col("p.doc_id")).alias("doc_a"),
             F.greatest(F.col("a.doc_id"), F.col("p.doc_id")).alias("doc_b"),
@@ -1031,7 +1061,12 @@ def d10_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.substring(F.lower(F.col("text")), 1, _D10_PREFIX).alias("pfx"),
         )
-        .transform(stage_boundary)  # feeds the index and both verify sides
+        # feeds the index and both verify sides; LAZY boundary (the
+        # r13 cc_star pattern): the final action is full-frame, so the
+        # first consumer stage materializes the cache and the separate
+        # per-invocation checkpoint job disappears (measured 1.48 ->
+        # 1.29 s, 8 -> 7 jobs/rep at sf0.1).
+        .transform(lambda df: stage_boundary(df, eager=False))
     )
     # Tiered candidate generation: full-64 prefixes allow a 12-gram
     # key ((64-4)/5 = 12-char guaranteed run — 6x less candidate mass
@@ -1042,23 +1077,36 @@ def d10_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = pfx.filter(F.length("pfx") < _D10_PREFIX)
     wide = (_D10_PREFIX - _D10_MAXLEV) // (_D10_MAXLEV + 1)  # 12 for 64/4
     cand = (
-        _d10_candidates(_d10_grams(full, wide), _d10_grams(full, wide))
+        _d10_candidates(
+            _d10_grams(full, wide), _d10_grams(full, wide), self_join=True
+        )
         .unionByName(
-            _d10_candidates(_d10_grams(short, _D10_NGRAM), _d10_grams(pfx, _D10_NGRAM))
+            _d10_candidates(
+                _d10_grams(short, _D10_NGRAM),
+                _d10_grams(pfx, _D10_NGRAM),
+                len_banded=True,
+            )
         )
         .distinct()
     )
     pa = pfx.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a"))
     pb = pfx.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pfx_b"))
+    # Banded levenshtein (Spark 3.5+ threshold form): O(k*n) instead of
+    # O(n^2) per pair — it returns the exact distance when <= k and -1
+    # otherwise, so `lev >= 0` selects exactly the old `lev <= 4` set
+    # with identical values (guide §1.2 step 2: per-task work, ~16x
+    # less DP on the ~0.1%-precision candidate set).
     return (
         cand.join(pa, "doc_a")
         .join(pb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("pfx_a", "pfx_b").cast("bigint").alias("lev"),
+            F.levenshtein("pfx_a", "pfx_b", _D10_MAXLEV)
+            .cast("bigint")
+            .alias("lev"),
         )
-        .filter(F.col("lev") <= _D10_MAXLEV)
+        .filter(F.col("lev") >= 0)
     )
 
 

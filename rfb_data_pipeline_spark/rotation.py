@@ -607,6 +607,12 @@ LAST_DRIVER_ROW.update(
     )
 )
 
+# r14 touches (optimization round 2): d10's candidate tiers gained
+# exact-by-construction cuts (self-join orientation, length banding,
+# xxhash64 gram keys) and the banded levenshtein(threshold) verify;
+# its pfx boundary went lazy.
+LAST_TOUCHED.update(dict.fromkeys(("d10_fuzzy_pairs",), 14))
+
 # The registry is at its 150-entry cap (3 rounds x 50 slots), so any
 # future net addition must retire a row first. The ranked candidates
 # below were reviewed in COVERAGE.md (r11, VERDICT r10 item 5) BEFORE

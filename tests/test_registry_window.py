@@ -6,7 +6,7 @@ out of (or a stale one into) the round's window.
 Since r06 the order is COMPUTED from the rotation ledger
 (rfb_data_pipeline_spark/rotation.py): never-driver-checked first,
 then touched-since-their-row, then green oldest-first. These tests pin
-the r12 composition the ledger must produce AND the ledger's own
+the r14 composition the ledger must produce AND the ledger's own
 freshness invariants, so a ledger edit that starves an entry fails
 loudly.
 """
@@ -21,34 +21,26 @@ def _names():
     return list(entry_mod.queries())
 
 
-# The 11 rows whose newest driver row is r09 — the r12 verdict's #1
-# forced set; they follow the r13-touched tier and all fit the window.
-R09_STALE = (
-    "t09_bpe_token_count", "t12_zipf_slope", "t13_pii_redaction",
-    "t15_quality_classifier", "t16_html_extract", "t17_url_filter",
-    "x11_curriculum_buckets", "x13_weighted_sample", "x14_epoch_plan",
-    "x15_split_drift", "x16_quality_mixture",
+# Rows whose r13 code change was committed AFTER the r13 ledger update
+# (VERDICT r13 item 2): their newest driver row predates the executed
+# code, so they MUST lead the r14 window. Ordered by the tier-1 key
+# (driver row asc, then name): t10/t11/t19/x05 have r10 rows, e18 an
+# r11 row, t05/t06 r12 rows.
+R13_LEDGER_GAP = (
+    "t10_cms_heavy_hitters", "t11_unigram_surprisal", "t19_bm25_search",
+    "x05_corpus_curation", "e18_drift_replay", "t05_top_terms",
+    "t06_tfidf_top_terms",
 )
 
-# Rows whose executed code changed in r13 (rotation.LAST_TOUCHED):
-# the optimization round's shared-base memos + loop restructures,
-# ordered by oldest driver row first within the tier.
-R13_TOUCHED = (
-    # dr=10 tier (name order)
-    "d02_ngram_jaccard", "d03_minhash_lsh", "d09_containment",
-    "d12_minhash_calibration", "d15_cc_star", "d16_incremental_minhash",
-    "g01_item_pagerank", "g02_item_triangles", "g03_bfs_hops",
-    "g04_item_similarity", "g05_graph_summary", "g06_lpa_communities",
-    # dr=11 tier
-    "x17_cluster_curation",
-    # dr=12 tier
-    "d17_span_dedup_action", "d18_cleaned_corpus",
-    "d19_decontaminate_action", "d20_incremental_span_dedup",
-    "s06_near_dup_pairs_banded",
+# Rows whose executed code changes in r14 (this optimization round).
+# Extend together with rotation.LAST_TOUCHED[...] = 14 as each change
+# lands.
+R14_TOUCHED: tuple[str, ...] = (
+    "d10_fuzzy_pairs",  # driver row r11
 )
 
 
-def test_r13_window_composition():
+def test_r14_window_composition():
     names = _names()
     window = set(names[:50])
     # Tier 0 — never driver-checked: EMPTY since the r10 fold (p01 was
@@ -56,33 +48,36 @@ def test_r13_window_composition():
     never_checked = {n for n in names if n not in rotation.LAST_DRIVER_ROW}
     assert never_checked == set()
     # Tier 1 — rows predating this round's code: exactly the r13
-    # touch set (optimization-round memo consumers + restructured
-    # iteration loops).
+    # ledger-gap rows plus this round's touches; every one fits in the
+    # window (the driver's oracle covers every changed row next run).
     touched_stale = {
         n
         for n in names
         if rotation.LAST_TOUCHED.get(n, 0)
         > rotation.LAST_DRIVER_ROW.get(n, 99)
     }
-    assert touched_stale == set(R13_TOUCHED)
-    assert names[:18] == list(R13_TOUCHED)
-    # then the full r09-stale block (the r12 verdict's #1 forced set):
-    # every one of the 11 lands inside THIS round's window.
-    assert names[18:29] == list(R09_STALE)
-    # the r10-green block fills the rest oldest-first
+    assert touched_stale == set(R13_LEDGER_GAP) | set(R14_TOUCHED)
+    assert touched_stale <= window
+    # Tier-1 entries are ordered by (driver row, name) — the stalest
+    # evidence is re-checked first.
+    tier1 = names[: len(touched_stale)]
+    assert set(tier1) == touched_stale
+    keys = [(rotation.LAST_DRIVER_ROW[n], n) for n in tier1]
+    assert keys == sorted(keys)
+    # the green tier fills the rest oldest-first: the r10-green block
+    # (t08/t14/t18/x01-x07 tail) must all be inside
     assert {
-        "d04_simhash", "d07_dedup_clusters", "e01_tumbling_hourly",
-        "e09_asof_join", "s03_near_dup_pairs", "s13_pq_ann",
+        "t08_top_bigrams", "t14_bigram_surprisal", "t18_posting_lists",
+        "x01_split_assign", "x06_shuffle_shard", "x07_upsert_merge",
+        "d01_exact_dedup", "d06_incremental_dedup",
     } <= window
-    # predicted spill: the r10-green tail from t08 onwards
-    assert names[50] == "t08_top_bigrams"
-    assert names[51] == "t10_cms_heavy_hitters"
-    # NO slot burns on r11/r12-green untouched code.
+    # NO slot burns on r12/r13-green untouched code.
     assert not (window & {
-        "x08_split_leakage", "d01_exact_dedup", "q26_intersect",
-        "s01_knn_bruteforce", "q01_pricing_summary",
-        "m01_image_metadata", "p01_pipeline_month_e2e",
+        "q01_pricing_summary", "q24_approx_distinct",
+        "m01_image_metadata", "m09_jpeg_roundtrip",
         "d13_duplicate_spans", "e16_stream_replay",
+        "d02_ngram_jaccard", "g01_item_pagerank",
+        "s06_near_dup_pairs_banded", "x17_cluster_curation",
     })
 
 
