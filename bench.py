@@ -324,6 +324,19 @@ def main() -> None:
         }
     if errors:
         payload["errors"] = errors
+    # Parallel-scaling evidence from tools/scaling_probe.py (VERDICT
+    # r13 item 5): the 10x-fixture 8-vs-32-core record rides along in
+    # the bench detail when it has been captured. Additive; absent
+    # file changes nothing.
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING_x10.json"
+    )
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as fh:
+                payload["scaling_x10"] = json.load(fh)
+        except Exception:  # noqa: BLE001 - evidence rider, never fatal
+            pass
     # The full per-query payload outgrew the driver's stdout tail
     # capture in r04 ("parsed": null — 49 queries x min+median on one
     # line). Persist the full detail in-repo so rounds stay diffable,

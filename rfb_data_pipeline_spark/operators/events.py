@@ -114,19 +114,41 @@ GROUP BY 1
 
 
 def e03_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14: gaps-and-islands instead of the native session_window
+    # operator (guide §2.4): one exchange on user_id feeds the sort,
+    # BOTH window passes, and the final aggregate (user_id is a subset
+    # of the (user_id, sid) grouping key, so no second exchange),
+    # where MergingSessions additionally paid a per-event provisional-
+    # session partial aggregate before the shuffle. Paired at sf0.1:
+    # 1.18 -> 0.97 s, 3 -> 2 jobs; output verified row-identical.
+    # Session semantics are UNCHANGED — a gap of exactly 5 minutes
+    # stays in the same session (strict '>' below == session_window's
+    # merge rule; tests/test_adversarial_events.py forces the exact-
+    # gap pair). The streaming twin (events_stream.sessionized) keeps
+    # the native operator: its per-key state store is the point there.
     ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = ev.select("user_id", "ts").withColumn(
+        "new_s",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(
+            F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 5 MINUTES"),
+            1,
+        )
+        .otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
     return (
-        ev.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        numbered.groupBy("user_id", "sid")
         .agg(
+            F.min("ts").alias("session_start"),
             F.count(F.lit(1)).alias("n_events"),
             F.max("ts").alias("last_ts"),
         )
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            "n_events",
-            "last_ts",
-        )
+        .select("user_id", "session_start", "n_events", "last_ts")
     )
 
 

@@ -938,7 +938,15 @@ def g07_edge_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("item").isNotNull())
         .groupBy("b", "user_id", "item")
         .agg(F.count(F.lit(1)).alias("n_ev"))
-        .transform(stage_boundary)
+        # LAZY boundary (r13 cc_star pattern): the final action is
+        # full-frame, so the first consumer stage materializes the
+        # cache and the separate per-invocation checkpoint job
+        # disappears (7 -> 6 jobs/rep, wall flat at sf0.1). A
+        # changed/unchanged split of the pair join (halves the
+        # generated pair mass) was prototyped and measured SLOWER
+        # (1.39 -> 1.55 s, 7 -> 11 jobs) — reverted, see
+        # OPTIMIZATION_r14.md.
+        .transform(lambda d: stage_boundary(d, eager=False))
     )
     # ONE cumulative plan over the batch axis (VERDICT r08 item 3;
     # the r07 fold was already O(K) in state but still submitted

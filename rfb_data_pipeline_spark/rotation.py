@@ -610,8 +610,18 @@ LAST_DRIVER_ROW.update(
 # r14 touches (optimization round 2): d10's candidate tiers gained
 # exact-by-construction cuts (self-join orientation, length banding,
 # xxhash64 gram keys) and the banded levenshtein(threshold) verify;
-# its pfx boundary went lazy.
-LAST_TOUCHED.update(dict.fromkeys(("d10_fuzzy_pairs",), 14))
+# its pfx boundary went lazy. e03 moved from the native
+# session_window operator to the gaps-and-islands shape (identical
+# session semantics incl. the exact-gap merge rule; output verified
+# row-identical). g07's per_bui boundary went lazy (plan prefix only).
+LAST_TOUCHED.update(
+    dict.fromkeys(
+        (
+            "d10_fuzzy_pairs", "e03_sessionize", "g07_edge_stream_replay",
+        ),
+        14,
+    )
+)
 
 # The registry is at its 150-entry cap (3 rounds x 50 slots), so any
 # future net addition must retire a row first. The ranked candidates

@@ -29,6 +29,64 @@ from rfb_data_pipeline_spark.operators.dedup import (
 )
 
 
+@pytest.mark.parametrize("seed", [13, 89])
+def test_e03_gaps_islands_equals_native_session_window(
+    spark, tmp_path, seed
+):
+    """e03's r14 shape (lag + cumulative-sum islands) must reproduce
+    the native session_window aggregation row-for-row on random
+    timestamps — including events landing EXACTLY gap minutes apart
+    (session_window's merge rule is gap <= duration, i.e. the exact-
+    gap event stays in the same session) and same-timestamp ties."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from rfb_data_pipeline_spark.operators.events import e03_sessionize
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for user in range(25):
+        ts = base + dt.timedelta(seconds=rng.randrange(86400))
+        for _ in range(rng.randrange(1, 30)):
+            kind = rng.randrange(6)
+            if kind == 0:
+                step = 300  # exactly the 5-minute gap: must MERGE
+            elif kind == 1:
+                step = 301  # one second over: must SPLIT
+            elif kind == 2:
+                step = 0  # same-timestamp tie
+            else:
+                step = rng.randrange(0, 1200)
+            ts = ts + dt.timedelta(seconds=step)
+            rows.append((eid, ts, user, "view", 1.0, None))
+            eid += 1
+    d = tmp_path / f"e03r{seed}"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+
+    ev = spark.read.parquet(str(d / "events.parquet"))
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "last_ts",
+        )
+    )
+    got = sorted(map(tuple, e03_sessionize(spark, str(d)).collect()))
+    want = sorted(map(tuple, native.collect()))
+    assert got == want
+
+
 def _lev(x: str, y: str) -> int:
     prev = list(range(len(y) + 1))
     for i, cx in enumerate(x, 1):

@@ -36,7 +36,9 @@ R13_LEDGER_GAP = (
 # Extend together with rotation.LAST_TOUCHED[...] = 14 as each change
 # lands.
 R14_TOUCHED: tuple[str, ...] = (
-    "d10_fuzzy_pairs",  # driver row r11
+    "d10_fuzzy_pairs",         # driver row r11
+    "g07_edge_stream_replay",  # driver row r12
+    "e03_sessionize",          # driver row r13
 )
 
 
