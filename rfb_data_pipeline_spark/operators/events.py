@@ -932,7 +932,7 @@ def e17_multistep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
         .over(w)
         .alias("next_purchase_ts"),
-    ).transform(stage_boundary)
+    ).transform(lambda df: stage_boundary(df, eager=False))
     # distinct column names on the click side: both frames share
     # `annotated`'s lineage, and an attribute-equality join between
     # same-named columns leans on the analyzer's self-join
@@ -1407,7 +1407,7 @@ def e22_any_click_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
         .over(w)
         .alias("next_purchase_ts"),
-    ).transform(stage_boundary)
+    ).transform(lambda df: stage_boundary(df, eager=False))
     views = annotated.filter(F.col("event_type") == "view").select(
         "user_id",
         F.col("ts").alias("v_ts"),

@@ -803,9 +803,12 @@ def x11_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # local ranks, band offsets) and the tokenize+score map is the
     # heaviest stage — without the checkpoint the corpus is scanned and
     # scored twice (the d02/d13 stage-boundary idiom).
+    # lazy boundary (r14, the cc_star pattern): the final action is
+    # full-frame, so the first consumer stage materializes the cache and
+    # the separate per-invocation checkpoint job disappears.
     scored = docs.select(
         "doc_id", F.size(toks).alias("n_tokens"), score.alias("score")
-    ).transform(stage_boundary)
+    ).transform(lambda df: stage_boundary(df, eager=False))
 
     bounds = scored.agg(
         F.min("score").alias("_lo"),
@@ -1401,7 +1404,7 @@ def x16_quality_mixture(
         .join(scores, "doc_id")
         .withColumn("skey", -F.col("nb_logodds"))
         .withColumn("band", F.floor("skey"))
-        .transform(stage_boundary)
+        .transform(lambda df: stage_boundary(df, eager=False))
     )
     selected = _banded_quota_select(docs, _mix_quotas(docs, mix_parts))
     return selected.groupBy("lang").agg(

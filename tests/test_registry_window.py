@@ -36,9 +36,13 @@ R13_LEDGER_GAP = (
 # Extend together with rotation.LAST_TOUCHED[...] = 14 as each change
 # lands.
 R14_TOUCHED: tuple[str, ...] = (
-    "d10_fuzzy_pairs",         # driver row r11
-    "g07_edge_stream_replay",  # driver row r12
-    "e03_sessionize",          # driver row r13
+    "d10_fuzzy_pairs",          # driver row r11
+    "e17_multistep_funnel",     # driver row r11
+    "e22_any_click_funnel",     # driver row r12
+    "g07_edge_stream_replay",   # driver row r12
+    "e03_sessionize",           # driver row r13
+    "x11_curriculum_buckets",   # driver row r13
+    "x16_quality_mixture",      # driver row r13
 )
 
 
