@@ -622,6 +622,9 @@ LAST_TOUCHED.update(
             "d10_fuzzy_pairs", "e03_sessionize", "g07_edge_stream_replay",
             "x11_curriculum_buckets", "x16_quality_mixture",
             "e17_multistep_funnel", "e22_any_click_funnel",
+            # s06/s11: per-pair norms hoisted to the join inputs
+            # (bit-identical cosines; 3x less scoring math)
+            "s06_near_dup_pairs_banded", "s11_batch_knn",
         ),
         14,
     )

@@ -40,7 +40,9 @@ R14_TOUCHED: tuple[str, ...] = (
     "e17_multistep_funnel",     # driver row r11
     "e22_any_click_funnel",     # driver row r12
     "g07_edge_stream_replay",   # driver row r12
+    "s11_batch_knn",            # driver row r12
     "e03_sessionize",           # driver row r13
+    "s06_near_dup_pairs_banded",  # driver row r13
     "x11_curriculum_buckets",   # driver row r13
     "x16_quality_mixture",      # driver row r13
 )
@@ -83,7 +85,7 @@ def test_r14_window_composition():
         "m01_image_metadata", "m09_jpeg_roundtrip",
         "d13_duplicate_spans", "e16_stream_replay",
         "d02_ngram_jaccard", "g01_item_pagerank",
-        "s06_near_dup_pairs_banded", "x17_cluster_curation",
+        "x17_cluster_curation",
     })
 
 
