@@ -963,13 +963,29 @@ def s08_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+        # argmin via min-of-struct (the g06/r14 sort-removal): (d2,
+        # cid) is unique per vec_id, so the lexicographic struct min
+        # is exactly the row_number()==1 row under (d2 asc, cid asc);
+        # hash aggregate with map-side combining instead of a full
+        # partition sort per Lloyd iteration (guide §2.2).
         return (
             emb.crossJoin(F.broadcast(cents))
-            .select("vec_id", "embedding", "cid", d2.alias("d2"))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .drop("rk")
+            .select(
+                "vec_id",
+                F.struct(
+                    d2.alias("d2"),
+                    F.col("cid").alias("cid"),
+                    F.col("embedding").alias("embedding"),
+                ).alias("s"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("s").alias("s"))
+            .select(
+                "vec_id",
+                F.col("s.embedding").alias("embedding"),
+                F.col("s.cid").alias("cid"),
+                F.col("s.d2").alias("d2"),
+            )
         )
 
     a1 = assign(cents0)
@@ -1449,13 +1465,33 @@ def _pq_model(
     sub = emb.select("vec_id", F.posexplode(slices).alias("m", "sv"))
 
     def assign(codebook: DataFrame) -> DataFrame:
-        w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("cid"))
+        # argmin via min-of-struct (the g06/r14 sort-removal): (d2,
+        # cid) is UNIQUE per (vec_id, m) — cid is unique within a
+        # codebook — so the lexicographic struct min is exactly the
+        # row_number()==1 row under (d2 asc, cid asc); sv never
+        # participates in the comparison. A hash aggregate with
+        # map-side partial combining replaces the full partition sort
+        # the window paid per encode pass (guide §2.2).
         return (
             sub.join(F.broadcast(codebook), "m")
-            .select("vec_id", "m", "sv", "cid", _pq_d2("sv", "c").alias("d2"))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .drop("rk")
+            .select(
+                "vec_id",
+                "m",
+                F.struct(
+                    _pq_d2("sv", "c").alias("d2"),
+                    F.col("cid").alias("cid"),
+                    F.col("sv").alias("sv"),
+                ).alias("s"),
+            )
+            .groupBy("vec_id", "m")
+            .agg(F.min("s").alias("s"))
+            .select(
+                "vec_id",
+                "m",
+                F.col("s.sv").alias("sv"),
+                F.col("s.cid").alias("cid"),
+                F.col("s.d2").alias("d2"),
+            )
         )
 
     seeds = sub.filter(F.col("vec_id") < k_pq).select(

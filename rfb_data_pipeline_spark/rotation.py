@@ -625,6 +625,10 @@ LAST_TOUCHED.update(
             # s06/s11: per-pair norms hoisted to the join inputs
             # (bit-identical cosines; 3x less scoring math)
             "s06_near_dup_pairs_banded", "s11_batch_knn",
+            # s08 + the PQ encode pass (s13/s15 via _pq_model): the
+            # row_number argmin became a min-of-struct hash aggregate
+            # (identical (d2 asc, cid asc) tie-break, no sort)
+            "s08_kmeans_lloyd", "s13_pq_ann", "s15_ivf_pq_ann",
         ),
         14,
     )

@@ -40,9 +40,12 @@ R14_TOUCHED: tuple[str, ...] = (
     "e17_multistep_funnel",     # driver row r11
     "e22_any_click_funnel",     # driver row r12
     "g07_edge_stream_replay",   # driver row r12
+    "s08_kmeans_lloyd",         # driver row r11
     "s11_batch_knn",            # driver row r12
     "e03_sessionize",           # driver row r13
     "s06_near_dup_pairs_banded",  # driver row r13
+    "s13_pq_ann",               # driver row r13
+    "s15_ivf_pq_ann",           # driver row r13
     "x11_curriculum_buckets",   # driver row r13
     "x16_quality_mixture",      # driver row r13
 )
