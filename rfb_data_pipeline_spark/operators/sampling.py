@@ -803,12 +803,17 @@ def x11_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # local ranks, band offsets) and the tokenize+score map is the
     # heaviest stage — without the checkpoint the corpus is scanned and
     # scored twice (the d02/d13 stage-boundary idiom).
-    # lazy boundary (r14, the cc_star pattern): the final action is
-    # full-frame, so the first consumer stage materializes the cache and
-    # the separate per-invocation checkpoint job disappears.
+    # EAGER boundary kept (r14): a lazy boundary was prototyped and
+    # measured SLOWER here (paired ABAB 0.70 eager vs 0.75-0.85 lazy)
+    # — scored feeds TWO separate broadcast builds (bounds, offsets)
+    # whose driver-side jobs can race the cache materialization and
+    # recompute the tokenize+score lineage; the eager checkpoint
+    # guarantees every consumer reads cached blocks. x16/e17/e22 keep
+    # the lazy form (single non-racing first consumer, measured
+    # faster; see OPTIMIZATION_r14.md).
     scored = docs.select(
         "doc_id", F.size(toks).alias("n_tokens"), score.alias("score")
-    ).transform(lambda df: stage_boundary(df, eager=False))
+    ).transform(stage_boundary)
 
     bounds = scored.agg(
         F.min("score").alias("_lo"),

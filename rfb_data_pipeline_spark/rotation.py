@@ -614,13 +614,16 @@ LAST_DRIVER_ROW.update(
 # session_window operator to the gaps-and-islands shape (identical
 # session semantics incl. the exact-gap merge rule; output verified
 # row-identical). g07's per_bui boundary went lazy (plan prefix only).
-# x11/x16/e17/e22: the per-invocation multi-consumer boundary went
-# lazy (one fewer job per rep; outputs identical, oracle-verified).
+# x16/e17/e22: the per-invocation multi-consumer boundary went lazy
+# (one fewer job per rep; outputs identical, oracle-verified). x11's
+# lazy prototype measured SLOWER (racing broadcast consumers) and was
+# reverted — its executed code is unchanged from its r13-checked
+# state, so it carries no r14 touch entry.
 LAST_TOUCHED.update(
     dict.fromkeys(
         (
             "d10_fuzzy_pairs", "e03_sessionize", "g07_edge_stream_replay",
-            "x11_curriculum_buckets", "x16_quality_mixture",
+            "x16_quality_mixture",
             "e17_multistep_funnel", "e22_any_click_funnel",
             # s06/s11: per-pair norms hoisted to the join inputs
             # (bit-identical cosines; 3x less scoring math)

@@ -46,7 +46,6 @@ R14_TOUCHED: tuple[str, ...] = (
     "s06_near_dup_pairs_banded",  # driver row r13
     "s13_pq_ann",               # driver row r13
     "s15_ivf_pq_ann",           # driver row r13
-    "x11_curriculum_buckets",   # driver row r13
     "x16_quality_mixture",      # driver row r13
 )
 
